@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The reference's fraud-report mart (trsh_rep_fraud_sync.sql) re-based
+  * onto the `events` stream: users are clients, `value` is the amount,
+  * `props.$.k` is the terminal-city analog, `event_type='error'` is a
+  * rejected operation.
+  *
+  * Every rule is a single declarative plan: the dimension joins broadcast
+  * (client dim ≪ fact stream), the window rules shuffle once on user_id.
+  * The accumulation filter (`create_dt > MAX(report_dt)`,
+  * trsh_rep_fraud_sync.sql:22-24) is the incremental watermark constant.
+  */
+object FraudMart {
+
+  val Watermark = "2024-01-05 00:00:00"
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  private val wUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+
+  /** R1 — operation while the client is blacklisted
+    * (trsh_rep_fraud_sync.sql:3-24). Blacklist = negative account
+    * balance; the dim side broadcasts.
+    */
+  def r1Blacklist(s: SparkSession, dir: String): DataFrame = {
+    val bl = Tables.customer(s, dir)
+      .filter(col("c_acctbal") < 0)
+      .select(col("c_custkey"), col("c_name").as("fio"))
+    events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .join(broadcast(bl), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("ts").as("event_dt"), col("user_id"), col("fio"),
+        lit(1).as("rule"))
+  }
+
+  /** R2 — operation after the client's validity window
+    * (trsh_rep_fraud_sync.sql:27-44: trans_date > valid_to). Validity =
+    * 20 days from first signup.
+    */
+  def r2Expired(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val validity = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg((min(col("ts")) + expr("INTERVAL 20 DAYS")).as("valid_to"))
+    ev.filter(col("event_type") === "purchase").alias("e")
+      .join(validity.alias("v"), Seq("user_id"))
+      .filter(col("e.ts") > col("v.valid_to"))
+      .select(col("event_id"), col("ts").as("event_dt"), col("user_id"), lit(2).as("rule"))
+  }
+
+  /** R3 — operations from different locations within one hour
+    * (trsh_rep_fraud_sync.sql:47-80: LAG(city) per client). Location =
+    * the `k` property of the event JSON payload.
+    */
+  def r3Velocity(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("prv_k", lag(col("k"), 1).over(wUser))
+      .withColumn("prv_ts", lag(col("ts"), 1).over(wUser))
+      .filter(col("k") =!= col("prv_k"))
+      .filter(col("ts") < col("prv_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("event_id"), col("ts").as("event_dt"), col("user_id"),
+        col("k"), col("prv_k"), lit(3).as("rule"))
+
+  /** R4 — amount-guessing (trsh_rep_fraud_sync.sql:86-129): a successful
+    * operation preceded by >=2 errors in the trailing window, each
+    * attempt smaller than the previous. Frames mirror the reference:
+    * LAG(amt), MIN/SUM over ROWS BETWEEN n PRECEDING.
+    */
+  def r4Guessing(s: SparkSession, dir: String): DataFrame = {
+    val frame3 = wUser.rowsBetween(-3, -1)
+    val frame2 = wUser.rowsBetween(-2, 0)
+    events(s, dir)
+      .withColumn("prv_amt", lag(col("value"), 1).over(wUser))
+      .withColumn("min_dt", min(col("ts")).over(frame3))
+      .withColumn("errs",
+        sum(when(col("event_type") === "error", 1).otherwise(0)).over(frame3))
+      .withColumn("red",
+        min(when(col("value") < col("prv_amt"), 1).otherwise(0)).over(frame2))
+      .filter(col("event_type") === "purchase" && col("errs") >= 2 &&
+        col("ts") < col("min_dt") + expr("INTERVAL 96 HOURS") && col("red") === 1)
+      .select(col("event_id"), col("ts").as("event_dt"), col("user_id"), lit(4).as("rule"))
+  }
+
+  /** The accumulated report: UNION ALL of the four rules projected to the
+    * common schema, only rows newer than the last report watermark.
+    */
+  def report(s: SparkSession, dir: String): DataFrame = {
+    val common = Seq("event_id", "event_dt", "user_id", "rule")
+    val all = r1Blacklist(s, dir).select(common.map(col): _*)
+      .unionByName(r2Expired(s, dir).select(common.map(col): _*))
+      .unionByName(r3Velocity(s, dir).select(common.map(col): _*))
+      .unionByName(r4Guessing(s, dir).select(common.map(col): _*))
+    all.filter(col("event_dt") > lit(Watermark).cast("timestamp"))
+      .withColumn("report_dt", to_date(col("event_dt")))
+  }
+}

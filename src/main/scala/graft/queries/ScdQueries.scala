@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Scd
+import graft.sources.Tables
+
+/** Warehouse/SCD operator suite (SURVEY.md §2, q11–q15).
+  *
+  * The `events` stream stands in for the reference's change-data feed:
+  * each event is a new version of its user's state
+  * (state = event_type), exactly how the reference versions dimensions
+  * from daily snapshots (etl.py:297-388).
+  */
+object ScdQueries {
+
+  private val Split = "2024-01-16 00:00:00"
+  private val DelTs = "2024-02-01 00:00:00"
+
+  /** Oracle-side prelude: DuckDB sees events.ts as TIMESTAMP_NS, which
+    * cannot represent 9999-12-31 — cast to µs TIMESTAMP to match Spark.
+    */
+  private val EvCte =
+    "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  // --- q11: change stream → SCD2 versioned dimension ---
+  def q11(s: SparkSession, dir: String): DataFrame =
+    Scd.buildHistory(Tables.events(s, dir), "user_id", "ts", "event_id",
+        Seq("event_type", "value"))
+      .withColumnRenamed("event_type", "state")
+
+  val q11Sql: String =
+    s"""$EvCte
+       |SELECT user_id, event_type AS state, value, ts AS effective_from,
+       | COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) - INTERVAL 1 MICROSECOND,
+       |          TIMESTAMP '9999-12-31 00:00:00') AS effective_to
+       |FROM ev""".stripMargin
+
+  // --- q12: point-in-time (as-of) join of facts to the versioned dim ---
+  def q12(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val facts = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id").as("f_user"), col("ts").as("event_dt"))
+    val dim = Scd.buildHistory(
+      ev.filter(col("event_id") % 2 === 1), "user_id", "ts", "event_id", Seq("event_type"))
+    Scd.asOfJoin(facts, dim, "f_user", "user_id", "event_dt")
+      .select(col("event_id"), col("user_id"), col("event_dt"),
+        col("event_type").as("state"), col("effective_from"))
+  }
+
+  val q12Sql: String =
+    s"""$EvCte, dim AS (
+       | SELECT user_id, event_type AS state, ts AS effective_from,
+       |  COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) - INTERVAL 1 MICROSECOND,
+       |           TIMESTAMP '9999-12-31 00:00:00') AS effective_to
+       | FROM ev WHERE event_id % 2 = 1)
+       |SELECT f.event_id, d.user_id, f.ts AS event_dt, d.state, d.effective_from
+       |FROM ev f JOIN dim d ON f.user_id = d.user_id
+       | AND f.ts BETWEEN d.effective_from AND d.effective_to
+       |WHERE f.event_id % 2 = 0""".stripMargin
+
+  // --- q13: SCD1 merge (update changed, insert new, tag actions) ---
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    val dwh = Tables.customer(s, dir).filter(col("c_custkey") < 100)
+      .select(col("c_custkey").as("user_id"), col("c_acctbal").as("balance"))
+    val wLatest = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val stg = Tables.events(s, dir)
+      .withColumn("rn", row_number().over(wLatest))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("value").as("balance"))
+    Scd.scd1Merge(dwh, stg, "user_id", Seq("balance"))
+  }
+
+  val q13Sql: String =
+    s"""$EvCte, dwh AS (
+       | SELECT c_custkey AS user_id, c_acctbal AS balance FROM customer WHERE c_custkey < 100),
+       |stg AS (
+       | SELECT user_id, value AS balance FROM (
+       |  SELECT user_id, value,
+       |   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM ev) t WHERE rn = 1)
+       |SELECT COALESCE(d.user_id, s.user_id) AS user_id,
+       | CASE WHEN s.user_id IS NOT NULL THEN s.balance ELSE d.balance END AS balance,
+       | CASE WHEN d.user_id IS NULL THEN 'I'
+       |      WHEN s.user_id IS NULL THEN 'N'
+       |      WHEN d.balance IS DISTINCT FROM s.balance THEN 'U'
+       |      ELSE 'N' END AS action
+       |FROM dwh d FULL OUTER JOIN stg s ON d.user_id = s.user_id""".stripMargin
+
+  // --- q14: SCD2 merge (close changed, tombstone deleted, insert new) ---
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val hist = Scd.buildHistory(
+      ev.filter(col("ts") < lit(Split).cast("timestamp")),
+      "user_id", "ts", "event_id", Seq("event_type"))
+      .withColumnRenamed("event_type", "state")
+    val wLatest = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val stg = ev.filter(col("ts") >= lit(Split).cast("timestamp"))
+      .withColumn("rn", row_number().over(wLatest))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("state"), col("ts").as("create_dt"))
+    Scd.scd2Merge(hist, stg, "user_id", Seq("state"), DelTs)
+  }
+
+  val q14Sql: String =
+    s"""$EvCte, h AS (
+       | SELECT user_id, event_type AS state, ts AS effective_from,
+       |  COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) - INTERVAL 1 MICROSECOND,
+       |           TIMESTAMP '9999-12-31 00:00:00') AS effective_to
+       | FROM ev WHERE ts < TIMESTAMP '$Split'),
+       |stg AS (
+       | SELECT user_id, state, create_dt FROM (
+       |  SELECT user_id, event_type AS state, ts AS create_dt,
+       |   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM ev WHERE ts >= TIMESTAMP '$Split') t WHERE rn = 1),
+       |openv AS (SELECT * FROM h WHERE effective_to = TIMESTAMP '9999-12-31 00:00:00'),
+       |closedv AS (SELECT user_id, state, effective_from, effective_to, FALSE AS deleted_flg
+       |            FROM h WHERE effective_to <> TIMESTAMP '9999-12-31 00:00:00'),
+       |j AS (SELECT d.user_id AS d_key, d.state AS d_state, d.effective_from AS d_from,
+       |             s.user_id AS s_key, s.state AS s_state, s.create_dt AS s_dt
+       |      FROM openv d FULL OUTER JOIN stg s ON d.user_id = s.user_id)
+       |SELECT * FROM closedv
+       |UNION ALL SELECT d_key, d_state, d_from, TIMESTAMP '9999-12-31 00:00:00', FALSE
+       | FROM j WHERE d_key IS NOT NULL AND s_key IS NOT NULL AND d_state = s_state
+       |UNION ALL SELECT d_key, d_state, d_from, s_dt - INTERVAL 1 MICROSECOND, FALSE
+       | FROM j WHERE d_key IS NOT NULL AND s_key IS NOT NULL AND d_state <> s_state
+       |UNION ALL SELECT d_key, s_state, s_dt, TIMESTAMP '9999-12-31 00:00:00', FALSE
+       | FROM j WHERE d_key IS NOT NULL AND s_key IS NOT NULL AND d_state <> s_state
+       |UNION ALL SELECT d_key, d_state, d_from, TIMESTAMP '$DelTs' - INTERVAL 1 MICROSECOND, FALSE
+       | FROM j WHERE s_key IS NULL
+       |UNION ALL SELECT d_key, d_state, TIMESTAMP '$DelTs', TIMESTAMP '9999-12-31 00:00:00', TRUE
+       | FROM j WHERE s_key IS NULL
+       |UNION ALL SELECT s_key, s_state, s_dt, TIMESTAMP '9999-12-31 00:00:00', FALSE
+       | FROM j WHERE d_key IS NULL""".stripMargin
+
+  // --- q15: run-log audit (reference trsh_meta_etl_run_log) ---
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    val runId = lit(1)
+    val ev = graft.operators.Incremental
+      .newerThan(Tables.events(s, dir), "ts", "2024-01-20 00:00:00")
+      .agg(count(lit(1)).as("rows_inserted"))
+      .select(runId.as("run_id"), lit("events").as("table_name"), col("rows_inserted"))
+    val ord = graft.operators.Incremental
+      .newerThan(Tables.orders(s, dir), "o_orderdate", "2000-12-31 00:00:00")
+      .agg(count(lit(1)).as("rows_inserted"))
+      .select(runId.as("run_id"), lit("orders").as("table_name"), col("rows_inserted"))
+    val cust = Tables.customer(s, dir)
+      .agg(count(lit(1)).as("rows_inserted"))
+      .select(runId.as("run_id"), lit("customer").as("table_name"), col("rows_inserted"))
+    ev.unionByName(ord).unionByName(cust)
+  }
+
+  val q15Sql: String =
+    """SELECT CAST(1 AS INT) AS run_id, 'events' AS table_name,
+      | CAST(COUNT(*) AS BIGINT) AS rows_inserted
+      |FROM events WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-01-20 00:00:00'
+      |UNION ALL SELECT CAST(1 AS INT), 'orders', CAST(COUNT(*) AS BIGINT)
+      |FROM orders WHERE o_orderdate > TIMESTAMP '2000-12-31 00:00:00'
+      |UNION ALL SELECT CAST(1 AS INT), 'customer', CAST(COUNT(*) AS BIGINT)
+      |FROM customer""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_scd2_build" -> (q11 _),
+    "q12_asof_join"  -> (q12 _),
+    "q13_scd1_merge" -> (q13 _),
+    "q14_scd2_merge" -> (q14 _),
+    "q15_run_log"    -> (q15 _))
+
+  val oracle: Map[String, String] = Map(
+    "q11_scd2_build" -> q11Sql,
+    "q12_asof_join"  -> q12Sql,
+    "q13_scd1_merge" -> q13Sql,
+    "q14_scd2_merge" -> q14Sql,
+    "q15_run_log"    -> q15Sql)
+}

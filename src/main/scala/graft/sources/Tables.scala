@@ -33,7 +33,9 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer division — `/` on longs is double division and loses
+      // precision at 10^18 nanoseconds (1µs drift)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 }

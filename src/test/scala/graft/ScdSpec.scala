@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Scd
+import graft.queries.ScdQueries
+
+class ScdSpec extends SparkSpec {
+
+  test("buildHistory yields contiguous, non-overlapping versions per key") {
+    val hist = ScdQueries.q11(spark, sf).cache()
+    // exactly one open version per user
+    val open = hist.filter(col("effective_to") === lit(Scd.OpenEnd).cast("timestamp"))
+    val users = hist.select("user_id").distinct().count()
+    assert(open.count() == users)
+    // no version starts after it ends
+    assert(hist.filter(col("effective_from") > col("effective_to")).count() == 0)
+  }
+
+  test("asOfJoin matches each fact to exactly one dim version") {
+    val joined = ScdQueries.q12(spark, sf)
+    val dupes = joined.groupBy("event_id").count().filter(col("count") > 1)
+    assert(dupes.count() == 0, "a fact matched multiple versions")
+  }
+
+  test("scd1Merge actions partition the keyspace") {
+    val m = ScdQueries.q13(spark, sf).cache()
+    val dwhUsers = graft.sources.Tables.customer(spark, sf)
+      .filter(col("c_custkey") < 100).count()
+    val stgOnly = graft.sources.Tables.events(spark, sf)
+      .filter(col("user_id") >= 100).select("user_id").distinct().count()
+    val actions = m.groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(actions.getOrElse("I", 0L) == stgOnly)
+    assert(actions.values.sum == dwhUsers + stgOnly)
+  }
+
+  test("scd2Merge preserves closed history and keeps one open row per live key") {
+    val merged = ScdQueries.q14(spark, sf).cache()
+    val open = merged.filter(col("effective_to") === lit(Scd.OpenEnd).cast("timestamp"))
+    val perKey = open.groupBy("user_id").count().filter(col("count") > 1)
+    assert(perKey.count() == 0, "multiple open versions for a key")
+    assert(merged.filter(col("deleted_flg")).count() ==
+      open.filter(col("deleted_flg")).count(), "tombstones must be open-ended")
+  }
+}
