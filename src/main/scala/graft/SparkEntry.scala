@@ -13,7 +13,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
       graft.queries.ScdQueries.queries ++
-      graft.queries.FraudQueries.queries
+      graft.queries.FraudQueries.queries ++
+      graft.queries.DedupQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -21,5 +22,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
       graft.queries.ScdQueries.oracle ++
-      graft.queries.FraudQueries.oracle
+      graft.queries.FraudQueries.oracle ++
+      graft.queries.DedupQueries.oracle
 }

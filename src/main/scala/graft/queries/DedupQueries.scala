@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Dedup & similarity-search suite (SURVEY.md §2, q21–q26).
+  *
+  * Pairwise queries run on a deterministic id-sampled subset — the
+  * pairwise *verification* is quadratic by definition; the scale path
+  * (inverted shingle index / LSH buckets) is what bounds candidate
+  * generation, and is exercised by q22/q23/q26 on the full table.
+  */
+object DedupQueries {
+
+  private val JaccardT = 0.6
+  private val CosT = 0.35
+
+  // --- q21: exact n-gram Jaccard near-dup pairs (oracle-checked) ---
+  def q21(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      Tables.documents(s, dir).filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", k = 3, threshold = JaccardT)
+
+  val q21Sql: String =
+    s"""WITH pos AS (
+       | SELECT doc_id, text, UNNEST(GENERATE_SERIES(1, CAST(LEN(text) AS BIGINT) - 2)) AS i
+       | FROM documents WHERE doc_id % 4 = 0),
+       |s AS (SELECT DISTINCT doc_id, SUBSTR(text, CAST(i AS INT), 3) AS sh FROM pos),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+       |inter AS (
+       | SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+       | FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       | GROUP BY a.doc_id, b.doc_id)
+       |SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+       | CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE) AS jaccard
+       |FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+       |WHERE CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE) >= $JaccardT""".stripMargin
+
+  // --- q22: MinHash + LSH band-bucket candidates (rows-only) ---
+  def q22(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+      k = 3, numPerm = 16, bands = 4)
+
+  // --- q23: SimHash hamming near-dups (rows-only) ---
+  def q23(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 8)
+
+  // --- q24: embedding-cosine near-dup pairs (oracle-checked) ---
+  def q24(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(
+      Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", threshold = CosT)
+
+  val q24Sql: String =
+    s"""WITH e AS (
+       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       | FROM embeddings WHERE vec_id % 5 = 0)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE LIST_DOT_PRODUCT(a.v, b.v) /
+       |  (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))) >= $CosT""".stripMargin
+
+  // --- q25: brute-force cosine top-k (oracle-checked) ---
+  def q25(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+  }
+
+  val q25Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+      |sc AS (
+      | SELECT probe_id, e.vec_id AS neighbor_id,
+      |  LIST_DOT_PRODUCT(pv, v) /
+      |   (SQRT(LIST_DOT_PRODUCT(pv, pv)) * SQRT(LIST_DOT_PRODUCT(v, v))) AS cos
+      | FROM p JOIN e ON e.vec_id <> probe_id)
+      |SELECT probe_id, neighbor_id, rank FROM (
+      | SELECT probe_id, neighbor_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+      | FROM sc) t WHERE rank <= 10""".stripMargin
+
+  // --- q26: LSH-bucketed ANN, the 100 TB path (rows-only) ---
+  def q26(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
+      k = 10, nBits = 4, dim = 64)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_dedup_ngram"     -> (q21 _),
+    "q22_dedup_minhash"   -> (q22 _),
+    "q23_dedup_simhash"   -> (q23 _),
+    "q24_dedup_embedding" -> (q24 _),
+    "q25_ann_bruteforce"  -> (q25 _),
+    "q26_ann_lsh"         -> (q26 _))
+
+  val oracle: Map[String, String] = Map(
+    "q21_dedup_ngram"     -> q21Sql,
+    "q24_dedup_embedding" -> q24Sql,
+    "q25_ann_bruteforce"  -> q25Sql)
+}

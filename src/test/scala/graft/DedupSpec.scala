@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.queries.DedupQueries
+import graft.sources.Tables
+
+class DedupSpec extends SparkSpec {
+
+  test("ngram jaccard pairs are symmetric-free and above threshold") {
+    val pairs = DedupQueries.q21(spark, sf).cache()
+    assert(pairs.count() > 0)
+    assert(pairs.filter(col("id_a") >= col("id_b")).count() == 0)
+    assert(pairs.filter(col("jaccard") < 0.6).count() == 0)
+  }
+
+  test("minhash LSH candidates cover all high-jaccard pairs (recall on exact)") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") % 4 === 0)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b")
+    val cand = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4)
+    val missed = exact.join(cand, Seq("id_a", "id_b"), "left_anti").count()
+    assert(missed == 0, s"$missed near-identical pairs missed by LSH banding")
+  }
+
+  test("simhash of identical texts is identical") {
+    val docs = Tables.documents(spark, sf).limit(10)
+    val twice = docs.unionByName(docs)
+    val fps = Dedup.simhash(twice, "doc_id", "text")
+      .groupBy("doc_id").agg(countDistinct(col("simhash")).as("n"))
+    assert(fps.filter(col("n") =!= 1).count() == 0)
+  }
+
+  test("brute-force top-k ranks are dense from 1 and self-excluded") {
+    val e = Tables.embeddings(spark, sf)
+    val topk = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 5).cache()
+    assert(topk.filter(col("probe_id") === col("neighbor_id")).count() == 0)
+    val perProbe = topk.groupBy("probe_id")
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"))
+    assert(perProbe.filter(col("n") =!= 5 || col("mx") =!= 5).count() == 0)
+  }
+
+  test("lsh ANN neighbors share the probe's bucket (subset of brute force corpus)") {
+    val e = Tables.embeddings(spark, sf)
+    val ann = Similarity.lshTopK(e, e.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 5, 4, 64)
+    assert(ann.count() > 0)
+    assert(ann.filter(col("probe_id") === col("neighbor_id")).count() == 0)
+  }
+}
