@@ -14,7 +14,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
       graft.queries.ScdQueries.queries ++
       graft.queries.FraudQueries.queries ++
-      graft.queries.DedupQueries.queries
+      graft.queries.DedupQueries.queries ++
+      graft.queries.TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -23,5 +24,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracle ++
       graft.queries.ScdQueries.oracle ++
       graft.queries.FraudQueries.oracle ++
-      graft.queries.DedupQueries.oracle
+      graft.queries.DedupQueries.oracle ++
+      graft.queries.TextQueries.oracle
 }

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for corpus curation, composed from native
+  * (codegen'd) functions only — every expression here stays inside
+  * whole-stage codegen; no UDFs.
+  *
+  * Each helper has an exact DuckDB-SQL mirror (see TextQueries oracles):
+  * occurrence counting via the length-of-replace trick, token counting
+  * via regex, so both engines agree bit-for-bit.
+  */
+object TextFunctions {
+
+  /** Whitespace-delimited token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("long")
+
+  /** Count of alphabetic word tokens (BPE-ish pre-tokenization class). */
+  def alphaTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+")).cast("long")
+
+  /** Count of punctuation characters. */
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[.!?,;:]")).cast("long")
+
+  /** Non-overlapping occurrence count of a literal needle. */
+  def occurrences(text: Column, needle: String): Column =
+    ((length(text) - length(replace(text, lit(needle), lit("")))) / needle.length)
+      .cast("long")
+
+  /** Marker-word language scores: (lang, markers) pairs → per-lang score
+    * = total marker occurrences. Surrounding spaces avoid substring hits.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "es" -> Seq(" el ", " y ", " los "),
+    "zh" -> Seq(" de ", " le5 ", " shi "))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    markers.map(m => occurrences(text, m)).reduce(_ + _)
+
+  /** Predicted language: argmax of marker scores, ties broken by marker
+    * list order (deterministic — required for oracle parity).
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> langScore(text, ms) }
+    // first index whose score >= every later score == first global argmax
+    def build(i: Int): Column =
+      if (i == scores.length - 1) lit(scores(i)._1)
+      else {
+        val (lang, score) = scores(i)
+        val later = scores.drop(i + 1).map(_._2)
+        when(later.map(score >= _).reduce(_ && _), lang).otherwise(build(i + 1))
+      }
+    build(0)
+  }
+
+  /** Composite quality score in [0,1]: token mass, punctuation restraint,
+    * stopword naturalness. Formula order is fixed — the oracle mirrors it
+    * term for term so double arithmetic matches exactly.
+    */
+  def qualityScore(text: Column): Column = {
+    val tokens = tokenCount(text).cast("double")
+    val punct = punctCount(text).cast("double")
+    val stops = occurrences(text, " the ").cast("double")
+    val chars = length(text).cast("double")
+    least(tokens / lit(50.0), lit(1.0)) * lit(0.4) +
+      (lit(1.0) - least(punct / greatest(tokens, lit(1.0)), lit(1.0))) * lit(0.3) +
+      least(stops * lit(10.0) / greatest(tokens, lit(1.0)), lit(1.0)) * lit(0.3)
+  }
+}

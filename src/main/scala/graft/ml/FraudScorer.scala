@@ -1,0 +1,46 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** MLlib fraud classifier (BASELINE.json: "DataFrame ops + MLlib
+  * classification").
+  *
+  * Features are cheap event-level signals (amount, hour-of-day, location
+  * id, error flag); labels come from the rule-based mart — the classic
+  * bootstrap: rules label history, the model generalizes. Training is
+  * seeded and single-pass deterministic.
+  */
+object FraudScorer {
+
+  def featurize(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+      .withColumn("hour", hour(col("ts")).cast("double"))
+      .withColumn("is_error", when(col("event_type") === "error", 1.0).otherwise(0.0))
+      .withColumn("is_purchase", when(col("event_type") === "purchase", 1.0).otherwise(0.0))
+
+  /** Train on rule-labeled events, emit per-event fraud probability. */
+  def score(s: SparkSession, dir: String): DataFrame = {
+    val ev = featurize(Tables.events(s, dir))
+    val labels = graft.pipeline.FraudMart.report(s, dir)
+      .select(col("event_id")).distinct().withColumn("label", lit(1.0))
+    val data = ev.join(labels, Seq("event_id"), "left")
+      .withColumn("label", coalesce(col("label"), lit(0.0)))
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("value", "k", "hour", "is_error", "is_purchase"))
+      .setOutputCol("features")
+    val lr = new LogisticRegression()
+      .setMaxIter(20).setRegParam(0.01).setStandardization(true)
+    val model = lr.fit(assembler.transform(data))
+    model.transform(assembler.transform(data))
+      .select(col("event_id"), col("user_id"), col("label"),
+        col("prediction"),
+        round(element_at(vector_to_array(col("probability")), 2), 6).as("fraud_prob"))
+  }
+}

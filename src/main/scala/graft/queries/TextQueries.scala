@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{RollingHash, TextFunctions => TF}
+import graft.operators.Multimodal
+import graft.sources.Tables
+
+/** Text analysis, multimodal, streaming-equivalent, and ML queries
+  * (SURVEY.md §2, q27–q33).
+  */
+object TextQueries {
+
+  // --- q27: per-document text statistics ---
+  def q27(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      TF.tokenCount(col("text")).as("n_tokens"),
+      TF.alphaTokenCount(col("text")).as("n_alpha"),
+      TF.punctCount(col("text")).as("n_punct"),
+      TF.occurrences(col("text"), " the ").as("n_the"))
+  }
+
+  val q27Sql: String =
+    """SELECT doc_id,
+      | LEN(text) AS n_chars_calc,
+      | LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_tokens,
+      | LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+')) AS n_alpha,
+      | LEN(REGEXP_EXTRACT_ALL(text, '[.!?,;:]')) AS n_punct,
+      | CAST((LEN(text) - LEN(REPLACE(text, ' the ', ''))) / 5 AS BIGINT) AS n_the
+      |FROM documents""".stripMargin
+
+  // --- q28: marker-based language identification ---
+  def q28(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      TF.langId(col("text")).as("pred_lang"))
+
+  val q28Sql: String = {
+    val scores = TF.LangMarkers.map { case (lang, ms) =>
+      val terms = ms.map(m =>
+        s"CAST((LEN(text) - LEN(REPLACE(text, '$m', ''))) / ${m.length} AS BIGINT)")
+      s"${terms.mkString(" + ")} AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = TF.LangMarkers.map(_._1)
+    val cases = langs.dropRight(1).zipWithIndex.map { case (lang, i) =>
+      val later = langs.drop(i + 1).map(l => s"s_$lang >= s_$l")
+      s"WHEN ${later.mkString(" AND ")} THEN '$lang'"
+    }.mkString("\n  ")
+    s"""WITH sc AS (SELECT doc_id, lang,
+       |  $scores
+       | FROM documents)
+       |SELECT doc_id, lang,
+       | CASE $cases ELSE '${langs.last}' END AS pred_lang
+       |FROM sc""".stripMargin
+  }
+
+  // --- q29: quality-score filter pipeline ---
+  def q29(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+      .filter(col("quality") >= 0.5)
+
+  val q29Sql: String = {
+    val tokens = "CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS DOUBLE)"
+    val punct = "CAST(LEN(REGEXP_EXTRACT_ALL(text, '[.!?,;:]')) AS DOUBLE)"
+    val stops = "CAST(CAST((LEN(text) - LEN(REPLACE(text, ' the ', ''))) / 5 AS BIGINT) AS DOUBLE)"
+    s"""WITH q AS (SELECT doc_id,
+       |  LEAST($tokens / 50.0, 1.0) * 0.4 +
+       |  (1.0 - LEAST($punct / GREATEST($tokens, 1.0), 1.0)) * 0.3 +
+       |  LEAST($stops * 10.0 / GREATEST($tokens, 1.0), 1.0) * 0.3 AS quality
+       | FROM documents)
+       |SELECT doc_id, quality FROM q WHERE quality >= 0.5""".stripMargin
+  }
+
+  // --- q30: rolling-hash fingerprint via native Catalyst expression ---
+  def q30(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), RollingHash.fingerprint(col("text")).as("fingerprint"))
+
+  // --- q31: multimodal binary payload + metadata extraction (stub decode) ---
+  def q31(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractMeta(
+      Tables.documents(s, dir).withColumn("payload", col("text").cast("binary")),
+      "doc_id", "payload").toDF()
+
+  // --- q32: windowed activity (streaming-equivalent batch semantics) ---
+  def q32(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingFraud.windowedActivity(Tables.events(s, dir))
+
+  val q32Sql: String =
+    """SELECT TIME_BUCKET(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      | event_type,
+      | CAST(COUNT(*) AS BIGINT) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // --- q33: MLlib logistic-regression fraud scorer (rows-only) ---
+  def q33(s: SparkSession, dir: String): DataFrame =
+    graft.ml.FraudScorer.score(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_text_stats"      -> (q27 _),
+    "q28_lang_id"         -> (q28 _),
+    "q29_quality_filter"  -> (q29 _),
+    "q30_fingerprint"     -> (q30 _),
+    "q31_multimodal_meta" -> (q31 _),
+    "q32_stream_windowed" -> (q32 _),
+    "q33_fraud_score"     -> (q33 _))
+
+  val oracle: Map[String, String] = Map(
+    "q27_text_stats"      -> q27Sql,
+    "q28_lang_id"         -> q28Sql,
+    "q29_quality_filter"  -> q29Sql,
+    "q32_stream_windowed" -> q32Sql)
+}

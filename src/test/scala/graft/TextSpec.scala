@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{RollingHash, TextFunctions => TF}
+import graft.queries.TextQueries
+import graft.sources.Tables
+
+class TextSpec extends SparkSpec {
+
+  test("text stats are internally consistent") {
+    val st = TextQueries.q27(spark, sf).cache()
+    assert(st.count() == Tables.documents(spark, sf).count())
+    assert(st.filter(col("n_tokens") <= 0).count() == 0)
+    assert(st.filter(col("n_alpha") > col("n_chars_calc")).count() == 0)
+  }
+
+  test("langId is deterministic and draws from the marker languages") {
+    val p1 = TextQueries.q28(spark, sf).select("doc_id", "pred_lang").collect().toSet
+    val p2 = TextQueries.q28(spark, sf).select("doc_id", "pred_lang").collect().toSet
+    assert(p1 == p2)
+    val langs = TF.LangMarkers.map(_._1).toSet
+    assert(p1.forall(r => langs.contains(r.getString(1))))
+  }
+
+  test("quality score stays in [0,1]") {
+    val q = Tables.documents(spark, sf)
+      .select(TF.qualityScore(col("text")).as("q"))
+    assert(q.filter(col("q") < 0 || col("q") > 1).count() == 0)
+  }
+
+  test("rolling-hash fingerprint is stable and collision-free on distinct texts") {
+    val fp = TextQueries.q30(spark, sf).cache()
+    val texts = Tables.documents(spark, sf).select("text").distinct().count()
+    assert(fp.select("fingerprint").distinct().count() == texts)
+    // matches the reference scala implementation (codegen path == eval path)
+    val row = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .select(col("text")).collect()(0).getString(0)
+    val expected = RollingHash.hash64(row.getBytes("UTF-8"))
+    val got = fp.filter(col("doc_id") === 0).collect()(0).getLong(1)
+    assert(got == expected)
+  }
+
+  test("multimodal metadata is deterministic and sized correctly") {
+    val m1 = TextQueries.q31(spark, sf).collect().toSet
+    val m2 = TextQueries.q31(spark, sf).collect().toSet
+    assert(m1 == m2)
+    assert(m1.forall(_.getLong(1) > 0))
+  }
+}
