@@ -36,7 +36,7 @@ object FraudScorer {
       .setInputCols(Array("value", "k", "hour", "is_error", "is_purchase"))
       .setOutputCol("features")
     val lr = new LogisticRegression()
-      .setMaxIter(20).setRegParam(0.01).setStandardization(true)
+      .setMaxIter(10).setRegParam(0.01).setStandardization(true)
     val model = lr.fit(assembler.transform(data))
     model.transform(assembler.transform(data))
       .select(col("event_id"), col("user_id"), col("label"),
