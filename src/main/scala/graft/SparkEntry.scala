@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.ScdQueries.queries ++
       graft.queries.FraudQueries.queries ++
       graft.queries.DedupQueries.queries ++
-      graft.queries.TextQueries.queries
+      graft.queries.TextQueries.queries ++
+      graft.queries.OlapQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -25,5 +26,6 @@ object SparkEntry {
       graft.queries.ScdQueries.oracle ++
       graft.queries.FraudQueries.oracle ++
       graft.queries.DedupQueries.oracle ++
-      graft.queries.TextQueries.oracle
+      graft.queries.TextQueries.oracle ++
+      graft.queries.OlapQueries.oracle
 }

@@ -1,0 +1,30 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.RollingHashExpr
+
+/** SparkSessionExtensions entry point: registers graft's native Catalyst
+  * expressions with the SQL function registry, so pure-SQL users get the
+  * same codegen'd operators as the Scala API:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * spark.sql("SELECT rolling_hash(text) FROM docs")
+  * }}}
+  *
+  * Or via config (no code): spark.sql.extensions=graft.plans.GraftExtensions
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "rolling_hash takes exactly one argument")
+        RollingHashExpr(children.head)
+      }))
+  }
+}

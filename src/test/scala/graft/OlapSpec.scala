@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.OlapQueries
+import graft.sources.Tables
+
+class OlapSpec extends SparkSpec {
+
+  test("cube emits all four grouping combinations") {
+    val c = OlapQueries.q34(spark, sf).cache()
+    assert(c.filter(col("l_returnflag").isNull && col("l_linestatus").isNull).count() == 1)
+    assert(c.filter(col("l_returnflag").isNotNull && col("l_linestatus").isNull).count() > 0)
+    assert(c.filter(col("l_returnflag").isNull && col("l_linestatus").isNotNull).count() > 0)
+  }
+
+  test("salted join equals the plain join") {
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"))
+    val salted = OlapQueries.q39(spark, sf).select("o_orderpriority", "n_items")
+    assert(salted.exceptAll(plain.select("o_orderpriority", "n_items")).count() == 0)
+  }
+
+  test("sessionization: session count per user is bounded by event count") {
+    val sess = OlapQueries.q37(spark, sf)
+      .groupBy("user_id").agg(max(col("session_seq")).as("n_sessions"),
+        sum(col("n_events")).as("total_events"))
+    assert(sess.filter(col("n_sessions") > col("total_events")).count() == 0)
+    assert(sess.count() > 0)
+  }
+
+  test("point-in-time snapshot has at most one state per user") {
+    val snap = OlapQueries.q40(spark, sf)
+    val dupes = snap.groupBy("user_id").count().filter(col("count") > 1)
+    assert(dupes.count() == 0)
+  }
+}
