@@ -5,9 +5,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The accumulated 4-rule fraud report — the reference's headline
+    * output (trsh_rep_fraud_sync.sql).
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q03_star_join")(spark, "/root/testdata/sf0.001")
+    queries("q20_fraud_report")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

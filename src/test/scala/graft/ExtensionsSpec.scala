@@ -1,28 +1,20 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import org.scalatest.funsuite.AnyFunSuite
-
-/** GraftExtensions needs its own session (withExtensions at build time),
-  * so this suite does not share SparkSpec's.
+/** The shared SparkSpec session is built withExtensions(GraftExtensions),
+  * so this exercises the real injection path (builder → session →
+  * function registry). Never stop the shared session — one JVM serves
+  * every suite.
   */
-class ExtensionsSpec extends AnyFunSuite {
+class ExtensionsSpec extends SparkSpec {
 
   test("rolling_hash is callable from SQL via SparkSessionExtensions") {
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .getOrCreate()
-    try {
-      val got = spark.sql("SELECT rolling_hash('spark') AS h").collect()(0).getLong(0)
-      val expected = graft.functions.RollingHash.hash64("spark".getBytes("UTF-8"))
-      assert(got == expected)
-      // arity error surfaces as an analysis failure, not a crash
-      val err = intercept[Exception](spark.sql("SELECT rolling_hash('a','b')").collect())
-      assert(err.getMessage.toLowerCase.contains("rolling_hash"))
-    } finally spark.stop()
+    val got = spark.sql("SELECT rolling_hash('spark') AS h").collect()(0).getLong(0)
+    val expected = graft.functions.RollingHash.hash64("spark".getBytes("UTF-8"))
+    assert(got == expected)
+  }
+
+  test("rolling_hash arity error is a clean analysis failure") {
+    val err = intercept[Exception](spark.sql("SELECT rolling_hash('a','b')").collect())
+    assert(err.getMessage.toLowerCase.contains("rolling_hash"))
   }
 }
