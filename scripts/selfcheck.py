@@ -29,6 +29,11 @@ def norm(v):
             return "NaN"
         return v
     if hasattr(v, "isoformat"):
+        # Spark parquet is UTC-adjusted (tz-aware via pyarrow); DuckDB
+        # returns naive UTC — normalize both to naive UTC.
+        if getattr(v, "tzinfo", None) is not None:
+            import datetime as _dt
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat()
     if isinstance(v, (int, str, bool)):
         return v
@@ -42,9 +47,16 @@ def canon(rows, cols):
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
     try:
-        spark_rel = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-        scols = [d[0] for d in spark_rel.description]
-        srows = spark_rel.fetchall()
+        # Read the Spark parquet via pyarrow (the driver's read path) —
+        # DuckDB reads INT96 as µs and masked the ns-overflow of the
+        # 9999-12-31 sentinel that pandas/pyarrow wrap to 2024 (ADVICE r1).
+        import glob as _glob
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        frags = [pq.read_table(p) for p in sorted(_glob.glob(f"{outdir}/{name}/*.parquet"))]
+        tbl = pa.concat_tables(frags)
+        scols = tbl.column_names
+        srows = [tuple(d[c] for c in scols) for d in tbl.to_pylist()]
     except Exception as e:
         print(f"FAIL {name}: spark result unreadable: {e}")
         fail += 1

@@ -20,8 +20,11 @@ object FraudScorer {
 
   def featurize(events: DataFrame): DataFrame =
     events
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
-      .withColumn("hour", hour(col("ts")).cast("double"))
+      // null-safe: missing props.$.k / null value must not crash the
+      // assembler (handleInvalid="error") on data with gaps
+      .withColumn("value", coalesce(col("value").cast("double"), lit(0.0)))
+      .withColumn("k", coalesce(get_json_object(col("props"), "$.k").cast("double"), lit(0.0)))
+      .withColumn("hour", coalesce(hour(col("ts")).cast("double"), lit(0.0)))
       .withColumn("is_error", when(col("event_type") === "error", 1.0).otherwise(0.0))
       .withColumn("is_purchase", when(col("event_type") === "purchase", 1.0).otherwise(0.0))
 

@@ -22,7 +22,11 @@ object Dedup {
     * distinct within a document.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol), explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("pos"),
+    // Guard length >= k: sequence(start > stop) DESCENDS in Spark
+    // (1,0,-1,...), which would emit junk positions for short texts while
+    // the SQL oracle's GENERATE_SERIES returns empty — silent divergence.
+    df.filter(length(col(textCol)) >= k)
+      .select(col(idCol), explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("pos"),
         col(textCol))
       .select(col(idCol), substring_index_pos(col(textCol), col("pos"), k).as("shingle"))
       .distinct()

@@ -24,13 +24,15 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS). Spark's
-    * vectorized reader has no nanos TimestampType; the legacy conf reads
+    * vectorized reader has no nanos TimestampType; the legacy conf
+    * `spark.sql.legacy.parquet.nanosAsLong` (set once at session build in
+    * Verify/Bench/Explain/SparkSpec — NOT mutated here, so concurrent
+    * query construction and unrelated parquet reads are unaffected) reads
     * the raw int64 nanos, which we convert to a microsecond timestamp
     * (all driver-generated values are microsecond-aligned, so this is
     * lossless and matches DuckDB's view of the same file).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       // integer division — `/` on longs is double division and loses

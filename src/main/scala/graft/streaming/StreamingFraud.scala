@@ -59,16 +59,21 @@ object StreamingFraud {
     val stEnc = Encoders.product[St]
     val withK = events
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
-      .select(col("user_id"), col("ts"), col("k"))
-    withK.as[(Long, java.sql.Timestamp, Int)](
-        Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaInt))
+      .select(col("user_id"), col("ts"), col("k"), col("event_id"))
+    withK.as[(Long, java.sql.Timestamp, Int, Long)](
+        Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaInt,
+          Encoders.scalaLong))
       .groupByKey(_._1)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Int)], state: GroupState[St]) => {
-          val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Int, Long)],
+         state: GroupState[St]) => {
+          // sort by (ts, event_id) — the SAME total order as the batch
+          // twin's Window.orderBy(ts, event_id), so timestamp ties cannot
+          // make the two paths diverge
+          val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._4))
           val out = scala.collection.mutable.ArrayBuffer[Flag]()
           var prev = state.getOption
-          sorted.foreach { case (_, ts, k) =>
+          sorted.foreach { case (_, ts, k, _) =>
             prev.foreach { p =>
               if (p.k != k && ts.getTime < p.ts + 3600L * 1000L)
                 out += Flag(user, ts, k, p.k)
