@@ -28,7 +28,13 @@ object FraudScorer {
       .withColumn("is_error", when(col("event_type") === "error", 1.0).otherwise(0.0))
       .withColumn("is_purchase", when(col("event_type") === "purchase", 1.0).otherwise(0.0))
 
-  /** Train on rule-labeled events, emit per-event fraud probability. */
+  /** Train on rule-labeled events, emit per-event fraud probability.
+    *
+    * The labeled+assembled training set is cached once: the label join
+    * replays the 4-rule mart plan (4 window shuffles), and both lr.fit's
+    * iterative passes and the final transform would otherwise recompute
+    * it from the parquet scan each time.
+    */
   def score(s: SparkSession, dir: String): DataFrame = {
     val ev = featurize(Tables.events(s, dir))
     val labels = graft.pipeline.FraudMart.report(s, dir)
@@ -38,10 +44,16 @@ object FraudScorer {
     val assembler = new VectorAssembler()
       .setInputCols(Array("value", "k", "hour", "is_error", "is_purchase"))
       .setOutputCol("features")
+    // cached, not unpersisted here: the returned DataFrame is lazy and
+    // still reads the cache when the caller executes it; Spark evicts
+    // LRU under memory pressure
+    val assembled = assembler.transform(data)
+      .select(col("event_id"), col("user_id"), col("label"), col("features"))
+      .cache()
     val lr = new LogisticRegression()
       .setMaxIter(10).setRegParam(0.01).setStandardization(true)
-    val model = lr.fit(assembler.transform(data))
-    model.transform(assembler.transform(data))
+    val model = lr.fit(assembled)
+    model.transform(assembled)
       .select(col("event_id"), col("user_id"), col("label"),
         col("prediction"),
         round(element_at(vector_to_array(col("probability")), 2), 6).as("fraud_prob"))

@@ -22,6 +22,13 @@ object Dedup {
     * distinct within a document.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    shinglesRaw(df, idCol, textCol, k).distinct()
+
+  /** Shingle stream WITHOUT the per-(id,shingle) distinct — callers whose
+    * downstream aggregation is duplicate-idempotent (bitmap OR) skip that
+    * full-data shuffle.
+    */
+  private def shinglesRaw(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     // Guard length >= k: sequence(start > stop) DESCENDS in Spark
     // (1,0,-1,...), which would emit junk positions for short texts while
     // the SQL oracle's GENERATE_SERIES returns empty — silent divergence.
@@ -29,7 +36,6 @@ object Dedup {
       .select(col(idCol), explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("pos"),
         col(textCol))
       .select(col(idCol), substring_index_pos(col(textCol), col("pos"), k).as("shingle"))
-      .distinct()
 
   // substring with a dynamic start position (functions.substring needs literals)
   private def substring_index_pos(text: Column, pos: Column, len: Int): Column =
@@ -55,21 +61,25 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingles(df, idCol, textCol, k)
+    val sh = shinglesRaw(df, idCol, textCol, k)
     // dense shingle dictionary; the window is over the (tiny) vocabulary,
     // not the corpus, so the single-partition sort is metadata-sized
     val dict = sh.select("shingle").distinct()
       .withColumn("sid", row_number().over(Window.orderBy("shingle")) - 1)
     val vocab = dict.count().toInt
     val words = (vocab + 63) / 64
-    // per-document bitmap: one long per 64 dictionary slots
+    // per-document bitmap: one long per 64 dictionary slots. bit_or is
+    // duplicate-idempotent, so the shingle stream needs NO distinct
+    // (one full-data shuffle saved); set_size = popcount of the bitmap.
     val wordCols = (0 until words).map { w =>
       bit_or(when(col("sid") >= w * 64 && col("sid") < (w + 1) * 64,
         expr("shiftleft(1L, cast(sid % 64 as int))")).otherwise(0L)).as(s"w$w")
     }
     val docs = sh.join(broadcast(dict), Seq("shingle"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("set_size"), wordCols: _*)
+      .agg(wordCols.head, wordCols.tail: _*)
+      .withColumn("set_size",
+        (0 until words).map(w => bit_count(col(s"w$w")).cast("long")).reduce(_ + _))
     def side(tag: String) = docs.select(
       (col(idCol).as(s"id_$tag") +: col("set_size").as(s"size_$tag") +:
         (0 until words).map(w => col(s"w$w").as(s"${tag}_w$w"))): _*)
@@ -87,21 +97,36 @@ object Dedup {
       .select("id_a", "id_b", "n_inter", "jaccard")
   }
 
-  /** MinHash signatures: numPerm permutations h_i(x) = xxhash64(shingle, seed=i),
-    * signature element = min over the document's shingles. Banded into
-    * `bands` LSH buckets; documents sharing any band bucket are candidate
-    * near-duplicates. Cost: linear scan + groupBy(band, bucket) shuffle.
+  /** Per-document MinHash signature: numPerm permutations
+    * h_i(x) = xxhash64(i, shingle), signature element = min over the
+    * document's shingles. One codegen'd pass over the exploded shingle
+    * stream with NO distinct — min is duplicate-idempotent — and one
+    * groupBy(id) whose map-side partial aggregation collapses each
+    * document inside its partition, so the shuffle moves ~1 row per
+    * document regardless of document length. (Measured: this beats both
+    * the distinct+groupBy form — 2× shuffle — and a higher-order-function
+    * array form, which evaluates lambdas interpreted, outside codegen.)
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, numPerm: Int): DataFrame = {
+    val sigCols = (0 until numPerm).map { i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i")
+    }
+    shinglesRaw(df, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** MinHash signatures banded into `bands` LSH buckets; documents
+    * sharing any band bucket are candidate near-duplicates. Cost: linear
+    * scan (signature, no shuffle) + one groupBy(band, bucket) shuffle of
+    * one row per (doc, band).
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int, numPerm: Int, bands: Int): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rowsPerBand = numPerm / bands
-    val sh = shingles(df, idCol, textCol, k)
-    // one column per permutation: min over shingles of a seeded hash
-    val sigCols = (0 until numPerm).map { i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i")
-    }
-    val sig = sh.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+    val sig = minhashSignatures(df, idCol, textCol, k, numPerm)
     // band id -> hash of that band's signature slice
     val bandCols = (0 until bands).map { bnd =>
       val slice = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand).map(i => col(s"h$i"))
