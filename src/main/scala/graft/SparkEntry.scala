@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.FraudQueries.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.OlapQueries.queries
+      graft.queries.OlapQueries.queries ++
+      graft.queries.ExtendedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.FraudQueries.oracle ++
       graft.queries.DedupQueries.oracle ++
       graft.queries.TextQueries.oracle ++
-      graft.queries.OlapQueries.oracle
+      graft.queries.OlapQueries.oracle ++
+      graft.queries.ExtendedQueries.oracle
 }

@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.RangeJoin
+import graft.sources.Tables
+
+/** Round-2 widening (SURVEY.md §2, q41–q48): keyless range join, the
+  * full analytic-window function surface, exact percentiles, set
+  * operations, correlated-subquery semantics, time-series gap fill,
+  * TF-IDF scoring, and semi-structured JSON extraction. All eight are
+  * oracle-checked.
+  */
+object ExtendedQueries {
+
+  private val D = DecimalType(18, 2)
+
+  // --- q41: keyless range join (priority launch windows ⋈ shipments) ---
+  // Each order priority gets a 30-day window from its first order date;
+  // count lineitems shipped inside each window. The interval side is
+  // metadata-sized; the fact side maps to one month-bucket per row.
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    val windows = Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(min(col("o_orderdate")).as("win_start"))
+      .withColumn("win_end", col("win_start") + expr("INTERVAL 30 DAYS"))
+    RangeJoin.pointInInterval(
+        Tables.lineitem(s, dir).select("l_shipdate", "l_quantity"),
+        "l_shipdate", windows, "win_start", "win_end", "month")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"))
+  }
+
+  val q41Sql: String =
+    """WITH w AS (
+      | SELECT o_orderpriority, MIN(o_orderdate) AS win_start,
+      |        MIN(o_orderdate) + INTERVAL 30 DAY AS win_end
+      | FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN w
+      |  ON l_shipdate >= win_start AND l_shipdate <= win_end
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // --- q42: analytic window-function suite over per-customer orders ---
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      row_number().over(w).as("rn"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cdist"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"))
+  }
+
+  val q42Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      | CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+      | CAST(NTILE(4) OVER w AS INT) AS quartile,
+      | ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      | ROUND(CUME_DIST() OVER w, 6) AS cdist,
+      | LAG(o_totalprice, 1) OVER w AS prev_price,
+      | LEAD(o_totalprice, 1) OVER w AS next_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  // --- q43: exact percentiles per group (linear interpolation) ---
+  def q43(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(min(col("l_extendedprice")), 4).as("lo"),
+        round(max(col("l_extendedprice")), 4).as("hi"))
+
+  val q43Sql: String =
+    """SELECT l_returnflag,
+      | ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p25,
+      | ROUND(PERCENTILE_CONT(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50,
+      | ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p75,
+      | ROUND(MIN(l_extendedprice), 4) AS lo,
+      | ROUND(MAX(l_extendedprice), 4) AS hi
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // --- q44: set operations (INTERSECT / EXCEPT, set semantics) ---
+  // Building-segment customers who have ordered, minus delinquent ones.
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val haveOrdered = Tables.orders(s, dir).select(col("o_custkey").as("c_custkey"))
+    val delinquent = c.filter(col("c_acctbal") < 0).select("c_custkey")
+    building.intersect(haveOrdered).except(delinquent)
+  }
+
+  val q44Sql: String =
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |INTERSECT
+      |SELECT o_custkey AS c_custkey FROM orders
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_acctbal < 0""".stripMargin
+
+  // --- q45: correlated-subquery semantics (above-nation-average) ---
+  // DuckDB states it as a correlated scalar subquery; the scalable Spark
+  // plan is a broadcast join against the per-nation aggregate.
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val natAvg = c.groupBy("c_nationkey")
+      .agg(avg(col("c_acctbal")).as("nat_avg"))
+    c.join(broadcast(natAvg), Seq("c_nationkey"))
+      .filter(col("c_acctbal") > col("nat_avg"))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        round(col("nat_avg"), 6).as("nation_avg"))
+  }
+
+  val q45Sql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal,
+      | ROUND((SELECT AVG(c2.c_acctbal) FROM customer c2
+      |        WHERE c2.c_nationkey = c1.c_nationkey), 6) AS nation_avg
+      |FROM customer c1
+      |WHERE c_acctbal > (SELECT AVG(c3.c_acctbal) FROM customer c3
+      |                   WHERE c3.c_nationkey = c1.c_nationkey)""".stripMargin
+
+  // --- q46: time-series gap fill (dense daily grid, zero-filled) ---
+  def q46(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val days = ev.agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    val types = ev.select(col("event_type")).distinct()
+    val counts = ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    days.crossJoin(types)
+      .join(counts, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  val q46Sql: String =
+    """WITH bounds AS (
+      | SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events),
+      |days AS (SELECT UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |counts AS (
+      | SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      | FROM events GROUP BY 1, 2)
+      |SELECT CAST(days.day AS DATE) AS day, types.event_type,
+      | CAST(COALESCE(counts.n, 0) AS BIGINT) AS n_events
+      |FROM days CROSS JOIN types
+      |LEFT JOIN counts ON counts.day = CAST(days.day AS DATE)
+      |  AND counts.event_type = types.event_type""".stripMargin
+
+  // --- q47: TF-IDF top terms per document (integer tie-safe ranking) ---
+  // Ranking orders by (tf DESC, df ASC, token ASC) — all integers/strings,
+  // so cross-engine float noise in ln() cannot flip ranks.
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val tokens = docs
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("token"))
+      .filter(length(col("token")) >= 3)
+    val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("tfidf"), col("rnk"))
+  }
+
+  val q47Sql: String =
+    """WITH toks AS (
+      | SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS token
+      | FROM documents),
+      |t3 AS (SELECT doc_id, token FROM toks WHERE LEN(token) >= 3),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t3 GROUP BY 1, 2),
+      |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      |scored AS (
+      | SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+      |  CAST(df.df AS BIGINT) AS df,
+      |  ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |       ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS INT) AS rnk
+      | FROM tf JOIN df USING (token) CROSS JOIN n)
+      |SELECT doc_id, token, tf, df, tfidf, rnk FROM scored WHERE rnk <= 5""".stripMargin
+
+  // --- q48: semi-structured JSON extraction + aggregation ---
+  def q48(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("value")), 6).as("avg_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  val q48Sql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      | CAST(COUNT(*) AS BIGINT) AS n_events,
+      | ROUND(AVG(value), 6) AS avg_value,
+      | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_range_join"    -> (q41 _),
+    "q42_window_suite"  -> (q42 _),
+    "q43_percentiles"   -> (q43 _),
+    "q44_set_ops"       -> (q44 _),
+    "q45_corr_subquery" -> (q45 _),
+    "q46_gap_fill"      -> (q46 _),
+    "q47_tfidf"         -> (q47 _),
+    "q48_json_extract"  -> (q48 _))
+
+  val oracle: Map[String, String] = Map(
+    "q41_range_join"    -> q41Sql,
+    "q42_window_suite"  -> q42Sql,
+    "q43_percentiles"   -> q43Sql,
+    "q44_set_ops"       -> q44Sql,
+    "q45_corr_subquery" -> q45Sql,
+    "q46_gap_fill"      -> q46Sql,
+    "q47_tfidf"         -> q47Sql,
+    "q48_json_extract"  -> q48Sql)
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.ExtendedQueries
+
+/** Invariant specs for the round-2 widening suite (q41–q48); exact
+  * value parity vs DuckDB is the driver's oracle gate.
+  */
+class ExtendedSpec extends SparkSpec {
+
+  test("q41 range join: every window produces shipped items") {
+    val out = ExtendedQueries.q41(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("n_items") > 0))
+  }
+
+  test("q42 window suite: quartiles in 1..4, rn dense per customer") {
+    val out = ExtendedQueries.q42(spark, sf)
+    assert(out.filter(col("quartile") < 1 || col("quartile") > 4).isEmpty)
+    val rnMax = out.groupBy("o_custkey")
+      .agg(max("rn").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n"))
+    assert(rnMax.isEmpty, "row_number must be dense 1..n per customer")
+  }
+
+  test("q43 percentiles are ordered lo <= p25 <= p50 <= p75 <= hi") {
+    ExtendedQueries.q43(spark, sf).collect().foreach { r =>
+      val Seq(lo, p25, p50, p75, hi) =
+        Seq("lo", "p25", "p50", "p75", "hi").map(r.getAs[Double])
+      assert(lo <= p25 && p25 <= p50 && p50 <= p75 && p75 <= hi)
+    }
+  }
+
+  test("q44 set ops: result within building segment, no delinquents") {
+    val res = ExtendedQueries.q44(spark, sf)
+    val c = graft.sources.Tables.customer(spark, sf)
+    val bad = res.join(c, Seq("c_custkey"))
+      .filter(col("c_mktsegment") =!= "BUILDING" || col("c_acctbal") < 0)
+    assert(bad.isEmpty)
+    assert(res.count() === res.distinct().count(), "set semantics: no dups")
+  }
+
+  test("q45 correlated subquery: every row above its nation average") {
+    val bad = ExtendedQueries.q45(spark, sf)
+      .filter(col("c_acctbal") <= col("nation_avg") - 1e-6)
+    assert(bad.isEmpty)
+  }
+
+  test("q46 gap fill: dense grid of days x types, zero-filled") {
+    val out = ExtendedQueries.q46(spark, sf)
+    val days = out.select("day").distinct().count()
+    val types = out.select("event_type").distinct().count()
+    assert(out.count() === days * types, "grid must be dense")
+    assert(out.filter(col("n_events") === 0).count() >= 0)
+  }
+
+  test("q47 tfidf: at most 5 terms per doc, ranks dense from 1") {
+    val out = ExtendedQueries.q47(spark, sf)
+    val perDoc = out.groupBy("doc_id").agg(count(lit(1)).as("n"), max("rnk").as("mx"))
+    assert(perDoc.filter(col("n") > 5 || col("mx") =!= col("n")).isEmpty)
+  }
+
+  test("q48 json extract: groups cover all events exactly once") {
+    val out = ExtendedQueries.q48(spark, sf)
+    val total = out.agg(sum("n_events")).head().getLong(0)
+    assert(total === graft.sources.Tables.events(spark, sf).count())
+  }
+}
