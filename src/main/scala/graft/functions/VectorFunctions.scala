@@ -24,4 +24,8 @@ object VectorFunctions {
     val denom = norm(a) * norm(b)
     when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
   }
+
+  /** Squared Euclidean distance (cell assignment metric for IVF). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 }

@@ -49,6 +49,48 @@ object Similarity {
       when(dot(vec, plane) >= 0, shiftleft(lit(1), i)).otherwise(0)
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** IVF (inverted-file) ANN: a seeded KMeans coarse quantizer assigns
+    * every corpus vector to a cell; each probe searches only its nProbe
+    * closest cells. The index build is one KMeans fit (linear scans);
+    * the search is an equi-join on cell id — per-probe work is
+    * |corpus| · nProbe / nCells instead of |corpus|, and the corpus side
+    * is shuffled once on a key that partitions evenly by construction.
+    * Exact cosine ranking within the candidate cells.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("fv", array_to_vector(col("cv")))
+    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+    val model = km.fit(c)
+    val assigned = model.transform(c).select(col("neighbor_id"), col("cv"), col("cell"))
+    // centroid table is nCells rows — broadcast; each probe ranks cells
+    // by L2 (KMeans' own metric) and keeps the nProbe closest
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+    val wCell = Window.partitionBy("probe_id").orderBy(col("cd").asc, col("cell").asc)
+    val probeCells = probes.select(col(idCol).as("probe_id"),
+        col(vecCol).cast("array<double>").as("pv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cd", graft.functions.VectorFunctions.l2sq(col("pv"), col("centroid")))
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= nProbe)
+      .select("probe_id", "pv", "cell")
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos", cosine(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "rank")
+  }
+
   /** ANN via shared LSH bucket; exact cosine ranking within the bucket.
     * Recall < 1 by construction — the scale path, not the oracle.
     */

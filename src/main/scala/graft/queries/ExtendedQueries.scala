@@ -214,6 +214,69 @@ object ExtendedQueries {
       | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM events GROUP BY 1""".stripMargin
 
+  // --- q49: IVF ANN (KMeans coarse quantizer; rows-only — not SQL) ---
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    graft.operators.Similarity.ivfTopK(e, e.filter(col("vec_id") < 20),
+      "vec_id", "embedding", k = 10, nCells = 16, nProbe = 4)
+  }
+
+  // --- q50: keep-first dedup (first event per user+type) ---
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("ts").as("first_ts"), col("event_id").as("first_event_id"))
+  }
+
+  val q50Sql: String =
+    """SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS first_ts,
+      | event_id AS first_event_id
+      |FROM (SELECT user_id, event_type, ts, event_id,
+      |       ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                          ORDER BY ts, event_id) AS rn
+      |      FROM events) t
+      |WHERE rn = 1""".stripMargin
+
+  // --- q51: embedding centroid analytics per label ---
+  // Element-wise centroid via posexplode + per-(label,pos) mean, then
+  // each vector's cosine to its label centroid — all in native
+  // functions; the oracle rebuilds the centroid with UNNEST+ORDINALITY.
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x")).as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), expr("transform(pm, p -> p.m)").as("centroid"))
+    e.join(broadcast(cent), Seq("label"))
+      .withColumn("cos", graft.functions.VectorFunctions.cosine(col("v"), col("centroid")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("cos")), 6).as("avg_cos_to_centroid"),
+        round(min(col("cos")), 6).as("min_cos_to_centroid"))
+  }
+
+  val q51Sql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ex AS (SELECT label, UNNEST(v) AS x,
+      |       UNNEST(GENERATE_SERIES(1, CAST(LEN(v) AS BIGINT))) AS pos FROM e),
+      |cent AS (SELECT label, LIST(m ORDER BY pos) AS centroid
+      |         FROM (SELECT label, pos, AVG(x) AS m FROM ex GROUP BY label, pos)
+      |         GROUP BY label),
+      |sc AS (SELECT e.label,
+      |        LIST_DOT_PRODUCT(v, centroid) /
+      |         (SQRT(LIST_DOT_PRODUCT(v, v)) * SQRT(LIST_DOT_PRODUCT(centroid, centroid))) AS cos
+      |       FROM e JOIN cent ON e.label = cent.label)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+      | ROUND(AVG(cos), 6) AS avg_cos_to_centroid,
+      | ROUND(MIN(cos), 6) AS min_cos_to_centroid
+      |FROM sc GROUP BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_range_join"    -> (q41 _),
     "q42_window_suite"  -> (q42 _),
@@ -222,7 +285,10 @@ object ExtendedQueries {
     "q45_corr_subquery" -> (q45 _),
     "q46_gap_fill"      -> (q46 _),
     "q47_tfidf"         -> (q47 _),
-    "q48_json_extract"  -> (q48 _))
+    "q48_json_extract"  -> (q48 _),
+    "q49_ann_ivf"       -> (q49 _),
+    "q50_first_event"   -> (q50 _),
+    "q51_embed_centroids" -> (q51 _))
 
   val oracle: Map[String, String] = Map(
     "q41_range_join"    -> q41Sql,
@@ -232,5 +298,7 @@ object ExtendedQueries {
     "q45_corr_subquery" -> q45Sql,
     "q46_gap_fill"      -> q46Sql,
     "q47_tfidf"         -> q47Sql,
-    "q48_json_extract"  -> q48Sql)
+    "q48_json_extract"  -> q48Sql,
+    "q50_first_event"   -> q50Sql,
+    "q51_embed_centroids" -> q51Sql)
 }

@@ -61,6 +61,32 @@ class ExtendedSpec extends SparkSpec {
     assert(perDoc.filter(col("n") > 5 || col("mx") =!= col("n")).isEmpty)
   }
 
+  test("q49 ivf ann: <= k ranked neighbors per probe, no self-match") {
+    val out = ExtendedQueries.q49(spark, sf)
+    assert(out.filter(col("probe_id") === col("neighbor_id")).isEmpty)
+    val perProbe = out.groupBy("probe_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+    assert(perProbe.filter(col("n") > 10 || col("mx") =!= col("n")).isEmpty)
+  }
+
+  test("q50 keep-first dedup: one row per (user, type), earliest ts") {
+    val out = ExtendedQueries.q50(spark, sf)
+    assert(out.groupBy("user_id", "event_type").count().filter(col("count") > 1).isEmpty)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val minTs = ev.groupBy("user_id", "event_type").agg(min("ts").as("first_ts"))
+    assert(out.join(minTs, Seq("user_id", "event_type"))
+      .filter(out("first_ts") =!= minTs("first_ts")).isEmpty)
+  }
+
+  test("q51 centroids: cosine stats bounded in [-1, 1]") {
+    val out = ExtendedQueries.q51(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val avg = r.getAs[Double]("avg_cos_to_centroid")
+      val mn = r.getAs[Double]("min_cos_to_centroid")
+      assert(mn <= avg && avg <= 1.0 && mn >= -1.0)
+    }
+  }
+
   test("q48 json extract: groups cover all events exactly once") {
     val out = ExtendedQueries.q48(spark, sf)
     val total = out.agg(sum("n_events")).head().getLong(0)
