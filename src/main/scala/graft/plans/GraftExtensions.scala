@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.RollingHashExpr
+import graft.functions.{CosineSimExpr, DotProductExpr, L2SqExpr, RollingHashExpr}
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
   * expressions with the SQL function registry, so pure-SQL users get the
@@ -26,5 +26,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "rolling_hash takes exactly one argument")
         RollingHashExpr(children.head)
       }))
+    def binary(name: String, clazz: Class[_],
+               make: (Expression, Expression) => Expression): Unit =
+      e.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, s"$name takes exactly two arguments")
+          make(children.head, children(1))
+        }))
+    binary("vec_dot", classOf[DotProductExpr], DotProductExpr.apply)
+    binary("vec_cosine", classOf[CosineSimExpr], CosineSimExpr.apply)
+    binary("vec_l2sq", classOf[L2SqExpr], L2SqExpr.apply)
   }
 }

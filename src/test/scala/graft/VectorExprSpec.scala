@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** Native vector expressions must be bit-identical to the built-in HOF
+  * formulations (same left-to-right accumulation), on real embeddings.
+  */
+class VectorExprSpec extends SparkSpec {
+
+  private def pairs = {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.filter(col("vec_id") < 50).select(col("vec_id").as("ia"), col("v").as("va"))
+    val b = e.filter(col("vec_id") >= 50 && col("vec_id") < 100)
+      .select(col("vec_id").as("ib"), col("v").as("vb"))
+    a.crossJoin(b)
+  }
+
+  test("native dot == HOF dot, bit-identical") {
+    assert(pairs.filter(dot(col("va"), col("vb")) =!= dotHof(col("va"), col("vb"))).isEmpty)
+  }
+
+  test("native cosine == HOF cosine, bit-identical") {
+    assert(pairs.filter(cosine(col("va"), col("vb")) =!=
+      cosineHof(col("va"), col("vb"))).isEmpty)
+  }
+
+  test("native l2sq == HOF l2sq, bit-identical") {
+    assert(pairs.filter(l2sq(col("va"), col("vb")) =!= l2sqHof(col("va"), col("vb"))).isEmpty)
+  }
+
+  test("cosine handles zero vectors without NaN") {
+    val row = spark.sql(
+      "SELECT vec_cosine(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS c").head()
+    assert(row.getDouble(0) === 0.0)
+  }
+
+  test("SQL registration: vec_dot/vec_cosine/vec_l2sq callable from SQL") {
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0d,2.0d), array(3.0d,4.0d)) AS d,
+        |       vec_cosine(array(1.0d,0.0d), array(1.0d,0.0d)) AS c,
+        |       vec_l2sq(array(1.0d,2.0d), array(1.0d,4.0d)) AS l""".stripMargin).head()
+    assert(r.getDouble(0) === 11.0 && r.getDouble(1) === 1.0 && r.getDouble(2) === 4.0)
+  }
+}
