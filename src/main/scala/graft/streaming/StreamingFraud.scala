@@ -52,6 +52,67 @@ object StreamingFraud {
   case class Flag(user_id: Long, ts: java.sql.Timestamp, k: Int, prv_k: Int)
   case class St(ts: Long, k: Int)
 
+  /** Streaming sessionization: the stateful twin of the batch 30-min-gap
+    * rule (OlapQueries.q37). Per user, events accumulate into the open
+    * session; a gap larger than `gapMinutes` CLOSES the previous session
+    * (emitted) and opens a new one. The final open session per user
+    * stays in state — in production it closes via event-time timeout
+    * when the watermark passes; a batch comparison therefore matches on
+    * all non-final sessions.
+    */
+  case class Sess(user_id: Long, session_start: java.sql.Timestamp, n_events: Long)
+  case class SessSt(start: Long, last: Long, n: Long)
+
+  /** µs-precision epoch conversion — Timestamp.getTime is ms-truncating,
+    * which would shift emitted session starts off the batch twin's
+    * min(ts) by up to 999 µs.
+    */
+  private[streaming] def micros(ts: java.sql.Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+  private[streaming] def fromMicros(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
+  def sessionStream(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long)](
+        Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaLong))
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[SessSt]) => {
+          val sorted = rows.toSeq.sortBy(r => (micros(r._2), r._3))
+          val out = scala.collection.mutable.ArrayBuffer[Sess]()
+          var st = state.getOption
+          sorted.foreach { case (_, ts, _) =>
+            val t = micros(ts)
+            st match {
+              case Some(s) if t <= s.last + gapUs =>
+                st = Some(s.copy(last = t, n = s.n + 1))
+              case Some(s) =>
+                out += Sess(user, fromMicros(s.start), s.n)
+                st = Some(SessSt(t, t, 1))
+              case None =>
+                st = Some(SessSt(t, t, 1))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+        })(Encoders.product[SessSt], Encoders.product[Sess])
+      .toDF()
+  }
+
+  /** Streaming exact dedup on a key set, watermark-bounded state — the
+    * streaming twin of keep-first dedup (ExtendedQueries.q50 keys).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.dropDuplicates("user_id", "event_type")
+
   def velocityStream(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -69,16 +130,17 @@ object StreamingFraud {
          state: GroupState[St]) => {
           // sort by (ts, event_id) — the SAME total order as the batch
           // twin's Window.orderBy(ts, event_id), so timestamp ties cannot
-          // make the two paths diverge
-          val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._4))
+          // make the two paths diverge; µs precision to match the batch
+          // INTERVAL arithmetic exactly
+          val sorted = rows.toSeq.sortBy(r => (micros(r._2), r._4))
           val out = scala.collection.mutable.ArrayBuffer[Flag]()
           var prev = state.getOption
           sorted.foreach { case (_, ts, k, _) =>
             prev.foreach { p =>
-              if (p.k != k && ts.getTime < p.ts + 3600L * 1000L)
+              if (p.k != k && micros(ts) < p.ts + 3600L * 1000000L)
                 out += Flag(user, ts, k, p.k)
             }
-            prev = Some(St(ts.getTime, k))
+            prev = Some(St(micros(ts), k))
           }
           prev.foreach(state.update)
           out.iterator
