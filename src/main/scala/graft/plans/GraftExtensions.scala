@@ -38,5 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     binary("vec_dot", classOf[DotProductExpr], DotProductExpr.apply)
     binary("vec_cosine", classOf[CosineSimExpr], CosineSimExpr.apply)
     binary("vec_l2sq", classOf[L2SqExpr], L2SqExpr.apply)
+    // keyless interval joins → bucketed equi-join (no cartesian/BNL)
+    e.injectOptimizerRule(_ => RangeJoinRewrite)
   }
 }

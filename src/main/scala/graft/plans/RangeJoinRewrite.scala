@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{CalendarIntervalType, DataType, TimestampNTZType, TimestampType}
+import org.apache.spark.unsafe.types.CalendarInterval
+
+/** Optimizer rule: rewrite a keyless interval join
+  *
+  * {{{ points JOIN intervals ON ts >= start AND ts <= end }}}
+  *
+  * — which Spark can only execute as a broadcast-nested-loop or
+  * cartesian product — into the bucketed equi-join shape of
+  * [[graft.operators.RangeJoin]]: the interval side is exploded into the
+  * month buckets it spans, the point side maps to exactly one bucket,
+  * and the join gains a `bucket = bucket` equality Spark can hash- or
+  * sort-merge-join; the original range predicate stays as an exact
+  * post-condition.
+  *
+  * Fires only on an Inner join whose condition is a pure two-sided
+  * range (one TimestampType point attribute from one side between two
+  * TimestampType bound attributes of the other) with NO equality
+  * conjunct — joins that already have an equi-key (e.g. the SCD as-of
+  * join) hash-partition fine and are left alone. The rewritten join
+  * contains an equality, so the rule cannot re-fire (fixpoint-safe).
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] {
+
+  private val oneMonth = Literal(new CalendarInterval(1, 0, 0), CalendarIntervalType)
+
+  /** Month truncation with every timezone-aware link resolved explicitly
+    * (the analyzer is done by the time an optimizer rule runs, so nothing
+    * will fill in timeZoneId for us). TIMESTAMP_NTZ operands are cast to
+    * session-local TIMESTAMP first — both join sides go through the same
+    * cast, and bucket granularity only affects candidate generation; the
+    * exact range predicate is preserved as a post-condition.
+    */
+  private def truncMonth(ts: Expression): Expression = {
+    val tz = SQLConf.get.sessionLocalTimeZone
+    val ltz = if (ts.dataType == TimestampNTZType)
+      Cast(ts, TimestampType, Some(tz)) else ts
+    TruncTimestamp(Literal("month"), ltz, Some(tz))
+  }
+
+  private def monthSequence(s: Expression, e: Expression): Expression =
+    new Sequence(truncMonth(s), truncMonth(e), oneMonth)
+      .withTimeZone(SQLConf.get.sessionLocalTimeZone)
+
+  private def isTs(t: DataType): Boolean =
+    t == TimestampType || t == TimestampNTZType
+
+  /** (point, start, end) when the condition is exactly the pure range. */
+  private def asRange(cond: Expression, left: LogicalPlan, right: LogicalPlan)
+      : Option[(Attribute, Attribute, Attribute, Boolean)] = cond match {
+    case And(GreaterThanOrEqual(p: Attribute, s: Attribute),
+             LessThanOrEqual(p2: Attribute, e: Attribute))
+        if p.semanticEquals(p2) && isTs(p.dataType) &&
+          isTs(s.dataType) && isTs(e.dataType) =>
+      val lo = left.outputSet
+      val ro = right.outputSet
+      if (lo.contains(p) && ro.contains(s) && ro.contains(e))
+        Some((p, s, e, true)) // intervals on the right
+      else if (ro.contains(p) && lo.contains(s) && lo.contains(e))
+        Some((p, s, e, false)) // intervals on the left
+      else None
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner, Some(cond), hint) =>
+      asRange(cond, left, right) match {
+        case Some((p, s, e, intervalsRight)) =>
+          val (points, intervals) = if (intervalsRight) (left, right) else (right, left)
+          // intervals side: one row per spanned month bucket
+          val bucketGen = AttributeReference("__bucket", TimestampType)()
+          val gen = Generate(
+            Explode(monthSequence(s, e)),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(bucketGen), child = intervals)
+          // points side: exactly one bucket per row
+          val bucketPt = Alias(truncMonth(p), "__bucket")()
+          val proj = Project(points.output :+ bucketPt, points)
+          val newCond = And(EqualTo(bucketPt.toAttribute, bucketGen), cond)
+          val (nl, nr) = if (intervalsRight) (proj, gen) else (gen, proj)
+          Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+        case None => j
+      }
+  }
+}
