@@ -277,6 +277,71 @@ object ExtendedQueries {
       | ROUND(MIN(cos), 6) AS min_cos_to_centroid
       |FROM sc GROUP BY label""".stripMargin
 
+  // --- q52: sliding-window aggregation (1h window, 15min slide) ---
+  // Spark's window() assigns each event to size/slide overlapping
+  // windows; the oracle reproduces the epoch-aligned window set by
+  // enumerating the 4 candidate starts per event.
+  def q52(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("sum_value"))
+
+  val q52Sql: String =
+    """WITH cand AS (
+      | SELECT value,
+      |  TIME_BUCKET(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+      |    - UNNEST([0, 1, 2, 3]) * INTERVAL '15 minutes' AS window_start,
+      |  CAST(ts AS TIMESTAMP) AS tts
+      | FROM events)
+      |SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM cand
+      |WHERE tts >= window_start AND tts < window_start + INTERVAL '1 hour'
+      |GROUP BY window_start""".stripMargin
+
+  // --- q53: histogram via width_bucket ---
+  def q53(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(12L))
+        .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"))
+
+  // explicit width_bucket arithmetic — this DuckDB build has no
+  // WIDTH_BUCKET function
+  val q53Sql: String =
+    """SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+      |      WHEN o_totalprice >= 600000.0 THEN 13
+      |      ELSE FLOOR(o_totalprice / 50000.0) + 1 END AS BIGINT) AS bucket,
+      | CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // --- q54: arg-max aggregation (max_by with a total-order key) ---
+  // The comparison key is (price, orderkey) — a total order, so the
+  // selected order is unique and engine-independent.
+  def q54(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(
+        max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+          .as("top_order"),
+        max(col("o_totalprice")).as("top_price"))
+
+  // composite ARG_MAX is unsupported here; the lexicographic-max pick is
+  // reproduced with a (price DESC, key DESC) window — the same total
+  // order max_by(struct) maximizes
+  val q54Sql: String =
+    """WITH r AS (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn,
+      |  MAX(o_totalprice) OVER (PARTITION BY o_custkey) AS top_price
+      | FROM orders)
+      |SELECT o_custkey, o_orderkey AS top_order, top_price
+      |FROM r WHERE rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_range_join"    -> (q41 _),
     "q42_window_suite"  -> (q42 _),
@@ -288,7 +353,10 @@ object ExtendedQueries {
     "q48_json_extract"  -> (q48 _),
     "q49_ann_ivf"       -> (q49 _),
     "q50_first_event"   -> (q50 _),
-    "q51_embed_centroids" -> (q51 _))
+    "q51_embed_centroids" -> (q51 _),
+    "q52_sliding_window" -> (q52 _),
+    "q53_histogram"     -> (q53 _),
+    "q54_argmax"        -> (q54 _))
 
   val oracle: Map[String, String] = Map(
     "q41_range_join"    -> q41Sql,
@@ -300,5 +368,8 @@ object ExtendedQueries {
     "q47_tfidf"         -> q47Sql,
     "q48_json_extract"  -> q48Sql,
     "q50_first_event"   -> q50Sql,
-    "q51_embed_centroids" -> q51Sql)
+    "q51_embed_centroids" -> q51Sql,
+    "q52_sliding_window" -> q52Sql,
+    "q53_histogram"     -> q53Sql,
+    "q54_argmax"        -> q54Sql)
 }

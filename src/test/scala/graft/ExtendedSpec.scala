@@ -87,6 +87,27 @@ class ExtendedSpec extends SparkSpec {
     }
   }
 
+  test("q52 sliding windows: each event lands in exactly 4 windows") {
+    val total = ExtendedQueries.q52(spark, sf).agg(sum("n_events")).head().getLong(0)
+    val n = graft.sources.Tables.events(spark, sf).count()
+    assert(total === 4 * n)
+  }
+
+  test("q53 histogram: buckets within range, counts cover all orders") {
+    val out = ExtendedQueries.q53(spark, sf)
+    assert(out.filter(col("bucket") < 0 || col("bucket") > 13).isEmpty)
+    assert(out.agg(sum("n_orders")).head().getLong(0) ===
+      graft.sources.Tables.orders(spark, sf).count())
+  }
+
+  test("q54 argmax: top_order actually has top_price") {
+    val o = graft.sources.Tables.orders(spark, sf)
+    val bad = ExtendedQueries.q54(spark, sf)
+      .join(o, col("top_order") === col("o_orderkey"))
+      .filter(col("o_totalprice") =!= col("top_price"))
+    assert(bad.isEmpty)
+  }
+
   test("q48 json extract: groups cover all events exactly once") {
     val out = ExtendedQueries.q48(spark, sf)
     val total = out.agg(sum("n_events")).head().getLong(0)
