@@ -17,6 +17,7 @@ object Verify {
       // events.parquet stores ts as TIMESTAMP(NANOS); read raw int64.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
