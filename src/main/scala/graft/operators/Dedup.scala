@@ -190,6 +190,43 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-duplicate pair list: every
+    * document gets the smallest doc id reachable through pair edges as
+    * its cluster id — the canonical "collapse near-dup candidates into
+    * groups, keep one representative" step after [[minhashLshPairs]] /
+    * [[ngramJaccardPairs]].
+    *
+    * Iterative min-label propagation: each round joins current labels
+    * across the (undirected) edge list and takes the per-node min; stops
+    * at fixpoint. Rounds needed = graph diameter ≤ log rounds with the
+    * label shortcut (a node adopts its neighbor's LABEL, not its id), so
+    * the driver loop is O(log n) synchronization barriers over fully
+    * distributed joins — the simplified form of the large-star/small-star
+    * map-reduce connected-components algorithm.
+    */
+  def dedupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("cluster", col("node")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val viaEdges = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("cluster"))
+      val next = labels.select("node", "cluster").unionByName(viaEdges)
+        .groupBy("node").agg(min("cluster").as("cluster")).cache()
+      changed = next.join(labels.withColumnRenamed("cluster", "prev"), Seq("node"))
+        .filter(col("cluster") =!= col("prev")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("node"), col("cluster"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over a sampled id set.
     * Exact pairwise within the (small) sample; the full-scale path is
     * Similarity.lshBuckets which avoids the quadratic join.

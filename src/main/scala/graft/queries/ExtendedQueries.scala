@@ -342,6 +342,30 @@ object ExtendedQueries {
       |SELECT o_custkey, o_orderkey AS top_order, top_price
       |FROM r WHERE rn = 1""".stripMargin
 
+  // --- q55: near-dup clusters (connected components over q21 pairs) ---
+  def q55(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dedupClusters(
+      DedupQueries.q21(s, dir), "id_a", "id_b")
+
+  // transitive closure by recursive CTE (UNION dedups, so it terminates);
+  // cluster id = min reachable node — same fixpoint the iterative Spark
+  // label propagation converges to
+  val q55Sql: String = {
+    val pairs = DedupQueries.q21Sql
+    s"""WITH pairs AS ($pairs),
+       |edges AS (
+       | SELECT id_a AS src, id_b AS dst FROM pairs
+       | UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |walk AS (
+       | WITH RECURSIVE w(node, r) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT w.node, e.dst FROM w JOIN edges e ON e.src = w.r)
+       | SELECT node, r FROM w)
+       |SELECT node, MIN(r) AS cluster FROM walk GROUP BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_range_join"    -> (q41 _),
     "q42_window_suite"  -> (q42 _),
@@ -356,7 +380,8 @@ object ExtendedQueries {
     "q51_embed_centroids" -> (q51 _),
     "q52_sliding_window" -> (q52 _),
     "q53_histogram"     -> (q53 _),
-    "q54_argmax"        -> (q54 _))
+    "q54_argmax"        -> (q54 _),
+    "q55_dedup_clusters" -> (q55 _))
 
   val oracle: Map[String, String] = Map(
     "q41_range_join"    -> q41Sql,
@@ -371,5 +396,6 @@ object ExtendedQueries {
     "q51_embed_centroids" -> q51Sql,
     "q52_sliding_window" -> q52Sql,
     "q53_histogram"     -> q53Sql,
-    "q54_argmax"        -> q54Sql)
+    "q54_argmax"        -> q54Sql,
+    "q55_dedup_clusters" -> q55Sql)
 }

@@ -108,6 +108,18 @@ class ExtendedSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("q55 dedup clusters: edges never cross clusters, rep is min") {
+    val pairs = graft.queries.DedupQueries.q21(spark, sf).cache()
+    val clusters = graft.operators.Dedup.dedupClusters(pairs, "id_a", "id_b").cache()
+    val ca = clusters.withColumnRenamed("node", "id_a").withColumnRenamed("cluster", "cl_a")
+    val cb = clusters.withColumnRenamed("node", "id_b").withColumnRenamed("cluster", "cl_b")
+    assert(pairs.join(ca, Seq("id_a")).join(cb, Seq("id_b"))
+      .filter(col("cl_a") =!= col("cl_b")).isEmpty, "pair endpoints must share a cluster")
+    val badRep = clusters.groupBy("cluster").agg(min("node").as("mn"))
+      .filter(col("cluster") =!= col("mn"))
+    assert(badRep.isEmpty, "cluster id must be the minimum member id")
+  }
+
   test("q48 json extract: groups cover all events exactly once") {
     val out = ExtendedQueries.q48(spark, sf)
     val total = out.agg(sum("n_events")).head().getLong(0)
