@@ -24,7 +24,10 @@ object DedupQueries {
       Tables.documents(s, dir).filter(col("doc_id") % 4 === 0),
       "doc_id", "text", k = 3, threshold = JaccardT)
 
-  val q21Sql: String =
+  /** Exact 3-gram Jaccard pair SQL at threshold `t` (reused by q21 and
+    * the q55 clustering oracle, which runs a tighter threshold).
+    */
+  def ngramPairsSql(t: Double): String =
     s"""WITH pos AS (
        | SELECT doc_id, text, UNNEST(GENERATE_SERIES(1, CAST(LEN(text) AS BIGINT) - 2)) AS i
        | FROM documents WHERE doc_id % 4 = 0),
@@ -37,7 +40,9 @@ object DedupQueries {
        |SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
        | CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE) AS jaccard
        |FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
-       |WHERE CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE) >= $JaccardT""".stripMargin
+       |WHERE CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE) >= $t""".stripMargin
+
+  val q21Sql: String = ngramPairsSql(JaccardT)
 
   // --- q22: MinHash + LSH band-bucket candidates (rows-only) ---
   def q22(s: SparkSession, dir: String): DataFrame =

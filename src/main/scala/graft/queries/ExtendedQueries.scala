@@ -342,16 +342,24 @@ object ExtendedQueries {
       |SELECT o_custkey, o_orderkey AS top_order, top_price
       |FROM r WHERE rn = 1""".stripMargin
 
-  // --- q55: near-dup clusters (connected components over q21 pairs) ---
+  // --- q55: near-dup clusters (connected components over 0.65-Jaccard
+  // pairs — tighter than q21's 0.6 exploration threshold, which chains
+  // half the corpus into one giant high-diameter component; 0.65 keeps
+  // genuine template families with small diameters) ---
+  private val ClusterT = 0.65
+
   def q55(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.dedupClusters(
-      DedupQueries.q21(s, dir), "id_a", "id_b")
+      graft.operators.Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", k = 3, threshold = ClusterT),
+      "id_a", "id_b")
 
   // transitive closure by recursive CTE (UNION dedups, so it terminates);
   // cluster id = min reachable node — same fixpoint the iterative Spark
   // label propagation converges to
   val q55Sql: String = {
-    val pairs = DedupQueries.q21Sql
+    val pairs = DedupQueries.ngramPairsSql(ClusterT)
     s"""WITH pairs AS ($pairs),
        |edges AS (
        | SELECT id_a AS src, id_b AS dst FROM pairs

@@ -109,7 +109,9 @@ class ExtendedSpec extends SparkSpec {
   }
 
   test("q55 dedup clusters: edges never cross clusters, rep is min") {
-    val pairs = graft.queries.DedupQueries.q21(spark, sf).cache()
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(
+      graft.sources.Tables.documents(spark, sf).filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", k = 3, threshold = 0.65).cache()
     val clusters = graft.operators.Dedup.dedupClusters(pairs, "id_a", "id_b").cache()
     val ca = clusters.withColumnRenamed("node", "id_a").withColumnRenamed("cluster", "cl_a")
     val cb = clusters.withColumnRenamed("node", "id_b").withColumnRenamed("cluster", "cl_b")
