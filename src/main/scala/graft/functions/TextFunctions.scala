@@ -25,6 +25,18 @@ object TextFunctions {
   def punctCount(text: Column): Column =
     regexp_count(text, lit("[.!?,;:]")).cast("long")
 
+  /** BPE-style pre-tokenizer classes (GPT-2-like, without lookaheads so
+    * the same pattern runs on Java regex and RE2): contractions, letter
+    * runs, digit runs, non-space symbol runs.
+    */
+  val BpePattern: String = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s']+"
+
+  /** Token count under BPE-ish pre-tokenization — the token-budget
+    * estimator a training-data pipeline uses before actual BPE merges.
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern)).cast("long")
+
   /** Non-overlapping occurrence count of a literal needle. */
   def occurrences(text: Column, needle: String): Column =
     ((length(text) - length(replace(text, lit(needle), lit("")))) / needle.length)

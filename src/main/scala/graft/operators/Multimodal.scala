@@ -29,6 +29,31 @@ object Multimodal {
     (w, h, fmt)
   }
 
+  /** Fixed-size frame sampling over a binary payload (the audio/video
+    * frame-extraction batch shape): payload → overlapping `frameBytes`
+    * windows every `strideBytes`, one output row per frame. Pure native
+    * expressions — `substr` works on BinaryType — so the explode stays
+    * inside codegen and distributes with the scan; a real decoder swaps
+    * in per frame downstream.
+    *
+    * Frame positions are chosen so every frame is full-size:
+    * n = floor((len - frameBytes)/stride) + 1 (0 when the payload is
+    * shorter than one frame).
+    */
+  def frameSample(df: DataFrame, idCol: String, payloadCol: String,
+                  frameBytes: Int, strideBytes: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{array, col, explode, length, lit, sequence, when}
+    df.withColumn("__nlast",
+        ((length(col(payloadCol)) - frameBytes) / strideBytes).cast("int"))
+      .withColumn("frame_no",
+        explode(when(length(col(payloadCol)) >= frameBytes,
+            sequence(lit(0), col("__nlast")))
+          .otherwise(array().cast("array<int>"))))
+      .select(col(idCol), col("frame_no"),
+        col(payloadCol).substr(col("frame_no") * strideBytes + 1, lit(frameBytes))
+          .as("frame"))
+  }
+
   /** Extract typed metadata from an (id, binary-payload) DataFrame. */
   def extractMeta(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaMeta] = {
     val pairs = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))

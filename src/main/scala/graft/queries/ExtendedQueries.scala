@@ -374,6 +374,38 @@ object ExtendedQueries {
        |SELECT node, MIN(r) AS cluster FROM walk GROUP BY node""".stripMargin
   }
 
+  // --- q56: BPE-style pre-tokenization token counts ---
+  def q56(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      graft.functions.TextFunctions.bpeTokenCount(col("text")).as("n_bpe"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n_ws"))
+
+  val q56Sql: String =
+    """SELECT doc_id,
+      | CAST(LEN(REGEXP_EXTRACT_ALL(text,
+      |   '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+')) AS BIGINT) AS n_bpe,
+      | CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS BIGINT) AS n_ws
+      |FROM documents""".stripMargin
+
+  // --- q57: multimodal frame sampling (binary windows; stats oracle) ---
+  // The Spark side genuinely slices binary frames (256B windows, 128B
+  // stride); the oracle validates the frame count and byte totals from
+  // length arithmetic (documents are ASCII, so LEN == byte length).
+  def q57(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.frameSample(
+        Tables.documents(s, dir).withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload", frameBytes = 256, strideBytes = 128)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("frame")).cast("long")).as("frame_bytes"))
+
+  val q57Sql: String =
+    """SELECT doc_id,
+      | CAST(FLOOR((LEN(text) - 256) / 128) + 1 AS BIGINT) AS n_frames,
+      | CAST((FLOOR((LEN(text) - 256) / 128) + 1) * 256 AS BIGINT) AS frame_bytes
+      |FROM documents WHERE LEN(text) >= 256""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_range_join"    -> (q41 _),
     "q42_window_suite"  -> (q42 _),
@@ -389,7 +421,9 @@ object ExtendedQueries {
     "q52_sliding_window" -> (q52 _),
     "q53_histogram"     -> (q53 _),
     "q54_argmax"        -> (q54 _),
-    "q55_dedup_clusters" -> (q55 _))
+    "q55_dedup_clusters" -> (q55 _),
+    "q56_bpe_tokens"    -> (q56 _),
+    "q57_multimodal_frames" -> (q57 _))
 
   val oracle: Map[String, String] = Map(
     "q41_range_join"    -> q41Sql,
@@ -405,5 +439,7 @@ object ExtendedQueries {
     "q52_sliding_window" -> q52Sql,
     "q53_histogram"     -> q53Sql,
     "q54_argmax"        -> q54Sql,
-    "q55_dedup_clusters" -> q55Sql)
+    "q55_dedup_clusters" -> q55Sql,
+    "q56_bpe_tokens"    -> q56Sql,
+    "q57_multimodal_frames" -> q57Sql)
 }

@@ -122,6 +122,20 @@ class ExtendedSpec extends SparkSpec {
     assert(badRep.isEmpty, "cluster id must be the minimum member id")
   }
 
+  test("q56 bpe tokens: finer-grained than whitespace tokens") {
+    val bad = ExtendedQueries.q56(spark, sf).filter(col("n_bpe") < col("n_ws"))
+    assert(bad.isEmpty, "BPE pre-tokenization must split at least as fine as whitespace")
+  }
+
+  test("q57 frame sampling: every frame is exactly frameBytes long") {
+    val frames = graft.operators.Multimodal.frameSample(
+      graft.sources.Tables.documents(spark, sf)
+        .withColumn("payload", col("text").cast("binary")),
+      "doc_id", "payload", frameBytes = 256, strideBytes = 128)
+    assert(frames.filter(length(col("frame")) =!= 256).isEmpty)
+    assert(frames.count() > 0)
+  }
+
   test("q48 json extract: groups cover all events exactly once") {
     val out = ExtendedQueries.q48(spark, sf)
     val total = out.agg(sum("n_events")).head().getLong(0)
