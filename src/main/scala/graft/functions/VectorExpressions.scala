@@ -21,17 +21,35 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * swapping them cannot move oracle-checked results.
   */
 object VectorOps {
-  /** Called from generated code. */
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  // NULL semantics match the HOF formulations exactly: zip_with
+  // null-pads unequal lengths and a null element nulls its product, so
+  // aggregate's running sum becomes NULL — therefore unequal lengths or
+  // ANY null element → NULL result (returned as a boxed null here,
+  // surfaced via the expression's null flag).
+
+  private def invalid(a: ArrayData, b: ArrayData): Boolean = {
+    if (a.numElements() != b.numElements()) return true
+    var i = 0
+    while (i < a.numElements()) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Called from generated code; null ⇒ SQL NULL. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    if (invalid(a, b)) return null
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
 
-  def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
+    if (invalid(a, b)) return null
+    val n = a.numElements()
     var dab = 0.0; var daa = 0.0; var dbb = 0.0
     var i = 0
     while (i < n) {
@@ -43,8 +61,9 @@ object VectorOps {
     if (denom == 0.0) 0.0 else dab / denom
   }
 
-  def l2sq(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def l2sq(a: ArrayData, b: ArrayData): java.lang.Double = {
+    if (invalid(a, b)) return null
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) { val d = a.getDouble(i) - b.getDouble(i); acc += d * d; i += 1 }
@@ -64,6 +83,8 @@ abstract class VectorBinaryExpr extends BinaryExpression {
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
+  // may be NULL even for non-null inputs (null element / length mismatch)
+  override def nullable: Boolean = true
   /** Name of the static VectorOps method backing this expression. */
   def op: String
   override def nullSafeEval(a: Any, b: Any): Any = op match {
@@ -72,7 +93,16 @@ abstract class VectorBinaryExpr extends BinaryExpression {
     case "l2sq"   => VectorOps.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.$op($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.functions.VectorOps.$op($a, $b);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.doubleValue();
+         |}
+       """.stripMargin
+    })
 }
 
 case class DotProductExpr(left: Expression, right: Expression) extends VectorBinaryExpr {

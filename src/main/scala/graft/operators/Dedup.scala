@@ -67,6 +67,11 @@ object Dedup {
     val dict = sh.select("shingle").distinct()
       .withColumn("sid", row_number().over(Window.orderBy("shingle")) - 1)
     val vocab = dict.count().toInt
+    // empty vocabulary (every doc shorter than k) → no pairs, and the
+    // bitmap agg below would have zero columns — return empty directly
+    if (vocab == 0)
+      return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0L).as("n_inter"), lit(0.0).as("jaccard")).limit(0)
     val words = (vocab + 63) / 64
     // per-document bitmap: one long per 64 dictionary slots. bit_or is
     // duplicate-idempotent, so the shingle stream needs NO distinct

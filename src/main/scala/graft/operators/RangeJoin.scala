@@ -34,10 +34,14 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, pointTs: String,
                       intervals: DataFrame, startCol: String, endCol: String,
                       bucket: String): DataFrame = {
+    // Degenerate intervals (end < start) matched nothing in the naive
+    // formulation but would make sequence() THROW — clamp the stop to
+    // the start (one spurious bucket row) and let the exact BETWEEN
+    // post-filter reject any match, preserving empty-result semantics.
     val exploded = intervals.withColumn("__bucket",
       explode(sequence(
         date_trunc(bucket, col(startCol)),
-        date_trunc(bucket, col(endCol)),
+        greatest(date_trunc(bucket, col(endCol)), date_trunc(bucket, col(startCol))),
         expr(s"INTERVAL 1 $bucket"))))
     points
       .withColumn("__bucket", date_trunc(bucket, col(pointTs)))

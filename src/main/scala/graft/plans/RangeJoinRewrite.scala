@@ -26,8 +26,17 @@ import org.apache.spark.unsafe.types.CalendarInterval
   * conjunct — joins that already have an equi-key (e.g. the SCD as-of
   * join) hash-partition fine and are left alone. The rewritten join
   * contains an equality, so the rule cannot re-fire (fixpoint-safe).
+  *
+  * Caveat: buckets are months, so an interval spanning Y years explodes
+  * into 12·Y rows — fine for calendar windows, pathological for
+  * open-ended sentinels like SCD2's 9999-12-31 (~95k rows/interval).
+  * Keyless sentinel joins should go through [[graft.operators.Scd]]
+  * (which always carries the natural key) or disable the rewrite with
+  * `spark.graft.rangeJoinRewrite.enabled=false`.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
+
+  val EnabledKey = "spark.graft.rangeJoinRewrite.enabled"
 
   private val oneMonth = Literal(new CalendarInterval(1, 0, 0), CalendarIntervalType)
 
@@ -45,8 +54,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     TruncTimestamp(Literal("month"), ltz, Some(tz))
   }
 
+  /** Month-bucket sequence, stop clamped to >= start: a degenerate
+    * interval (end < start) matched nothing under the naive join but
+    * would make Sequence THROW; with the clamp it emits one spurious
+    * bucket row that the preserved exact range predicate then rejects.
+    */
   private def monthSequence(s: Expression, e: Expression): Expression =
-    new Sequence(truncMonth(s), truncMonth(e), oneMonth)
+    new Sequence(truncMonth(s),
+        Greatest(Seq(truncMonth(e), truncMonth(s))), oneMonth)
       .withTimeZone(SQLConf.get.sessionLocalTimeZone)
 
   private def isTs(t: DataType): Boolean =
@@ -69,7 +84,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!SQLConf.get.getConfString(EnabledKey, "true").toBoolean) plan
+    else rewrite(plan)
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       asRange(cond, left, right) match {
         case Some((p, s, e, intervalsRight)) =>

@@ -111,10 +111,14 @@ object ExtendedQueries {
   // --- q45: correlated-subquery semantics (above-nation-average) ---
   // DuckDB states it as a correlated scalar subquery; the scalable Spark
   // plan is a broadcast join against the per-nation aggregate.
+  // The average is decimal-sum / count, ONE double division on values
+  // both engines computed identically — a raw double avg() accumulates
+  // in partition order and the unrounded filter could flip membership
+  // for a balance within ulps of its nation average.
   def q45(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
     val natAvg = c.groupBy("c_nationkey")
-      .agg(avg(col("c_acctbal")).as("nat_avg"))
+      .agg((sum(col("c_acctbal").cast(D)).cast("double") / count(lit(1))).as("nat_avg"))
     c.join(broadcast(natAvg), Seq("c_nationkey"))
       .filter(col("c_acctbal") > col("nat_avg"))
       .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
@@ -122,12 +126,14 @@ object ExtendedQueries {
   }
 
   val q45Sql: String =
-    """SELECT c_custkey, c_nationkey, c_acctbal,
-      | ROUND((SELECT AVG(c2.c_acctbal) FROM customer c2
-      |        WHERE c2.c_nationkey = c1.c_nationkey), 6) AS nation_avg
-      |FROM customer c1
-      |WHERE c_acctbal > (SELECT AVG(c3.c_acctbal) FROM customer c3
-      |                   WHERE c3.c_nationkey = c1.c_nationkey)""".stripMargin
+    """WITH na AS (
+      | SELECT c_nationkey,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS nat_avg
+      | FROM customer GROUP BY c_nationkey)
+      |SELECT c_custkey, c1.c_nationkey, c_acctbal,
+      | ROUND(nat_avg, 6) AS nation_avg
+      |FROM customer c1 JOIN na ON c1.c_nationkey = na.c_nationkey
+      |WHERE c_acctbal > nat_avg""".stripMargin
 
   // --- q46: time-series gap fill (dense daily grid, zero-filled) ---
   def q46(s: SparkSession, dir: String): DataFrame = {
@@ -204,13 +210,15 @@ object ExtendedQueries {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy("k")
       .agg(count(lit(1)).as("n_events"),
-        round(avg(col("value")), 6).as("avg_value"),
+        // decimal sum / count: deterministic across partition orders
+        round(sum(col("value").cast(D)).cast("double") / count(lit(1)), 6)
+          .as("avg_value"),
         countDistinct(col("user_id")).as("n_users"))
 
   val q48Sql: String =
     """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
       | CAST(COUNT(*) AS BIGINT) AS n_events,
-      | ROUND(AVG(value), 6) AS avg_value,
+      | ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
       | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM events GROUP BY 1""".stripMargin
 
@@ -248,6 +256,10 @@ object ExtendedQueries {
   def q51(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    // raw double avg: accepted determinism risk — per-(label,pos) groups
+    // are small and values O(1), so partition-order accumulation noise
+    // (~1e-15 rel) cannot reach the 1e-6 rounding boundary downstream;
+    // decimal-summing would truncate the embeddings' full mantissas
     val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("label", "pos").agg(avg(col("x")).as("m"))
       .groupBy("label")

@@ -55,10 +55,20 @@ object StreamingFraud {
   /** Streaming sessionization: the stateful twin of the batch 30-min-gap
     * rule (OlapQueries.q37). Per user, events accumulate into the open
     * session; a gap larger than `gapMinutes` CLOSES the previous session
-    * (emitted) and opens a new one. The final open session per user
-    * stays in state — in production it closes via event-time timeout
-    * when the watermark passes; a batch comparison therefore matches on
-    * all non-final sessions.
+    * (emitted) and opens a new one.
+    *
+    * With `timeout = EventTimeTimeout` (streaming with a watermark set,
+    * e.g. [[readEventStream]]) an idle user's final session is emitted
+    * once the watermark passes its gap deadline, so state is bounded and
+    * every session eventually closes. With the default `NoTimeout` (the
+    * batch twin used in tests — batch execution never fires timeouts)
+    * the final open session per user intentionally stays in state, so a
+    * batch comparison matches on all non-final sessions.
+    *
+    * Late events: an event older than the open session's `last` extends
+    * the session without moving `last` backwards (last = max) — a
+    * regressing `last` would make the next on-time event spuriously
+    * close the session.
     */
   case class Sess(user_id: Long, session_start: java.sql.Timestamp, n_events: Long)
   case class SessSt(start: Long, last: Long, n: Long)
@@ -75,43 +85,68 @@ object StreamingFraud {
     java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
       Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
 
-  def sessionStream(events: DataFrame, gapMinutes: Int): DataFrame = {
+  def sessionStream(events: DataFrame, gapMinutes: Int,
+                    timeout: org.apache.spark.sql.streaming.GroupStateTimeout =
+                      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout): DataFrame = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
+    val useTimeout = timeout == GroupStateTimeout.EventTimeTimeout
     events.select(col("user_id"), col("ts"), col("event_id"))
       .as[(Long, java.sql.Timestamp, Long)](
         Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaLong))
       .groupByKey(_._1)(Encoders.scalaLong)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
          state: GroupState[SessSt]) => {
-          val sorted = rows.toSeq.sortBy(r => (micros(r._2), r._3))
-          val out = scala.collection.mutable.ArrayBuffer[Sess]()
-          var st = state.getOption
-          sorted.foreach { case (_, ts, _) =>
-            val t = micros(ts)
-            st match {
-              case Some(s) if t <= s.last + gapUs =>
-                st = Some(s.copy(last = t, n = s.n + 1))
-              case Some(s) =>
-                out += Sess(user, fromMicros(s.start), s.n)
-                st = Some(SessSt(t, t, 1))
-              case None =>
-                st = Some(SessSt(t, t, 1))
+          if (useTimeout && state.hasTimedOut) {
+            // watermark passed the gap deadline: close the idle session
+            val out = state.getOption.map(s => Sess(user, fromMicros(s.start), s.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (micros(r._2), r._3))
+            val out = scala.collection.mutable.ArrayBuffer[Sess]()
+            var st = state.getOption
+            sorted.foreach { case (_, ts, _) =>
+              val t = micros(ts)
+              st match {
+                case Some(s) if t <= s.last + gapUs =>
+                  // max(): a late event must not move `last` backwards
+                  st = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                case Some(s) =>
+                  out += Sess(user, fromMicros(s.start), s.n)
+                  st = Some(SessSt(t, t, 1))
+                case None =>
+                  st = Some(SessSt(t, t, 1))
+              }
             }
+            st.foreach { s =>
+              state.update(s)
+              if (useTimeout)
+                state.setTimeoutTimestamp(s.last / 1000L + gapMs)
+            }
+            out.iterator
           }
-          st.foreach(state.update)
-          out.iterator
         })(Encoders.product[SessSt], Encoders.product[Sess])
       .toDF()
   }
 
-  /** Streaming exact dedup on a key set, watermark-bounded state — the
-    * streaming twin of keep-first dedup (ExtendedQueries.q50 keys).
+  /** Streaming exact dedup on the (user_id, event_type) key set.
+    *
+    * Keeps the FIRST-ARRIVING row per key (arrival order, not event
+    * time — with out-of-order arrival the survivor can differ from the
+    * batch argmin-by-ts of ExtendedQueries.q50; the KEY SET is
+    * identical either way). With `withinWatermark = true` (requires a
+    * watermarked stream, e.g. [[readEventStream]]) state for a key is
+    * dropped once the watermark passes it, bounding state at the cost
+    * of re-admitting a key that reappears much later; the default keeps
+    * one state entry per distinct key for exact global dedup.
     */
-  def dedupStream(events: DataFrame): DataFrame =
-    events.dropDuplicates("user_id", "event_type")
+  def dedupStream(events: DataFrame, withinWatermark: Boolean = false): DataFrame =
+    if (withinWatermark) events.dropDuplicatesWithinWatermark("user_id", "event_type")
+    else events.dropDuplicates("user_id", "event_type")
 
   def velocityStream(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.Encoders

@@ -52,7 +52,8 @@ class ExtendedSpec extends SparkSpec {
     val days = out.select("day").distinct().count()
     val types = out.select("event_type").distinct().count()
     assert(out.count() === days * types, "grid must be dense")
-    assert(out.filter(col("n_events") === 0).count() >= 0)
+    assert(out.filter(col("n_events").isNull).isEmpty,
+      "gap rows must be zero-filled, never NULL")
   }
 
   test("q47 tfidf: at most 5 terms per doc, ranks dense from 1") {
@@ -123,7 +124,12 @@ class ExtendedSpec extends SparkSpec {
   }
 
   test("q56 bpe tokens: finer-grained than whitespace tokens") {
-    val bad = ExtendedQueries.q56(spark, sf).filter(col("n_bpe") < col("n_ws"))
+    // blank text is excluded: split("") returns [""], so n_ws = 1 while
+    // n_bpe = 0 — the invariant only holds for documents with content
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0).select("doc_id")
+    val bad = ExtendedQueries.q56(spark, sf).join(docs, Seq("doc_id"))
+      .filter(col("n_bpe") < col("n_ws"))
     assert(bad.isEmpty, "BPE pre-tokenization must split at least as fine as whitespace")
   }
 

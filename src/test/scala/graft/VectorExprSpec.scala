@@ -32,6 +32,22 @@ class VectorExprSpec extends SparkSpec {
     assert(pairs.filter(l2sq(col("va"), col("vb")) =!= l2sqHof(col("va"), col("vb"))).isEmpty)
   }
 
+  test("null elements and length mismatch: native == HOF (both NULL)") {
+    val df = spark.sql(
+      """SELECT array(1.0d, cast(null as double)) AS va,
+        |       array(1.0d, 2.0d) AS vb, array(1.0d) AS vc""".stripMargin)
+    for ((n, h) <- Seq[(( org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+                        (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column)](
+        (dot _, dotHof _), (cosine _, cosineHof _), (l2sq _, l2sqHof _))) {
+      assert(df.filter(!(n(col("va"), col("vb")) <=> h(col("va"), col("vb")))).isEmpty,
+        "null element must yield NULL in both formulations")
+      assert(df.filter(!(n(col("vc"), col("vb")) <=> h(col("vc"), col("vb")))).isEmpty,
+        "length mismatch must yield NULL in both formulations")
+      assert(df.filter(n(col("va"), col("vb")).isNotNull).isEmpty)
+      assert(df.filter(n(col("vc"), col("vb")).isNotNull).isEmpty)
+    }
+  }
+
   test("cosine handles zero vectors without NaN") {
     val row = spark.sql(
       "SELECT vec_cosine(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS c").head()
