@@ -21,25 +21,49 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * swapping them cannot move oracle-checked results.
   */
 object VectorOps {
-  // NULL semantics match the HOF formulations exactly: zip_with
-  // null-pads unequal lengths and a null element nulls its product, so
-  // aggregate's running sum becomes NULL — therefore unequal lengths or
-  // ANY null element → NULL result (returned as a boxed null here,
-  // surfaced via the expression's null flag).
+  // NULL semantics match the HOF formulations EXACTLY.
+  // dot/l2sq: zip_with null-pads unequal lengths and a null element
+  // nulls its product, so the aggregate sum is NULL ⇒ unequal lengths
+  // or ANY null element → NULL.
+  // cosine: the HOF form is when(denom === 0, 0.0).otherwise(dot/denom)
+  // with denom from full-array self-dots — so ANY null element → NULL,
+  // else a zero-norm side → 0.0 (EVEN for unequal lengths: the zero
+  // check short-circuits before the zipped dot), else unequal lengths
+  // → NULL, else the value.
 
-  private def invalid(a: ArrayData, b: ArrayData): Boolean = {
-    if (a.numElements() != b.numElements()) return true
+  private def anyNull(a: ArrayData, b: ArrayData): Boolean = {
     var i = 0
-    while (i < a.numElements()) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return true
-      i += 1
-    }
+    while (i < a.numElements()) { if (a.isNullAt(i)) return true; i += 1 }
+    i = 0
+    while (i < b.numElements()) { if (b.isNullAt(i)) return true; i += 1 }
     false
   }
 
-  /** Called from generated code; null ⇒ SQL NULL. */
-  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
-    if (invalid(a, b)) return null
+  /** Exact (null-handling) variants; boxed null ⇒ SQL NULL. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double =
+    if (a.numElements() != b.numElements() || anyNull(a, b)) null
+    else dotFast(a, b)
+
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
+    if (anyNull(a, b)) return null
+    var daa = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < a.numElements()) { val x = a.getDouble(i); daa += x * x; i += 1 }
+    i = 0
+    while (i < b.numElements()) { val y = b.getDouble(i); dbb += y * y; i += 1 }
+    if (math.sqrt(daa) * math.sqrt(dbb) == 0.0) return 0.0
+    if (a.numElements() != b.numElements()) return null
+    cosineFast(a, b)
+  }
+
+  def l2sq(a: ArrayData, b: ArrayData): java.lang.Double =
+    if (a.numElements() != b.numElements() || anyNull(a, b)) null
+    else l2sqFast(a, b)
+
+  /** Primitive fast paths — caller guarantees equal lengths and no null
+    * elements (the codegen no-null branch); single pass, no boxing.
+    */
+  def dotFast(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     var acc = 0.0
     var i = 0
@@ -47,8 +71,7 @@ object VectorOps {
     acc
   }
 
-  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
-    if (invalid(a, b)) return null
+  def cosineFast(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     var dab = 0.0; var daa = 0.0; var dbb = 0.0
     var i = 0
@@ -61,8 +84,7 @@ object VectorOps {
     if (denom == 0.0) 0.0 else dab / denom
   }
 
-  def l2sq(a: ArrayData, b: ArrayData): java.lang.Double = {
-    if (invalid(a, b)) return null
+  def l2sqFast(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     var acc = 0.0
     var i = 0
@@ -87,19 +109,44 @@ abstract class VectorBinaryExpr extends BinaryExpression {
   override def nullable: Boolean = true
   /** Name of the static VectorOps method backing this expression. */
   def op: String
-  override def nullSafeEval(a: Any, b: Any): Any = op match {
-    case "dot"    => VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    case "cosine" => VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    case "l2sq"   => VectorOps.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  /** True when the input schemas guarantee no null ELEMENTS — the hot
+    * path (parquet embeddings are containsNull=false) then skips the
+    * null scan and boxing entirely; only a length check remains.
+    */
+  private def noNullElements: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, ln), ArrayType(_, rn)) => !ln && !rn
+    case _ => false
   }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (noNullElements && aa.numElements() == bb.numElements()) op match {
+      case "dot"    => VectorOps.dotFast(aa, bb)
+      case "cosine" => VectorOps.cosineFast(aa, bb)
+      case "l2sq"   => VectorOps.l2sqFast(aa, bb)
+    } else op match {
+      case "dot"    => VectorOps.dot(aa, bb)
+      case "cosine" => VectorOps.cosine(aa, bb)
+      case "l2sq"   => VectorOps.l2sq(aa, bb)
+    }
+  }
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val fast = if (noNullElements)
+        s"""if ($a.numElements() == $b.numElements()) {
+           |  ${ev.value} = graft.functions.VectorOps.${op}Fast($a, $b);
+           |} else""".stripMargin
+      else ""
       s"""
-         |java.lang.Double ${ev.value}_r = graft.functions.VectorOps.$op($a, $b);
-         |if (${ev.value}_r == null) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  ${ev.value} = ${ev.value}_r.doubleValue();
+         |$fast {
+         |  java.lang.Double ${ev.value}_r = graft.functions.VectorOps.$op($a, $b);
+         |  if (${ev.value}_r == null) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = ${ev.value}_r.doubleValue();
+         |  }
          |}
        """.stripMargin
     })

@@ -84,8 +84,18 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Lenient boolean parse: the rule runs inside optimization of EVERY
+    * query, so a malformed conf value must not throw — anything not an
+    * explicit disable spelling keeps the rule on.
+    */
+  private def enabled: Boolean =
+    SQLConf.get.getConfString(EnabledKey, "true").trim.toLowerCase match {
+      case "false" | "0" | "no" | "off" => false
+      case _ => true
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!SQLConf.get.getConfString(EnabledKey, "true").toBoolean) plan
+    if (!enabled) plan
     else rewrite(plan)
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transform {

@@ -117,8 +117,10 @@ object ExtendedQueries {
   // for a balance within ulps of its nation average.
   def q45(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
+    // divisor counts NON-NULL balances, matching AVG's null-exclusion
     val natAvg = c.groupBy("c_nationkey")
-      .agg((sum(col("c_acctbal").cast(D)).cast("double") / count(lit(1))).as("nat_avg"))
+      .agg((sum(col("c_acctbal").cast(D)).cast("double") /
+        count(col("c_acctbal"))).as("nat_avg"))
     c.join(broadcast(natAvg), Seq("c_nationkey"))
       .filter(col("c_acctbal") > col("nat_avg"))
       .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
@@ -128,7 +130,7 @@ object ExtendedQueries {
   val q45Sql: String =
     """WITH na AS (
       | SELECT c_nationkey,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS nat_avg
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS nat_avg
       | FROM customer GROUP BY c_nationkey)
       |SELECT c_custkey, c1.c_nationkey, c_acctbal,
       | ROUND(nat_avg, 6) AS nation_avg
@@ -210,15 +212,16 @@ object ExtendedQueries {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy("k")
       .agg(count(lit(1)).as("n_events"),
-        // decimal sum / count: deterministic across partition orders
-        round(sum(col("value").cast(D)).cast("double") / count(lit(1)), 6)
+        // decimal sum / non-null count: deterministic across partition
+        // orders, and NULL values excluded from the divisor like AVG
+        round(sum(col("value").cast(D)).cast("double") / count(col("value")), 6)
           .as("avg_value"),
         countDistinct(col("user_id")).as("n_users"))
 
   val q48Sql: String =
     """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
       | CAST(COUNT(*) AS BIGINT) AS n_events,
-      | ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
+      | ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value), 6) AS avg_value,
       | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM events GROUP BY 1""".stripMargin
 

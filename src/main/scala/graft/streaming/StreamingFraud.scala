@@ -91,7 +91,6 @@ object StreamingFraud {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = gapMinutes * 60L * 1000000L
-    val gapMs = gapMinutes * 60L * 1000L
     val useTimeout = timeout == GroupStateTimeout.EventTimeTimeout
     events.select(col("user_id"), col("ts"), col("event_id"))
       .as[(Long, java.sql.Timestamp, Long)](
@@ -124,8 +123,11 @@ object StreamingFraud {
             }
             st.foreach { s =>
               state.update(s)
+              // deadline rounds UP to ms: flooring would set it up to
+              // 999µs before last+gap, closing a session that a
+              // boundary event (t <= last+gapUs) should still extend
               if (useTimeout)
-                state.setTimeoutTimestamp(s.last / 1000L + gapMs)
+                state.setTimeoutTimestamp(Math.floorDiv(s.last + gapUs + 999L, 1000L))
             }
             out.iterator
           }

@@ -48,6 +48,20 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("cosine zero-norm with length mismatch: 0.0 in both formulations") {
+    // the HOF when(denom === 0, 0.0) short-circuits BEFORE the zipped
+    // dot can null-out on length mismatch — the native op must agree
+    val df = spark.sql("SELECT array(0.0d) AS vz, array(1.0d, 2.0d) AS vb")
+    assert(df.filter(!(cosine(col("vz"), col("vb")) <=>
+      cosineHof(col("vz"), col("vb")))).isEmpty)
+    assert(df.select(cosine(col("vz"), col("vb"))).head().getDouble(0) === 0.0)
+    // nonzero norms + length mismatch → NULL in both
+    val df2 = spark.sql("SELECT array(3.0d) AS va, array(1.0d, 2.0d) AS vb")
+    assert(df2.filter(!(cosine(col("va"), col("vb")) <=>
+      cosineHof(col("va"), col("vb")))).isEmpty)
+    assert(df2.filter(cosine(col("va"), col("vb")).isNotNull).isEmpty)
+  }
+
   test("cosine handles zero vectors without NaN") {
     val row = spark.sql(
       "SELECT vec_cosine(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS c").head()
