@@ -421,6 +421,49 @@ object ExtendedQueries {
       | CAST((FLOOR((LEN(text) - 256) / 128) + 1) * 256 AS BIGINT) AS frame_bytes
       |FROM documents WHERE LEN(text) >= 256""".stripMargin
 
+  // --- q58: single-pass column profiling (data-quality audit) ---
+  // All per-column stats come from ONE aggregation over one scan, then
+  // unpivot to long form — the per-column-query formulation (the
+  // oracle's UNION ALL) would scan the table once per column.
+  private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max"))
+    }
+    val wide = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = ProfileCols.map { c =>
+      s"'$c', ${c}__n, ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max"
+    }.mkString(", ")
+    wide.selectExpr(s"stack(${ProfileCols.length}, $stackExpr) AS " +
+      "(col_name, n_values, n_nulls, n_distinct, vmin, vmax)")
+  }
+
+  val q58Sql: String = ProfileCols.map { c =>
+    s"""SELECT '$c' AS col_name, CAST(COUNT($c) AS BIGINT) AS n_values,
+       | CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       | CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+       | MIN($c) AS vmin, MAX($c) AS vmax FROM lineitem""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  // --- q59: unpivot (melt) — inverse of the q35 pivot round-trips to
+  // the direct long-form aggregation ---
+  def q59(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    OlapQueries.q35(s, dir)
+      .unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "total")
+      .filter(col("total").isNotNull)
+  }
+
+  val q59Sql: String =
+    """SELECT user_id, event_type,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_range_join"    -> (q41 _),
     "q42_window_suite"  -> (q42 _),
@@ -438,7 +481,9 @@ object ExtendedQueries {
     "q54_argmax"        -> (q54 _),
     "q55_dedup_clusters" -> (q55 _),
     "q56_bpe_tokens"    -> (q56 _),
-    "q57_multimodal_frames" -> (q57 _))
+    "q57_multimodal_frames" -> (q57 _),
+    "q58_profile"       -> (q58 _),
+    "q59_unpivot"       -> (q59 _))
 
   val oracle: Map[String, String] = Map(
     "q41_range_join"    -> q41Sql,
@@ -456,5 +501,7 @@ object ExtendedQueries {
     "q54_argmax"        -> q54Sql,
     "q55_dedup_clusters" -> q55Sql,
     "q56_bpe_tokens"    -> q56Sql,
-    "q57_multimodal_frames" -> q57Sql)
+    "q57_multimodal_frames" -> q57Sql,
+    "q58_profile"       -> q58Sql,
+    "q59_unpivot"       -> q59Sql)
 }

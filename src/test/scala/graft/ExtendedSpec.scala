@@ -142,6 +142,26 @@ class ExtendedSpec extends SparkSpec {
     assert(frames.count() > 0)
   }
 
+  test("q58 profile: one row per profiled column, nulls+values = rows") {
+    val out = ExtendedQueries.q58(spark, sf).collect()
+    assert(out.length === 3)
+    val n = graft.sources.Tables.lineitem(spark, sf).count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_values") + r.getAs[Long]("n_nulls") === n)
+      assert(r.getAs[Double]("vmin") <= r.getAs[Double]("vmax"))
+    }
+  }
+
+  test("q59 unpivot: pivot round-trip equals direct aggregation") {
+    val unpivoted = ExtendedQueries.q59(spark, sf)
+    val direct = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id", "event_type")
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("total"))
+    assert(unpivoted.count() === direct.count())
+    assert(unpivoted.exceptAll(direct).count() === 0)
+  }
+
   test("q48 json extract: groups cover all events exactly once") {
     val out = ExtendedQueries.q48(spark, sf)
     val total = out.agg(sum("n_events")).head().getLong(0)
