@@ -51,9 +51,15 @@ object VectorOps {
     while (i < a.numElements()) { val x = a.getDouble(i); daa += x * x; i += 1 }
     i = 0
     while (i < b.numElements()) { val y = b.getDouble(i); dbb += y * y; i += 1 }
-    if (math.sqrt(daa) * math.sqrt(dbb) == 0.0) return 0.0
+    val denom = math.sqrt(daa) * math.sqrt(dbb)
+    if (denom == 0.0) return 0.0
     if (a.numElements() != b.numElements()) return null
-    cosineFast(a, b)
+    // reuse the norms already accumulated (same left-to-right order as
+    // cosineFast, so the result is bit-identical) — only dab remains
+    var dab = 0.0
+    i = 0
+    while (i < a.numElements()) { dab += a.getDouble(i) * b.getDouble(i); i += 1 }
+    dab / denom
   }
 
   def l2sq(a: ArrayData, b: ArrayData): java.lang.Double =
@@ -114,7 +120,7 @@ abstract class VectorBinaryExpr extends BinaryExpression {
     * path (parquet embeddings are containsNull=false) then skips the
     * null scan and boxing entirely; only a length check remains.
     */
-  private def noNullElements: Boolean = (left.dataType, right.dataType) match {
+  private lazy val noNullElements: Boolean = (left.dataType, right.dataType) match {
     case (ArrayType(_, ln), ArrayType(_, rn)) => !ln && !rn
     case _ => false
   }

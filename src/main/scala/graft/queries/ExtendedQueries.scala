@@ -452,17 +452,21 @@ object ExtendedQueries {
 
   // --- q59: unpivot (melt) — inverse of the q35 pivot round-trips to
   // the direct long-form aggregation ---
-  def q59(s: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+  def q59(s: SparkSession, dir: String): DataFrame =
     OlapQueries.q35(s, dir)
-      .unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "total")
+      .unpivot(Array(col("user_id")), OlapQueries.EventTypes.map(col).toArray,
+        "event_type", "total")
       .filter(col("total").isNotNull)
-  }
 
+  // HAVING mirrors the unpivot's isNotNull filter: after a pivot,
+  // "no events of this type" and "events with all-NULL values" are both
+  // a NULL cell, so the round-trip only restores groups with at least
+  // one non-null value — the oracle states that same contract.
   val q59Sql: String =
     """SELECT user_id, event_type,
       | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-      |FROM events GROUP BY user_id, event_type""".stripMargin
+      |FROM events GROUP BY user_id, event_type
+      |HAVING SUM(CAST(value AS DECIMAL(18,2))) IS NOT NULL""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_range_join"    -> (q41 _),

@@ -29,7 +29,8 @@ object OlapQueries {
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
 
   // --- q35: pivot (event value totals per user across event types) ---
-  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  // shared with q59's unpivot so the two column sets cannot diverge
+  private[queries] val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   def q35(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
