@@ -48,6 +48,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == expected)
   }
 
+  test("event-time timeout closes idle sessions once the watermark passes") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val sparkStable = spark
+    import sparkStable.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_stream").toString
+    def write(name: String, rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("event_id", "ts_s", "user_id")
+        .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+          col("user_id"), lit("click").as("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    // user 1: two events 10:00 / 10:05 — one session, then goes idle
+    write("b1", Seq((1L, "2024-01-01 10:00:00", 1L), (2L, "2024-01-01 10:05:00", 1L)))
+
+    val q = graft.streaming.StreamingFraud.sessionStream(
+        graft.streaming.StreamingFraud.readEventStream(spark, dir),
+        gapMinutes = 30, timeout = GroupStateTimeout.EventTimeTimeout)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sess_out").isEmpty, "session still open before watermark")
+      // user 2 at 12:00 pushes the watermark (10 min lateness) to 11:50,
+      // far past user 1's 10:05+30min deadline; a follow-up batch fires
+      // the timeout
+      write("b2", Seq((3L, "2024-01-01 12:00:00", 2L)))
+      q.processAllAvailable()
+      write("b3", Seq((4L, "2024-01-01 12:01:00", 2L)))
+      q.processAllAvailable()
+      val closed = spark.table("sess_out").collect()
+      assert(closed.exists(r => r.getAs[Long]("user_id") == 1L &&
+        r.getAs[Long]("n_events") == 2L),
+        s"user 1's idle session must close via timeout; got ${closed.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("stateful velocity stream flags location changes within an hour") {
     val batchEvents = graft.sources.Tables.events(spark, sf)
     val flags = StreamingFraud.velocityStream(batchEvents).cache()
