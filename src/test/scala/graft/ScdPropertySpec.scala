@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.Scd
+
+/** Property-based invariants for the SCD2 operators under arbitrary
+  * change streams — the reference's trickiest semantics (etl.py:297-388)
+  * must hold for ANY input, not just the fixtures. (Raw scalacheck Gen
+  * with fixed seeds — the scalatestplus bridge isn't in the offline
+  * dependency cache.)
+  */
+class ScdPropertySpec extends SparkSpec {
+
+  private val sparkStable = spark
+  import sparkStable.implicits._
+
+  /** Deterministic samples of a generator. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i =>
+      g.apply(Gen.Parameters.default.withSize(30), Seed(42L + i)))
+
+  private def forAllSamples[A](g: Gen[A], n: Int = 5)(body: A => Unit): Unit =
+    samples(g, n).foreach(body)
+
+  // change stream: (key, state, secondsOffset); offsets made unique per
+  // key so version boundaries are well-defined
+  private val changesGen: Gen[List[(Long, String, Int)]] =
+    Gen.listOf(for {
+      key <- Gen.choose(1L, 5L)
+      state <- Gen.oneOf("a", "b", "c")
+      off <- Gen.choose(0, 1000)
+    } yield (key, state, off))
+
+  private def toDf(rows: List[(Long, String, Int)]) = {
+    val dedup = rows.groupBy(r => (r._1, r._3)).map(_._2.head).toSeq
+    dedup.toDF("k", "state", "off")
+      .withColumn("ts", expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,off)"))
+      .withColumn("event_id", monotonically_increasing_id())
+      .select("k", "state", "ts", "event_id")
+  }
+
+  test("buildHistory: per key — one open end, no overlaps, no gaps") {
+    forAllSamples(changesGen) { rows =>
+      if (rows.nonEmpty) {
+        val hist = Scd.buildHistory(toDf(rows), "k", "ts", "event_id", Seq("state"))
+          .collect()
+          .groupBy(_.getAs[Long]("k"))
+        hist.foreach { case (_, versions) =>
+          val sorted = versions.sortBy(_.getAs[java.sql.Timestamp]("effective_from").getTime)
+          // exactly one open-ended version, and it is the last one
+          val open = sorted.filter(
+            _.getAs[java.sql.Timestamp]("effective_to").toString.startsWith("9999"))
+          assert(open.length === 1)
+          assert(open.head === sorted.last)
+          // consecutive versions: next.from == prev.to + 1µs (no gap/overlap)
+          sorted.sliding(2).foreach {
+            case Array(prev, next) =>
+              val prevTo = prev.getAs[java.sql.Timestamp]("effective_to")
+              val nextFrom = next.getAs[java.sql.Timestamp]("effective_from")
+              val prevToUs = prevTo.getTime * 1000 + prevTo.getNanos / 1000 % 1000
+              val nextFromUs = nextFrom.getTime * 1000 + nextFrom.getNanos / 1000 % 1000
+              assert(nextFromUs - prevToUs === 1L,
+                s"gap/overlap between versions: $prevTo -> $nextFrom")
+            case _ => ()
+          }
+        }
+      }
+    }
+  }
+
+  test("scd2Merge: exactly one open version per surviving key; stg state wins") {
+    val histGen = changesGen
+    val stgGen: Gen[List[(Long, String)]] =
+      Gen.listOf(for {
+        key <- Gen.choose(1L, 6L)
+        state <- Gen.oneOf("a", "b", "c", "d")
+      } yield (key, state)).map(_.distinctBy(_._1))
+    forAllSamples(Gen.zip(histGen, stgGen)) { case (histRows, stgRows) =>
+      if (histRows.nonEmpty) {
+        val hist = Scd.buildHistory(toDf(histRows), "k", "ts", "event_id", Seq("state"))
+        val stg = stgRows.toDF("k", "state")
+          .withColumn("create_dt", lit("2024-02-01 00:00:00").cast("timestamp"))
+        val merged = Scd.scd2Merge(hist, stg, "k", Seq("state"),
+          deleteTs = "2024-02-01 00:00:00").cache()
+        val open = merged.filter(col("effective_to") >= lit("9000-01-01").cast("timestamp"))
+        // one open version per key (hist keys survive as tombstones)
+        assert(open.groupBy("k").count().filter(col("count") =!= 1).isEmpty)
+        // every stg key's open version carries the stg state, not deleted
+        val stgDf = stgRows.toDF("sk", "sstate")
+        val bad = open.join(stgDf, col("k") === col("sk"))
+          .filter(col("state") =!= col("sstate") || col("deleted_flg"))
+        assert(bad.isEmpty, "open version must reflect the stg snapshot")
+        merged.unpersist(blocking = false)
+      }
+    }
+  }
+}
