@@ -468,6 +468,45 @@ object ExtendedQueries {
       |FROM events GROUP BY user_id, event_type
       |HAVING SUM(CAST(value AS DECIMAL(18,2))) IS NOT NULL""".stripMargin
 
+  // --- q60: z-score outlier detection with deterministic moments ---
+  // Mean and variance come from DECIMAL sums of x and x² (exact — value
+  // has 2dp, so x² has 4dp), combined with a handful of double ops both
+  // engines execute identically; a native stddev() accumulates running
+  // moments in partition order and could flip membership at the 3σ
+  // boundary across engines.
+  def q60(s: SparkSession, dir: String): DataFrame = {
+    val d4 = DecimalType(28, 4)
+    val ev = Tables.events(s, dir)
+    val stats = ev.groupBy(col("event_type").as("et"))
+      .agg(
+        sum(col("value").cast(D)).cast("double").as("sx"),
+        sum((col("value") * col("value")).cast(d4)).cast("double").as("sxx"),
+        count(col("value")).as("n"))
+      .filter(col("n") > 1)
+      .select(col("et"), (col("sx") / col("n")).as("mean"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("sd"))
+    ev.join(broadcast(stats), col("event_type") === col("et"))
+      .filter(col("sd") > 0.0 &&
+        abs(col("value") - col("mean")) > lit(3.0) * col("sd"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("mean"), 6).as("mean"), round(col("sd"), 6).as("sd"))
+  }
+
+  val q60Sql: String =
+    """WITH st AS (
+      | SELECT event_type AS et,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |  CAST(SUM(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+      |  COUNT(value) AS n
+      | FROM events GROUP BY event_type HAVING COUNT(value) > 1),
+      |m AS (SELECT et, sx / n AS mean,
+      |       SQRT((sxx - sx * sx / n) / (n - 1)) AS sd FROM st)
+      |SELECT event_id, event_type, value,
+      | ROUND(mean, 6) AS mean, ROUND(sd, 6) AS sd
+      |FROM events JOIN m ON event_type = et
+      |WHERE sd > 0.0 AND ABS(value - mean) > 3.0 * sd""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_range_join"    -> (q41 _),
     "q42_window_suite"  -> (q42 _),
@@ -487,7 +526,8 @@ object ExtendedQueries {
     "q56_bpe_tokens"    -> (q56 _),
     "q57_multimodal_frames" -> (q57 _),
     "q58_profile"       -> (q58 _),
-    "q59_unpivot"       -> (q59 _))
+    "q59_unpivot"       -> (q59 _),
+    "q60_outliers"      -> (q60 _))
 
   val oracle: Map[String, String] = Map(
     "q41_range_join"    -> q41Sql,
@@ -507,5 +547,6 @@ object ExtendedQueries {
     "q56_bpe_tokens"    -> q56Sql,
     "q57_multimodal_frames" -> q57Sql,
     "q58_profile"       -> q58Sql,
-    "q59_unpivot"       -> q59Sql)
+    "q59_unpivot"       -> q59Sql,
+    "q60_outliers"      -> q60Sql)
 }

@@ -162,6 +162,12 @@ class ExtendedSpec extends SparkSpec {
     assert(unpivoted.exceptAll(direct).count() === 0)
   }
 
+  test("q60 outliers: every flagged value is beyond 3 sigma") {
+    val out = ExtendedQueries.q60(spark, sf)
+    assert(out.filter(abs(col("value") - col("mean")) <= lit(3.0) * col("sd") - 1e-6)
+      .isEmpty)
+  }
+
   test("q48 json extract: groups cover all events exactly once") {
     val out = ExtendedQueries.q48(spark, sf)
     val total = out.agg(sum("n_events")).head().getLong(0)
