@@ -507,6 +507,32 @@ object ExtendedQueries {
       |FROM events JOIN m ON event_type = et
       |WHERE sd > 0.0 AND ABS(value - mean) > 3.0 * sd""".stripMargin
 
+  // --- q61: moving aggregate (trailing 4-row window per user) ---
+  // ROWS frame over the (ts, event_id) total order — deterministic on
+  // ties, unlike a RANGE frame keyed on a non-unique timestamp; sums in
+  // decimal so window accumulation order cannot drift.
+  def q61(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-3, 0)
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("ts"),
+      sum(col("value").cast(D)).over(w).cast("double").as("mov_sum"),
+      count(lit(1)).over(w).as("mov_n"),
+      (sum(col("value").cast(D)).over(w).cast("double") /
+        count(lit(1)).over(w)).as("mov_avg"))
+  }
+
+  val q61Sql: String =
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
+      | CAST(COUNT(*) OVER w AS BIGINT) AS mov_n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |   / COUNT(*) OVER w AS mov_avg
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_range_join"    -> (q41 _),
     "q42_window_suite"  -> (q42 _),
@@ -527,7 +553,8 @@ object ExtendedQueries {
     "q57_multimodal_frames" -> (q57 _),
     "q58_profile"       -> (q58 _),
     "q59_unpivot"       -> (q59 _),
-    "q60_outliers"      -> (q60 _))
+    "q60_outliers"      -> (q60 _),
+    "q61_moving_avg"    -> (q61 _))
 
   val oracle: Map[String, String] = Map(
     "q41_range_join"    -> q41Sql,
@@ -548,5 +575,6 @@ object ExtendedQueries {
     "q57_multimodal_frames" -> q57Sql,
     "q58_profile"       -> q58Sql,
     "q59_unpivot"       -> q59Sql,
-    "q60_outliers"      -> q60Sql)
+    "q60_outliers"      -> q60Sql,
+    "q61_moving_avg"    -> q61Sql)
 }

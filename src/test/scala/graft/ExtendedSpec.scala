@@ -168,6 +168,13 @@ class ExtendedSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("q61 moving aggregate: window bounded at 4, avg consistent") {
+    val out = ExtendedQueries.q61(spark, sf)
+    assert(out.filter(col("mov_n") < 1 || col("mov_n") > 4).isEmpty)
+    assert(out.filter(
+      abs(col("mov_avg") * col("mov_n") - col("mov_sum")) > 1e-6).isEmpty)
+  }
+
   test("q48 json extract: groups cover all events exactly once") {
     val out = ExtendedQueries.q48(spark, sf)
     val total = out.agg(sum("n_events")).head().getLong(0)
