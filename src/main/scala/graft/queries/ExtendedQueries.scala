@@ -483,9 +483,13 @@ object ExtendedQueries {
         sum((col("value") * col("value")).cast(d4)).cast("double").as("sxx"),
         count(col("value")).as("n"))
       .filter(col("n") > 1)
+      // clamp at 0: an all-identical group's FP variance can compute to
+      // a tiny negative, which Spark's sqrt turns into NaN but DuckDB's
+      // SQRT REJECTS with an error — both engines must see >= 0
       .select(col("et"), (col("sx") / col("n")).as("mean"),
-        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
-          .as("sd"))
+        sqrt(greatest(
+          (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1),
+          lit(0.0))).as("sd"))
     ev.join(broadcast(stats), col("event_type") === col("et"))
       .filter(col("sd") > 0.0 &&
         abs(col("value") - col("mean")) > lit(3.0) * col("sd"))
@@ -501,7 +505,7 @@ object ExtendedQueries {
       |  COUNT(value) AS n
       | FROM events GROUP BY event_type HAVING COUNT(value) > 1),
       |m AS (SELECT et, sx / n AS mean,
-      |       SQRT((sxx - sx * sx / n) / (n - 1)) AS sd FROM st)
+      |       SQRT(GREATEST((sxx - sx * sx / n) / (n - 1), 0.0)) AS sd FROM st)
       |SELECT event_id, event_type, value,
       | ROUND(mean, 6) AS mean, ROUND(sd, 6) AS sd
       |FROM events JOIN m ON event_type = et
@@ -516,11 +520,10 @@ object ExtendedQueries {
       .orderBy(col("ts").asc, col("event_id").asc)
       .rowsBetween(-3, 0)
     Tables.events(s, dir).select(
-      col("event_id"), col("user_id"), col("ts"),
-      sum(col("value").cast(D)).over(w).cast("double").as("mov_sum"),
-      count(lit(1)).over(w).as("mov_n"),
-      (sum(col("value").cast(D)).over(w).cast("double") /
-        count(lit(1)).over(w)).as("mov_avg"))
+        col("event_id"), col("user_id"), col("ts"),
+        sum(col("value").cast(D)).over(w).cast("double").as("mov_sum"),
+        count(lit(1)).over(w).as("mov_n"))
+      .withColumn("mov_avg", col("mov_sum") / col("mov_n"))
   }
 
   val q61Sql: String =

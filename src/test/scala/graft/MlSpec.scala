@@ -28,6 +28,8 @@ class MlSpec extends SparkSpec {
       .agg(avg(col("fraud_prob")).as("mean_prob"))
       .collect().map(r => r.getAs[Double]("label") -> r.getAs[Double]("mean_prob"))
       .toMap
+    assert(byLabel.keySet === Set(0.0, 1.0),
+      s"both label classes must be present, got ${byLabel.keySet}")
     assert(byLabel(1.0) > byLabel(0.0),
       s"labeled-fraud mean prob ${byLabel(1.0)} must exceed clean ${byLabel(0.0)}")
   }

@@ -53,7 +53,7 @@ class StreamingSpec extends SparkSpec {
     val sparkStable = spark
     import sparkStable.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sess_stream").toString
-    def write(name: String, rows: Seq[(Long, String, Long)]): Unit =
+    def write(rows: Seq[(Long, String, Long)]): Unit =
       rows.toDF("event_id", "ts_s", "user_id")
         .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
           col("user_id"), lit("click").as("event_type"),
@@ -61,7 +61,7 @@ class StreamingSpec extends SparkSpec {
         .coalesce(1).write.mode("append").parquet(dir)
 
     // user 1: two events 10:00 / 10:05 — one session, then goes idle
-    write("b1", Seq((1L, "2024-01-01 10:00:00", 1L), (2L, "2024-01-01 10:05:00", 1L)))
+    write(Seq((1L, "2024-01-01 10:00:00", 1L), (2L, "2024-01-01 10:05:00", 1L)))
 
     val q = graft.streaming.StreamingFraud.sessionStream(
         graft.streaming.StreamingFraud.readEventStream(spark, dir),
@@ -74,9 +74,9 @@ class StreamingSpec extends SparkSpec {
       // user 2 at 12:00 pushes the watermark (10 min lateness) to 11:50,
       // far past user 1's 10:05+30min deadline; a follow-up batch fires
       // the timeout
-      write("b2", Seq((3L, "2024-01-01 12:00:00", 2L)))
+      write(Seq((3L, "2024-01-01 12:00:00", 2L)))
       q.processAllAvailable()
-      write("b3", Seq((4L, "2024-01-01 12:01:00", 2L)))
+      write(Seq((4L, "2024-01-01 12:01:00", 2L)))
       q.processAllAvailable()
       val closed = spark.table("sess_out").collect()
       assert(closed.exists(r => r.getAs[Long]("user_id") == 1L &&
