@@ -84,16 +84,17 @@ object OlapQueries {
       | MIN(ts) AS session_start
       |FROM c GROUP BY user_id, session_seq""".stripMargin
 
-  // --- q38: GROUPING SETS (via the SQL surface) ---
-  def q38(s: SparkSession, dir: String): DataFrame = {
-    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
-    s.sql("""SELECT o_orderpriority, o_orderstatus,
-             CAST(COUNT(*) AS BIGINT) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-             FROM orders_v
-             GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
-                                     (o_orderpriority), ())""")
-  }
+  // --- q38: GROUPING SETS (Dataset API — no temp-view registration,
+  // which would mutate shared session state as a query-construction
+  // side effect, racy under concurrent plan building) ---
+  def q38(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"))
 
   val q38Sql: String =
     """SELECT o_orderpriority, o_orderstatus,
