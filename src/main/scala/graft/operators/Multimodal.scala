@@ -54,6 +54,71 @@ object Multimodal {
           .as("frame"))
   }
 
+  /** STUB resize: a real implementation hands the decoded image and
+    * target dims to a codec; the deterministic fake keeps the contract —
+    * output dims are the requested ones, the "resized" payload is a
+    * stride-sampled byte subset sized proportionally to the pixel-count
+    * ratio. Swap this one function for a real scaler at deploy time.
+    */
+  def resizeStub(bytes: Array[Byte], srcW: Int, srcH: Int,
+                 dstW: Int, dstH: Int): Array[Byte] = {
+    val ratio = (dstW.toLong * dstH).toDouble / math.max(1L, srcW.toLong * srcH)
+    val outLen = math.max(1, math.min(bytes.length, (bytes.length * ratio).toInt))
+    val stride = math.max(1, bytes.length / outLen)
+    val out = new Array[Byte](outLen)
+    var i = 0
+    while (i < outLen) { out(i) = bytes(math.min(bytes.length - 1, i * stride)); i += 1 }
+    out
+  }
+
+  case class Resized(doc_id: Long, width: Int, height: Int,
+                     n_bytes: Long, checksum: Long)
+
+  /** Resize every payload to (dstW, dstH): decode-stub for source dims,
+    * resize-stub for the pixel work, re-checksum of the result — the
+    * full decode→transform→re-encode batch shape, one partition at a
+    * time, no driver involvement.
+    */
+  def resizeAll(df: DataFrame, idCol: String, payloadCol: String,
+                dstW: Int, dstH: Int): Dataset[Resized] = {
+    val pairs = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    pairs.mapPartitions { it =>
+      val crc = new java.util.zip.CRC32()
+      it.map { case (id, bytes) =>
+        val (w, h, _) = decodeImageStub(bytes)
+        val resized = resizeStub(bytes, w, h, dstW, dstH)
+        crc.reset()
+        crc.update(resized)
+        Resized(id, dstW, dstH, resized.length.toLong, crc.getValue)
+      }
+    }(Encoders.product[Resized])
+  }
+
+  case class Featurized(doc_id: Long, features: Array[Double])
+
+  /** Feature extraction: a 16-bin byte histogram per payload as an
+    * `array<double>` feature vector (the stand-in for an embedding
+    * model). One partition-local pass per payload — the same
+    * mapPartitions batch shape as the other media operators (HOF
+    * lambdas would evaluate interpreted, 16 passes per row).
+    */
+  def byteHistogram(df: DataFrame, idCol: String, payloadCol: String): Dataset[Featurized] = {
+    val pairs = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    pairs.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val hist = new Array[Double](16)
+        var i = 0
+        while (i < bytes.length) { hist((bytes(i) & 0xF0) >> 4) += 1.0; i += 1 }
+        val n = math.max(1, bytes.length).toDouble
+        var b = 0
+        while (b < 16) { hist(b) /= n; b += 1 }
+        Featurized(id, hist)
+      }
+    }(Encoders.product[Featurized])
+  }
+
   /** Extract typed metadata from an (id, binary-payload) DataFrame. */
   def extractMeta(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaMeta] = {
     val pairs = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))

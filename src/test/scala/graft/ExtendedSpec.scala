@@ -133,6 +133,27 @@ class ExtendedSpec extends SparkSpec {
     assert(bad.isEmpty, "BPE pre-tokenization must split at least as fine as whitespace")
   }
 
+  test("multimodal resize: target dims, proportional bytes, deterministic") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .withColumn("payload", col("text").cast("binary"))
+    val out = graft.operators.Multimodal.resizeAll(docs, "doc_id", "payload", 32, 32)
+      .toDF().cache()
+    assert(out.filter(col("width") =!= 32 || col("height") =!= 32).isEmpty)
+    assert(out.filter(col("n_bytes") < 1).isEmpty)
+    val again = graft.operators.Multimodal.resizeAll(docs, "doc_id", "payload", 32, 32).toDF()
+    assert(out.exceptAll(again).isEmpty, "resize stub must be deterministic")
+  }
+
+  test("multimodal byte histogram: 16 bins summing to ~1") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .withColumn("payload", col("text").cast("binary"))
+    val out = graft.operators.Multimodal.byteHistogram(docs, "doc_id", "payload").toDF()
+    val sums = out.select(expr("aggregate(features, 0.0d, (a, x) -> a + x)").as("s"),
+      size(col("features")).as("nb"))
+    assert(sums.filter(col("nb") =!= 16).isEmpty)
+    assert(sums.filter(abs(col("s") - 1.0) > 1e-9).isEmpty)
+  }
+
   test("q57 frame sampling: every frame is exactly frameBytes long") {
     val frames = graft.operators.Multimodal.frameSample(
       graft.sources.Tables.documents(spark, sf)
