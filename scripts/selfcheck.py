@@ -29,11 +29,6 @@ def norm(v):
             return "NaN"
         return v
     if hasattr(v, "isoformat"):
-        # Spark parquet is UTC-adjusted (tz-aware via pyarrow); DuckDB
-        # returns naive UTC — normalize both to naive UTC.
-        if getattr(v, "tzinfo", None) is not None:
-            import datetime as _dt
-            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat()
     if isinstance(v, (int, str, bool)):
         return v
@@ -71,6 +66,14 @@ for name, sql in sorted(oracle.items()):
         continue
     if sorted(scols) != sorted(ocols):
         print(f"FAIL {name}: schema mismatch spark={sorted(scols)} oracle={sorted(ocols)}")
+        fail += 1
+        continue
+    # The driver compares dtypes strictly: a tz-aware spark timestamp vs
+    # DuckDB's naive timestamp is a schema FAIL even if values match
+    # (round-2 lesson). Mirror that: no tz normalization anywhere.
+    tzcols = [f.name for f in tbl.schema if pa.types.is_timestamp(f.type) and f.type.tz is not None]
+    if tzcols:
+        print(f"FAIL {name}: tz-aware timestamp cols {tzcols} (driver schema compare rejects these)")
         fail += 1
         continue
     cs, co = canon(srows, scols), canon(orows, ocols)

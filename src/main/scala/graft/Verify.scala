@@ -1,9 +1,36 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** TIMESTAMP (with local tz) → TIMESTAMP_NTZ, recursively through
+    * structs/arrays/maps. The driver reads our parquet via pyarrow and
+    * the DuckDB oracle result as naive timestamps; a tz-aware
+    * timestamp[us, UTC] column fails its schema compare even when every
+    * value is identical (round-2 regression: the INT96→MICROS switch
+    * made LTZ outputs tz-aware). Session tz is UTC, so the cast is a
+    * pure re-label, not a wall-clock shift.
+    */
+  private def dropTz(dt: DataType): DataType = dt match {
+    case TimestampType       => TimestampNTZType
+    case s: StructType       => StructType(s.fields.map(f => f.copy(dataType = dropTz(f.dataType))))
+    case a: ArrayType        => a.copy(elementType = dropTz(a.elementType))
+    case m: MapType          => m.copy(keyType = dropTz(m.keyType), valueType = dropTz(m.valueType))
+    case other               => other
+  }
+
+  def naiveTimestamps(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      val target = dropTz(f.dataType)
+      if (target == f.dataType) col(f.name) else col(f.name).cast(target).as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,7 +49,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try naiveTimestamps(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
