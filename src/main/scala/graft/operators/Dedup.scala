@@ -238,6 +238,12 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist(blocking = false)
+    // Pointer doubling converges in O(log diameter) rounds, so hitting
+    // the cap means something is deeply wrong — fail loud rather than
+    // silently returning non-fixpoint (wrong) cluster labels.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge after $rounds rounds ($changed labels still changing)")
     labels.select(col("node"), col("cluster"))
   }
 

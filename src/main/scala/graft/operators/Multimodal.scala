@@ -62,6 +62,9 @@ object Multimodal {
     */
   def resizeStub(bytes: Array[Byte], srcW: Int, srcH: Int,
                  dstW: Int, dstH: Int): Array[Byte] = {
+    // Convention: an empty payload resizes to an empty payload (there
+    // are no pixels to sample; indexing below would be out of bounds).
+    if (bytes.isEmpty) return Array.emptyByteArray
     val ratio = (dstW.toLong * dstH).toDouble / math.max(1L, srcW.toLong * srcH)
     val outLen = math.max(1, math.min(bytes.length, (bytes.length * ratio).toInt))
     val stride = math.max(1, bytes.length / outLen)
@@ -102,6 +105,9 @@ object Multimodal {
     * model). One partition-local pass per payload — the same
     * mapPartitions batch shape as the other media operators (HOF
     * lambdas would evaluate interpreted, 16 passes per row).
+    *
+    * Convention: an empty payload yields the all-zero histogram (the
+    * sums-to-1 contract applies only to non-empty payloads).
     */
   def byteHistogram(df: DataFrame, idCol: String, payloadCol: String): Dataset[Featurized] = {
     val pairs = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))

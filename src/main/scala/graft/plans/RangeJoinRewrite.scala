@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, Min}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -27,12 +28,17 @@ import org.apache.spark.unsafe.types.CalendarInterval
   * join) hash-partition fine and are left alone. The rewritten join
   * contains an equality, so the rule cannot re-fire (fixpoint-safe).
   *
-  * Caveat: buckets are months, so an interval spanning Y years explodes
+  * Buckets are months, so an interval spanning Y years would explode
   * into 12·Y rows — fine for calendar windows, pathological for
-  * open-ended sentinels like SCD2's 9999-12-31 (~95k rows/interval).
-  * Keyless sentinel joins should go through [[graft.operators.Scd]]
-  * (which always carries the natural key) or disable the rewrite with
-  * `spark.graft.rangeJoinRewrite.enabled=false`.
+  * open-ended sentinels like SCD2's 9999-12-31 (~96k rows/interval).
+  * The rewrite therefore clamps every interval's bucket range to the
+  * point side's actual [min, max] month, injected as uncorrelated
+  * scalar subqueries (the same shape Spark's InjectRuntimeFilter uses):
+  * buckets outside the points' calendar span can never match a point,
+  * so dropping them is semantics-preserving, and the per-interval
+  * explosion is bounded by the DATA's span regardless of sentinels.
+  * Every rewrite logs a warning so a fired rule is diagnosable; disable
+  * with `spark.graft.rangeJoinRewrite.enabled=false`.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
@@ -54,15 +60,36 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     TruncTimestamp(Literal("month"), ltz, Some(tz))
   }
 
-  /** Month-bucket sequence, stop clamped to >= start: a degenerate
-    * interval (end < start) matched nothing under the naive join but
+  /** Month-bucket sequence over [s, e] ∩ [ptMin, ptMax].
+    *
+    * `ptMin`/`ptMax` are scalar-subquery min/max point months: buckets
+    * outside the points' span match nothing, so intersecting with it
+    * changes no results while bounding sequence length by the data's
+    * calendar span (Greatest/Least skip NULLs, so an empty point side
+    * degrades to the unclamped bounds). Stop is then clamped to
+    * >= start: a degenerate interval (end < start, or one entirely
+    * outside the points' span) matched nothing under the naive join but
     * would make Sequence THROW; with the clamp it emits one spurious
     * bucket row that the preserved exact range predicate then rejects.
     */
-  private def monthSequence(s: Expression, e: Expression): Expression =
-    new Sequence(truncMonth(s),
-        Greatest(Seq(truncMonth(e), truncMonth(s))), oneMonth)
+  private def monthSequence(s: Expression, e: Expression,
+                            ptMin: Expression, ptMax: Expression): Expression = {
+    val lo = Greatest(Seq(truncMonth(s), ptMin))
+    val hi = Least(Seq(truncMonth(e), ptMax))
+    new Sequence(lo, Greatest(Seq(hi, lo)), oneMonth)
       .withTimeZone(SQLConf.get.sessionLocalTimeZone)
+  }
+
+  /** Uncorrelated scalar subquery `SELECT agg(trunc('month', p)) FROM
+    * points` — evaluated once before the main query, like a runtime
+    * filter; the scan it adds is a single pruned column (often answered
+    * from parquet footer stats).
+    */
+  private def ptMonthBound(points: LogicalPlan, p: Attribute,
+                           agg: Expression => AggregateExpression): Expression = {
+    val a = Alias(agg(truncMonth(p)), "__pt_month_bound")()
+    ScalarSubquery(Aggregate(Nil, Seq(a), points))
+  }
 
   private def isTs(t: DataType): Boolean =
     t == TimestampType || t == TimestampNTZType
@@ -93,7 +120,6 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       case "false" | "0" | "no" | "off" => false
       case _ => true
     }
-
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else rewrite(plan)
@@ -103,10 +129,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       asRange(cond, left, right) match {
         case Some((p, s, e, intervalsRight)) =>
           val (points, intervals) = if (intervalsRight) (left, right) else (right, left)
-          // intervals side: one row per spanned month bucket
+          logWarning(s"graft: rewriting keyless range join ($p between $s and $e) " +
+            "to a month-bucketed equi-join (bucket span clamped to the point " +
+            s"side's min/max month); disable with $EnabledKey=false.")
+          // intervals side: one row per spanned month bucket, clamped to
+          // the points' calendar span so open-ended sentinels stay cheap
+          val ptMin = ptMonthBound(points, p, x => Min(x).toAggregateExpression())
+          val ptMax = ptMonthBound(points, p, x => Max(x).toAggregateExpression())
           val bucketGen = AttributeReference("__bucket", TimestampType)()
           val gen = Generate(
-            Explode(monthSequence(s, e)),
+            Explode(monthSequence(s, e, ptMin, ptMax)),
             unrequiredChildIndex = Nil, outer = false, qualifier = None,
             generatorOutput = Seq(bucketGen), child = intervals)
           // points side: exactly one bucket per row

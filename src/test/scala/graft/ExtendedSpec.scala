@@ -154,6 +154,22 @@ class ExtendedSpec extends SparkSpec {
     assert(sums.filter(abs(col("s") - 1.0) > 1e-9).isEmpty)
   }
 
+  test("multimodal stubs survive empty payloads (ADVICE r2)") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq((1L, Array.emptyByteArray), (2L, "abc".getBytes))
+      .toDF("doc_id", "payload")
+    val resized = graft.operators.Multimodal.resizeAll(docs, "doc_id", "payload", 32, 32)
+      .toDF().orderBy("doc_id").collect()
+    assert(resized.length === 2)
+    assert(resized(0).getAs[Long]("n_bytes") === 0L, "empty in -> empty out")
+    assert(resized(1).getAs[Long]("n_bytes") > 0L)
+    val hist = graft.operators.Multimodal.byteHistogram(docs, "doc_id", "payload")
+      .toDF().orderBy("doc_id").collect()
+    assert(hist(0).getAs[scala.collection.Seq[Double]]("features").sum === 0.0,
+      "empty payload -> all-zero histogram by convention")
+    assert(math.abs(hist(1).getAs[scala.collection.Seq[Double]]("features").sum - 1.0) < 1e-9)
+  }
+
   test("q57 frame sampling: every frame is exactly frameBytes long") {
     val frames = graft.operators.Multimodal.frameSample(
       graft.sources.Tables.documents(spark, sf)

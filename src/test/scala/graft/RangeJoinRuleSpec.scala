@@ -47,4 +47,29 @@ class RangeJoinRuleSpec extends SparkSpec {
     val q12 = SparkEntry.queries("q12_asof_join")(spark, sf)
     assert(q12.count() > 0)
   }
+
+  test("open-ended sentinel intervals are clamped to the points' span, not 96k buckets") {
+    val ss = spark; import ss.implicits._
+    val points = Seq("1995-06-01 00:00:00", "2005-01-15 12:00:00")
+      .toDF("p").select(to_timestamp(col("p")).as("ts"))
+    val intervals = Seq(
+      ("narrow", "1995-05-01 00:00:00", "1995-07-01 00:00:00"),
+      ("open", "1990-01-01 00:00:00", "9999-12-31 00:00:00"))
+      .toDF("tag", "s", "e")
+      .select(col("tag"), to_timestamp(col("s")).as("win_start"),
+        to_timestamp(col("e")).as("win_end"))
+    val joined = points.join(intervals,
+      col("ts") >= col("win_start") && col("ts") <= col("win_end"))
+    // narrow matches point 1; open matches both → 3 rows
+    assert(joined.count() === 3)
+    // the sentinel row must NOT explode into ~96k month buckets: the
+    // bucket sequence is clamped to the points' min/max month via
+    // injected scalar subqueries, and the join stays a hash join
+    val opt = joined.queryExecution.optimizedPlan.toString
+    assert(opt.contains("scalar-subquery"), "month-span clamp missing:\n" + opt)
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"), phys)
+    assert(!phys.contains("BroadcastNestedLoopJoin"), phys)
+    assert(phys.contains("Generate explode"), "bucketed branch missing:\n" + phys)
+  }
 }
