@@ -123,6 +123,19 @@ class ExtendedSpec extends SparkSpec {
     assert(badRep.isEmpty, "cluster id must be the minimum member id")
   }
 
+  test("dedup clusters: distributed pointer-doubling path matches driver union-find") {
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(
+      graft.sources.Tables.documents(spark, sf).filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", k = 3, threshold = 0.65).cache()
+    val viaDriver = graft.operators.Dedup.dedupClusters(pairs, "id_a", "id_b")
+    spark.conf.set("graft.dedup.maxDriverEdges", "0") // force the iterative path
+    try {
+      val viaIter = graft.operators.Dedup.dedupClusters(pairs, "id_a", "id_b")
+      assert(viaDriver.exceptAll(viaIter).isEmpty && viaIter.exceptAll(viaDriver).isEmpty,
+        "both paths must reach the identical min-id labeling")
+    } finally spark.conf.unset("graft.dedup.maxDriverEdges")
+  }
+
   test("q56 bpe tokens: finer-grained than whitespace tokens") {
     // blank text is excluded: split("") returns [""], so n_ws = 1 while
     // n_bpe = 0 — the invariant only holds for documents with content
