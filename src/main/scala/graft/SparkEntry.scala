@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.OlapQueries.queries ++
-      graft.queries.ExtendedQueries.queries
+      graft.queries.ExtendedQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.DedupQueries.oracle ++
       graft.queries.TextQueries.oracle ++
       graft.queries.OlapQueries.oracle ++
-      graft.queries.ExtendedQueries.oracle
+      graft.queries.ExtendedQueries.oracle ++
+      graft.queries.PipelineQueries.oracle
 }

@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Training-data pipeline operators (SURVEY.md §2, q62–q69): dataset
+  * splitting, sampling, sequence packing, funnel/retention analytics,
+  * debounce dedup, ANN quality evaluation, and co-occurrence mining.
+  *
+  * Oracle-parity note: the split/sample queries derive pseudo-randomness
+  * from a SMALL multiplicative hash (`id·a + c mod m`) instead of
+  * xxhash64, because the DuckDB oracle has no xxhash64 and Spark 4's
+  * ANSI mode rejects deliberately-overflowing 64-bit universal hashing.
+  * The multipliers keep `max(id)·a` well inside int64 up to ~10^12 ids;
+  * the production splitter below ([[hashSplit]]) takes any Column, so
+  * callers at open-ended id scale pass `xxhash64(...)` instead.
+  */
+object PipelineQueries {
+
+  /** Deterministic bucket in [0, 100) from a numeric id column. */
+  private def splitBucket(id: org.apache.spark.sql.Column) =
+    pmod(id * lit(2654435761L) + lit(104729L), lit(100L))
+
+  /** Assign train/val/test by hashed id — the standard leakage-free
+    * dataset split (same id always lands in the same split, independent
+    * of row order or partitioning). `hash` defaults to the oracle-parity
+    * multiplicative hash; pass `xxhash64(col)` for open id domains.
+    */
+  def hashSplit(df: DataFrame, idCol: String, trainPct: Int, valPct: Int,
+                hash: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val b = hash.getOrElse(splitBucket(col(idCol)))
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  // --- q62: hash-based train/val/test split (80/10/10), audited per lang ---
+  def q62(s: SparkSession, dir: String): DataFrame =
+    hashSplit(Tables.documents(s, dir), "doc_id", 80, 10)
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+
+  val q62Sql: String =
+    """WITH d AS (SELECT lang, n_chars,
+      |  CASE WHEN (doc_id*2654435761+104729)%100 < 80 THEN 'train'
+      |       WHEN (doc_id*2654435761+104729)%100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      | FROM documents)
+      |SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM d GROUP BY 1, 2""".stripMargin
+
+  // --- q63: deterministic stratified sample: 20 docs per lang stratum ---
+  // Order within a stratum is a scrambled-id pseudo-random permutation
+  // (MINSTD multiplier), id-tiebroken — reproducible across runs,
+  // partitionings, and engines, unlike rand()-based sampleBy.
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    val skey = pmod(col("doc_id") * lit(48271L) + lit(12821L), lit(1000003L))
+    val w = Window.partitionBy("lang").orderBy(skey.asc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .select("lang", "doc_id", "rk")
+  }
+
+  val q63Sql: String =
+    """WITH r AS (SELECT lang, doc_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |    ORDER BY (doc_id*48271+12821)%1000003 ASC, doc_id ASC) AS INT) AS rk
+      | FROM documents)
+      |SELECT lang, doc_id, rk FROM r WHERE rk <= 20""".stripMargin
+
+  // --- q64: concat-and-chop sequence packing into 4096-char context
+  // windows per source (the pretraining data layout: documents are
+  // concatenated in a deterministic order and chopped at window
+  // boundaries; a document can straddle windows). Pure window arithmetic
+  // — one shuffle on the packing key, linear at corpus scale.
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .filter(col("n_chars") > 0)
+      .withColumn("cum", sum("n_chars").over(w))
+      .select(col("doc_id"), col("source"),
+        expr("(cum - n_chars) div 4096").as("pack_first"),
+        expr("(cum - 1) div 4096").as("pack_last"),
+        expr("(cum - 1) div 4096 - (cum - n_chars) div 4096 + 1").as("n_windows"))
+  }
+
+  val q64Sql: String =
+    """WITH c AS (SELECT doc_id, source, n_chars,
+      |  SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      | FROM documents WHERE n_chars > 0)
+      |SELECT doc_id, source,
+      | CAST((cum - n_chars) // 4096 AS BIGINT) AS pack_first,
+      | CAST((cum - 1) // 4096 AS BIGINT) AS pack_last,
+      | CAST((cum - 1) // 4096 - (cum - n_chars) // 4096 + 1 AS BIGINT) AS n_windows
+      |FROM c""".stripMargin
+
+  // --- q65: ordered conversion funnel view → click → purchase per user.
+  // Each stage's timestamp must be strictly after the previous stage's —
+  // min-after-join per stage, all broadcast-able aggregates.
+  def q65(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select("user_id", "t_view", "t_click", "t_purchase")
+  }
+
+  val q65Sql: String =
+    """WITH v AS (SELECT user_id, MIN(ts) AS t_view
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+      |  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+      |  WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT v.user_id, t_view, t_click, t_purchase
+      |FROM v LEFT JOIN c ON c.user_id = v.user_id
+      |       LEFT JOIN p ON p.user_id = v.user_id""".stripMargin
+
+  // --- q66: weekly cohort retention (cohort = day of first event;
+  // week_n = full weeks since) — distinct-user counts per cell.
+  def q66(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val firsts = ev.groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_day"))
+    ev.join(firsts, Seq("user_id"))
+      .withColumn("week_n",
+        expr("datediff(to_date(ts), cohort_day) div 7").cast("long"))
+      .groupBy("cohort_day", "week_n")
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
+  val q66Sql: String =
+    """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      |  FROM events GROUP BY 1)
+      |SELECT cohort_day,
+      | CAST(DATE_DIFF('day', cohort_day, CAST(ts AS DATE)) // 7 AS BIGINT) AS week_n,
+      | CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM events e JOIN f ON f.user_id = e.user_id
+      |GROUP BY 1, 2""".stripMargin
+
+  // --- q67: debounce dedup — keep the first event per (user, type)
+  // within each 5-minute tumbling bucket. The time-windowed flavor of
+  // keep-first dedup (q50): bounded state at stream scale, one shuffle.
+  def q67(s: SparkSession, dir: String): DataFrame = {
+    val bucket = expr("unix_micros(ts) div 300000000")
+    val w = Window.partitionBy(col("user_id"), col("event_type"), bucket)
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "event_type", "ts")
+  }
+
+  val q67Sql: String =
+    """WITH r AS (SELECT event_id, user_id, event_type, ts,
+      |  ROW_NUMBER() OVER (
+      |    PARTITION BY user_id, event_type,
+      |      epoch_us(CAST(ts AS TIMESTAMP)) // 300000000
+      |    ORDER BY ts ASC, event_id ASC) AS rn
+      | FROM events)
+      |SELECT event_id, user_id, event_type, ts FROM r WHERE rn = 1""".stripMargin
+
+  // --- q68: ANN quality evaluation — recall@10 of the LSH index against
+  // exact brute force, per probe. The eval harness every approximate
+  // index needs before replacing the exact path at scale. (rows-only:
+  // the LSH side's float hyperplane hashes aren't SQL-reproducible.)
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val probes = e.filter(col("vec_id") < 50)
+    val bf = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding", k = 10)
+    val lsh = Similarity.lshTopK(e, probes, "vec_id", "embedding",
+        k = 10, nBits = 4, dim = 64)
+      .withColumnRenamed("rank", "lsh_rank")
+    bf.join(lsh, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy("probe_id")
+      .agg((sum(when(col("lsh_rank").isNotNull, 1).otherwise(0)) / 10.0)
+        .as("recall_at_10"))
+  }
+
+  // --- q69: token co-occurrence mining — document frequency of token
+  // pairs. Per-doc distinct tokens are quadratic per document, so this
+  // operator targets BOUNDED vocabularies (markers, tags, labels); open
+  // vocabularies should pre-prune to the top-k terms first.
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+    val a = toks.select(col("doc_id"), col("tok").as("tok_a"))
+    val b = toks.select(col("doc_id"), col("tok").as("tok_b"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val q69Sql: String =
+    """WITH toks AS (
+      | SELECT DISTINCT doc_id, tok FROM (
+      |  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(lower(text), '\s+')) AS tok
+      |  FROM documents)
+      | WHERE LEN(tok) > 0)
+      |SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |GROUP BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_hash_split"        -> (q62 _),
+    "q63_stratified_sample" -> (q63 _),
+    "q64_pack_sequences"    -> (q64 _),
+    "q65_funnel"            -> (q65 _),
+    "q66_retention"         -> (q66 _),
+    "q67_window_dedup"      -> (q67 _),
+    "q68_ann_recall"        -> (q68 _),
+    "q69_cooccurrence"      -> (q69 _))
+
+  val oracle: Map[String, String] = Map(
+    "q62_hash_split"        -> q62Sql,
+    "q63_stratified_sample" -> q63Sql,
+    "q64_pack_sequences"    -> q64Sql,
+    "q65_funnel"            -> q65Sql,
+    "q66_retention"         -> q66Sql,
+    "q67_window_dedup"      -> q67Sql,
+    "q69_cooccurrence"      -> q69Sql)
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.PipelineQueries
+
+class PipelineSpec extends SparkSpec {
+
+  test("q62 hash split: pure (same id -> same split), partitions all docs") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val out = PipelineQueries.q62(spark, sf)
+    assert(out.agg(sum("n_docs")).head().getLong(0) === docs.count(),
+      "every document lands in exactly one split")
+    // purity: recomputing on a reshuffled input yields identical rows
+    val again = PipelineQueries.hashSplit(docs.repartition(7), "doc_id", 80, 10)
+      .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("q62 split proportions are near 80/10/10 globally") {
+    val byPct = PipelineQueries.hashSplit(
+        graft.sources.Tables.documents(spark, sf), "doc_id", 80, 10)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = byPct.values.sum.toDouble
+    assert(byPct("train") / n > 0.7 && byPct("train") / n < 0.9)
+    assert(byPct.getOrElse("val", 0L) / n < 0.2 && byPct.getOrElse("test", 0L) / n < 0.2)
+  }
+
+  test("q63 stratified sample: exactly min(20, stratum size) per lang, no dupes") {
+    val out = PipelineQueries.q63(spark, sf).cache()
+    val sizes = graft.sources.Tables.documents(spark, sf)
+      .groupBy("lang").count()
+    val got = out.groupBy("lang").agg(count(lit(1)).as("n"),
+      countDistinct("doc_id").as("nd"))
+    val bad = got.join(sizes, Seq("lang"))
+      .filter(col("n") =!= least(lit(20L), col("count")) || col("n") =!= col("nd"))
+    assert(bad.isEmpty)
+  }
+
+  test("q64 packing: windows contiguous, sized by n_chars, per-source chain") {
+    val out = PipelineQueries.q64(spark, sf).cache()
+    assert(out.filter(col("pack_last") < col("pack_first")).isEmpty)
+    assert(out.filter(
+      col("n_windows") =!= col("pack_last") - col("pack_first") + 1).isEmpty)
+    // consecutive docs within a source chain: next.pack_first is the
+    // same window as (or the one after) prev.pack_last
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val chained = out.withColumn("prev_last", lag("pack_last", 1).over(w))
+      .filter(col("prev_last").isNotNull)
+      .filter(col("pack_first") < col("prev_last") ||
+        col("pack_first") > col("prev_last") + 1)
+    assert(chained.isEmpty, "packing must chop a contiguous concatenation")
+  }
+
+  test("q65 funnel: stage timestamps strictly ordered, monotone counts") {
+    val out = PipelineQueries.q65(spark, sf).cache()
+    assert(out.filter(col("t_click").isNotNull && col("t_click") <= col("t_view")).isEmpty)
+    assert(out.filter(col("t_purchase").isNotNull &&
+      col("t_purchase") <= col("t_click")).isEmpty)
+    val nV = out.count()
+    val nC = out.filter(col("t_click").isNotNull).count()
+    val nP = out.filter(col("t_purchase").isNotNull).count()
+    assert(nV >= nC && nC >= nP, "funnel stages can only narrow")
+  }
+
+  test("q66 retention: week 0 exists for every cohort, users bounded by cohort size") {
+    val out = PipelineQueries.q66(spark, sf).cache()
+    assert(out.filter(col("week_n") < 0).isEmpty)
+    val w0 = out.filter(col("week_n") === 0).select("cohort_day")
+    val all = out.select("cohort_day").distinct()
+    assert(all.exceptAll(w0.distinct()).isEmpty, "every cohort has week-0 activity")
+    val w0n = out.filter(col("week_n") === 0)
+      .select(col("cohort_day"), col("n_users").as("w0"))
+    val bad = out.join(w0n, Seq("cohort_day")).filter(col("n_users") > col("w0"))
+    assert(bad.isEmpty, "no week can retain more users than the cohort started with")
+  }
+
+  test("q67 debounce: at most one survivor per (user, type, 5-min bucket), earliest wins") {
+    val out = PipelineQueries.q67(spark, sf).cache()
+    val rebucketed = out.withColumn("bucket", expr("unix_micros(ts) div 300000000"))
+    val dupes = rebucketed.groupBy("user_id", "event_type", "bucket")
+      .count().filter(col("count") > 1)
+    assert(dupes.isEmpty)
+    // survivors are a subset of events and each is the bucket's min ts
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("bucket", expr("unix_micros(ts) div 300000000"))
+      .groupBy("user_id", "event_type", "bucket").agg(min("ts").as("min_ts"))
+    val bad = rebucketed.join(ev, Seq("user_id", "event_type", "bucket"))
+      .filter(col("ts") =!= col("min_ts"))
+    assert(bad.isEmpty)
+  }
+
+  test("q68 ann recall: probe coverage and recall within [0, 1]") {
+    val out = PipelineQueries.q68(spark, sf).cache()
+    val nProbes = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 50).count()
+    assert(out.count() === nProbes, "one recall row per probe")
+    assert(out.filter(col("recall_at_10") < 0 || col("recall_at_10") > 1).isEmpty)
+  }
+
+  test("q69 cooccurrence: symmetric-free pairs, df bounded by corpus size") {
+    val out = PipelineQueries.q69(spark, sf).cache()
+    assert(out.filter(col("tok_a") >= col("tok_b")).isEmpty)
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.filter(col("n_docs") > nDocs || col("n_docs") < 1).isEmpty)
+  }
+}
