@@ -220,6 +220,48 @@ object PipelineQueries {
       |FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
       |GROUP BY 1, 2""".stripMargin
 
+  // --- q70: z-order skipping index over orders (custkey × orderkey).
+  // The per-bucket min/max stats ARE the pruning index a scan planner
+  // consults; the spec asserts the locality win vs a single-column sort.
+  def q70(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ZOrder.skippingIndex(
+      Tables.orders(s, dir), Seq("o_custkey", "o_orderkey"),
+      bits = 16, bucketShift = 16)
+
+  val q70Sql: String = {
+    val z = graft.operators.ZOrder.zvalueSql(Seq("o_custkey", "o_orderkey"), 16)
+    s"""SELECT ($z) >> 16 AS zbucket,
+       | CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | MIN(o_custkey) AS min_o_custkey, MAX(o_custkey) AS max_o_custkey,
+       | MIN(o_orderkey) AS min_o_orderkey, MAX(o_orderkey) AS max_o_orderkey
+       |FROM orders GROUP BY 1""".stripMargin
+  }
+
+  // --- q71: ordered bigram counts (language-model transition counts).
+  // Adjacency pairs come from zipping each token array with its own
+  // tail — per-document interpreted HOF, corpus-linear; the count is one
+  // hash aggregation.
+  def q71(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    Tables.documents(s, dir)
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (x, y) => struct(x.as("tok_a"), y.as("tok_b")))).as("bg"))
+      .select(col("bg.tok_a"), col("bg.tok_b"))
+      .groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val q71Sql: String =
+    """WITH t AS (SELECT STRING_SPLIT_REGEX(TRIM(lower(text)), '\s+') AS toks
+      |  FROM documents),
+      |b AS (SELECT UNNEST(toks[1:LEN(toks)-1]) AS tok_a,
+      |             UNNEST(toks[2:LEN(toks)]) AS tok_b
+      |      FROM t WHERE LEN(toks) > 1)
+      |SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM b GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_hash_split"        -> (q62 _),
     "q63_stratified_sample" -> (q63 _),
@@ -228,7 +270,9 @@ object PipelineQueries {
     "q66_retention"         -> (q66 _),
     "q67_window_dedup"      -> (q67 _),
     "q68_ann_recall"        -> (q68 _),
-    "q69_cooccurrence"      -> (q69 _))
+    "q69_cooccurrence"      -> (q69 _),
+    "q70_zorder_index"      -> (q70 _),
+    "q71_bigrams"           -> (q71 _))
 
   val oracle: Map[String, String] = Map(
     "q62_hash_split"        -> q62Sql,
@@ -237,5 +281,7 @@ object PipelineQueries {
     "q65_funnel"            -> q65Sql,
     "q66_retention"         -> q66Sql,
     "q67_window_dedup"      -> q67Sql,
-    "q69_cooccurrence"      -> q69Sql)
+    "q69_cooccurrence"      -> q69Sql,
+    "q70_zorder_index"      -> q70Sql,
+    "q71_bigrams"           -> q71Sql)
 }

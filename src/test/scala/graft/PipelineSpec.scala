@@ -99,6 +99,46 @@ class PipelineSpec extends SparkSpec {
     assert(out.filter(col("recall_at_10") < 0 || col("recall_at_10") > 1).isEmpty)
   }
 
+  test("q70 z-order: buckets cover all rows; locality beats 1-D sort on the 2nd dim") {
+    val out = PipelineQueries.q70(spark, sf).cache()
+    val orders = graft.sources.Tables.orders(spark, sf)
+    assert(out.agg(sum("n_rows")).head().getLong(0) === orders.count())
+    // locality: average per-bucket o_orderkey span under z-order must be
+    // far below the span of custkey-sorted buckets of equal count (where
+    // orderkey is unclustered → span ~ full range)
+    val zSpan = out.filter(col("n_rows") > 1)
+      .agg(avg(col("max_o_orderkey") - col("min_o_orderkey"))).head().getDouble(0)
+    val full = orders.agg(max("o_orderkey") - min("o_orderkey")).head().getLong(0).toDouble
+    assert(zSpan < full * 0.5,
+      s"z-order bucket orderkey span $zSpan should be well under the full range $full")
+  }
+
+  test("zorder zvalue: interleave is a bijection on the masked domain") {
+    import graft.operators.ZOrder
+    val df = spark.range(0, 1024).toDF("x")
+      .withColumn("y", (col("x") * 7 + 3) % 1024)
+      .withColumn("z", ZOrder.zvalue(Seq(col("x"), col("y")), 10))
+    // 10-bit x recovered from even bit positions, y from odd
+    val xBack = (0 until 10).map(i =>
+      shiftleft(shiftright(col("z"), 2 * i).bitwiseAND(lit(1L)), i))
+      .reduce(_ bitwiseOR _)
+    val yBack = (0 until 10).map(i =>
+      shiftleft(shiftright(col("z"), 2 * i + 1).bitwiseAND(lit(1L)), i))
+      .reduce(_ bitwiseOR _)
+    assert(df.filter(xBack =!= col("x") || yBack =!= col("y")).isEmpty)
+  }
+
+  test("q71 bigrams: total pairs = total tokens - docs with content") {
+    val out = PipelineQueries.q71(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val expected = docs.select(size(toks).as("n"))
+      .filter(col("n") > 1 || (col("n") === 1 && length(trim(col("text"))) > 0))
+      .agg(sum(col("n") - 1)).head().getLong(0)
+    assert(out.agg(sum("n_pairs")).head().getLong(0) === expected,
+      "each document with t tokens contributes exactly t-1 bigrams")
+  }
+
   test("q69 cooccurrence: symmetric-free pairs, df bounded by corpus size") {
     val out = PipelineQueries.q69(spark, sf).cache()
     assert(out.filter(col("tok_a") >= col("tok_b")).isEmpty)
