@@ -8,6 +8,38 @@ parquet tables, and compares each spark result parquet with the oracle
 result: columns sorted by name, rows sorted, values normalized.
 """
 import json, sys, math
+
+def bench_gate(path):
+    """Simulate the driver's bench parse: it keeps only the LAST 2000 chars
+    of sbt stdout and json-parses a line found within that tail. Round 3
+    failed ("parsed": null) because the 71-query full-name line outgrew the
+    window. Gate: the JSON line must survive tail-truncation even with
+    sbt's trailing [success] line appended."""
+    out = open(path).read()
+    out += "\n[success] Total time: 999 s (16:39), completed Aug 12, 2026, 11:59:59 PM\n"
+    tail = out[-2000:]
+    parsed = None
+    for ln in tail.splitlines():
+        ln = ln.strip()
+        if ln.startswith("{") and ln.endswith("}"):
+            try:
+                parsed = json.loads(ln)
+            except Exception:
+                pass
+    if parsed is None or "queries" not in parsed or "value" not in parsed:
+        print(f"BENCH GATE FAIL: no parseable JSON line within last 2000 chars of {path}")
+        sys.exit(1)
+    bad = [k for k, v in parsed["queries"].items() if not isinstance(v, (int, float)) or v < 0]
+    if bad:
+        print(f"BENCH GATE FAIL: failed/invalid query timings: {bad}")
+        sys.exit(1)
+    print(f"BENCH GATE OK: {len(parsed['queries'])} queries, total {parsed['value']}s, "
+          f"line fits tail window")
+    sys.exit(0)
+
+if len(sys.argv) > 2 and sys.argv[1] == "bench":
+    bench_gate(sys.argv[2])
+
 import duckdb
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"

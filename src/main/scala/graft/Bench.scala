@@ -44,10 +44,33 @@ object Bench {
         }
       name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Full-name, full-precision detail for human/judge consumption.
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val detailJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
+      try w.println(detailJson) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+
+    // Driver contract: it retains only the LAST ~2000 chars of stdout and
+    // json-parses a line found within that tail. With 70+ queries a
+    // full-name/full-precision line exceeds the window and the head of the
+    // line is truncated away (round-3 "parsed": null). So the stdout line
+    // uses the contract's short keys ("q01") and 3-decimal values — ~1 KB
+    // at 73 queries — and is printed last, after an explicit flush.
+    // Full names map 1:1 by qNN prefix; see BENCH_DETAIL.json.
     spark.stop()
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING: json line ${line.length} chars — nearing driver 2000-char tail window")
+    println(line)
+    System.out.flush()
   }
 }
