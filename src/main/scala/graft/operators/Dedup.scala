@@ -41,25 +41,24 @@ object Dedup {
   private def substring_index_pos(text: Column, pos: Column, len: Int): Column =
     text.substr(pos, lit(len))
 
-  /** Exact n-gram Jaccard near-duplicate pairs.
+  /** Per-document shingle-set bitmaps: each document becomes ONE row
+    * (id, bm: array<long> — a long per 64 dictionary slots, set_size).
     *
-    * Design point: with character k-grams the shingle *vocabulary* is
-    * tiny (≤ charset^k) while document sets are dense, so every document
-    * overlaps every other and inverted-index candidate generation
-    * degenerates to Σ df(shingle)² join rows — measured 100M+ rows on
-    * 1250 docs. Instead each document becomes ONE compact row
-    * (id, shingle-set array); pairs form via a broadcast cross join with
-    * a length filter (J >= t ⇒ min/max set-size ratio >= t), and the
-    * exact intersection is a hash-set array op inside whole-stage
-    * codegen — no shuffle after the per-doc groupBy, nothing
-    * materialized per pair.
-    *
-    * Exact all-pairs verification is quadratic by definition; at corpus
-    * scale run [[minhashLshPairs]] first and verify only its candidate
-    * buckets with this operator's arithmetic.
+    * With character k-grams the shingle *vocabulary* is tiny
+    * (≤ charset^k, a few KB of longs per document even at full charset)
+    * while document sets are dense, so a dense bitmap beats an inverted
+    * index: Jaccard between two documents is codegen'd AND+popcount over
+    * two arrays, and candidate verification never materializes per-pair
+    * shingle rows. Built sparse-first: aggregate set bits per (doc, word)
+    * — each shingle row evaluates a single shift, not one conditional per
+    * word — then assemble the dense array per document. bit_or is
+    * duplicate-idempotent, so the shingle stream needs NO distinct.
+    * (The previous form — `words` separate bit_or(when(...)) agg columns
+    * and flat w0..wN join rows — evaluated words conditionals per shingle
+    * row and copied 2·words-long join rows per candidate pair: measured
+    * 2.5-7s on q55's 1250-doc input vs <1s for this.)
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        k: Int, threshold: Double): DataFrame = {
+  def shingleBitmaps(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = shinglesRaw(df, idCol, textCol, k)
     // dense shingle dictionary; the window is over the (tiny) vocabulary,
@@ -67,36 +66,30 @@ object Dedup {
     val dict = sh.select("shingle").distinct()
       .withColumn("sid", row_number().over(Window.orderBy("shingle")) - 1)
     val vocab = dict.count().toInt
-    // empty vocabulary (every doc shorter than k) → no pairs
+    // empty vocabulary (every doc shorter than k) → no documents
     if (vocab == 0)
-      return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
-        lit(0L).as("n_inter"), lit(0.0).as("jaccard")).limit(0)
+      return df.select(col(idCol), array().cast("array<bigint>").as("bm"),
+        lit(0L).as("set_size")).limit(0)
     val words = (vocab + 63) / 64
-    // Per-document bitmap as ONE array<long> column (a long per 64
-    // dictionary slots), built sparse-first: aggregate set bits per
-    // (doc, word) — each shingle row evaluates a single shift, not one
-    // conditional per word — then assemble the dense array per document.
-    // bit_or is duplicate-idempotent, so the shingle stream needs NO
-    // distinct. (The previous form — `words` separate bit_or(when(...))
-    // agg columns and flat w0..wN join rows — evaluated words conditionals
-    // per shingle row and copied 2·words-long join rows per candidate
-    // pair: measured 2.5-7s on q55's 1250-doc input vs <1s for this.)
     val perWord = sh.join(broadcast(dict), Seq("shingle"))
       .groupBy(col(idCol), (col("sid") / 64).cast("int").as("w"))
       .agg(bit_or(expr("shiftleft(1L, cast(sid % 64 as int))")).as("bits"))
     // map→dense-array assembly is per DOCUMENT (corpus-linear, interpreted
-    // HOF is fine here); the per-PAIR hot path below is codegen'd native.
-    val docs = perWord.groupBy(col(idCol))
+    // HOF is fine here); the per-PAIR hot paths are codegen'd native.
+    perWord.groupBy(col(idCol))
       .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("m"))
       .withColumn("bm", transform(sequence(lit(0), lit(words - 1)),
         w => coalesce(element_at(col("m"), w), lit(0L))))
       .withColumn("set_size", graft.functions.BitmapFunctions.popcount(col("bm")))
       .select(col(idCol), col("bm"), col("set_size"))
-    val a = docs.select(col(idCol).as("id_a"), col("bm").as("bm_a"),
-      col("set_size").as("size_a"))
-    val b = docs.select(col(idCol).as("id_b"), col("bm").as("bm_b"),
-      col("set_size").as("size_b"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+  }
+
+  /** Exact Jaccard verification of (id_a, id_b, bm_a/bm_b, size_a/size_b)
+    * pair rows: size-ratio prefilter (J >= t ⇒ min/max set-size ratio
+    * >= t), codegen'd AND+popcount intersection, threshold filter.
+    */
+  private def jaccardVerify(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
       .filter(least(col("size_a"), col("size_b")).cast("double") >=
         lit(threshold) * greatest(col("size_a"), col("size_b")).cast("double"))
       .withColumn("n_inter",
@@ -106,6 +99,50 @@ object Dedup {
           (col("size_a") + col("size_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_inter", "jaccard")
+
+  /** Exact n-gram Jaccard near-duplicate pairs — VERIFICATION-ONLY entry
+    * point: all-pairs via a broadcast cross join is quadratic in the
+    * input and broadcasts the whole right side, so it is only safe on a
+    * bounded sample (the oracle queries use a deterministic id sample).
+    * The corpus-scale path is [[lshVerifiedPairs]], which generates
+    * candidates with LSH and verifies the SAME exact-Jaccard arithmetic
+    * through equi-joins — no cross join, no corpus broadcast.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, threshold: Double): DataFrame = {
+    val docs = shingleBitmaps(df, idCol, textCol, k)
+    val a = docs.select(col(idCol).as("id_a"), col("bm").as("bm_a"),
+      col("set_size").as("size_a"))
+    val b = docs.select(col(idCol).as("id_b"), col("bm").as("bm_b"),
+      col("set_size").as("size_b"))
+    jaccardVerify(a.join(broadcast(b), col("id_a") < col("id_b")), threshold)
+  }
+
+  /** The composed 100 TB near-dup pipeline: MinHash-LSH candidate
+    * generation → exact Jaccard verification restricted to the candidate
+    * pairs. Candidates come from [[minhashLshPairs]] (one band-bucket
+    * shuffle, ~1 row/doc after partial agg); verification equi-joins the
+    * candidate list back to the per-document bitmaps from
+    * [[shingleBitmaps]] — two key joins that AQE can broadcast when the
+    * candidate list is small, and that shuffle-hash-join at corpus scale.
+    * No cross join, no corpus-side broadcast anywhere in the plan.
+    *
+    * With rowsPerBand = numPerm/bands = 1 (e.g. numPerm=16, bands=16) a
+    * pair with Jaccard J is a candidate unless it disagrees on ALL
+    * minhashes — miss probability (1-J)^numPerm, ~4e-7 at J=0.6 with 16
+    * perms — so the verified output matches the exact all-pairs result
+    * (the q72 oracle checks exactly that equivalence).
+    */
+  def lshVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, threshold: Double,
+                       numPerm: Int, bands: Int): DataFrame = {
+    val cands = minhashLshPairs(df, idCol, textCol, k, numPerm, bands)
+    val docs = shingleBitmaps(df, idCol, textCol, k)
+    val a = docs.select(col(idCol).as("id_a"), col("bm").as("bm_a"),
+      col("set_size").as("size_a"))
+    val b = docs.select(col(idCol).as("id_b"), col("bm").as("bm_b"),
+      col("set_size").as("size_b"))
+    jaccardVerify(cands.join(a, Seq("id_a")).join(b, Seq("id_b")), threshold)
   }
 
   /** Per-document MinHash signature: numPerm permutations
