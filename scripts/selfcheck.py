@@ -37,7 +37,10 @@ def bench_gate(path):
           f"line fits tail window")
     sys.exit(0)
 
-if len(sys.argv) > 2 and sys.argv[1] == "bench":
+if len(sys.argv) > 1 and sys.argv[1] == "bench":
+    if len(sys.argv) < 3:
+        print("usage: selfcheck.py bench <bench-stdout-file>")
+        sys.exit(2)
     bench_gate(sys.argv[2])
 
 import duckdb

@@ -64,7 +64,13 @@ object Bench {
     // uses the contract's short keys ("q01") and 3-decimal values — ~1 KB
     // at 73 queries — and is printed last, after an explicit flush.
     // Full names map 1:1 by qNN prefix; see BENCH_DETAIL.json.
-    spark.stop()
+    // stop() before the contract line so shutdown noise can't land after
+    // it — but NEVER let a stop() failure swallow the line itself.
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: $e") }
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    require(shortKeys.distinct.size == results.size,
+      s"duplicate qNN prefixes would silently drop timings: $shortKeys")
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""

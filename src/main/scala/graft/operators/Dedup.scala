@@ -58,9 +58,11 @@ object Dedup {
     * row and copied 2·words-long join rows per candidate pair: measured
     * 2.5-7s on q55's 1250-doc input vs <1s for this.)
     */
-  def shingleBitmaps(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def shingleBitmaps(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    bitmapsFromShingles(shinglesRaw(df, idCol, textCol, k), idCol)
+
+  private def bitmapsFromShingles(sh: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shinglesRaw(df, idCol, textCol, k)
     // dense shingle dictionary; the window is over the (tiny) vocabulary,
     // not the corpus, so the single-partition sort is metadata-sized
     val dict = sh.select("shingle").distinct()
@@ -68,7 +70,7 @@ object Dedup {
     val vocab = dict.count().toInt
     // empty vocabulary (every doc shorter than k) → no documents
     if (vocab == 0)
-      return df.select(col(idCol), array().cast("array<bigint>").as("bm"),
+      return sh.select(col(idCol), array().cast("array<bigint>").as("bm"),
         lit(0L).as("set_size")).limit(0)
     val words = (vocab + 63) / 64
     val perWord = sh.join(broadcast(dict), Seq("shingle"))
@@ -136,8 +138,16 @@ object Dedup {
   def lshVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
                        k: Int, threshold: Double,
                        numPerm: Int, bands: Int): DataFrame = {
-    val cands = minhashLshPairs(df, idCol, textCol, k, numPerm, bands)
-    val docs = shingleBitmaps(df, idCol, textCol, k)
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    // The shingle stream feeds BOTH the MinHash signatures and the
+    // verification bitmaps; cache it so the corpus (the dominant scan at
+    // 100 TB) is read once. The bitmap dictionary count below materializes
+    // the cache; it stays pinned only until session LRU eviction.
+    val sh = shinglesRaw(df, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshPairsFromSignatures(
+      signaturesFromShingles(sh, idCol, numPerm), idCol, numPerm, bands)
+    val docs = bitmapsFromShingles(sh, idCol)
     val a = docs.select(col(idCol).as("id_a"), col("bm").as("bm_a"),
       col("set_size").as("size_a"))
     val b = docs.select(col(idCol).as("id_b"), col("bm").as("bm_b"),
@@ -156,7 +166,11 @@ object Dedup {
     * array form, which evaluates lambdas interpreted, outside codegen.)
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int, numPerm: Int): DataFrame = {
+                        k: Int, numPerm: Int): DataFrame =
+    signaturesFromShingles(shinglesRaw(df, idCol, textCol, k), idCol, numPerm)
+
+  private def signaturesFromShingles(sh: DataFrame, idCol: String,
+                                     numPerm: Int): DataFrame = {
     // Seeded string hash per permutation. (Measured alternatives at
     // sf0.1: deriving permutations by re-hashing a single 64-bit base
     // hash was ~1.7x slower — k-char shingles are near-fixed-width
@@ -165,9 +179,7 @@ object Dedup {
     val sigCols = (0 until numPerm).map { i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"h$i")
     }
-    shinglesRaw(df, idCol, textCol, k)
-      .groupBy(col(idCol))
-      .agg(sigCols.head, sigCols.tail: _*)
+    sh.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
   }
 
   /** MinHash signatures banded into `bands` LSH buckets; documents
@@ -178,8 +190,13 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int, numPerm: Int, bands: Int): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
+    lshPairsFromSignatures(minhashSignatures(df, idCol, textCol, k, numPerm),
+      idCol, numPerm, bands)
+  }
+
+  private def lshPairsFromSignatures(sig: DataFrame, idCol: String,
+                                     numPerm: Int, bands: Int): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val sig = minhashSignatures(df, idCol, textCol, k, numPerm)
     // band id -> hash of that band's signature slice
     val bandCols = (0 until bands).map { bnd =>
       val slice = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand).map(i => col(s"h$i"))

@@ -94,16 +94,29 @@ object DedupQueries {
       k = 10, nBits = 4, dim = 64)
   }
 
+  // --- q72: the corpus-scale near-dup path — LSH candidate generation
+  // composed with exact-Jaccard verification (oracle-checked). With
+  // rowsPerBand = numPerm/bands = 1 a true pair escapes the candidate set
+  // only by disagreeing on ALL 16 minhashes — miss probability (1-J)^16,
+  // ~4e-7 at the 0.6 threshold — so the verified output equals q21's
+  // exact all-pairs result and shares its oracle SQL.
+  def q72(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshVerifiedPairs(
+      Tables.documents(s, dir).filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", k = 3, threshold = JaccardT, numPerm = 16, bands = 16)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q21_dedup_ngram"     -> (q21 _),
-    "q22_dedup_minhash"   -> (q22 _),
-    "q23_dedup_simhash"   -> (q23 _),
-    "q24_dedup_embedding" -> (q24 _),
-    "q25_ann_bruteforce"  -> (q25 _),
-    "q26_ann_lsh"         -> (q26 _))
+    "q21_dedup_ngram"        -> (q21 _),
+    "q22_dedup_minhash"      -> (q22 _),
+    "q23_dedup_simhash"      -> (q23 _),
+    "q24_dedup_embedding"    -> (q24 _),
+    "q25_ann_bruteforce"     -> (q25 _),
+    "q26_ann_lsh"            -> (q26 _),
+    "q72_dedup_lsh_verified" -> (q72 _))
 
   val oracle: Map[String, String] = Map(
-    "q21_dedup_ngram"     -> q21Sql,
-    "q24_dedup_embedding" -> q24Sql,
-    "q25_ann_bruteforce"  -> q25Sql)
+    "q21_dedup_ngram"        -> q21Sql,
+    "q24_dedup_embedding"    -> q24Sql,
+    "q25_ann_bruteforce"     -> q25Sql,
+    "q72_dedup_lsh_verified" -> q21Sql)
 }

@@ -23,6 +23,19 @@ class DedupSpec extends SparkSpec {
     assert(missed == 0, s"$missed near-identical pairs missed by LSH banding")
   }
 
+  test("lsh-verified pairs equal exact all-pairs; plan has no cross join") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") % 4 === 0)
+    val lsh = Dedup.lshVerifiedPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.6, numPerm = 16, bands = 16).cache()
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6).cache()
+    assert(lsh.count() > 0)
+    assert(lsh.exceptAll(exact).count() == 0, "lsh-verified produced a non-exact pair")
+    assert(exact.exceptAll(lsh).count() == 0, "lsh-verified missed an exact pair")
+    val phys = lsh.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"), "scale path must not cross join")
+    assert(!phys.contains("BroadcastNestedLoopJoin"), "scale path must not nested-loop join")
+  }
+
   test("simhash of identical texts is identical") {
     val docs = Tables.documents(spark, sf).limit(10)
     val twice = docs.unionByName(docs)
