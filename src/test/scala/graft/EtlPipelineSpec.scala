@@ -1,12 +1,86 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.functions._
 import graft.pipeline.EtlPipeline
-import graft.pipeline.EtlPipeline.TableMapping
+import graft.pipeline.EtlPipeline.{FileMapping, TableMapping}
 import graft.operators.Scd
 import graft.sources.Tables
 
 class EtlPipelineSpec extends SparkSpec {
+
+  private def mkFile(dir: String, name: String, content: String): String =
+    Files.writeString(Paths.get(dir, name), content).toString
+
+  private def logRow(rep: EtlPipeline.RunReport, table: String) =
+    rep.log.filter(col("table_name") === table).collect()(0)
+
+  test("end-to-end run: find, stage, merge, run-log, archive, watermark, mart") {
+    val inbox = Files.createTempDirectory("graft_inbox").toString
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val mappings = Seq(
+      FileMapping("rates_*.csv", "dwh_rates", "cur", Seq("rate"), scd = 1,
+        decimalCols = Seq("rate")),
+      FileMapping("terminals_*.csv", "dwh_terminals", "term_id", Seq("city"), scd = 2),
+      FileMapping("blacklist_*.xlsx", "dwh_blacklist", "passport", Seq("entry_dt"), scd = 1))
+    val marts = Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame](
+      "mart_rate_count" -> ((s, whDir) =>
+        s.read.parquet(s"$whDir/dwh_rates").agg(count(lit(1)).as("n"))))
+
+    // --- day 1 ---
+    mkFile(inbox, "rates_01012024.csv", "cur;rate\nUSD;90,5\nEUR;99,1\n")
+    mkFile(inbox, "terminals_01012024.csv", "term_id;city\nT1;Moscow\nT2;Kazan\nT3;Perm\n")
+    TestXlsx.write(s"$inbox/blacklist_01012024.xlsx",
+      Seq("passport", "entry_dt"), Seq(Seq("P1", "2024-01-01"), Seq("P2", "2024-01-01")))
+
+    val r1 = EtlPipeline.run(spark, inbox, wh, mappings, runId = 1, marts = marts)
+    assert(r1.processedFiles.size == 3 && r1.archivedFiles.size == 3)
+    assert(r1.archivedFiles.forall(_.contains("/archive/")))
+    assert(logRow(r1, "stg_dwh_rates").getAs[Long]("rows_inserted") == 2)
+    assert(logRow(r1, "dwh_rates").getAs[Long]("rows_inserted") == 2)
+    assert(logRow(r1, "dwh_blacklist").getAs[Long]("rows_inserted") == 2)
+    assert(logRow(r1, "dwh_terminals").getAs[Long]("rows_inserted") == 3)
+    val rates1 = spark.read.parquet(s"$wh/dwh_rates")
+    assert(rates1.count() == 2)
+    assert(math.abs(rates1.filter(col("cur") === "USD").collect()(0)
+      .getAs[Double]("rate") - 90.5) < 1e-9)
+    assert(spark.read.parquet(s"$wh/mart_rate_count").collect()(0).getAs[Long]("n") == 2)
+
+    // --- day 2: rate change + new cur; terminal T2 moves, T3 disappears ---
+    mkFile(inbox, "rates_02012024.csv", "cur;rate\nUSD;92,0\nEUR;99,1\nGBP;115,3\n")
+    mkFile(inbox, "terminals_02012024.csv", "term_id;city\nT1;Moscow\nT2;Samara\n")
+
+    val r2 = EtlPipeline.run(spark, inbox, wh, mappings, runId = 2, marts = marts)
+    assert(r2.processedFiles.size == 2)
+    val ratesLog = logRow(r2, "dwh_rates")
+    assert(ratesLog.getAs[Long]("rows_inserted") == 1)  // GBP
+    assert(ratesLog.getAs[Long]("rows_updated") == 1)   // USD
+    val rates2 = spark.read.parquet(s"$wh/dwh_rates")
+    assert(rates2.count() == 3)
+    assert(math.abs(rates2.filter(col("cur") === "USD").collect()(0)
+      .getAs[Double]("rate") - 92.0) < 1e-9)
+    assert(math.abs(rates2.filter(col("cur") === "EUR").collect()(0)
+      .getAs[Double]("rate") - 99.1) < 1e-9)
+
+    val terms = spark.read.parquet(s"$wh/dwh_terminals").cache()
+    // T1 open(1) + T2 closed+open(2) + T3 closed+tombstone(2)
+    assert(terms.count() == 5)
+    assert(terms.filter(col("deleted_flg")).count() == 1)
+    assert(terms.filter(col("term_id") === "T2" && col("city") === "Samara" &&
+      col("effective_to") === lit(Scd.OpenEnd).cast("timestamp")).count() == 1)
+    assert(logRow(r2, "dwh_terminals").getAs[Long]("rows_deleted") == 1)
+
+    // --- run 3: nothing new — watermark skips everything ---
+    val r3 = EtlPipeline.run(spark, inbox, wh, mappings, runId = 3, marts = marts)
+    assert(r3.processedFiles.isEmpty && r3.log.count() == 0)
+
+    // persistent combined run log accumulated all runs
+    val fullLog = spark.read.parquet(s"$wh/etl_run_log")
+    assert(fullLog.filter(col("run_id") === 1).count() == 6)
+    assert(fullLog.filter(col("run_id") === 2).count() == 4)
+  }
 
   test("scd1 pipeline merge produces a consistent run log") {
     val dwh = Tables.customer(spark, sf).filter(col("c_custkey") < 100)

@@ -33,9 +33,9 @@ class SinksSpec extends SparkSpec {
     assert(scan.contains("o_orderpriority"), "partition column must drive the scan")
   }
 
-  test("xlsx stub fails fast with a clear contract message") {
-    val e = intercept[UnsupportedOperationException](
+  test("xlsx read of an empty glob fails fast, not silently") {
+    val e = intercept[IllegalArgumentException](
       XlsxSource.read(spark, "/tmp/nope_*.xlsx"))
-    assert(e.getMessage.contains("DelimitedSource"))
+    assert(e.getMessage.contains("no files match"))
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
-import graft.sources.{DelimitedSource, FileIngest}
+import graft.sources.{DelimitedSource, FileIngest, XlsxSource}
 
 class SourcesSpec extends SparkSpec {
 
@@ -22,6 +22,35 @@ class SourcesSpec extends SparkSpec {
     val r = df.filter(col("transaction_id") === "T1").collect()(0)
     assert(math.abs(r.getAs[Double]("amount") - 123.45) < 1e-9)
     assert(r.getAs[java.sql.Date]("create_dt").toString == "2024-03-15")
+  }
+
+  test("xlsx reader round-trips shared strings, numbers, skipped cells, filename dates") {
+    val dir = Files.createTempDirectory("graft_xlsx").toString
+    TestXlsx.write(s"$dir/terminals_02032024.xlsx",
+      Seq("terminal_id", "terminal_type", "terminal_city"),
+      Seq(
+        Seq("A101", "POS", "Moscow"),
+        Seq("A102", null, "Kazan"),      // skipped middle cell -> null
+        Seq("12345", "ATM", "St <P> & Co"))) // numeric cell + XML escapes
+    val df = XlsxSource.read(spark, s"$dir/terminals_*.xlsx").cache()
+    assert(df.columns.toSeq ==
+      Seq("terminal_id", "terminal_type", "terminal_city", "create_dt"))
+    assert(df.count() == 3)
+    val r1 = df.filter(col("terminal_id") === "A102").collect()(0)
+    assert(r1.getAs[String]("terminal_type") == null)
+    assert(r1.getAs[String]("terminal_city") == "Kazan")
+    val r2 = df.filter(col("terminal_id") === "12345").collect()(0)
+    assert(r2.getAs[String]("terminal_city") == "St <P> & Co")
+    assert(r2.getAs[java.sql.Date]("create_dt").toString == "2024-03-02")
+  }
+
+  test("xlsx reader unions a glob of daily files on a shared header") {
+    val dir = Files.createTempDirectory("graft_xlsx2").toString
+    TestXlsx.write(s"$dir/blacklist_01012024.xlsx", Seq("passport"), Seq(Seq("P1"), Seq("P2")))
+    TestXlsx.write(s"$dir/blacklist_02012024.xlsx", Seq("passport"), Seq(Seq("P3")))
+    val df = XlsxSource.read(spark, s"$dir/blacklist_*.xlsx")
+    assert(df.count() == 3)
+    assert(df.select("create_dt").distinct().count() == 2)
   }
 
   test("file finder globs templates and archive moves the file") {
