@@ -233,8 +233,20 @@ object Dedup {
     agg.select(col(idCol), fp.as("simhash"))
   }
 
+  /** SimHash near-dup pairs via the 4×16-bit chunk split. CONTRACT:
+    * `maxHamming <= 3` — by pigeonhole, a pair within hamming 3 must
+    * agree exactly on one of 4 disjoint chunks, so recall is guaranteed;
+    * at hamming 4+ a pair can differ in every chunk and silently vanish.
+    * Enforced here rather than documented-only: a silent recall hole in a
+    * dedup pass corrupts downstream training data. (Wider bounds need
+    * multi-chunk combination tables, not narrower chunks — 64/(h+1)-bit
+    * keys collapse into tiny buckets and go quadratic.)
+    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashPairs guarantees recall only for maxHamming <= 3 " +
+        s"(got $maxHamming); the 4-chunk split cannot see all pairs beyond that")
     val fp = simhash(df, idCol, textCol)
     // 4 chunks of 16 bits; hamming<=3 pairs must share one chunk
     val chunked = fp.select(col(idCol), col("simhash"),

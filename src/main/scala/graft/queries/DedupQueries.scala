@@ -49,9 +49,11 @@ object DedupQueries {
     Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
       k = 3, numPerm = 16, bands = 4)
 
-  // --- q23: SimHash hamming near-dups (rows-only) ---
+  // --- q23: SimHash hamming near-dups (rows-only). maxHamming = 3 is
+  // the guaranteed-recall bound of the 4-chunk split (enforced in
+  // Dedup.simhashPairs) ---
   def q23(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 8)
+    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
 
   // --- q24: embedding-cosine near-dup pairs (oracle-checked) ---
   def q24(s: SparkSession, dir: String): DataFrame =

@@ -194,16 +194,28 @@ object PipelineQueries {
   }
 
   // --- q69: token co-occurrence mining — document frequency of token
-  // pairs. Per-doc distinct tokens are quadratic per document, so this
-  // operator targets BOUNDED vocabularies (markers, tags, labels); open
-  // vocabularies should pre-prune to the top-k terms first.
+  // pairs. Per-doc distinct tokens are quadratic per document, so the
+  // vocabulary is BOUNDED IN CODE before the pair join: only the CoocTopK
+  // highest-document-frequency tokens participate (deterministic
+  // tie-break on the token itself). The top-K is orderBy+limit —
+  // Spark plans that as TakeOrderedAndProject, a distributed per-
+  // partition top-K merge, never a single-partition sort of the full
+  // vocabulary — and the prune is a broadcast semi-join, so an open
+  // 100 TB vocabulary costs one agg + one map-side filter.
+  val CoocTopK = 300
+
   def q69(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
       .distinct()
-    val a = toks.select(col("doc_id"), col("tok").as("tok_a"))
-    val b = toks.select(col("doc_id"), col("tok").as("tok_b"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc)
+      .limit(CoocTopK)
+      .select("tok")
+    val pruned = toks.join(broadcast(vocab), Seq("tok"), "left_semi")
+    val a = pruned.select(col("doc_id"), col("tok").as("tok_a"))
+    val b = pruned.select(col("doc_id"), col("tok").as("tok_b"))
     a.join(b, Seq("doc_id"))
       .filter(col("tok_a") < col("tok_b"))
       .groupBy("tok_a", "tok_b")
@@ -211,13 +223,17 @@ object PipelineQueries {
   }
 
   val q69Sql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       | SELECT DISTINCT doc_id, tok FROM (
-      |  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(lower(text), '\s+')) AS tok
+      |  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(lower(text), '\\s+')) AS tok
       |  FROM documents)
-      | WHERE LEN(tok) > 0)
+      | WHERE LEN(tok) > 0),
+      |vocab AS (
+      | SELECT tok FROM (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok)
+      | ORDER BY df DESC, tok ASC LIMIT $CoocTopK),
+      |pt AS (SELECT t.doc_id, t.tok FROM toks t JOIN vocab v USING (tok))
       |SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_docs
-      |FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |FROM pt a JOIN pt b ON a.doc_id = b.doc_id AND a.tok < b.tok
       |GROUP BY 1, 2""".stripMargin
 
   // --- q70: z-order skipping index over orders (custkey × orderkey).

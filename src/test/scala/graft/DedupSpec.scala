@@ -36,6 +36,29 @@ class DedupSpec extends SparkSpec {
     assert(!phys.contains("BroadcastNestedLoopJoin"), "scale path must not nested-loop join")
   }
 
+  test("simhash banding recalls every pair at the contract bound; rejects beyond") {
+    val base = Tables.documents(spark, sf).limit(60).select("doc_id", "text")
+    // doubled corpus under new ids: guarantees hamming-0 pairs exist
+    val docs = base.unionByName(
+      base.select((col("doc_id") + 1000000).as("doc_id"), col("text"))).cache()
+    // ground truth: brute-force hamming over collected fingerprints
+    val fps = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => (r.getAs[Number]("doc_id").longValue(), r.getAs[Long]("simhash")))
+    val truth = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ia, ib)).toSet
+    assert(truth.nonEmpty, "test corpus must contain close pairs")
+    val found = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getAs[Number]("id_a").longValue(),
+        r.getAs[Number]("id_b").longValue())).toSet
+    assert(truth.subsetOf(found),
+      s"${(truth -- found).size} pairs within hamming 3 missed by the 4-chunk split")
+    // beyond the guarantee the entry point must refuse, not silently under-recall
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 4))
+  }
+
   test("simhash of identical texts is identical") {
     val docs = Tables.documents(spark, sf).limit(10)
     val twice = docs.unionByName(docs)

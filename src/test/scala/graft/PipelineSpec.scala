@@ -144,5 +144,10 @@ class PipelineSpec extends SparkSpec {
     assert(out.filter(col("tok_a") >= col("tok_b")).isEmpty)
     val nDocs = graft.sources.Tables.documents(spark, sf).count()
     assert(out.filter(col("n_docs") > nDocs || col("n_docs") < 1).isEmpty)
+    // the bounded-vocabulary contract is code, not convention
+    val toks = out.select(col("tok_a").as("tok"))
+      .unionByName(out.select(col("tok_b").as("tok"))).distinct().count()
+    assert(toks <= PipelineQueries.CoocTopK,
+      s"$toks distinct tokens exceed the CoocTopK=${PipelineQueries.CoocTopK} prune")
   }
 }
