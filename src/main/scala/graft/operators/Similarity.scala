@@ -58,7 +58,8 @@ object Similarity {
     * Exact cosine ranking within the candidate cells.
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-              vecCol: String, k: Int, nCells: Int, nProbe: Int): DataFrame = {
+              vecCol: String, k: Int, nCells: Int, nProbe: Int,
+              fitSampleCap: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -67,7 +68,15 @@ object Similarity {
       .withColumn("fv", array_to_vector(col("cv")))
     val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell")
-    val model = km.fit(c)
+    // Coarse-quantizer centroids need a representative sample, not the
+    // corpus: cap the fit set with a seeded uniform sample so the
+    // KMeans iterations (maxIter full passes) scan ~fitSampleCap rows
+    // instead of 100 TB. The count is one columnar-metadata-cheap scan;
+    // ASSIGNMENT below still covers every corpus vector.
+    val n = c.count()
+    val fit = if (n <= fitSampleCap) c
+              else c.sample(withReplacement = false, fitSampleCap.toDouble / n, seed = 42L)
+    val model = km.fit(fit)
     val assigned = model.transform(c).select(col("neighbor_id"), col("cv"), col("cell"))
     // centroid table is nCells rows — broadcast; each probe ranks cells
     // by L2 (KMeans' own metric) and keeps the nProbe closest
