@@ -81,6 +81,13 @@ object Scd {
     *  - open version, state unchanged        → kept open
     *  - open version, state changed          → closed at create_dt - 1µs,
     *                                           new open version inserted
+    *  - open tombstone, key back in stg      → closed, live version
+    *                                           inserted (revival — the
+    *                                           reference's INTERSECT
+    *                                           includes deleted_flg,
+    *                                           etl.py:352-355, so even an
+    *                                           identical-state return
+    *                                           counts as a change)
     *  - open version, key absent from stg    → closed at deleteTs - 1µs,
     *                                           open tombstone inserted
     *                                           (deleted_flg, etl.py:297)
@@ -88,7 +95,27 @@ object Scd {
     * Closed historical versions pass through untouched.
     */
   def scd2Merge(hist: DataFrame, stg: DataFrame, keyCol: String,
-                stateCols: Seq[String], deleteTs: String): DataFrame = {
+                stateCols: Seq[String], deleteTs: String): DataFrame =
+    scd2MergeImpl(hist, stg, keyCol, stateCols, deleteTs, liveKeys = None)
+
+  /** SCD2 merge for INCREMENTAL staging (reference etl.py:236-284
+    * `from_database`): stg carries only rows whose change timestamp
+    * passed the watermark, so "absent from stg" no longer means deleted.
+    * Deletion is detected against `liveKeys` — the source's full key
+    * list, pulled separately (the reference's `stg_del` table,
+    * etl.py:256-266): an open version is tombstoned only when its key
+    * has vanished from `liveKeys`; keys merely unchanged-since-watermark
+    * stay open untouched. At 100 TB the key list is a column-pruned scan
+    * of the source, orders of magnitude lighter than re-reading payloads.
+    */
+  def scd2MergeIncremental(hist: DataFrame, stg: DataFrame, liveKeys: DataFrame,
+                           keyCol: String, stateCols: Seq[String],
+                           deleteTs: String): DataFrame =
+    scd2MergeImpl(hist, stg, keyCol, stateCols, deleteTs, liveKeys = Some(liveKeys))
+
+  private def scd2MergeImpl(hist: DataFrame, stg: DataFrame, keyCol: String,
+                            stateCols: Seq[String], deleteTs: String,
+                            liveKeys: Option[DataFrame]): DataFrame = {
     val delTs = lit(deleteTs).cast("timestamp")
     val outCols = (col(keyCol) +: stateCols.map(col)) :+
       col("effective_from") :+ col("effective_to") :+ col("deleted_flg")
@@ -104,8 +131,24 @@ object Scd {
     val s = stg.select(
       (col(keyCol).as("s_key") +: stateCols.map(c => col(c).as(s"s_$c"))) :+
         col("create_dt").as("s_dt"): _*)
-    val j = d.join(s, col("d_key") === col("s_key"), "full_outer")
-    val changed = stateCols.map(c => !(col(s"d_$c") <=> col(s"s_$c"))).reduce(_ || _)
+    val j0 = d.join(s, col("d_key") === col("s_key"), "full_outer")
+    // `alive`: this open version's key still exists at the source. Full
+    // snapshot → presence in stg itself; incremental → presence in the
+    // separately-pulled key list.
+    val j = liveKeys match {
+      case None => j0.withColumn("alive", col("s_key").isNotNull)
+      case Some(lk) =>
+        val keys = lk.select(col(keyCol).as("k_key")).distinct()
+          .withColumn("k_alive", lit(true))
+        j0.join(keys, col("d_key") === col("k_key"), "left")
+          .withColumn("alive",
+            col("s_key").isNotNull || coalesce(col("k_alive"), lit(false)))
+          .drop("k_key", "k_alive")
+    }
+    // A state difference — or an open tombstone being overwritten by a
+    // live stg row (revival) — closes the current version.
+    val changed = stateCols.map(c => !(col(s"d_$c") <=> col(s"s_$c")))
+      .reduce(_ || _) || col("d_flg")
 
     def row(key: Column, state: String => Column, from: Column, to: Column,
             flg: Column): Seq[Column] =
@@ -121,13 +164,13 @@ object Scd {
     val newVersions = both.filter(changed)
       .select(row(col("d_key"), c => col(s"s_$c"), col("s_dt"), openEndTs, lit(false)): _*)
 
-    val deletedSrc = j.filter(col("s_key").isNull && !col("d_flg"))
+    val deletedSrc = j.filter(col("s_key").isNull && !col("alive") && !col("d_flg"))
     val closedDeleted = deletedSrc
       .select(row(col("d_key"), c => col(s"d_$c"), col("d_from"), delTs - oneMicro,
         col("d_flg")): _*)
     val tombstones = deletedSrc
       .select(row(col("d_key"), c => col(s"d_$c"), delTs, openEndTs, lit(true)): _*)
-    val keptDeleted = j.filter(col("s_key").isNull && col("d_flg"))
+    val keptOpen = j.filter(col("s_key").isNull && (col("alive") || col("d_flg")))
       .select(row(col("d_key"), c => col(s"d_$c"), col("d_from"), openEndTs, col("d_flg")): _*)
 
     val inserts = j.filter(col("d_key").isNull)
@@ -135,7 +178,7 @@ object Scd {
 
     closed
       .unionByName(unchanged).unionByName(closedChanged).unionByName(newVersions)
-      .unionByName(closedDeleted).unionByName(tombstones).unionByName(keptDeleted)
+      .unionByName(closedDeleted).unionByName(tombstones).unionByName(keptOpen)
       .unionByName(inserts)
   }
 }

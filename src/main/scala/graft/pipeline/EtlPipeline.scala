@@ -154,26 +154,11 @@ object EtlPipeline {
             col("create_dt").cast("timestamp").as("create_dt"): _*).persist()
         logRows += ((runId, s"stg_${m.targetName}", stg.count(), 0L, 0L))
 
-        val targetPath = s"$warehouseDir/${m.targetName}"
-        val dwh = readTargetOrEmpty(spark, targetPath,
-          if (m.scd == 2)
-            stg.select((m.key +: m.payload).map(col): _*).limit(0)
-              .withColumn("effective_from", lit(null).cast("timestamp"))
-              .withColumn("effective_to", lit(null).cast("timestamp"))
-              .withColumn("deleted_flg", lit(false))
-          else stg.select((m.key +: m.payload).map(col): _*).limit(0))
-
         val deleteTs = dt.atStartOfDay().format(
           java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
-        val res = mergeTable(runId,
+        mergeInto(spark, warehouseDir,
           TableMapping(m.template, m.targetName, m.key, m.payload, m.scd),
-          stg, dwh, deleteTs)
-        val merged = res.merged.persist()
-        val lr = res.log.collect()(0)
-        logRows += ((runId, m.targetName, lr.getAs[Long]("rows_inserted"),
-          lr.getAs[Long]("rows_updated"), lr.getAs[Long]("rows_deleted")))
-        writeSwap(if (m.scd == 1) merged.drop("action") else merged, targetPath)
-        merged.unpersist(blocking = false)
+          stg, runId, deleteTs, liveKeys = None, logRows)
         stg.unpersist(blocking = false)
 
         wm += (m.targetName -> dt)
@@ -193,6 +178,93 @@ object EtlPipeline {
       writeSwap(build(spark, warehouseDir), s"$warehouseDir/$name")
     }
     RunReport(runId, log.drop("run_ts"), processed.result(), archived.result())
+  }
+
+  /** One database-fed table (reference etl.py:236-284 `from_database`):
+    * any source relation (a JDBC read, another warehouse table, …) with
+    * the reference's create/update change-tracking column pair.
+    */
+  case class TableFeed(mapping: TableMapping, source: DataFrame,
+                       createCol: String = "create_dt",
+                       updateCol: Option[String] = Some("update_dt"))
+
+  /** The reference's `from_database` loop: per table, an INCREMENTAL
+    * staging pull — only rows whose `COALESCE(update_dt, create_dt)`
+    * passed the stored timestamp watermark (etl.py:190-199) — plus a
+    * separately-pulled full key list for deletion detection
+    * (etl.py:256-266 `stg_del`), merged via scd1 upsert or
+    * [[Scd.scd2MergeIncremental]]. Keys merely unchanged since the
+    * watermark are NOT tombstoned — that is the semantic difference from
+    * the full-snapshot file path, and why the key list exists.
+    *
+    * Watermarks/run-log live beside the tables in `warehouseDir`, so
+    * re-running with an unchanged source stages zero rows and rewrites
+    * identical tables.
+    */
+  def runFromTables(spark: SparkSession, warehouseDir: String,
+                    feeds: Seq[TableFeed], runId: Int,
+                    deleteTs: String): RunReport = {
+    var wm = loadTsWatermarks(spark, warehouseDir)
+    val logRows = Seq.newBuilder[(Int, String, Long, Long, Long)]
+
+    feeds.foreach { f =>
+      val m = f.mapping
+      val watermark = wm.getOrElse(m.targetName, "1900-01-01 00:00:00")
+      val changeTs = f.updateCol match {
+        case Some(u) => coalesce(col(u), col(f.createCol))
+        case None    => col(f.createCol)
+      }
+      val stg = stage(f.source, f.createCol, f.updateCol, watermark)
+        .select((m.key +: m.payload).map(col) :+
+          changeTs.cast("timestamp").as("create_dt"): _*)
+        .persist()
+      logRows += ((runId, s"stg_${m.targetName}", stg.count(), 0L, 0L))
+      // full key list: a column-pruned scan of the source (stg_del)
+      val liveKeys = if (m.scd == 2) Some(f.source.select(m.key)) else None
+      mergeInto(spark, warehouseDir, m, stg, runId, deleteTs, liveKeys, logRows)
+      // advance the watermark to the newest staged change (etl.py:100-106)
+      val mx = Incremental.nextWatermark(stg, "create_dt").collect()(0)
+      if (!mx.isNullAt(0)) wm += (m.targetName -> mx.getTimestamp(0).toString)
+      stg.unpersist(blocking = false)
+    }
+
+    saveTsWatermarks(spark, warehouseDir, wm)
+    import spark.implicits._
+    val log = logRows.result()
+      .toDF("run_id", "table_name", "rows_inserted", "rows_updated", "rows_deleted")
+      .withColumn("run_ts", current_timestamp())
+    log.write.mode(SaveMode.Append).parquet(s"$warehouseDir/etl_run_log")
+    RunReport(runId, log.drop("run_ts"), Seq.empty, Seq.empty)
+  }
+
+  /** Shared merge→log→snapshot-swap step for both the file and the
+    * database loops.
+    */
+  private def mergeInto(spark: SparkSession, warehouseDir: String,
+                        m: TableMapping, stg: DataFrame, runId: Int,
+                        deleteTs: String, liveKeys: Option[DataFrame],
+                        logRows: scala.collection.mutable.Builder[
+                          (Int, String, Long, Long, Long),
+                          Seq[(Int, String, Long, Long, Long)]]): Unit = {
+    val targetPath = s"$warehouseDir/${m.targetName}"
+    val dwh = readTargetOrEmpty(spark, targetPath,
+      if (m.scd == 2)
+        stg.select((m.key +: m.payload).map(col): _*).limit(0)
+          .withColumn("effective_from", lit(null).cast("timestamp"))
+          .withColumn("effective_to", lit(null).cast("timestamp"))
+          .withColumn("deleted_flg", lit(false))
+      else stg.select((m.key +: m.payload).map(col): _*).limit(0))
+    val merged = ((m.scd, liveKeys) match {
+      case (1, _)        => Scd.scd1Merge(dwh, stg, m.key, m.payload)
+      case (2, Some(lk)) => Scd.scd2MergeIncremental(dwh, stg, lk, m.key, m.payload, deleteTs)
+      case (2, None)     => Scd.scd2Merge(dwh, stg, m.key, m.payload, deleteTs)
+      case (other, _)    => throw new IllegalArgumentException(s"unsupported scd=$other")
+    }).persist()
+    val lr = runLog(runId, m.targetName, merged, m.scd).collect()(0)
+    logRows += ((runId, m.targetName, lr.getAs[Long]("rows_inserted"),
+      lr.getAs[Long]("rows_updated"), lr.getAs[Long]("rows_deleted")))
+    writeSwap(if (m.scd == 1) merged.drop("action") else merged, targetPath)
+    merged.unpersist(blocking = false)
   }
 
   /** Business date from `name_DDMMYYYY.ext` (reference file.py:17-27). */
@@ -244,5 +316,24 @@ object EtlPipeline {
     if (wm.nonEmpty)
       writeSwap(wm.toSeq.map { case (t, d) => (t, d.toString) }
         .toDF("table_name", "last_dt"), s"$warehouseDir/etl_watermark")
+  }
+
+  /** Timestamp watermarks for the database loop (`max_update_dt`,
+    * etl.py:75-106) — separate from the file loop's business-date store.
+    */
+  private def loadTsWatermarks(spark: SparkSession,
+                               warehouseDir: String): Map[String, String] = {
+    val path = s"$warehouseDir/etl_watermark_ts"
+    if (!hadoopFs(spark, path).exists(new Path(path))) Map.empty
+    else spark.read.parquet(path).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  private def saveTsWatermarks(spark: SparkSession, warehouseDir: String,
+                               wm: Map[String, String]): Unit = {
+    import spark.implicits._
+    if (wm.nonEmpty)
+      writeSwap(wm.toSeq.toDF("table_name", "last_ts"),
+        s"$warehouseDir/etl_watermark_ts")
   }
 }

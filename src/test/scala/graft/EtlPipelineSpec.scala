@@ -82,6 +82,79 @@ class EtlPipelineSpec extends SparkSpec {
     assert(fullLog.filter(col("run_id") === 2).count() == 4)
   }
 
+  test("from-database run: incremental pull, key-list deletes, tombstone revival") {
+    val s = spark
+    import s.implicits._
+    val wh = Files.createTempDirectory("graft_whdb").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val nullTs = null.asInstanceOf[java.sql.Timestamp]
+    def feed(src: org.apache.spark.sql.DataFrame) = Seq(EtlPipeline.TableFeed(
+      TableMapping("clients", "dwh_clients", "client_id", Seq("name"), 2), src))
+    def tbl() = spark.read.parquet(s"$wh/dwh_clients")
+    val openEnd = lit(Scd.OpenEnd).cast("timestamp")
+
+    // day 1: three clients bootstrap the history
+    val src1 = Seq(
+      (1L, "Ann", ts("2024-01-01 08:00:00"), nullTs),
+      (2L, "Bob", ts("2024-01-01 09:00:00"), nullTs),
+      (3L, "Cat", ts("2024-01-01 10:00:00"), nullTs))
+      .toDF("client_id", "name", "create_dt", "update_dt")
+    val r1 = EtlPipeline.runFromTables(spark, wh, feed(src1), runId = 1,
+      deleteTs = "2024-01-02 00:00:00")
+    assert(logRow(r1, "stg_dwh_clients").getAs[Long]("rows_inserted") == 3)
+    assert(tbl().count() == 3 && tbl().filter(col("deleted_flg")).count() == 0)
+
+    // day 2: Bob renamed (update_dt bumped), Cat gone from the source,
+    // Dan new — and Ann untouched, so she is ABSENT from the incremental
+    // stg but PRESENT in the key list
+    val src2 = Seq(
+      (1L, "Ann", ts("2024-01-01 08:00:00"), nullTs),
+      (2L, "Bobby", ts("2024-01-01 09:00:00"), ts("2024-01-02 12:00:00")),
+      (4L, "Dan", ts("2024-01-02 13:00:00"), nullTs))
+      .toDF("client_id", "name", "create_dt", "update_dt")
+    val r2 = EtlPipeline.runFromTables(spark, wh, feed(src2), runId = 2,
+      deleteTs = "2024-01-03 00:00:00")
+    // watermark excludes Ann: only Bob's change and Dan staged
+    assert(logRow(r2, "stg_dwh_clients").getAs[Long]("rows_inserted") == 2)
+    // NOTE: do not .cache() these reads — the cache is keyed on the
+    // logical plan, and a later identical spark.read.parquet(path) would
+    // be served the STALE cached files from before the next writeSwap.
+    val t2 = tbl()
+    // Ann: still ONE open live row — unchanged-since-watermark must NOT tombstone
+    assert(t2.filter(col("client_id") === 1).count() == 1)
+    assert(t2.filter(col("client_id") === 1 && !col("deleted_flg") &&
+      col("effective_to") === openEnd).count() == 1)
+    // Bob: closed old version + open renamed one
+    assert(t2.filter(col("client_id") === 2).count() == 2)
+    assert(t2.filter(col("client_id") === 2 && col("name") === "Bobby" &&
+      col("effective_to") === openEnd).count() == 1)
+    // Cat: closed + open tombstone at deleteTs
+    assert(t2.filter(col("client_id") === 3).count() == 2)
+    assert(t2.filter(col("client_id") === 3 && col("deleted_flg") &&
+      col("effective_to") === openEnd).count() == 1)
+    assert(t2.filter(col("client_id") === 4 && col("effective_to") === openEnd).count() == 1)
+
+    // day 3: Cat returns with IDENTICAL state — the tombstone must close
+    // and a live version open (reference INTERSECT includes deleted_flg)
+    val src3 = src2.unionByName(Seq(
+      (3L, "Cat", ts("2024-01-01 10:00:00"), ts("2024-01-03 09:00:00")))
+      .toDF("client_id", "name", "create_dt", "update_dt"))
+    EtlPipeline.runFromTables(spark, wh, feed(src3), runId = 3,
+      deleteTs = "2024-01-04 00:00:00")
+    val t3 = tbl()
+    val catOpen = t3.filter(col("client_id") === 3 && col("effective_to") === openEnd)
+    assert(catOpen.count() == 1)
+    assert(!catOpen.collect()(0).getAs[Boolean]("deleted_flg"), "revived Cat must be live")
+    assert(t3.filter(col("client_id") === 3).count() == 3) // closed, closed tombstone, open
+    val t3Count = t3.count() // materialize BEFORE run 4 swaps the files
+
+    // day 4: identical source — watermark stages nothing, table unchanged
+    val r4 = EtlPipeline.runFromTables(spark, wh, feed(src3), runId = 4,
+      deleteTs = "2024-01-05 00:00:00")
+    assert(logRow(r4, "stg_dwh_clients").getAs[Long]("rows_inserted") == 0)
+    assert(tbl().count() == t3Count)
+  }
+
   test("scd1 pipeline merge produces a consistent run log") {
     val dwh = Tables.customer(spark, sf).filter(col("c_custkey") < 100)
       .select(col("c_custkey").as("id"), col("c_acctbal").as("bal"))
