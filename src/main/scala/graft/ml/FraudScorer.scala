@@ -34,8 +34,15 @@ object FraudScorer {
     * replays the 4-rule mart plan (4 window shuffles), and both lr.fit's
     * iterative passes and the final transform would otherwise recompute
     * it from the parquet scan each time.
+    *
+    * TRAINING is capped at `trainSampleCap` rows via a seeded uniform
+    * sample (same reasoning as the IVF quantizer fit): lr's maxIter
+    * passes need a representative sample, not 100 TB of facts, and only
+    * the capped sample is cached — the full-corpus work stays a single
+    * streaming transform pass. Below the cap nothing changes.
     */
-  def score(s: SparkSession, dir: String): DataFrame = {
+  def score(s: SparkSession, dir: String,
+            trainSampleCap: Long = 1000000L): DataFrame = {
     val ev = featurize(Tables.events(s, dir))
     val labels = graft.pipeline.FraudMart.report(s, dir)
       .select(col("event_id")).distinct().withColumn("label", lit(1.0))
@@ -44,15 +51,23 @@ object FraudScorer {
     val assembler = new VectorAssembler()
       .setInputCols(Array("value", "k", "hour", "is_error", "is_purchase"))
       .setOutputCol("features")
-    // cached, not unpersisted here: the returned DataFrame is lazy and
-    // still reads the cache when the caller executes it; Spark evicts
-    // LRU under memory pressure
     val assembled = assembler.transform(data)
       .select(col("event_id"), col("user_id"), col("label"), col("features"))
-      .cache()
+    // cached, not unpersisted here: the returned DataFrame is lazy and
+    // still reads the cache when the caller executes it; Spark evicts
+    // LRU under memory pressure.
+    // Cardinality comes from the raw parquet count (footer-cheap) — the
+    // left join against distinct labels preserves it — so sizing the
+    // sample never replays the 4-window mart plan. Below the cap, train
+    // IS assembled, so caching it gives the final transform a cache hit
+    // on the same plan (the pre-cap behavior, unchanged).
+    val n = Tables.events(s, dir).count()
+    val train = (if (n <= trainSampleCap) assembled
+                 else assembled.sample(withReplacement = false,
+                   trainSampleCap.toDouble / n, seed = 42L)).cache()
     val lr = new LogisticRegression()
       .setMaxIter(10).setRegParam(0.01).setStandardization(true)
-    val model = lr.fit(assembled)
+    val model = lr.fit(train)
     model.transform(assembled)
       .select(col("event_id"), col("user_id"), col("label"),
         col("prediction"),

@@ -373,7 +373,7 @@ object Dedup {
 
   /** Embedding-cosine near-duplicate pairs over a sampled id set.
     * Exact pairwise within the (small) sample; the full-scale path is
-    * Similarity.lshBuckets which avoids the quadratic join.
+    * [[embeddingLshPairs]], which avoids the quadratic join.
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
@@ -382,6 +382,50 @@ object Dedup {
     val b = v.select(col(idCol).as("id_b"), col("v").as("vb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", graft.functions.VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Corpus-scale embedding near-dup pairs — the embedding analogue of
+    * [[lshVerifiedPairs]]: `nTables` independent random-hyperplane LSH
+    * tables generate candidates (a per-table bucket equi-join, one
+    * shuffle on (table, signature)), then exact cosine verifies every
+    * candidate through two key joins back to the vectors. No cross join,
+    * no corpus broadcast; the vector scan feeds signatures and
+    * verification alike.
+    *
+    * Precision is exact by construction (the cosine filter is the last
+    * step). Recall is 1-(1-p^nBits)^nTables with p = 1 - θ/π (Charikar's
+    * hyperplane collision probability), so unlike minhash banding it
+    * cannot be driven to ~1 cheaply at LOW thresholds — near-orthogonal
+    * "duplicates" are not LSH-findable. Tune upward: for a true near-dup
+    * threshold (cos ≥ 0.9, p ≈ 0.86) nBits=8 × nTables=16 reaches ~99.6%
+    * recall with 256-way bucketing per table. Hence rows-only, not
+    * oracle-equal — the miss probability is tunable but never ~4e-7.
+    */
+  def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, nBits: Int, nTables: Int,
+                        dim: Int, seed: Long = 42L): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val sigCols = (0 until nTables).map { t =>
+      val planes = Similarity.hyperplanes(nBits, dim, seed + t)
+      struct(lit(t).as("tbl"),
+        Similarity.lshSignature(col("v"), planes).as("sig")).as(s"t$t")
+    }
+    val banded = v.select(col("id") +: sigCols: _*)
+      .select(col("id"),
+        explode(array((0 until nTables).map(t => col(s"t$t")): _*)).as("b"))
+      .select(col("id"), col("b.tbl"), col("b.sig"))
+    val l = banded.select(col("id").as("id_a"), col("tbl"), col("sig"))
+    val r = banded.select(col("id").as("id_b"), col("tbl"), col("sig"))
+    val cands = l.join(r, Seq("tbl", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val va = v.select(col("id").as("id_a"), col("v").as("va"))
+    val vb = v.select(col("id").as("id_b"), col("v").as("vb"))
+    cands.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cos", graft.functions.VectorFunctions.cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b")

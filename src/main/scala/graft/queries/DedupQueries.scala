@@ -107,6 +107,13 @@ object DedupQueries {
       Tables.documents(s, dir).filter(col("doc_id") % 4 === 0),
       "doc_id", "text", k = 3, threshold = JaccardT, numPerm = 16, bands = 16)
 
+  // --- q73: corpus-scale embedding near-dup — multi-table hyperplane
+  // LSH candidates + exact cosine verify on the FULL embeddings table
+  // (rows-only: recall < 1 by construction, see Dedup.embeddingLshPairs)
+  def q73(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingLshPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      threshold = CosT, nBits = 4, nTables = 16, dim = 64)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_ngram"        -> (q21 _),
     "q22_dedup_minhash"      -> (q22 _),
@@ -114,7 +121,8 @@ object DedupQueries {
     "q24_dedup_embedding"    -> (q24 _),
     "q25_ann_bruteforce"     -> (q25 _),
     "q26_ann_lsh"            -> (q26 _),
-    "q72_dedup_lsh_verified" -> (q72 _))
+    "q72_dedup_lsh_verified" -> (q72 _),
+    "q73_dedup_embedding_lsh" -> (q73 _))
 
   val oracle: Map[String, String] = Map(
     "q21_dedup_ngram"        -> q21Sql,

@@ -36,6 +36,21 @@ class DedupSpec extends SparkSpec {
     assert(!phys.contains("BroadcastNestedLoopJoin"), "scale path must not nested-loop join")
   }
 
+  test("embedding LSH pairs: exact precision, high recall, no cross join") {
+    val e = Tables.embeddings(spark, sf)
+    val lsh = Dedup.embeddingLshPairs(e, "vec_id", "embedding",
+      threshold = 0.35, nBits = 4, nTables = 16, dim = 64).cache()
+    val exact = Dedup.embeddingPairs(e, "vec_id", "embedding", 0.35).cache()
+    assert(lsh.count() > 0)
+    // precision exactly 1.0: every emitted pair is a verified exact pair
+    assert(lsh.exceptAll(exact).count() == 0, "LSH emitted a below-threshold pair")
+    val recall = lsh.count().toDouble / exact.count()
+    assert(recall >= 0.75, f"recall $recall%.3f below the 16-table expectation")
+    val phys = lsh.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"), "scale path must not cross join")
+    assert(!phys.contains("BroadcastNestedLoopJoin"), "scale path must not nested-loop join")
+  }
+
   test("simhash banding recalls every pair at the contract bound; rejects beyond") {
     val base = Tables.documents(spark, sf).limit(60).select("doc_id", "text")
     // doubled corpus under new ids: guarantees hamming-0 pairs exist
