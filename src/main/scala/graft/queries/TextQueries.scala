@@ -103,6 +103,22 @@ object TextQueries {
   def q33(s: SparkSession, dir: String): DataFrame =
     graft.ml.FraudScorer.score(s, dir)
 
+  // --- q74: stream-stream interval join, batch execution (the streaming
+  // twin runs the SAME definition on two watermarked streams —
+  // StreamingSpec proves batch/stream equality) ---
+  def q74(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    graft.streaming.StreamingFraud.purchasesAfterErrors(ev, ev, lookbackMinutes = 60)
+  }
+
+  val q74Sql: String =
+    """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS p_ts,
+      | e.event_id AS error_id, e.ts AS e_ts
+      |FROM events p JOIN events e
+      | ON p.user_id = e.user_id
+      | AND p.event_type = 'purchase' AND e.event_type = 'error'
+      | AND e.ts BETWEEN p.ts - INTERVAL 60 MINUTES AND p.ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_text_stats"      -> (q27 _),
     "q28_lang_id"         -> (q28 _),
@@ -110,11 +126,13 @@ object TextQueries {
     "q30_fingerprint"     -> (q30 _),
     "q31_multimodal_meta" -> (q31 _),
     "q32_stream_windowed" -> (q32 _),
-    "q33_fraud_score"     -> (q33 _))
+    "q33_fraud_score"     -> (q33 _),
+    "q74_stream_join"     -> (q74 _))
 
   val oracle: Map[String, String] = Map(
     "q27_text_stats"      -> q27Sql,
     "q28_lang_id"         -> q28Sql,
     "q29_quality_filter"  -> q29Sql,
-    "q32_stream_windowed" -> q32Sql)
+    "q32_stream_windowed" -> q32Sql,
+    "q74_stream_join"     -> q74Sql)
 }

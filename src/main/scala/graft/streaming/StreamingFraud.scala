@@ -150,6 +150,35 @@ object StreamingFraud {
     if (withinWatermark) events.dropDuplicatesWithinWatermark("user_id", "event_type")
     else events.dropDuplicates("user_id", "event_type")
 
+  /** Watermarked stream-stream interval join: purchases matched to the
+    * same user's error events in the preceding `lookbackMinutes` — the
+    * "conversion despite errors" enrichment. One shared definition for
+    * batch and stream (pass the same watermarked stream twice for the
+    * streaming self-join).
+    *
+    * Shape notes for the streaming engine: the equality key (user_id)
+    * plus the bounded `BETWEEN` time condition is exactly what lets
+    * Spark bound the join state — each side's buffered rows are dropped
+    * once the OTHER side's watermark passes their join window, so state
+    * is O(lookback × rate), not O(stream). In batch the same plan is a
+    * plain shuffled equi-join with a range post-filter (the asOfJoin
+    * shape) — never a cross product.
+    */
+  def purchasesAfterErrors(purchaseSide: DataFrame, errorSide: DataFrame,
+                           lookbackMinutes: Int): DataFrame = {
+    val p = purchaseSide.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    val e = errorSide.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("error_id"))
+    p.join(e,
+        col("user_id") === col("e_user") &&
+          col("e_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES") &&
+          col("e_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("p_ts"),
+        col("error_id"), col("e_ts"))
+  }
+
   def velocityStream(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

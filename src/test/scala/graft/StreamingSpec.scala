@@ -85,6 +85,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    val batchEvents = graft.sources.Tables.events(spark, sf).cache()
+    batchEvents.write.mode("overwrite").parquet(dir)
+
+    // streaming self-join: the same watermarked stream on both sides
+    val s1 = StreamingFraud.readEventStream(spark, dir)
+    val s2 = StreamingFraud.readEventStream(spark, dir)
+    val q = StreamingFraud.purchasesAfterErrors(s1, s2, lookbackMinutes = 60)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out")
+      val batch = StreamingFraud.purchasesAfterErrors(batchEvents, batchEvents, 60)
+      assert(batch.count() > 0, "test corpus must produce join rows")
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+    } finally q.stop()
+  }
+
   test("stateful velocity stream flags location changes within an hour") {
     val batchEvents = graft.sources.Tables.events(spark, sf)
     val flags = StreamingFraud.velocityStream(batchEvents).cache()
