@@ -1,0 +1,38 @@
+package graft
+
+/** Plan lint over the ENTIRE query surface: the scale contract from
+  * SURVEY.md §5, enforced rather than documented.
+  *
+  * - No query may plan a CartesianProduct, ever.
+  * - BroadcastNestedLoopJoin is allowed only where the broadcast side is
+  *   bounded BY CONSTRUCTION (listed below with the bound) — a new query
+  *   that accidentally plans a corpus×corpus loop join fails here before
+  *   it ever reaches a benchmark.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  /** Queries whose documented contract bounds the nested-loop side:
+    *  - q21_dedup_ngram / q24_dedup_embedding: VERIFICATION-ONLY all-pairs
+    *    on a deterministic id sample (scale twins: q72 / q73, lint-clean).
+    *  - q25_ann_bruteforce / q68_ann_recall: probe set broadcast (a query
+    *    batch), corpus scanned once — the exact-baseline contract.
+    *  - q46_gap_fill: key spine × date spine, both dimension-sized.
+    *  - q47_tfidf: scalar total-document count broadcast to every row.
+    *  - q49_ann_ivf: probes × nCells centroid table (quantizer output).
+    */
+  private val boundedNestedLoop = Set(
+    "q21_dedup_ngram", "q24_dedup_embedding", "q25_ann_bruteforce",
+    "q46_gap_fill", "q47_tfidf", "q49_ann_ivf", "q68_ann_recall")
+
+  test("no cartesian products; nested-loop joins only where bounded by design") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      val cart = if (plan.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
+      val bnlj =
+        if (plan.contains("BroadcastNestedLoopJoin") && !boundedNestedLoop(name))
+          Seq(s"$name: unexpected BroadcastNestedLoopJoin") else Nil
+      cart ++ bnlj
+    }
+    assert(offenders.isEmpty, s"scale-contract violations:\n${offenders.mkString("\n")}")
+  }
+}
