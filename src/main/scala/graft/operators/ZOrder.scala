@@ -60,4 +60,36 @@ object ZOrder {
       .groupBy("zbucket")
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
+
+  /** Per-FILE min/max stats of a written (ideally [[cluster]]ed) parquet
+    * table — the index consulted by [[prunedRead]]. One metadata-light
+    * scan; persist next to the table and refresh on write.
+    */
+  def fileIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                dims: Seq[String]): DataFrame = {
+    val aggs = dims.flatMap(d =>
+      Seq(min(col(d)).as(s"min_$d"), max(col(d)).as(s"max_$d")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Range scan that READS ONLY the files whose [min,max] envelope
+    * intersects the predicate — file-level skipping on top of the
+    * z-order layout, the same mechanic a lakehouse table format applies
+    * from its manifest stats. The index is file-count-sized (collected
+    * driver-side, like any scan planner's manifest); the data read is
+    * the pruned file list. The residual filter still applies, so the
+    * result is exact regardless of layout.
+    */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+                 index: DataFrame, dim: String, lo: Long, hi: Long): DataFrame = {
+    val keep = index
+      .filter(col(s"max_$dim") >= lo && col(s"min_$dim") <= hi)
+      .select("file").collect().map(_.getString(0))
+    val base =
+      if (keep.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    base.filter(col(dim) >= lo && col(dim) <= hi)
+  }
 }

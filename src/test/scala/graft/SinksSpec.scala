@@ -66,6 +66,19 @@ class SinksSpec extends SparkSpec {
     // and the z layout keeps ts locality too (far from the full range)
     assert(avgSpan(s"$dir/zorder", "t16") < 0.5 * 65535,
       "z-order files must stay time-local as well")
+
+    // the read path: file-level skipping off the per-file index must
+    // read fewer files than exist AND return the exact filter result
+    val idx = ZOrder.fileIndex(spark, s"$dir/zorder", Seq("u16", "t16")).cache()
+    val nFiles = idx.count()
+    val (lo, hi) = (1000L, 9000L) // a narrow u16 slice
+    val kept = idx.filter(col("max_u16") >= lo && col("min_u16") <= hi).count()
+    assert(kept < nFiles, s"narrow range kept all $nFiles files — no skipping")
+    val pruned = ZOrder.prunedRead(spark, s"$dir/zorder", idx, "u16", lo, hi)
+    val full = spark.read.parquet(s"$dir/zorder")
+      .filter(col("u16") >= lo && col("u16") <= hi)
+    assert(pruned.count() == full.count())
+    assert(pruned.select("event_id").exceptAll(full.select("event_id")).isEmpty)
   }
 
   test("xlsx read of an empty glob fails fast, not silently") {
