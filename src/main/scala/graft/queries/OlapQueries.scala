@@ -141,6 +141,34 @@ object OlapQueries {
        |FROM h WHERE effective_from <= TIMESTAMP '$AsOf'
        | AND effective_to >= TIMESTAMP '$AsOf'""".stripMargin
 
+  // --- q75: supplier/part revenue star — the 4-way dim join (fact
+  // lineitem ⋈ supplier ⋈ nation ⋈ part). All three dims broadcast; the
+  // fact is scanned once with only 4 columns read. Top revenue per
+  // (nation, brand) with deterministic ordering.
+  def q75(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("n_name"), col("p_brand"))
+      .agg(
+        // q01's proven decimal-parity formulation: product at full
+        // precision, decimal sum, surfaced as double
+        sum(col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  val q75Sql: String =
+    """SELECT n_name, p_brand,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      | CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN part ON l_partkey = p_partkey
+      |GROUP BY n_name, p_brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_cube"          -> (q34 _),
     "q35_pivot"         -> (q35 _),
@@ -148,7 +176,8 @@ object OlapQueries {
     "q37_sessionize"    -> (q37 _),
     "q38_grouping_sets" -> (q38 _),
     "q39_salted_join"   -> (q39 _),
-    "q40_pit_snapshot"  -> (q40 _))
+    "q40_pit_snapshot"  -> (q40 _),
+    "q75_supplier_part" -> (q75 _))
 
   val oracle: Map[String, String] = Map(
     "q34_cube"          -> q34Sql,
@@ -156,5 +185,6 @@ object OlapQueries {
     "q37_sessionize"    -> q37Sql,
     "q38_grouping_sets" -> q38Sql,
     "q39_salted_join"   -> q39Sql,
-    "q40_pit_snapshot"  -> q40Sql)
+    "q40_pit_snapshot"  -> q40Sql,
+    "q75_supplier_part" -> q75Sql)
 }
