@@ -30,6 +30,23 @@ class OlapSpec extends SparkSpec {
     assert(sess.count() > 0)
   }
 
+  test("native session_window agrees with the window-function sessionization") {
+    // Boundary note: q37 keeps an event EXACTLY gap after its
+    // predecessor in the same session (strict >); session_window closes
+    // strictly at start+gap. The corpus has no exact-30-min gaps
+    // (verified), so the two definitions must coincide on it — a third
+    // independent implementation agreeing with q37 and the streaming
+    // FMGWS twin.
+    val native = Tables.events(spark, sf)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
+      .select("user_id", "session_start", "n_events")
+    val viaWindows = OlapQueries.q37(spark, sf)
+      .select("user_id", "session_start", "n_events")
+    assert(native.count() == viaWindows.count())
+    assert(native.exceptAll(viaWindows).count() == 0)
+  }
+
   test("point-in-time snapshot has at most one state per user") {
     val snap = OlapQueries.q40(spark, sf)
     val dupes = snap.groupBy("user_id").count().filter(col("count") > 1)

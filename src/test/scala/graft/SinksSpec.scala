@@ -81,6 +81,25 @@ class SinksSpec extends SparkSpec {
     assert(pruned.select("event_id").exceptAll(full.select("event_id")).isEmpty)
   }
 
+  test("matching bucketed tables join with no shuffle exchange") {
+    Sinks.writeBucketedTable(Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice"), "b_orders", 8, Seq("o_custkey"))
+    Sinks.writeBucketedTable(Tables.customer(spark, sf)
+      .select("c_custkey", "c_name"), "b_cust", 8, Seq("c_custkey"))
+    // force the sort-merge path — a broadcast would trivially avoid the
+    // exchange without proving bucket co-location
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("b_orders").join(spark.table("b_cust"),
+        col("o_custkey") === col("c_custkey"))
+      assert(j.count() > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must be shuffle-free, got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("xlsx read of an empty glob fails fast, not silently") {
     val e = intercept[IllegalArgumentException](
       XlsxSource.read(spark, "/tmp/nope_*.xlsx"))
