@@ -29,12 +29,14 @@ object FraudMart {
     * (trsh_rep_fraud_sync.sql:3-24). Blacklist = negative account
     * balance; the dim side broadcasts.
     */
-  def r1Blacklist(s: SparkSession, dir: String): DataFrame = {
-    val bl = Tables.customer(s, dir)
+  def r1Blacklist(s: SparkSession, dir: String): DataFrame =
+    r1On(events(s, dir), Tables.customer(s, dir))
+
+  private def r1On(ev: DataFrame, customer: DataFrame): DataFrame = {
+    val bl = customer
       .filter(col("c_acctbal") < 0)
       .select(col("c_custkey"), col("c_name").as("fio"))
-    events(s, dir)
-      .filter(col("event_type") === "purchase")
+    ev.filter(col("event_type") === "purchase")
       .join(broadcast(bl), col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("ts").as("event_dt"), col("user_id"), col("fio"),
         lit(1).as("rule"))
@@ -46,22 +48,32 @@ object FraudMart {
     */
   def r2Expired(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
-    val validity = ev.filter(col("event_type") === "signup")
+    r2On(ev, validityOf(ev))
+  }
+
+  /** Per-user validity from the FULL signup history — an incrementally
+    * maintainable min-aggregate; the scan it needs prunes to the signup
+    * slice (predicate pushed) and two columns.
+    */
+  private def validityOf(allEvents: DataFrame): DataFrame =
+    allEvents.filter(col("event_type") === "signup")
       .groupBy("user_id")
       .agg((min(col("ts")) + expr("INTERVAL 20 DAYS")).as("valid_to"))
+
+  private def r2On(ev: DataFrame, validity: DataFrame): DataFrame =
     ev.filter(col("event_type") === "purchase").alias("e")
       .join(validity.alias("v"), Seq("user_id"))
       .filter(col("e.ts") > col("v.valid_to"))
       .select(col("event_id"), col("ts").as("event_dt"), col("user_id"), lit(2).as("rule"))
-  }
 
   /** R3 — operations from different locations within one hour
     * (trsh_rep_fraud_sync.sql:47-80: LAG(city) per client). Location =
     * the `k` property of the event JSON payload.
     */
-  def r3Velocity(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+  def r3Velocity(s: SparkSession, dir: String): DataFrame = r3On(events(s, dir))
+
+  private def r3On(ev: DataFrame): DataFrame =
+    ev.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .withColumn("prv_k", lag(col("k"), 1).over(wUser))
       .withColumn("prv_ts", lag(col("ts"), 1).over(wUser))
       .filter(col("k") =!= col("prv_k"))
@@ -74,11 +86,12 @@ object FraudMart {
     * attempt smaller than the previous. Frames mirror the reference:
     * LAG(amt), MIN/SUM over ROWS BETWEEN n PRECEDING.
     */
-  def r4Guessing(s: SparkSession, dir: String): DataFrame = {
+  def r4Guessing(s: SparkSession, dir: String): DataFrame = r4On(events(s, dir))
+
+  private def r4On(ev: DataFrame): DataFrame = {
     val frame3 = wUser.rowsBetween(-3, -1)
     val frame2 = wUser.rowsBetween(-2, 0)
-    events(s, dir)
-      .withColumn("prv_amt", lag(col("value"), 1).over(wUser))
+    ev.withColumn("prv_amt", lag(col("value"), 1).over(wUser))
       .withColumn("min_dt", min(col("ts")).over(frame3))
       .withColumn("errs",
         sum(when(col("event_type") === "error", 1).otherwise(0)).over(frame3))
@@ -89,16 +102,52 @@ object FraudMart {
       .select(col("event_id"), col("ts").as("event_dt"), col("user_id"), lit(4).as("rule"))
   }
 
+  private val CommonCols = Seq("event_id", "event_dt", "user_id", "rule")
+
+  private def unionRules(ev: DataFrame, customer: DataFrame,
+                         validity: DataFrame): DataFrame =
+    r1On(ev, customer).select(CommonCols.map(col): _*)
+      .unionByName(r2On(ev, validity).select(CommonCols.map(col): _*))
+      .unionByName(r3On(ev).select(CommonCols.map(col): _*))
+      .unionByName(r4On(ev).select(CommonCols.map(col): _*))
+
   /** The accumulated report: UNION ALL of the four rules projected to the
     * common schema, only rows newer than the last report watermark.
     */
-  def report(s: SparkSession, dir: String): DataFrame = {
-    val common = Seq("event_id", "event_dt", "user_id", "rule")
-    val all = r1Blacklist(s, dir).select(common.map(col): _*)
-      .unionByName(r2Expired(s, dir).select(common.map(col): _*))
-      .unionByName(r3Velocity(s, dir).select(common.map(col): _*))
-      .unionByName(r4Guessing(s, dir).select(common.map(col): _*))
-    all.filter(col("event_dt") > lit(Watermark).cast("timestamp"))
+  def report(s: SparkSession, dir: String,
+             watermark: String = Watermark): DataFrame = {
+    val ev = events(s, dir)
+    unionRules(ev, Tables.customer(s, dir), validityOf(ev))
+      .filter(col("event_dt") > lit(watermark).cast("timestamp"))
+      .withColumn("report_dt", to_date(col("event_dt")))
+  }
+
+  /** Incremental mart refresh — the 100 TB answer to the reference's
+    * full-rebuild `mart_update`. Only events inside the rule lookback
+    * horizon are re-windowed (one partition-prunable time filter on the
+    * fact scan); everything older is provably irrelevant:
+    *
+    *  - r1 is per-event (dim join) — no history needed.
+    *  - r2's validity is the min-signup aggregate, maintained from the
+    *    SIGNUP SLICE of history (predicate+column-pruned scan — at 100 TB
+    *    a tiny fraction of the facts; in a live deployment it's a
+    *    watermark-maintained table).
+    *  - r3 fires only when the previous event is < 1 h older.
+    *  - r4's frames are row-based, but every FIRING row requires its
+    *    trailing window inside 96 h (`ts < min_dt + 96h`), and truncating
+    *    the buffer only removes rows that are FURTHER than the surviving
+    *    ones — it can suppress only flags the 96 h filter kills anyway,
+    *    and can never fabricate a closer preceding row. Hence
+    *    lookbackHours = 96 (the widest rule horizon) reproduces the full
+    *    rebuild exactly — asserted row-for-row in FraudMartSpec.
+    */
+  def incrementalReport(s: SparkSession, dir: String, since: String,
+                        lookbackHours: Int = 96): DataFrame = {
+    val sinceTs = lit(since).cast("timestamp")
+    val ev = events(s, dir)
+    val buffered = ev.filter(col("ts") >= sinceTs - expr(s"INTERVAL $lookbackHours HOURS"))
+    unionRules(buffered, Tables.customer(s, dir), validityOf(ev))
+      .filter(col("event_dt") > sinceTs)
       .withColumn("report_dt", to_date(col("event_dt")))
   }
 }

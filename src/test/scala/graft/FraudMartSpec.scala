@@ -12,6 +12,18 @@ class FraudMartSpec extends SparkSpec {
     assert(FraudMart.r4Guessing(spark, sf).count() > 0)
   }
 
+  test("incremental refresh equals the full rebuild past the watermark") {
+    // mid-corpus split: the 96h lookback buffer genuinely truncates
+    // (events start Jan 1, the buffer starts Jan 11)
+    val since = "2024-01-15 00:00:00"
+    val full = FraudMart.report(spark, sf, watermark = since).cache()
+    val incr = FraudMart.incrementalReport(spark, sf, since).cache()
+    assert(full.count() > 0, "split must leave flags on both sides")
+    assert(incr.count() == full.count())
+    assert(incr.exceptAll(full).count() == 0)
+    assert(full.exceptAll(incr).count() == 0)
+  }
+
   test("r1 only flags purchases of blacklisted users") {
     val r1 = FraudMart.r1Blacklist(spark, sf)
     val pos = graft.sources.Tables.customer(spark, sf)

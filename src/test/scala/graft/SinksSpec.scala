@@ -82,6 +82,15 @@ class SinksSpec extends SparkSpec {
   }
 
   test("matching bucketed tables join with no shuffle exchange") {
+    // idempotence across JVMs: the in-memory catalog forgets managed
+    // tables but their spark-warehouse locations survive — drop both
+    Seq("b_orders", "b_cust").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     Sinks.writeBucketedTable(Tables.orders(spark, sf)
       .select("o_orderkey", "o_custkey", "o_totalprice"), "b_orders", 8, Seq("o_custkey"))
     Sinks.writeBucketedTable(Tables.customer(spark, sf)
