@@ -71,6 +71,50 @@ class ScdPropertySpec extends SparkSpec {
     }
   }
 
+  test("scd2MergeIncremental == scd2Merge when stg is the full snapshot") {
+    // With liveKeys = exactly the stg key set, the incremental path's
+    // "absent from key list" coincides with the full-snapshot path's
+    // "absent from stg" — the two merges must agree row-for-row on ANY
+    // history × snapshot. This pins the refactor: the only intended
+    // divergence is when stg is a strict subset of the live keys.
+    val stgGen: Gen[List[(Long, String)]] =
+      Gen.listOf(for {
+        key <- Gen.choose(1L, 6L)
+        state <- Gen.oneOf("a", "b", "c", "d")
+      } yield (key, state)).map(_.distinctBy(_._1))
+    forAllSamples(Gen.zip(changesGen, stgGen)) { case (histRows, stgRows) =>
+      if (histRows.nonEmpty) {
+        val hist = Scd.buildHistory(toDf(histRows), "k", "ts", "event_id", Seq("state"))
+        val stg = stgRows.toDF("k", "state")
+          .withColumn("create_dt", lit("2024-02-01 00:00:00").cast("timestamp"))
+        val full = Scd.scd2Merge(hist, stg, "k", Seq("state"),
+          deleteTs = "2024-02-01 00:00:00")
+        val incr = Scd.scd2MergeIncremental(hist, stg, stg.select("k"), "k",
+          Seq("state"), deleteTs = "2024-02-01 00:00:00")
+        assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty,
+          "incremental with liveKeys==stg keys must equal the full-snapshot merge")
+      }
+    }
+  }
+
+  test("scd2MergeIncremental never tombstones a key present in the key list") {
+    forAllSamples(changesGen) { histRows =>
+      if (histRows.nonEmpty) {
+        val hist = Scd.buildHistory(toDf(histRows), "k", "ts", "event_id", Seq("state"))
+        // empty incremental stg, but every history key still alive
+        val stg = Seq.empty[(Long, String)].toDF("k", "state")
+          .withColumn("create_dt", lit("2024-02-01 00:00:00").cast("timestamp"))
+        val liveKeys = hist.select("k").distinct()
+        val merged = Scd.scd2MergeIncremental(hist, stg, liveKeys, "k",
+          Seq("state"), deleteTs = "2024-02-01 00:00:00")
+        assert(merged.filter(col("deleted_flg")).isEmpty,
+          "no deletions may appear while every key is in the key list")
+        assert(merged.exceptAll(hist.withColumn("deleted_flg", lit(false))).isEmpty,
+          "an empty incremental batch must leave the history unchanged")
+      }
+    }
+  }
+
   test("scd2Merge: exactly one open version per surviving key; stg state wins") {
     val histGen = changesGen
     val stgGen: Gen[List[(Long, String)]] =

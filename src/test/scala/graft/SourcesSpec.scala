@@ -53,6 +53,36 @@ class SourcesSpec extends SparkSpec {
     assert(df.select("create_dt").distinct().count() == 2)
   }
 
+  test("xlsx round-trips arbitrary cell content (unicode, escapes, sparse rows)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cellGen: Gen[String] = Gen.frequency(
+      4 -> Gen.alphaNumStr.map(_.take(12)),
+      2 -> Gen.oneOf("<&>\"'", "äöü ßẞ", "日本語テキスト", "a;b,c\td", "  padded  "),
+      2 -> Gen.choose(-99999, 99999).map(_.toString),
+      1 -> Gen.const(null))
+    val tableGen: Gen[List[List[String]]] = for {
+      w <- Gen.choose(1, 5)
+      rows <- Gen.listOfN(8, Gen.listOfN(w, cellGen))
+    } yield rows
+    (1 to 5).foreach { i =>
+      val rows = tableGen(Gen.Parameters.default, Seed(7L + i)).get
+      val width = rows.head.length
+      val header = (0 until width).map(c => s"col_$c")
+      val dir = Files.createTempDirectory(s"graft_xlsx_prop$i").toString
+      TestXlsx.write(s"$dir/t_01012024.xlsx", header, rows)
+      val back = XlsxSource.read(spark, s"$dir/t_*.xlsx")
+        .drop("create_dt").collect()
+        .map(r => (0 until width).map(r.getString))
+      // contract: trims nothing, escapes round-trip, null == skipped ==
+      // empty cell; row order within one file is the sheet order
+      val expect = rows.map(_.map(v =>
+        if (v == null || v.isEmpty) null else v))
+      assert(back.toSet == expect.map(_.toIndexedSeq).toSet,
+        s"seed ${7L + i}: mismatch\n got ${back.toSeq}\n want $expect")
+    }
+  }
+
   test("file finder globs templates and archive moves the file") {
     val dir = Files.createTempDirectory("graft_find").toString
     mkTxt(dir, "terminals_01012024.txt", "a;b\n1;2\n")
