@@ -144,9 +144,15 @@ object FraudMart {
   def incrementalReport(s: SparkSession, dir: String, since: String,
                         lookbackHours: Int = 96): DataFrame = {
     val sinceTs = lit(since).cast("timestamp")
-    val ev = events(s, dir)
-    val buffered = ev.filter(col("ts") >= sinceTs - expr(s"INTERVAL $lookbackHours HOURS"))
-    unionRules(buffered, Tables.customer(s, dir), validityOf(ev))
+    // Tables.eventsSince bounds the scan on the RAW time column, so the
+    // horizon predicate reaches parquet row-group stats — on a
+    // time-partitioned 100 TB fact table this is the difference between
+    // reading 4 days and reading everything.
+    val bufferStart = java.time.LocalDateTime.parse(since.replace(' ', 'T'))
+      .minusHours(lookbackHours)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val buffered = Tables.eventsSince(s, dir, bufferStart)
+    unionRules(buffered, Tables.customer(s, dir), validityOf(events(s, dir)))
       .filter(col("event_dt") > sinceTs)
       .withColumn("report_dt", to_date(col("event_dt")))
   }

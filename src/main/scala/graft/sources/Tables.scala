@@ -40,4 +40,31 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
+
+  /** Time-bounded events scan with the predicate PUSHED TO PARQUET.
+    *
+    * A filter on the converted `ts` cannot push down — the scan sees
+    * only `IsNotNull` because the column is computed
+    * (`timestamp_micros(raw div 1000)`), so every row group is read.
+    * This helper applies the bound on the RAW nanosecond long BEFORE
+    * conversion; `.explain` then shows
+    * `PushedFilters: [GreaterThanOrEqual(ts,…)]` and parquet row-group /
+    * file min-max stats prune the 100 TB fact scan down to the queried
+    * horizon. Semantically identical to
+    * `events(...).filter(col("ts") >= lowerBound)` — asserted in
+    * SourcesSpec.
+    */
+  def eventsSince(s: SparkSession, d: String, lowerBound: String): DataFrame = {
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      // parse as UTC explicitly — the session timezone is UTC and the raw
+      // longs are absolute instants; Timestamp.valueOf would use JVM-local
+      val i = java.time.LocalDateTime.parse(lowerBound.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC)
+      val boundNs = i.getEpochSecond * 1000000000L + i.getNano
+      raw.filter(col("ts") >= boundNs)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else
+      raw.filter(col("ts") >= lit(lowerBound).cast("timestamp"))
+  }
 }

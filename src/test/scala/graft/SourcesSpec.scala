@@ -83,6 +83,22 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("eventsSince pushes the time bound to parquet and matches the plain filter") {
+    import graft.sources.Tables
+    val bound = "2024-01-15 00:00:00"
+    val pushed = Tables.eventsSince(spark, sf, bound)
+    val plain = Tables.events(spark, sf)
+      .filter(col("ts") >= lit(bound).cast("timestamp"))
+    // same rows...
+    assert(pushed.count() == plain.count())
+    assert(pushed.exceptAll(plain).count() == 0)
+    // ...but the bound reaches the scan (the converted-column filter
+    // can only push IsNotNull)
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(ts,"),
+      s"time bound must appear in PushedFilters, got:\n${plan.take(600)}")
+  }
+
   test("file finder globs templates and archive moves the file") {
     val dir = Files.createTempDirectory("graft_find").toString
     mkTxt(dir, "terminals_01012024.txt", "a;b\n1;2\n")
