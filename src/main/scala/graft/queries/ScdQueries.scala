@@ -140,8 +140,9 @@ object ScdQueries {
   // --- q15: run-log audit (reference trsh_meta_etl_run_log) ---
   def q15(s: SparkSession, dir: String): DataFrame = {
     val runId = lit(1)
-    val ev = graft.operators.Incremental
-      .newerThan(Tables.events(s, dir), "ts", "2024-01-20 00:00:00")
+    // eventsSince(strict) == Incremental.newerThan but with the bound
+    // pushed to the parquet scan (the converted ts column can't push)
+    val ev = Tables.eventsSince(s, dir, "2024-01-20 00:00:00", inclusive = false)
       .agg(count(lit(1)).as("rows_inserted"))
       .select(runId.as("run_id"), lit("events").as("table_name"), col("rows_inserted"))
     val ord = graft.operators.Incremental

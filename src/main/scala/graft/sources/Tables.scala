@@ -54,7 +54,8 @@ object Tables {
     * `events(...).filter(col("ts") >= lowerBound)` — asserted in
     * SourcesSpec.
     */
-  def eventsSince(s: SparkSession, d: String, lowerBound: String): DataFrame = {
+  def eventsSince(s: SparkSession, d: String, lowerBound: String,
+                  inclusive: Boolean = true): DataFrame = {
     val raw = table(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
       // parse as UTC explicitly — the session timezone is UTC and the raw
@@ -62,9 +63,11 @@ object Tables {
       val i = java.time.LocalDateTime.parse(lowerBound.replace(' ', 'T'))
         .toInstant(java.time.ZoneOffset.UTC)
       val boundNs = i.getEpochSecond * 1000000000L + i.getNano
-      raw.filter(col("ts") >= boundNs)
+      raw.filter(if (inclusive) col("ts") >= boundNs else col("ts") > boundNs)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else
-      raw.filter(col("ts") >= lit(lowerBound).cast("timestamp"))
+    } else {
+      val b = lit(lowerBound).cast("timestamp")
+      raw.filter(if (inclusive) col("ts") >= b else col("ts") > b)
+    }
   }
 }
