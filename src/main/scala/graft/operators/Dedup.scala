@@ -186,6 +186,14 @@ object Dedup {
     * sharing any band bucket are candidate near-duplicates. Cost: linear
     * scan (signature, no shuffle) + one groupBy(band, bucket) shuffle of
     * one row per (doc, band).
+    *
+    * HOT-BUCKET CONTRACT: the within-bucket pair join is quadratic in
+    * bucket size, so a corpus with millions of byte-identical documents
+    * (boilerplate) would put them all in one bucket. Run [[exact]] dedup
+    * FIRST — identical documents collapse to one representative, after
+    * which bucket sizes are bounded by genuine near-dup cluster sizes
+    * and the join stays linear. This ordering (exact → near-dup) is the
+    * standard corpus-cleaning sequence for exactly this reason.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int, numPerm: Int, bands: Int): DataFrame = {
