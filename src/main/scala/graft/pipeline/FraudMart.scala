@@ -32,7 +32,7 @@ object FraudMart {
   def r1Blacklist(s: SparkSession, dir: String): DataFrame =
     r1On(events(s, dir), Tables.customer(s, dir))
 
-  private def r1On(ev: DataFrame, customer: DataFrame): DataFrame = {
+  private[graft] def r1On(ev: DataFrame, customer: DataFrame): DataFrame = {
     val bl = customer
       .filter(col("c_acctbal") < 0)
       .select(col("c_custkey"), col("c_name").as("fio"))
@@ -55,12 +55,12 @@ object FraudMart {
     * maintainable min-aggregate; the scan it needs prunes to the signup
     * slice (predicate pushed) and two columns.
     */
-  private def validityOf(allEvents: DataFrame): DataFrame =
+  private[graft] def validityOf(allEvents: DataFrame): DataFrame =
     allEvents.filter(col("event_type") === "signup")
       .groupBy("user_id")
       .agg((min(col("ts")) + expr("INTERVAL 20 DAYS")).as("valid_to"))
 
-  private def r2On(ev: DataFrame, validity: DataFrame): DataFrame =
+  private[graft] def r2On(ev: DataFrame, validity: DataFrame): DataFrame =
     ev.filter(col("event_type") === "purchase").alias("e")
       .join(validity.alias("v"), Seq("user_id"))
       .filter(col("e.ts") > col("v.valid_to"))

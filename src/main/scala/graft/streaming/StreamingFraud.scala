@@ -49,7 +49,7 @@ object StreamingFraud {
     * different locations within an hour — the streaming twin of
     * FraudMart.r3Velocity.
     */
-  case class Flag(user_id: Long, ts: java.sql.Timestamp, k: Int, prv_k: Int)
+  case class Flag(user_id: Long, ts: java.sql.Timestamp, event_id: Long, k: Int, prv_k: Int)
   case class St(ts: Long, k: Int)
 
   /** Streaming sessionization: the stateful twin of the batch 30-min-gap
@@ -179,6 +179,83 @@ object StreamingFraud {
         col("error_id"), col("e_ts"))
   }
 
+  /** R4's streaming twin — the amount-guessing rule as a stateful
+    * per-user buffer of the last 3 events. Each stored event carries its
+    * own "smaller than its predecessor" bit (computed on arrival from
+    * the then-newest event, so evicting older rows never changes it).
+    * A purchase flags when the buffered window shows >=2 errors, all
+    * within 96 h, and three consecutive decreasing amounts — the exact
+    * conditions of the batch frames (`ROWS BETWEEN 3 PRECEDING AND 1
+    * PRECEDING` / `2 PRECEDING AND CURRENT ROW`). State is 3 rows per
+    * user, O(users), watermark-independent.
+    */
+  case class GuessFlag(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  case class Ev4(ts: Long, eid: Long, typ: String, value: Double, red: Boolean)
+  case class Buf4(evs: List[Ev4])
+
+  def guessingStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double)](
+        Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaLong,
+          Encoders.STRING, Encoders.scalaDouble))
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String, Double)],
+         state: GroupState[Buf4]) => {
+          // same total order as the batch window: (ts, event_id)
+          val sorted = rows.toSeq.sortBy(r => (micros(r._2), r._3))
+          val out = scala.collection.mutable.ArrayBuffer[GuessFlag]()
+          var buf = state.getOption.map(_.evs).getOrElse(Nil) // newest first
+          sorted.foreach { case (_, ts, eid, typ, value) =>
+            val t = micros(ts)
+            // bit vs the CURRENT newest (this event's immediate
+            // predecessor); batch's when(v < prv).otherwise(0) → false
+            // when there is no predecessor
+            val red = buf.headOption.exists(p => value < p.value)
+            val prev3 = buf.take(3)
+            if (typ == "purchase" && prev3.nonEmpty) {
+              val errs = prev3.count(_.typ == "error")
+              val minDt = prev3.map(_.ts).min
+              val redRun = red && buf.take(2).forall(_.red) // this + 2 preceding bits
+              if (errs >= 2 && t < minDt + 96L * 3600L * 1000000L && redRun)
+                out += GuessFlag(user, ts, eid)
+            }
+            buf = (Ev4(t, eid, typ, value, red) :: buf).take(3)
+          }
+          state.update(Buf4(buf))
+          out.iterator
+        })(Encoders.product[Buf4], Encoders.product[GuessFlag])
+      .toDF()
+  }
+
+  /** The WHOLE fraud report as one continuous stream — the reference's
+    * nightly `mart_update` with the batch window removed. All four rules
+    * share their definitions with the batch mart:
+    *  - r1: stream-static broadcast join against the client dim
+    *    (FraudMart.r1On works unchanged on a streaming frame),
+    *  - r2: stream-static join against the maintained validity table,
+    *  - r3: [[velocityStream]] (stateful last-location),
+    *  - r4: [[guessingStream]] (stateful 3-event buffer).
+    * `customer` and `validity` are static/slowly-updating relations — at
+    * scale, Delta-style tables refreshed by the batch pipeline.
+    */
+  def reportStream(events: DataFrame, customer: DataFrame,
+                   validity: DataFrame): DataFrame = {
+    val common = Seq("event_id", "event_dt", "user_id", "rule")
+    graft.pipeline.FraudMart.r1On(events, customer).select(common.map(col): _*)
+      .unionByName(graft.pipeline.FraudMart.r2On(events, validity)
+        .select(common.map(col): _*))
+      .unionByName(velocityStream(events)
+        .select(col("event_id"), col("ts").as("event_dt"), col("user_id"),
+          lit(3).as("rule")))
+      .unionByName(guessingStream(events)
+        .select(col("event_id"), col("ts").as("event_dt"), col("user_id"),
+          lit(4).as("rule")))
+  }
+
   def velocityStream(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -201,10 +278,10 @@ object StreamingFraud {
           val sorted = rows.toSeq.sortBy(r => (micros(r._2), r._4))
           val out = scala.collection.mutable.ArrayBuffer[Flag]()
           var prev = state.getOption
-          sorted.foreach { case (_, ts, k, _) =>
+          sorted.foreach { case (_, ts, k, eid) =>
             prev.foreach { p =>
               if (p.k != k && micros(ts) < p.ts + 3600L * 1000000L)
-                out += Flag(user, ts, k, p.k)
+                out += Flag(user, ts, eid, k, p.k)
             }
             prev = Some(St(micros(ts), k))
           }

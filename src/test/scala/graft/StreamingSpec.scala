@@ -113,4 +113,40 @@ class StreamingSpec extends SparkSpec {
     assert(flags.count() == expected,
       s"stateful path found ${flags.count()} flags, window path $expected")
   }
+
+  test("stateful guessing stream matches batch r4 flag-for-flag") {
+    val batchEvents = graft.sources.Tables.events(spark, sf)
+    val streamed = StreamingFraud.guessingStream(batchEvents)
+      .select(col("event_id"), col("user_id")).cache()
+    val batch = graft.pipeline.FraudMart.r4Guessing(spark, sf)
+      .select(col("event_id"), col("user_id"))
+    assert(streamed.count() == batch.count(),
+      s"stateful ${streamed.count()} vs window ${batch.count()}")
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
+  test("full fraud report runs as one continuous stream, matching batch rules") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep_stream").toString
+    val batchEvents = graft.sources.Tables.events(spark, sf).cache()
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val customer = graft.sources.Tables.customer(spark, sf)
+    val validity = graft.pipeline.FraudMart.validityOf(batchEvents)
+    val q = StreamingFraud.reportStream(
+        StreamingFraud.readEventStream(spark, dir), customer, validity)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("report_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("report_stream_out")
+        .select("event_id", "user_id", "rule")
+      // the batch twin WITHOUT the accumulation watermark: all rules
+      val batch = graft.pipeline.FraudMart.report(spark, sf,
+        watermark = "1900-01-01 00:00:00").select("event_id", "user_id", "rule")
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0,
+        "stream emitted a flag the batch mart does not contain")
+      val missing = batch.exceptAll(streamed).count()
+      assert(missing == 0, s"$missing batch flags missing from the stream")
+    } finally q.stop()
+  }
 }
