@@ -171,11 +171,15 @@ object Dedup {
 
   private def signaturesFromShingles(sh: DataFrame, idCol: String,
                                      numPerm: Int): DataFrame = {
-    // Seeded string hash per permutation. (Measured alternatives at
-    // sf0.1: deriving permutations by re-hashing a single 64-bit base
-    // hash was ~1.7x slower — k-char shingles are near-fixed-width
-    // already — and an a*x+b universal hash overflows long arithmetic,
-    // which Spark 4's ANSI mode rejects.)
+    // Seeded string hash per permutation. Measured alternative (sf0.01):
+    // deriving the numPerm values from ONE base string hash
+    // (xxhash64(i, xxhash64(shingle))) hashes 25-30% faster per row but
+    // the derived family over-collides at the BAND level — 2.2× the
+    // candidate pairs (22973 vs 10544) at identical verified recall —
+    // so the pair-join stage more than eats the saving. Independent
+    // per-permutation string hashes keep band-bucket selectivity at the
+    // theoretical J^rowsPerBand. (An a*x+b universal hash would
+    // overflow long arithmetic, which Spark 4's ANSI mode rejects.)
     val sigCols = (0 until numPerm).map { i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"h$i")
     }
