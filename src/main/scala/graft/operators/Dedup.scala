@@ -214,9 +214,16 @@ object Dedup {
       val slice = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(bnd).as("band"), xxhash64(slice: _*).as("bucket")).as(s"b$bnd")
     }
+    // Persist the banded rows: both sides of the self-join below derive
+    // from this frame, and without the cache each side re-runs the
+    // whole shingle-explode + signature aggregation (the corpus-sized
+    // work) — measured 2× the scan cost at sf0.1. The cached frame is
+    // docs × bands rows (one per band per document), tiny next to the
+    // corpus; LRU-evicted like the shingle cache in lshVerifiedPairs.
     val banded = sig.select(col(idCol) +: bandCols: _*)
       .select(col(idCol), explode(array((0 until bands).map(b => col(s"b$b")): _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket"))
