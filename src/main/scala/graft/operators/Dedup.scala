@@ -267,13 +267,17 @@ object Dedup {
       s"simhashPairs guarantees recall only for maxHamming <= 3 " +
         s"(got $maxHamming); the 4-chunk split cannot see all pairs beyond that")
     val fp = simhash(df, idCol, textCol)
-    // 4 chunks of 16 bits; hamming<=3 pairs must share one chunk
+    // 4 chunks of 16 bits; hamming<=3 pairs must share one chunk.
+    // Persisted for the same reason as the banded LSH frame: the
+    // self-join below would otherwise run the 64-bit-column simhash
+    // aggregation once per side. One row per (doc, chunk) — tiny.
     val chunked = fp.select(col(idCol), col("simhash"),
         explode(array((0 until 4).map { c =>
           struct(lit(c).as("chunk"),
             shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ckey"))
         }: _*)).as("ck"))
       .select(col(idCol), col("simhash"), col("ck.chunk"), col("ck.ckey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = chunked.select(col(idCol).as("id_a"), col("simhash").as("fp_a"),
       col("chunk"), col("ckey"))
     val r = chunked.select(col(idCol).as("id_b"), col("simhash").as("fp_b"),
@@ -432,10 +436,13 @@ object Dedup {
       struct(lit(t).as("tbl"),
         Similarity.lshSignature(col("v"), planes).as("sig")).as(s"t$t")
     }
+    // persisted: the self-join would recompute the nTables × nBits
+    // hyperplane projections per side; one row per (vector, table)
     val banded = v.select(col("id") +: sigCols: _*)
       .select(col("id"),
         explode(array((0 until nTables).map(t => col(s"t$t")): _*)).as("b"))
       .select(col("id"), col("b.tbl"), col("b.sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col("id").as("id_a"), col("tbl"), col("sig"))
     val r = banded.select(col("id").as("id_b"), col("tbl"), col("sig"))
     val cands = l.join(r, Seq("tbl", "sig"))
