@@ -237,6 +237,49 @@ object EtlPipeline {
     RunReport(runId, log.drop("run_ts"), Seq.empty, Seq.empty)
   }
 
+  /** Continuous warehouse ingestion: each micro-batch of a stream
+    * merges into the parquet target through the SAME merge→log→swap
+    * step as the batch loops — a Delta-style streaming MERGE on plain
+    * parquet. scd=1 upserts; scd=2 versions changed keys, with
+    * deletions explicitly disabled (a stream of arrivals carries no
+    * key-list; tombstones belong to the batch reconciliation run, which
+    * passes a real key list to [[runFromTables]]). The returned query
+    * runs until stopped; run-log rows append per micro-batch with
+    * `run_id = batchId`.
+    *
+    * The batch argument must already be shaped like a staging frame:
+    * `mapping.key`, `mapping.payload`, and (for scd=2) `create_dt`.
+    */
+  def streamingMerge(stream: DataFrame, warehouseDir: String,
+                     m: TableMapping): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val stg = batch.persist()
+          val logRows = Seq.newBuilder[(Int, String, Long, Long, Long)]
+          // scd2 without deletions: every open key stays live — the key
+          // list is "everything already open plus this batch"
+          val liveKeys =
+            if (m.scd == 2) Some(
+              readTargetOrEmpty(spark, s"$warehouseDir/${m.targetName}",
+                stg.select(m.key).limit(0))
+                .select(m.key).unionByName(stg.select(m.key)))
+            else None
+          mergeInto(spark, warehouseDir, m, stg, batchId.toInt,
+            deleteTs = "9999-12-31 00:00:00", liveKeys, logRows)
+          import spark.implicits._
+          logRows.result()
+            .toDF("run_id", "table_name", "rows_inserted", "rows_updated",
+              "rows_deleted")
+            .withColumn("run_ts", current_timestamp())
+            .write.mode(SaveMode.Append).parquet(s"$warehouseDir/etl_run_log")
+          stg.unpersist(blocking = false)
+        }
+        ()
+      }
+      .start()
+
   /** Shared merge→log→snapshot-swap step for both the file and the
     * database loops.
     */

@@ -155,6 +155,36 @@ class EtlPipelineSpec extends SparkSpec {
     assert(tbl().count() == t3Count)
   }
 
+  test("streaming merge upserts each micro-batch into the warehouse") {
+    val s = spark
+    import s.implicits._
+    val inDir = Files.createTempDirectory("graft_sm_in").toString
+    val wh = Files.createTempDirectory("graft_sm_wh").toString
+    val m = TableMapping("stream", "dwh_stream_cust", "id", Seq("bal"), scd = 1)
+    def push(rows: Seq[(Long, Double)]): Unit =
+      rows.toDF("id", "bal").coalesce(1).write.mode("append").parquet(inDir)
+    push(Seq((1L, 10.0), (2L, 20.0)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bal", org.apache.spark.sql.types.DoubleType)))
+    val q = EtlPipeline.streamingMerge(
+      spark.readStream.schema(schema).parquet(inDir), wh, m)
+    try {
+      q.processAllAvailable()
+      val t1 = spark.read.parquet(s"$wh/dwh_stream_cust").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(t1 == Map(1L -> 10.0, 2L -> 20.0))
+      // batch 2: update user 2, insert user 3
+      push(Seq((2L, 25.0), (3L, 30.0)))
+      q.processAllAvailable()
+      val t2 = spark.read.parquet(s"$wh/dwh_stream_cust").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(t2 == Map(1L -> 10.0, 2L -> 25.0, 3L -> 30.0))
+      // per-micro-batch run log accumulated
+      assert(spark.read.parquet(s"$wh/etl_run_log").count() >= 2)
+    } finally q.stop()
+  }
+
   test("scd1 pipeline merge produces a consistent run log") {
     val dwh = Tables.customer(spark, sf).filter(col("c_custkey") < 100)
       .select(col("c_custkey").as("id"), col("c_acctbal").as("bal"))
