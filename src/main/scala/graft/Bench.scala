@@ -24,6 +24,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Fail on duplicate qNN prefixes BEFORE the ~15-minute bench pass,
+    // not after: a registry mistake should cost milliseconds, not the
+    // whole run plus the driver-contract stdout line.
+    val registeredShort = SparkEntry.queries.keys.map(_.takeWhile(_ != '_')).toSeq
+    require(registeredShort.distinct.size == registeredShort.size,
+      s"duplicate qNN prefixes would silently drop timings: ${registeredShort.sorted}")
+
     // Warm-up pass over EVERY query (untimed): JIT + whole-stage codegen
     // compilation, parquet footer/page-cache reads, and shuffle setup
     // otherwise dominate the first execution of each plan shape — the
@@ -68,9 +75,6 @@ object Bench {
     // it — but NEVER let a stop() failure swallow the line itself.
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: $e") }
-    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
-    require(shortKeys.distinct.size == results.size,
-      s"duplicate qNN prefixes would silently drop timings: $shortKeys")
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""

@@ -141,8 +141,11 @@ object Dedup {
     require(numPerm % bands == 0, "bands must divide numPerm")
     // The shingle stream feeds BOTH the MinHash signatures and the
     // verification bitmaps; cache it so the corpus (the dominant scan at
-    // 100 TB) is read once. The bitmap dictionary count below materializes
-    // the cache; it stays pinned only until session LRU eviction.
+    // 100 TB) is read once. Identical plans share one cache entry
+    // (CacheManager dedupes re-registration), the memory tier
+    // LRU-evicts under pressure, and eviction only costs recompute —
+    // release explicitly via spark.catalog.clearCache() in long-lived
+    // sessions that move between corpora.
     val sh = shinglesRaw(df, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshPairsFromSignatures(

@@ -94,9 +94,20 @@ object Scd {
     *  - stg key unknown to the history       → new open version
     * Closed historical versions pass through untouched.
     */
+  /** How deletion is detected in an SCD2 merge: what makes an open key
+    * still "alive" at the source.
+    */
+  sealed trait Liveness
+  /** Full snapshot staging: a key absent from stg is deleted. */
+  case object SnapshotStg extends Liveness
+  /** Incremental staging: deleted iff absent from this full key list. */
+  final case class KeyList(keys: DataFrame) extends Liveness
+  /** Arrival streams: nothing is ever deleted (no key list exists). */
+  case object NoDeletes extends Liveness
+
   def scd2Merge(hist: DataFrame, stg: DataFrame, keyCol: String,
                 stateCols: Seq[String], deleteTs: String): DataFrame =
-    scd2MergeImpl(hist, stg, keyCol, stateCols, deleteTs, liveKeys = None)
+    scd2MergeImpl(hist, stg, keyCol, stateCols, deleteTs, SnapshotStg)
 
   /** SCD2 merge for INCREMENTAL staging (reference etl.py:236-284
     * `from_database`): stg carries only rows whose change timestamp
@@ -111,11 +122,19 @@ object Scd {
   def scd2MergeIncremental(hist: DataFrame, stg: DataFrame, liveKeys: DataFrame,
                            keyCol: String, stateCols: Seq[String],
                            deleteTs: String): DataFrame =
-    scd2MergeImpl(hist, stg, keyCol, stateCols, deleteTs, liveKeys = Some(liveKeys))
+    scd2MergeImpl(hist, stg, keyCol, stateCols, deleteTs, KeyList(liveKeys))
+
+  /** SCD2 merge for arrival streams (no snapshot, no key list): changed
+    * keys version, new keys insert, absent keys stay open — deletions
+    * are structurally impossible and cost nothing to "detect".
+    */
+  def scd2MergeNoDeletes(hist: DataFrame, stg: DataFrame, keyCol: String,
+                         stateCols: Seq[String]): DataFrame =
+    scd2MergeImpl(hist, stg, keyCol, stateCols, OpenEnd, NoDeletes)
 
   private def scd2MergeImpl(hist: DataFrame, stg: DataFrame, keyCol: String,
                             stateCols: Seq[String], deleteTs: String,
-                            liveKeys: Option[DataFrame]): DataFrame = {
+                            liveness: Liveness): DataFrame = {
     val delTs = lit(deleteTs).cast("timestamp")
     val outCols = (col(keyCol) +: stateCols.map(col)) :+
       col("effective_from") :+ col("effective_to") :+ col("deleted_flg")
@@ -134,10 +153,13 @@ object Scd {
     val j0 = d.join(s, col("d_key") === col("s_key"), "full_outer")
     // `alive`: this open version's key still exists at the source. Full
     // snapshot → presence in stg itself; incremental → presence in the
-    // separately-pulled key list.
-    val j = liveKeys match {
-      case None => j0.withColumn("alive", col("s_key").isNotNull)
-      case Some(lk) =>
+    // separately-pulled key list; arrival stream → always (a constant,
+    // NOT a key-list join — computing "everything is alive" must not
+    // cost a scan).
+    val j = liveness match {
+      case SnapshotStg => j0.withColumn("alive", col("s_key").isNotNull)
+      case NoDeletes   => j0.withColumn("alive", lit(true))
+      case KeyList(lk) =>
         val keys = lk.select(col(keyCol).as("k_key")).distinct()
           .withColumn("k_alive", lit(true))
         j0.join(keys, col("d_key") === col("k_key"), "left")

@@ -158,16 +158,21 @@ object EtlPipeline {
           java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
         mergeInto(spark, warehouseDir,
           TableMapping(m.template, m.targetName, m.key, m.payload, m.scd),
-          stg, runId, deleteTs, liveKeys = None, logRows)
+          stg, runId, deleteTs, Scd.SnapshotStg, logRows)
         stg.unpersist(blocking = false)
 
         wm += (m.targetName -> dt)
+        // persist the watermark WITH each table swap, not once at the
+        // end of the whole run: a later mapping failing must not leave
+        // an already-merged table accepting a redelivered older
+        // snapshot (which would tombstone newer keys and invert
+        // version intervals)
+        saveWatermarks(spark, warehouseDir, wm)
         processed += path
         if (archiveFiles) archived += FileIngest.archive(spark, path)
       }
     }
 
-    saveWatermarks(spark, warehouseDir, wm)
     import spark.implicits._
     val log = logRows.result()
       .toDF("run_id", "table_name", "rows_inserted", "rows_updated", "rows_deleted")
@@ -220,15 +225,21 @@ object EtlPipeline {
         .persist()
       logRows += ((runId, s"stg_${m.targetName}", stg.count(), 0L, 0L))
       // full key list: a column-pruned scan of the source (stg_del)
-      val liveKeys = if (m.scd == 2) Some(f.source.select(m.key)) else None
-      mergeInto(spark, warehouseDir, m, stg, runId, deleteTs, liveKeys, logRows)
-      // advance the watermark to the newest staged change (etl.py:100-106)
+      val liveness = if (m.scd == 2) Scd.KeyList(f.source.select(m.key))
+                     else Scd.SnapshotStg
+      mergeInto(spark, warehouseDir, m, stg, runId, deleteTs, liveness, logRows)
+      // advance the watermark to the newest staged change
+      // (etl.py:100-106), rendered in UTC explicitly —
+      // Timestamp.toString would use the JVM-default timezone while the
+      // session (which re-parses it next run) is UTC, silently shifting
+      // the watermark and skipping rows on tz-offset drivers
       val mx = Incremental.nextWatermark(stg, "create_dt").collect()(0)
-      if (!mx.isNullAt(0)) wm += (m.targetName -> mx.getTimestamp(0).toString)
+      if (!mx.isNullAt(0)) wm += (m.targetName -> utcString(mx.getTimestamp(0)))
       stg.unpersist(blocking = false)
+      // persist per feed, same reasoning as the file loop
+      saveTsWatermarks(spark, warehouseDir, wm)
     }
 
-    saveTsWatermarks(spark, warehouseDir, wm)
     import spark.implicits._
     val log = logRows.result()
       .toDF("run_id", "table_name", "rows_inserted", "rows_updated", "rows_deleted")
@@ -258,16 +269,8 @@ object EtlPipeline {
           val spark = batch.sparkSession
           val stg = batch.persist()
           val logRows = Seq.newBuilder[(Int, String, Long, Long, Long)]
-          // scd2 without deletions: every open key stays live — the key
-          // list is "everything already open plus this batch"
-          val liveKeys =
-            if (m.scd == 2) Some(
-              readTargetOrEmpty(spark, s"$warehouseDir/${m.targetName}",
-                stg.select(m.key).limit(0))
-                .select(m.key).unionByName(stg.select(m.key)))
-            else None
           mergeInto(spark, warehouseDir, m, stg, batchId.toInt,
-            deleteTs = "9999-12-31 00:00:00", liveKeys, logRows)
+            deleteTs = "9999-12-31 00:00:00", Scd.NoDeletes, logRows)
           import spark.implicits._
           logRows.result()
             .toDF("run_id", "table_name", "rows_inserted", "rows_updated",
@@ -285,7 +288,7 @@ object EtlPipeline {
     */
   private def mergeInto(spark: SparkSession, warehouseDir: String,
                         m: TableMapping, stg: DataFrame, runId: Int,
-                        deleteTs: String, liveKeys: Option[DataFrame],
+                        deleteTs: String, liveness: Scd.Liveness,
                         logRows: scala.collection.mutable.Builder[
                           (Int, String, Long, Long, Long),
                           Seq[(Int, String, Long, Long, Long)]]): Unit = {
@@ -297,11 +300,12 @@ object EtlPipeline {
           .withColumn("effective_to", lit(null).cast("timestamp"))
           .withColumn("deleted_flg", lit(false))
       else stg.select((m.key +: m.payload).map(col): _*).limit(0))
-    val merged = ((m.scd, liveKeys) match {
-      case (1, _)        => Scd.scd1Merge(dwh, stg, m.key, m.payload)
-      case (2, Some(lk)) => Scd.scd2MergeIncremental(dwh, stg, lk, m.key, m.payload, deleteTs)
-      case (2, None)     => Scd.scd2Merge(dwh, stg, m.key, m.payload, deleteTs)
-      case (other, _)    => throw new IllegalArgumentException(s"unsupported scd=$other")
+    val merged = ((m.scd, liveness) match {
+      case (1, _)                   => Scd.scd1Merge(dwh, stg, m.key, m.payload)
+      case (2, Scd.KeyList(lk))     => Scd.scd2MergeIncremental(dwh, stg, lk, m.key, m.payload, deleteTs)
+      case (2, Scd.SnapshotStg)     => Scd.scd2Merge(dwh, stg, m.key, m.payload, deleteTs)
+      case (2, Scd.NoDeletes)       => Scd.scd2MergeNoDeletes(dwh, stg, m.key, m.payload)
+      case (other, _)               => throw new IllegalArgumentException(s"unsupported scd=$other")
     }).persist()
     val lr = runLog(runId, m.targetName, merged, m.scd).collect()(0)
     logRows += ((runId, m.targetName, lr.getAs[Long]("rows_inserted"),
@@ -310,22 +314,35 @@ object EtlPipeline {
     merged.unpersist(blocking = false)
   }
 
-  /** Business date from `name_DDMMYYYY.ext` (reference file.py:17-27). */
-  def businessDate(path: String): java.time.LocalDate = {
-    val m = "_(\\d{8})\\.[A-Za-z0-9]+$".r.findFirstMatchIn(path).getOrElse(
-      throw new IllegalArgumentException(s"no _DDMMYYYY business date in $path"))
-    val d = m.group(1)
-    java.time.LocalDate.of(d.substring(4, 8).toInt, d.substring(2, 4).toInt,
-      d.substring(0, 2).toInt)
-  }
+  /** Business date from `name_DDMMYYYY.ext` — the shared definition. */
+  def businessDate(path: String): java.time.LocalDate =
+    FileIngest.businessDate(path)
 
   private def hadoopFs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Explicit-UTC render at µs precision — never Timestamp.toString
+    * (JVM-default timezone).
+    */
+  private def utcString(ts: java.sql.Timestamp): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC).format(ts.toInstant)
+
   private def readTargetOrEmpty(spark: SparkSession, path: String,
-                                empty: => DataFrame): DataFrame =
-    if (hadoopFs(spark, path).exists(new Path(path))) spark.read.parquet(path)
+                                empty: => DataFrame): DataFrame = {
+    val fs = hadoopFs(spark, path)
+    if (fs.exists(new Path(path))) spark.read.parquet(path)
+    else if (fs.exists(new Path(path + "__stage")))
+      // a crash between writeSwap's delete and rename leaves the ONLY
+      // copy of the table at the stage path — treating that as "empty"
+      // would silently rebuild from the current batch and discard all
+      // history. Fail loudly with the recovery step instead.
+      throw new IllegalStateException(
+        s"$path is missing but ${path}__stage exists — an interrupted " +
+          "snapshot swap. Recover by renaming the stage directory to the " +
+          "table path before re-running.")
     else empty
+  }
 
   /** Snapshot-swap write: parquet to `<path>__stage`, then rename over
     * the old table. The write materializes the plan (which may read the

@@ -111,10 +111,15 @@ object TextQueries {
     graft.streaming.StreamingFraud.purchasesAfterErrors(ev, ev, lookbackMinutes = 60)
   }
 
+  // CAST(ts AS TIMESTAMP) truncates DuckDB's ns view to the same µs
+  // precision Spark compares at — without it a pair within 1 µs of the
+  // 60-minute boundary would be judged at ns precision on one side only
   val q74Sql: String =
-    """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS p_ts,
+    """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      |  event_type FROM events)
+      |SELECT p.user_id, p.event_id AS purchase_id, p.ts AS p_ts,
       | e.event_id AS error_id, e.ts AS e_ts
-      |FROM events p JOIN events e
+      |FROM ev p JOIN ev e
       | ON p.user_id = e.user_id
       | AND p.event_type = 'purchase' AND e.event_type = 'error'
       | AND e.ts BETWEEN p.ts - INTERVAL 60 MINUTES AND p.ts""".stripMargin

@@ -25,7 +25,7 @@ object DelimitedSource {
       .option("encoding", "UTF-8")
       .csv(pathGlob)
       .withColumn("create_dt",
-        to_date(regexp_extract(input_file_name(), "_(\\d{8})\\.[A-Za-z0-9]+$", 1), "ddMMyyyy"))
+        to_date(regexp_extract(input_file_name(), FileIngest.BusinessDateRegex, 1), "ddMMyyyy"))
 
   /** Normalize decimal-comma columns to doubles (file.py:33 replaces all
     * `,` with `.` before parsing — here it's per-column and codegen'd).

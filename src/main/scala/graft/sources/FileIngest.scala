@@ -9,6 +9,19 @@ import org.apache.spark.sql.SparkSession
   */
 object FileIngest {
 
+  /** The `name_DDMMYYYY.ext` filename convention (file.py:17-27) — the
+    * ONE definition every reader and the pipeline share.
+    */
+  val BusinessDateRegex: String = "_(\\d{8})\\.[A-Za-z0-9]+$"
+
+  def businessDate(path: String): java.time.LocalDate = {
+    val m = BusinessDateRegex.r.findFirstMatchIn(path).getOrElse(
+      throw new IllegalArgumentException(s"no _DDMMYYYY business date in $path"))
+    val d = m.group(1)
+    java.time.LocalDate.of(d.substring(4, 8).toInt, d.substring(2, 4).toInt,
+      d.substring(0, 2).toInt)
+  }
+
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

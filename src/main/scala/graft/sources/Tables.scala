@@ -63,7 +63,12 @@ object Tables {
       val i = java.time.LocalDateTime.parse(lowerBound.replace(' ', 'T'))
         .toInstant(java.time.ZoneOffset.UTC)
       val boundNs = i.getEpochSecond * 1000000000L + i.getNano
-      raw.filter(if (inclusive) col("ts") >= boundNs else col("ts") > boundNs)
+      // strict must match the µs-truncated column's semantics, not raw
+      // ns: `converted > bound` ⇔ `ns div 1000 > boundMicros` ⇔
+      // `ns >= boundNs + 1000`. A raw `ns > boundNs` would admit events
+      // in (boundNs, boundNs+1000) whose converted ts EQUALS the bound —
+      // rows the oracle and Incremental.newerThan both exclude.
+      raw.filter(if (inclusive) col("ts") >= boundNs else col("ts") >= boundNs + 1000L)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else {
       val b = lit(lowerBound).cast("timestamp")

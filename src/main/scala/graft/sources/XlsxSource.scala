@@ -62,14 +62,9 @@ object XlsxSource {
     spark.createDataFrame(rows, schema)
   }
 
-  /** Business date from `name_DDMMYYYY.ext` (file.py:17-27). */
-  private def businessDate(path: String): java.sql.Date = {
-    val m = "_(\\d{8})\\.[A-Za-z0-9]+$".r.findFirstMatchIn(path).getOrElse(
-      throw new IllegalArgumentException(s"XlsxSource: no _DDMMYYYY business date in $path"))
-    val d = m.group(1)
-    java.sql.Date.valueOf(java.time.LocalDate.of(
-      d.substring(4, 8).toInt, d.substring(2, 4).toInt, d.substring(0, 2).toInt))
-  }
+  /** Business date from `name_DDMMYYYY.ext` — the shared definition. */
+  private def businessDate(path: String): java.sql.Date =
+    java.sql.Date.valueOf(FileIngest.businessDate(path))
 
   private def readAllBytes(in: InputStream): Array[Byte] =
     try {
@@ -178,7 +173,11 @@ object XlsxSource {
                 cellIdx = Option(r.getAttributeValue(null, "r"))
                   .map(colIndex).getOrElse(cells.length)
               case "v" if inCell => cellVal = r.getElementText
-              case "t" if inCell => cellVal = r.getElementText // inlineStr
+              case "t" if inCell =>
+                // inlineStr; rich-text runs (<is><r><t>..</t></r>…) carry
+                // several <t> fragments — concatenate like sharedStrings
+                val frag = r.getElementText
+                cellVal = if (cellVal == null) frag else cellVal + frag
               case _ => ()
             }
           case XMLStreamConstants.END_ELEMENT =>

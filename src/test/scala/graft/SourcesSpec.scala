@@ -97,6 +97,33 @@ class SourcesSpec extends SparkSpec {
     val plan = pushed.queryExecution.executedPlan.toString
     assert(plan.contains("GreaterThanOrEqual(ts,"),
       s"time bound must appear in PushedFilters, got:\n${plan.take(600)}")
+    // strict mode must equal the µs-truncated strict filter even though
+    // the raw column carries sub-µs nanos (an event whose ns sit in
+    // (bound, bound+1µs) truncates to EQUAL the bound → excluded)
+    val strict = graft.sources.Tables.eventsSince(spark, sf, bound, inclusive = false)
+    val plainStrict = graft.sources.Tables.events(spark, sf)
+      .filter(col("ts") > lit(bound).cast("timestamp"))
+    assert(strict.count() == plainStrict.count())
+    assert(strict.exceptAll(plainStrict).count() == 0)
+  }
+
+  test("xlsx inline rich-text cells concatenate their fragments") {
+    // hand-rolled sheet: one inlineStr cell split into two rich runs
+    val dir = Files.createTempDirectory("graft_xlsx_rich").toString
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>name</t></is></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><r><t>foo</t></r><r><t>bar</t></r></is></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val out = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$dir/rich_01012024.xlsx")))
+    try {
+      out.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+      out.write(sheet.getBytes("UTF-8")); out.closeEntry()
+    } finally out.close()
+    val df = XlsxSource.read(spark, s"$dir/rich_*.xlsx")
+    assert(df.collect()(0).getAs[String]("name") == "foobar")
   }
 
   test("file finder globs templates and archive moves the file") {
