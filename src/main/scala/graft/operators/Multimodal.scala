@@ -88,7 +88,8 @@ object Multimodal {
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     pairs.mapPartitions { it =>
       val crc = new java.util.zip.CRC32()
-      it.map { case (id, bytes) =>
+      it.map { case (id, rawBytes) =>
+        val bytes = if (rawBytes == null) Array.emptyByteArray else rawBytes
         val (w, h, _) = decodeImageStub(bytes)
         val resized = resizeStub(bytes, w, h, dstW, dstH)
         crc.reset()
@@ -113,7 +114,11 @@ object Multimodal {
     val pairs = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     pairs.mapPartitions { it =>
-      it.map { case (id, bytes) =>
+      it.map { case (id, rawBytes) =>
+        // NULL payload == empty payload (all-zero histogram), matching
+        // frameSample's tolerance — a nullable binary column must not
+        // kill the job
+        val bytes = if (rawBytes == null) Array.emptyByteArray else rawBytes
         val hist = new Array[Double](16)
         var i = 0
         while (i < bytes.length) { hist((bytes(i) & 0xF0) >> 4) += 1.0; i += 1 }
@@ -131,7 +136,8 @@ object Multimodal {
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     pairs.mapPartitions { it =>
       val crc = new java.util.zip.CRC32()
-      it.map { case (id, bytes) =>
+      it.map { case (id, rawBytes) =>
+        val bytes = if (rawBytes == null) Array.emptyByteArray else rawBytes
         crc.reset()
         crc.update(bytes)
         val (w, h, fmt) = decodeImageStub(bytes)

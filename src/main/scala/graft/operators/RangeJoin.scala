@@ -34,19 +34,23 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, pointTs: String,
                       intervals: DataFrame, startCol: String, endCol: String,
                       bucket: String): DataFrame = {
+    // helper column must not clobber caller data silently
+    val b = "__graft_bucket"
+    require(!points.columns.contains(b) && !intervals.columns.contains(b),
+      s"input already has a $b column")
     // Degenerate intervals (end < start) matched nothing in the naive
     // formulation but would make sequence() THROW — clamp the stop to
     // the start (one spurious bucket row) and let the exact BETWEEN
     // post-filter reject any match, preserving empty-result semantics.
-    val exploded = intervals.withColumn("__bucket",
+    val exploded = intervals.withColumn(b,
       explode(sequence(
         date_trunc(bucket, col(startCol)),
         greatest(date_trunc(bucket, col(endCol)), date_trunc(bucket, col(startCol))),
         expr(s"INTERVAL 1 $bucket"))))
     points
-      .withColumn("__bucket", date_trunc(bucket, col(pointTs)))
-      .join(exploded, Seq("__bucket"))
+      .withColumn(b, date_trunc(bucket, col(pointTs)))
+      .join(exploded, Seq(b))
       .filter(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
-      .drop("__bucket")
+      .drop(b)
   }
 }

@@ -16,7 +16,15 @@ object Scd {
 
   val OpenEnd = "9999-12-31 00:00:00"
 
-  private def openEndTs: Column = lit(OpenEnd).cast("timestamp")
+  // The sentinel as an ABSOLUTE instant (9999-12-31T00:00:00 UTC), not a
+  // session-timezone string cast: histories are written and re-merged
+  // across sessions, and a tz-dependent sentinel would misclassify every
+  // open version the moment spark.sql.session.timeZone differs between
+  // writer and merger (all in-repo sessions pin UTC; external callers
+  // may not).
+  private val openEndInstant =
+    java.time.LocalDateTime.of(9999, 12, 31, 0, 0).toInstant(java.time.ZoneOffset.UTC)
+  private def openEndTs: Column = lit(java.sql.Timestamp.from(openEndInstant))
   private val oneMicro = expr("INTERVAL 1 MICROSECOND")
 
   /** Change stream → versioned history: each change row becomes a version
@@ -26,6 +34,12 @@ object Scd {
     *
     * `tieCol` makes ordering total when timestamps collide — version
     * boundaries must be deterministic for the merge to be reproducible.
+    * Note that two changes sharing the SAME (key, ts) instant give the
+    * earlier (by tie) row a degenerate `[ts, ts - 1µs]` interval — this
+    * mirrors the SQL window formulation exactly (both engines agree, the
+    * q11 oracle checks it), and degenerate intervals match no as-of
+    * probe, so the final same-instant change wins every lookup. Collapse
+    * same-instant changes upstream if degenerate rows are unwanted.
     */
   def buildHistory(changes: DataFrame, keyCol: String, tsCol: String,
                    tieCol: String, payloadCols: Seq[String]): DataFrame = {
@@ -132,6 +146,14 @@ object Scd {
                          stateCols: Seq[String]): DataFrame =
     scd2MergeImpl(hist, stg, keyCol, stateCols, OpenEnd, NoDeletes)
 
+  /** PRECONDITION (all modes): staged `create_dt` values must not
+    * precede the open versions' `effective_from` — snapshots/changes
+    * arrive in forward order, which the pipeline's watermark ordering
+    * guarantees. A redelivered OLDER snapshot would close versions with
+    * `effective_to < effective_from`; the watermark stores exist to make
+    * that unrepresentable, and [[graft.pipeline.EtlPipeline]] persists
+    * them with every table swap.
+    */
   private def scd2MergeImpl(hist: DataFrame, stg: DataFrame, keyCol: String,
                             stateCols: Seq[String], deleteTs: String,
                             liveness: Liveness): DataFrame = {
@@ -139,8 +161,14 @@ object Scd {
     val outCols = (col(keyCol) +: stateCols.map(col)) :+
       col("effective_from") :+ col("effective_to") :+ col("deleted_flg")
 
+    // Normalize NULLs on the way in — three-valued logic on d_flg /
+    // effective_to would otherwise drop rows from EVERY branch filter
+    // (silent history loss): a NULL deleted_flg means live, a NULL
+    // effective_to means open-ended.
     val hasFlag = hist.columns.contains("deleted_flg")
-    val h = if (hasFlag) hist else hist.withColumn("deleted_flg", lit(false))
+    val h = (if (hasFlag) hist else hist.withColumn("deleted_flg", lit(false)))
+      .withColumn("deleted_flg", coalesce(col("deleted_flg"), lit(false)))
+      .withColumn("effective_to", coalesce(col("effective_to"), openEndTs))
     val closed = h.filter(col("effective_to") =!= openEndTs).select(outCols: _*)
     val open = h.filter(col("effective_to") === openEndTs)
 
@@ -151,20 +179,20 @@ object Scd {
       (col(keyCol).as("s_key") +: stateCols.map(c => col(c).as(s"s_$c"))) :+
         col("create_dt").as("s_dt"): _*)
     val j0 = d.join(s, col("d_key") === col("s_key"), "full_outer")
-    // `alive`: this open version's key still exists at the source. Full
+    // `alive`: the key still exists at the source RIGHT NOW. Full
     // snapshot → presence in stg itself; incremental → presence in the
-    // separately-pulled key list; arrival stream → always (a constant,
-    // NOT a key-list join — computing "everything is alive" must not
-    // cost a scan).
+    // separately-pulled key list (joined on EITHER side's key, so a
+    // changed-then-deleted key — in stg but gone from the list — is
+    // correctly dead); arrival stream → always (a constant, NOT a
+    // key-list join).
     val j = liveness match {
       case SnapshotStg => j0.withColumn("alive", col("s_key").isNotNull)
       case NoDeletes   => j0.withColumn("alive", lit(true))
       case KeyList(lk) =>
         val keys = lk.select(col(keyCol).as("k_key")).distinct()
           .withColumn("k_alive", lit(true))
-        j0.join(keys, col("d_key") === col("k_key"), "left")
-          .withColumn("alive",
-            col("s_key").isNotNull || coalesce(col("k_alive"), lit(false)))
+        j0.join(keys, coalesce(col("d_key"), col("s_key")) === col("k_key"), "left")
+          .withColumn("alive", coalesce(col("k_alive"), lit(false)))
           .drop("k_key", "k_alive")
     }
     // A state difference — or an open tombstone being overwritten by a
@@ -178,13 +206,26 @@ object Scd {
         from.as("effective_from") :+ to.as("effective_to") :+ flg.as("deleted_flg")
 
     val both = j.filter(col("d_key").isNotNull && col("s_key").isNotNull)
-    val unchanged = both.filter(!changed)
+    val unchanged = both.filter(!changed && col("alive"))
       .select(row(col("d_key"), c => col(s"d_$c"), col("d_from"), openEndTs, col("d_flg")): _*)
     val closedChanged = both.filter(changed)
       .select(row(col("d_key"), c => col(s"d_$c"), col("d_from"), col("s_dt") - oneMicro,
         col("d_flg")): _*)
-    val newVersions = both.filter(changed)
+    val newVersions = both.filter(changed && col("alive"))
       .select(row(col("d_key"), c => col(s"s_$c"), col("s_dt"), openEndTs, lit(false)): _*)
+    // changed AND gone from the key list within one extraction window:
+    // the change still happened — record it as a CLOSED live period
+    // [s_dt, deleteTs), then tombstone. (The reference resolves this
+    // case only on the following run; recording it immediately keeps
+    // as-of queries correct in the gap.)
+    val newDead = both.filter(changed && !col("alive"))
+      .select(row(col("d_key"), c => col(s"s_$c"), col("s_dt"), delTs - oneMicro,
+        lit(false)): _*)
+    val deadUnchanged = both.filter(!changed && !col("alive"))
+      .select(row(col("d_key"), c => col(s"d_$c"), col("d_from"), delTs - oneMicro,
+        col("d_flg")): _*)
+    val bothTombstones = both.filter(!col("alive"))
+      .select(row(col("d_key"), c => col(s"s_$c"), delTs, openEndTs, lit(true)): _*)
 
     val deletedSrc = j.filter(col("s_key").isNull && !col("alive") && !col("d_flg"))
     val closedDeleted = deletedSrc
@@ -195,12 +236,20 @@ object Scd {
     val keptOpen = j.filter(col("s_key").isNull && (col("alive") || col("d_flg")))
       .select(row(col("d_key"), c => col(s"d_$c"), col("d_from"), openEndTs, col("d_flg")): _*)
 
-    val inserts = j.filter(col("d_key").isNull)
+    val insAlive = j.filter(col("d_key").isNull && col("alive"))
       .select(row(col("s_key"), c => col(s"s_$c"), col("s_dt"), openEndTs, lit(false)): _*)
+    // created and deleted between extractions: a closed live period +
+    // tombstone, never an open row for a key the source no longer has
+    val insDead = j.filter(col("d_key").isNull && !col("alive"))
+      .select(row(col("s_key"), c => col(s"s_$c"), col("s_dt"), delTs - oneMicro,
+        lit(false)): _*)
+    val insDeadTombstones = j.filter(col("d_key").isNull && !col("alive"))
+      .select(row(col("s_key"), c => col(s"s_$c"), delTs, openEndTs, lit(true)): _*)
 
     closed
       .unionByName(unchanged).unionByName(closedChanged).unionByName(newVersions)
+      .unionByName(newDead).unionByName(deadUnchanged).unionByName(bothTombstones)
       .unionByName(closedDeleted).unionByName(tombstones).unionByName(keptOpen)
-      .unionByName(inserts)
+      .unionByName(insAlive).unionByName(insDead).unionByName(insDeadTombstones)
   }
 }

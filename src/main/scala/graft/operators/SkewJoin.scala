@@ -23,12 +23,18 @@ object SkewJoin {
     */
   def saltedEquiJoin(facts: DataFrame, dim: DataFrame, factKey: String,
                      dimKey: String, saltSource: Seq[String], salt: Int): DataFrame = {
-    val saltedDim = dim.withColumn("__salt",
+    // improbable helper name + dropped before returning: the output
+    // schema must equal the plain join's (no leaked/ambiguous columns)
+    val saltCol = "__graft_salt"
+    require(!facts.columns.contains(saltCol) && !dim.columns.contains(saltCol),
+      s"input already has a $saltCol column")
+    val saltedDim = dim.withColumn(saltCol,
       explode(array((0 until salt).map(lit): _*)))
-    val saltedFacts = facts.withColumn("__salt",
+    val saltedFacts = facts.withColumn(saltCol,
       pmod(xxhash64(saltSource.map(col): _*), lit(salt.toLong)).cast("int"))
     saltedFacts.join(saltedDim,
-      saltedFacts(factKey) === saltedDim(dimKey) &&
-        saltedFacts("__salt") === saltedDim("__salt"))
+        saltedFacts(factKey) === saltedDim(dimKey) &&
+          saltedFacts(saltCol) === saltedDim(saltCol))
+      .drop(saltedFacts(saltCol)).drop(saltedDim(saltCol))
   }
 }

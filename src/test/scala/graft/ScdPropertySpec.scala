@@ -97,6 +97,53 @@ class ScdPropertySpec extends SparkSpec {
     }
   }
 
+  test("scd2MergeIncremental tombstones changed-then-deleted and created-then-deleted keys") {
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val openEnd = lit(Scd.OpenEnd).cast("timestamp")
+    // K=1 exists (state a); the extraction window saw K=1 change to b and
+    // K=2 appear — but BOTH are gone from the key list (deleted after
+    // their changes, before the key-list pull)
+    val hist = Seq((1L, "a", ts("2024-01-01 00:00:00"), ts("9999-12-31 00:00:00"), false))
+      .toDF("k", "state", "effective_from", "effective_to", "deleted_flg")
+    val stg = Seq((1L, "b", ts("2024-01-02 10:00:00")),
+                  (2L, "x", ts("2024-01-02 11:00:00")))
+      .toDF("k", "state", "create_dt")
+    val liveKeys = Seq.empty[Long].toDF("k")
+    val m = Scd.scd2MergeIncremental(hist, stg, liveKeys, "k", Seq("state"),
+      deleteTs = "2024-01-03 00:00:00").cache()
+    // K=1: closed 'a', closed live 'b' period, open tombstone
+    assert(m.filter(col("k") === 1).count() == 3)
+    assert(m.filter(col("k") === 1 && col("state") === "b" && !col("deleted_flg") &&
+      col("effective_to") < openEnd).count() == 1, "the change must be recorded")
+    assert(m.filter(col("k") === 1 && col("deleted_flg") &&
+      col("effective_to") === openEnd).count() == 1, "then the key tombstones")
+    // K=2: closed live period + tombstone, never an open live row
+    assert(m.filter(col("k") === 2).count() == 2)
+    assert(m.filter(col("k") === 2 && !col("deleted_flg") &&
+      col("effective_to") === openEnd).count() == 0,
+      "a key absent from the key list must not stay open live")
+    assert(m.filter(col("k") === 2 && col("deleted_flg")).count() == 1)
+  }
+
+  test("scd2Merge tolerates NULL deleted_flg and NULL effective_to in the history") {
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val nullTs = null.asInstanceOf[java.sql.Timestamp]
+    // migrated history: NULL flag means live, NULL effective_to means open
+    val hist = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00"), nullTs, null.asInstanceOf[java.lang.Boolean]),
+      (2L, "b", ts("2024-01-01 00:00:00"), ts("9999-12-31 00:00:00"), null.asInstanceOf[java.lang.Boolean]))
+      .toDF("k", "state", "effective_from", "effective_to", "deleted_flg")
+    val stg = Seq((1L, "a", ts("2024-01-02 00:00:00")),
+                  (2L, "b", ts("2024-01-02 00:00:00")))
+      .toDF("k", "state", "create_dt")
+    val m = Scd.scd2Merge(hist, stg, "k", Seq("state"), "2024-01-02 00:00:00")
+    // no silent row loss: both keys survive, open and live
+    assert(m.count() == 2)
+    assert(m.filter(col("deleted_flg").isNull || col("effective_to").isNull).count() == 0)
+    assert(m.filter(!col("deleted_flg") &&
+      col("effective_to") === lit(Scd.OpenEnd).cast("timestamp")).count() == 2)
+  }
+
   test("scd2MergeIncremental never tombstones a key present in the key list") {
     forAllSamples(changesGen) { histRows =>
       if (histRows.nonEmpty) {
