@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit FNV-1a document fingerprint as a native Catalyst expression.
@@ -15,6 +16,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class RollingHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  // SQL-registered (GraftExtensions): a non-string argument must be a
+  // clean AnalysisException, not a mid-query ClassCastException or a
+  // Janino compile failure
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash requires a string argument, got ${child.dataType.simpleString}")
   override def nullSafeEval(input: Any): Any =
     RollingHash.hash64(input.asInstanceOf[UTF8String].getBytes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace-delimited token count. */
+  /** Whitespace-delimited token count; a blank/whitespace-only text has
+    * ZERO tokens (split of "" returns [""], which must not count).
+    */
   def tokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+")).cast("long")
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
 
   /** Count of alphabetic word tokens (BPE-ish pre-tokenization class). */
   def alphaTokenCount(text: Column): Column =
@@ -37,10 +40,18 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit(BpePattern)).cast("long")
 
-  /** Non-overlapping occurrence count of a literal needle. */
-  def occurrences(text: Column, needle: String): Column =
-    ((length(text) - length(replace(text, lit(needle), lit("")))) / needle.length)
+  /** Non-overlapping occurrence count of a literal needle. The divisor
+    * is the needle's CODE POINT count — Spark's length() counts code
+    * points, so dividing by UTF-16 units would halve counts for
+    * supplementary-plane needles (emoji). Empty needles are meaningless
+    * (and would divide by zero).
+    */
+  def occurrences(text: Column, needle: String): Column = {
+    require(needle.nonEmpty, "occurrences needs a non-empty needle")
+    val cps = needle.codePointCount(0, needle.length)
+    ((length(text) - length(replace(text, lit(needle), lit("")))) / cps)
       .cast("long")
+  }
 
   /** Marker-word language scores: (lang, markers) pairs → per-lang score
     * = total marker occurrences. Surrounding spaces avoid substring hits.
@@ -68,7 +79,10 @@ object TextFunctions {
         val later = scores.drop(i + 1).map(_._2)
         when(later.map(score >= _).reduce(_ && _), lang).otherwise(build(i + 1))
       }
-    build(0)
+    // NULL in, NULL out — without the guard every NULL-score comparison
+    // is skipped and the terminal ELSE mislabels null text as the last
+    // language in the marker list
+    when(text.isNull, lit(null).cast("string")).otherwise(build(0))
   }
 
   /** Composite quality score in [0,1]: token mass, punctuation restraint,

@@ -127,7 +127,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       asRange(cond, left, right) match {
-        case Some((p, s, e, intervalsRight)) =>
+        // The clamp bounds RE-EXECUTE the points plan as scalar
+        // subqueries; a non-deterministic points side (rand() sampling,
+        // current_timestamp, non-deterministic UDF) could sample a
+        // DIFFERENT row set there than in the join's own scan, clamping
+        // away buckets that real join rows need — silently dropping
+        // matches. Only rewrite fully deterministic point plans.
+        case Some((p, s, e, intervalsRight))
+            if (if (intervalsRight) left else right)
+              .find(n => !n.expressions.forall(_.deterministic)).isEmpty =>
           val (points, intervals) = if (intervalsRight) (left, right) else (right, left)
           logWarning(s"graft: rewriting keyless range join ($p between $s and $e) " +
             "to a month-bucketed equi-join (bucket span clamped to the point " +
@@ -147,7 +155,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
           val newCond = And(EqualTo(bucketPt.toAttribute, bucketGen), cond)
           val (nl, nr) = if (intervalsRight) (proj, gen) else (gen, proj)
           Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
-        case None => j
+        case _ => j // no range shape, or non-deterministic points side
       }
   }
 }

@@ -28,7 +28,7 @@ object TextQueries {
   val q27Sql: String =
     """SELECT doc_id,
       | LEN(text) AS n_chars_calc,
-      | LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_tokens,
+      | CASE WHEN LEN(TRIM(text)) = 0 THEN 0 ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END AS n_tokens,
       | LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+')) AS n_alpha,
       | LEN(REGEXP_EXTRACT_ALL(text, '[.!?,;:]')) AS n_punct,
       | CAST((LEN(text) - LEN(REPLACE(text, ' the ', ''))) / 5 AS BIGINT) AS n_the
@@ -43,7 +43,8 @@ object TextQueries {
   val q28Sql: String = {
     val scores = TF.LangMarkers.map { case (lang, ms) =>
       val terms = ms.map(m =>
-        s"CAST((LEN(text) - LEN(REPLACE(text, '$m', ''))) / ${m.length} AS BIGINT)")
+        // code-point divisor, matching TextFunctions.occurrences
+        s"CAST((LEN(text) - LEN(REPLACE(text, '$m', ''))) / ${m.codePointCount(0, m.length)} AS BIGINT)")
       s"${terms.mkString(" + ")} AS s_$lang"
     }.mkString(",\n  ")
     val langs = TF.LangMarkers.map(_._1)
@@ -51,11 +52,11 @@ object TextQueries {
       val later = langs.drop(i + 1).map(l => s"s_$lang >= s_$l")
       s"WHEN ${later.mkString(" AND ")} THEN '$lang'"
     }.mkString("\n  ")
-    s"""WITH sc AS (SELECT doc_id, lang,
+    s"""WITH sc AS (SELECT doc_id, lang, text,
        |  $scores
        | FROM documents)
        |SELECT doc_id, lang,
-       | CASE $cases ELSE '${langs.last}' END AS pred_lang
+       | CASE WHEN text IS NULL THEN NULL $cases ELSE '${langs.last}' END AS pred_lang
        |FROM sc""".stripMargin
   }
 
@@ -66,7 +67,7 @@ object TextQueries {
       .filter(col("quality") >= 0.5)
 
   val q29Sql: String = {
-    val tokens = "CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS DOUBLE)"
+    val tokens = "CAST(CASE WHEN LEN(TRIM(text)) = 0 THEN 0 ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS DOUBLE)"
     val punct = "CAST(LEN(REGEXP_EXTRACT_ALL(text, '[.!?,;:]')) AS DOUBLE)"
     val stops = "CAST(CAST((LEN(text) - LEN(REPLACE(text, ' the ', ''))) / 5 AS BIGINT) AS DOUBLE)"
     s"""WITH q AS (SELECT doc_id,

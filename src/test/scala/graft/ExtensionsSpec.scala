@@ -17,4 +17,10 @@ class ExtensionsSpec extends SparkSpec {
     val err = intercept[Exception](spark.sql("SELECT rolling_hash('a','b')").collect())
     assert(err.getMessage.toLowerCase.contains("rolling_hash"))
   }
+
+  test("rolling_hash type error is a clean analysis failure, not a runtime crash") {
+    val err = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT rolling_hash(42)").collect())
+    assert(err.getMessage.contains("string"))
+  }
 }

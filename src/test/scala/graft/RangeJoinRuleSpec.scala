@@ -42,6 +42,23 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(naive.count() === manual)
   }
 
+  test("non-deterministic point sides are left alone (clamp would resample)") {
+    // the clamp subqueries would RE-EXECUTE this plan; with rand() in it
+    // they could sample different rows than the join scan and clamp away
+    // needed buckets — the rule must refuse to fire
+    // NOTE: an always-true rand() FILTER gets constant-folded away before
+    // the rule runs; a rand() PROJECTION is kept (it is in the output)
+    // and marks the plan non-deterministic without changing the row set
+    val ndPoints = Tables.lineitem(spark, sf)
+      .select(col("l_shipdate"), col("l_quantity"), rand(7L).as("nd"))
+    val j = ndPoints.join(windows,
+      col("l_shipdate") >= col("win_start") && col("l_shipdate") <= col("win_end"))
+    val phys = j.queryExecution.executedPlan.toString
+    assert(!phys.contains("Generate explode"),
+      "rule fired on a non-deterministic points side:\n" + phys)
+    assert(j.count() === naive.count(), "fallback join must still be correct")
+  }
+
   test("equi-keyed range joins are left alone (as-of join still correct)") {
     // q12 has an equality conjunct — the rule must not touch it
     val q12 = SparkEntry.queries("q12_asof_join")(spark, sf)

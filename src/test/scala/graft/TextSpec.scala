@@ -22,6 +22,21 @@ class TextSpec extends SparkSpec {
     assert(p1.forall(r => langs.contains(r.getString(1))))
   }
 
+  test("blank text has zero tokens; null text has null language") {
+    val s = spark
+    import s.implicits._
+    val edge = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]),
+      (4L, "one two")).toDF("doc_id", "text")
+    val out = edge.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n"),
+      graft.functions.TextFunctions.langId(col("text")).as("lang")).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.getString(2)))).toMap
+    assert(out(1L)._1.contains(0L), "empty text must have 0 tokens")
+    assert(out(2L)._1.contains(0L), "whitespace-only text must have 0 tokens")
+    assert(out(3L)._2.isEmpty, "null text must not be classified as any language")
+    assert(out(4L)._1.contains(2L))
+  }
+
   test("quality score stays in [0,1]") {
     val q = Tables.documents(spark, sf)
       .select(TF.qualityScore(col("text")).as("q"))
