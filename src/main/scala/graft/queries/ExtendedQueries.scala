@@ -400,7 +400,7 @@ object ExtendedQueries {
     """SELECT doc_id,
       | CAST(LEN(REGEXP_EXTRACT_ALL(text,
       |   '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+')) AS BIGINT) AS n_bpe,
-      | CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS BIGINT) AS n_ws
+      | CAST(CASE WHEN LEN(TRIM(text)) = 0 THEN 0 ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END AS BIGINT) AS n_ws
       |FROM documents""".stripMargin
 
   // --- q57: multimodal frame sampling (binary windows; stats oracle) ---

@@ -15,13 +15,18 @@ import graft.sources.Tables
   * from a SMALL multiplicative hash (`id·a + c mod m`) instead of
   * xxhash64, because the DuckDB oracle has no xxhash64 and Spark 4's
   * ANSI mode rejects deliberately-overflowing 64-bit universal hashing.
-  * The multipliers keep `max(id)·a` well inside int64 up to ~10^12 ids;
-  * the production splitter below ([[hashSplit]]) takes any Column, so
-  * callers at open-ended id scale pass `xxhash64(...)` instead.
+  * Overflow bounds differ per multiplier: q62's 2654435761 is exact up
+  * to ids ≈ 3.4·10^9 (beyond that ANSI mode throws — it does NOT
+  * silently corrupt), q63's 48271 up to ~1.9·10^14. The production
+  * splitter below ([[hashSplit]]) takes any Column, so callers at
+  * open-ended id scale pass `xxhash64(...)` instead.
   */
 object PipelineQueries {
 
-  /** Deterministic bucket in [0, 100) from a numeric id column. */
+  /** Deterministic bucket in [0, 100) from a numeric id column.
+    * Exact only for ids < 2^63 / 2654435761 ≈ 3.4·10^9; ANSI mode makes
+    * overflow LOUD, and [[hashSplit]] accepts xxhash64 beyond that.
+    */
   private def splitBucket(id: org.apache.spark.sql.Column) =
     pmod(id * lit(2654435761L) + lit(104729L), lit(100L))
 
@@ -121,13 +126,15 @@ object PipelineQueries {
   }
 
   val q65Sql: String =
-    """WITH v AS (SELECT user_id, MIN(ts) AS t_view
-      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+    """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |v AS (SELECT user_id, MIN(ts) AS t_view
+      |  FROM ev WHERE event_type = 'view' GROUP BY 1),
       |c AS (SELECT e.user_id, MIN(e.ts) AS t_click
-      |  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+      |  FROM ev e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
       |  WHERE e.event_type = 'click' GROUP BY 1),
       |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
-      |  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+      |  FROM ev e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
       |  WHERE e.event_type = 'purchase' GROUP BY 1)
       |SELECT v.user_id, t_view, t_click, t_purchase
       |FROM v LEFT JOIN c ON c.user_id = v.user_id

@@ -24,8 +24,13 @@ object DelimitedSource {
       .option("header", "true")
       .option("encoding", "UTF-8")
       .csv(pathGlob)
-      .withColumn("create_dt",
-        to_date(regexp_extract(input_file_name(), FileIngest.BusinessDateRegex, 1), "ddMMyyyy"))
+      .withColumn("create_dt", {
+        // regexp_extract yields '' for non-matching names, and ANSI mode
+        // makes to_date('') THROW executor-side — one stray file in the
+        // glob must yield a null date, not an opaque parse error
+        val d = regexp_extract(input_file_name(), FileIngest.BusinessDateRegex, 1)
+        when(d === "", lit(null).cast("date")).otherwise(to_date(d, "ddMMyyyy"))
+      })
 
   /** Normalize decimal-comma columns to doubles (file.py:33 replaces all
     * `,` with `.` before parsing — here it's per-column and codegen'd).

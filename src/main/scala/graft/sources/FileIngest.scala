@@ -45,7 +45,13 @@ object FileIngest {
     val archiveDir = new Path(p.getParent, "archive")
     if (!f.exists(archiveDir)) f.mkdirs(archiveDir)
     val dest = new Path(archiveDir, p.getName + ".backup")
-    f.rename(p, dest)
+    // rename reports failure via FALSE (e.g. destination already exists
+    // from a redelivered same-named file) — swallowing it would leave
+    // the file in the inbox marked as archived, and the next find()
+    // would double-ingest it
+    if (!f.rename(p, dest))
+      throw new java.io.IOException(
+        s"archive rename $p -> $dest failed (destination exists or source gone)")
     dest.toString
   }
 }

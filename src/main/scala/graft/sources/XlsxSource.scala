@@ -81,9 +81,16 @@ object XlsxSource {
   private def parseWorkbook(bytes: Array[Byte]): Vector[IndexedSeq[String]] = {
     val shared = zipEntry(bytes, _ == "xl/sharedStrings.xml")
       .map(parseSharedStrings).getOrElse(Vector.empty)
+    // numeric-aware ordering: a plain string sort would pick sheet10
+    // before sheet2 — order by the numeric suffix, then name. (Full
+    // fidelity would read the sheet order from workbook.xml; the
+    // numeric sort covers every sheetN.xml layout Excel itself writes.)
     val sheetName = zipEntryNames(bytes)
       .filter(n => n.startsWith("xl/worksheets/") && n.endsWith(".xml"))
-      .minOption
+      .minByOption { n =>
+        val digits = n.filter(_.isDigit)
+        (if (digits.isEmpty) Long.MaxValue else digits.toLong, n)
+      }
       .getOrElse(throw new IllegalArgumentException("XlsxSource: workbook has no worksheet part"))
     parseSheet(zipEntry(bytes, _ == sheetName).get, shared)
   }
@@ -190,7 +197,10 @@ object XlsxSource {
                 pad(cellIdx); pad(cellIdx + 1)
                 cells(cellIdx) = s
                 inCell = false
-              case "row" => rows += cells.toIndexedSeq
+              case "row" =>
+                // styled-but-empty rows (<row/> or only valueless cells)
+                // must not become phantom all-null records
+                if (cells.exists(_.nonEmpty)) rows += cells.toIndexedSeq
               case _ => ()
             }
           case _ => ()

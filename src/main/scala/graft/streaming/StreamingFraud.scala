@@ -197,7 +197,12 @@ object StreamingFraud {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     events.select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type"), col("value").cast("double"))
+        col("event_type"),
+        // NaN sentinel: the batch twin's when(value < prv).otherwise(0)
+        // yields bit=0 when either side is NULL; NaN comparisons are
+        // false on both sides of <, reproducing that exactly — and the
+        // non-nullable Double encoder never sees a null
+        coalesce(col("value").cast("double"), lit(Double.NaN)))
       .as[(Long, java.sql.Timestamp, Long, String, Double)](
         Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaLong,
           Encoders.STRING, Encoders.scalaDouble))
@@ -261,8 +266,15 @@ object StreamingFraud {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val flagEnc = Encoders.product[Flag]
     val stEnc = Encoders.product[St]
+    // Null-k events must STAY in the state chain (the batch window's lag
+    // passes through them, and pairs touching them never flag) but the
+    // non-nullable tuple encoder would kill the stream on a null — use a
+    // sentinel and skip flag pairs touching it. Int.MinValue is outside
+    // any real location-id domain.
+    val NoK = Int.MinValue
     val withK = events
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("k", coalesce(
+        get_json_object(col("props"), "$.k").cast("int"), lit(NoK)))
       .select(col("user_id"), col("ts"), col("k"), col("event_id"))
     withK.as[(Long, java.sql.Timestamp, Int, Long)](
         Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaInt,
@@ -280,7 +292,8 @@ object StreamingFraud {
           var prev = state.getOption
           sorted.foreach { case (_, ts, k, eid) =>
             prev.foreach { p =>
-              if (p.k != k && micros(ts) < p.ts + 3600L * 1000000L)
+              if (k != NoK && p.k != NoK && p.k != k &&
+                  micros(ts) < p.ts + 3600L * 1000000L)
                 out += Flag(user, ts, eid, k, p.k)
             }
             prev = Some(St(micros(ts), k))
