@@ -64,7 +64,9 @@ class EtlPipelineSpec extends SparkSpec {
     assert(math.abs(rates2.filter(col("cur") === "EUR").collect()(0)
       .getAs[Double]("rate") - 99.1) < 1e-9)
 
-    val terms = spark.read.parquet(s"$wh/dwh_terminals").cache()
+    // NOT cached: a cached plan would serve day-2 state to the identical
+    // day-3 read below (cache is keyed on the logical plan)
+    val terms = spark.read.parquet(s"$wh/dwh_terminals")
     // T1 open(1) + T2 closed+open(2) + T3 closed+tombstone(2)
     assert(terms.count() == 5)
     assert(terms.filter(col("deleted_flg")).count() == 1)
@@ -72,8 +74,20 @@ class EtlPipelineSpec extends SparkSpec {
       col("effective_to") === lit(Scd.OpenEnd).cast("timestamp")).count() == 1)
     assert(logRow(r2, "dwh_terminals").getAs[Long]("rows_deleted") == 1)
 
-    // --- run 3: nothing new — watermark skips everything ---
-    val r3 = EtlPipeline.run(spark, inbox, wh, mappings, runId = 3, marts = marts)
+    // --- day 3: T3 returns with its ORIGINAL city — the snapshot path
+    // must close the tombstone and revive the key (identical-state
+    // revival, mirroring the reference's INTERSECT-with-deleted_flg)
+    mkFile(inbox, "terminals_03012024.csv", "term_id;city\nT1;Moscow\nT2;Samara\nT3;Perm\n")
+    EtlPipeline.run(spark, inbox, wh, mappings, runId = 3, marts = marts)
+    val terms3 = spark.read.parquet(s"$wh/dwh_terminals")
+    val t3open = terms3.filter(col("term_id") === "T3" &&
+      col("effective_to") === lit(Scd.OpenEnd).cast("timestamp"))
+    assert(t3open.count() == 1)
+    assert(!t3open.collect()(0).getAs[Boolean]("deleted_flg"), "T3 must revive")
+    assert(terms3.filter(col("term_id") === "T3").count() == 3) // closed, closed tombstone, open
+
+    // --- run 4: nothing new — watermark skips everything ---
+    val r3 = EtlPipeline.run(spark, inbox, wh, mappings, runId = 4, marts = marts)
     assert(r3.processedFiles.isEmpty && r3.log.count() == 0)
 
     // persistent combined run log accumulated all runs
@@ -153,6 +167,30 @@ class EtlPipelineSpec extends SparkSpec {
       deleteTs = "2024-01-05 00:00:00")
     assert(logRow(r4, "stg_dwh_clients").getAs[Long]("rows_inserted") == 0)
     assert(tbl().count() == t3Count)
+  }
+
+  test("from-database scd1 feed upserts incrementally without touching absent keys") {
+    val s = spark
+    import s.implicits._
+    val wh = Files.createTempDirectory("graft_whdb1").toString
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val nullTs = null.asInstanceOf[java.sql.Timestamp]
+    def feed(src: org.apache.spark.sql.DataFrame) = Seq(EtlPipeline.TableFeed(
+      EtlPipeline.TableMapping("rates", "dwh_db_rates", "cur", Seq("rate"), 1), src))
+    val src1 = Seq(("USD", 90.5, ts("2024-01-01 08:00:00"), nullTs),
+                   ("EUR", 99.1, ts("2024-01-01 08:00:00"), nullTs))
+      .toDF("cur", "rate", "create_dt", "update_dt")
+    EtlPipeline.runFromTables(spark, wh, feed(src1), 1, "2024-01-02 00:00:00")
+    // only USD changes past the watermark; EUR is absent from the
+    // incremental stg and must survive untouched (scd1 never deletes)
+    val src2 = Seq(("USD", 92.0, ts("2024-01-01 08:00:00"), ts("2024-01-02 09:00:00")),
+                   ("EUR", 99.1, ts("2024-01-01 08:00:00"), nullTs))
+      .toDF("cur", "rate", "create_dt", "update_dt")
+    val r2 = EtlPipeline.runFromTables(spark, wh, feed(src2), 2, "2024-01-03 00:00:00")
+    assert(logRow(r2, "stg_dwh_db_rates").getAs[Long]("rows_inserted") == 1)
+    val t = spark.read.parquet(s"$wh/dwh_db_rates").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(t == Map("USD" -> 92.0, "EUR" -> 99.1))
   }
 
   test("streaming merge upserts each micro-batch into the warehouse") {
