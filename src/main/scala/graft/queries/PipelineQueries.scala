@@ -243,6 +243,29 @@ object PipelineQueries {
       |FROM pt a JOIN pt b ON a.doc_id = b.doc_id AND a.tok < b.tok
       |GROUP BY 1, 2""".stripMargin
 
+  // --- q76: benchmark decontamination — corpus docs sharing a 5-word
+  // n-gram with the (doc_id % 11 == 0) eval split. Eval n-grams
+  // broadcast; corpus streams once (oracle-checked).
+  def q76(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.Decontaminate.overlapFlags(
+      docs.filter(col("doc_id") % 11 =!= 0),
+      docs.filter(col("doc_id") % 11 === 0),
+      "doc_id", "text", n = 5)
+  }
+
+  val q76Sql: String =
+    """WITH tok AS (SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS w
+      |  FROM documents),
+      |eg AS (SELECT DISTINCT ARRAY_TO_STRING(w[i:i+4], ' ') AS ngram
+      |  FROM (SELECT w, UNNEST(GENERATE_SERIES(1, LEN(w) - 4)) AS i
+      |        FROM tok WHERE doc_id % 11 = 0 AND LEN(w) >= 5)),
+      |cg AS (SELECT doc_id, ARRAY_TO_STRING(w[i:i+4], ' ') AS ngram
+      |  FROM (SELECT doc_id, w, UNNEST(GENERATE_SERIES(1, LEN(w) - 4)) AS i
+      |        FROM tok WHERE doc_id % 11 <> 0 AND LEN(w) >= 5))
+      |SELECT doc_id, CAST(COUNT(DISTINCT ngram) AS BIGINT) AS n_contaminated
+      |FROM cg JOIN eg USING (ngram) GROUP BY 1""".stripMargin
+
   // --- q70: z-order skipping index over orders (custkey × orderkey).
   // The per-bucket min/max stats ARE the pruning index a scan planner
   // consults; the spec asserts the locality win vs a single-column sort.
@@ -295,7 +318,8 @@ object PipelineQueries {
     "q68_ann_recall"        -> (q68 _),
     "q69_cooccurrence"      -> (q69 _),
     "q70_zorder_index"      -> (q70 _),
-    "q71_bigrams"           -> (q71 _))
+    "q71_bigrams"           -> (q71 _),
+    "q76_decontaminate"     -> (q76 _))
 
   val oracle: Map[String, String] = Map(
     "q62_hash_split"        -> q62Sql,
@@ -306,5 +330,6 @@ object PipelineQueries {
     "q67_window_dedup"      -> q67Sql,
     "q69_cooccurrence"      -> q69Sql,
     "q70_zorder_index"      -> q70Sql,
-    "q71_bigrams"           -> q71Sql)
+    "q71_bigrams"           -> q71Sql,
+    "q76_decontaminate"     -> q76Sql)
 }

@@ -113,6 +113,27 @@ class PipelineSpec extends SparkSpec {
       s"z-order bucket orderkey span $zSpan should be well under the full range $full")
   }
 
+  test("q76 decontamination flags only corpus docs that truly share an eval 5-gram") {
+    val out = PipelineQueries.q76(spark, sf).cache()
+    assert(out.count() > 0, "corpus must contain contaminated docs (near-dups of eval)")
+    assert(out.filter(col("doc_id") % 11 === 0).isEmpty, "eval docs must not self-flag")
+    assert(out.filter(col("n_contaminated") < 1).isEmpty)
+    // independent driver-side cross-check of one flagged doc
+    def grams(text: String): Set[String] = {
+      val w = text.trim.toLowerCase.split("\\s+")
+      if (w.length < 5) Set.empty
+      else (0 to w.length - 5).map(i => w.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val flagged = out.collect()(0).getAs[Long]("doc_id")
+    val evalGrams = docs.collect { case (id, t) if id % 11 == 0 => grams(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    assert(grams(docs(flagged)).intersect(evalGrams).nonEmpty,
+      s"doc $flagged flagged but shares no 5-gram with the eval set")
+  }
+
   test("zorder zvalue: interleave is a bijection on the masked domain") {
     import graft.operators.ZOrder
     val df = spark.range(0, 1024).toDF("x")
