@@ -125,6 +125,27 @@ object TextQueries {
       | AND p.event_type = 'purchase' AND e.event_type = 'error'
       | AND e.ts BETWEEN p.ts - INTERVAL 60 MINUTES AND p.ts""".stripMargin
 
+  // --- q77: intra-document repetition stats (Gopher quality rules) —
+  // duplicate word-bigram fraction and top-bigram mass per document ---
+  def q77(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Repetition.ngramStats(
+      Tables.documents(s, dir), "doc_id", "text", n = 2)
+
+  val q77Sql: String =
+    """WITH tok AS (SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS w
+      |  FROM documents),
+      |g AS (SELECT doc_id, ARRAY_TO_STRING(w[i:i+1], ' ') AS ngram
+      |  FROM (SELECT doc_id, w, UNNEST(GENERATE_SERIES(1, LEN(w) - 1)) AS i
+      |        FROM tok WHERE LEN(w) >= 2)),
+      |pc AS (SELECT doc_id, ngram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+      |SELECT doc_id,
+      | CAST(SUM(c) AS BIGINT) AS n_grams,
+      | CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      | CAST(MAX(c) AS BIGINT) AS top_count,
+      | CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_frac,
+      | CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac
+      |FROM pc GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_text_stats"      -> (q27 _),
     "q28_lang_id"         -> (q28 _),
@@ -133,12 +154,14 @@ object TextQueries {
     "q31_multimodal_meta" -> (q31 _),
     "q32_stream_windowed" -> (q32 _),
     "q33_fraud_score"     -> (q33 _),
-    "q74_stream_join"     -> (q74 _))
+    "q74_stream_join"     -> (q74 _),
+    "q77_repetition"      -> (q77 _))
 
   val oracle: Map[String, String] = Map(
     "q27_text_stats"      -> q27Sql,
     "q28_lang_id"         -> q28Sql,
     "q29_quality_filter"  -> q29Sql,
     "q32_stream_windowed" -> q32Sql,
-    "q74_stream_join"     -> q74Sql)
+    "q74_stream_join"     -> q74Sql,
+    "q77_repetition"      -> q77Sql)
 }

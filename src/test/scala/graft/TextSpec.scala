@@ -61,4 +61,37 @@ class TextSpec extends SparkSpec {
     assert(m1 == m2)
     assert(m1.forall(_.getLong(1) > 0))
   }
+
+  test("q77 repetition stats: invariants hold and a known doc matches by hand") {
+    val out = TextQueries.q77(spark, sf).cache()
+    assert(out.count() == Tables.documents(spark, sf)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 2).count())
+    assert(out.filter(col("n_distinct") > col("n_grams")).isEmpty)
+    assert(out.filter(col("top_count") > col("n_grams")).isEmpty)
+    assert(out.filter(col("dup_frac") < 0 || col("dup_frac") >= 1).isEmpty)
+    assert(out.filter(col("top_frac") <= 0 || col("top_frac") > 1).isEmpty)
+    // driver-side recomputation of one document
+    val r = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .select("text").collect()(0).getString(0)
+    val grams = r.trim.toLowerCase.split("\\s+").sliding(2).map(_.mkString(" ")).toSeq
+    val counts = grams.groupBy(identity).view.mapValues(_.size)
+    val got = out.filter(col("doc_id") === 0).collect()(0)
+    assert(got.getAs[Long]("n_grams") == grams.size)
+    assert(got.getAs[Long]("n_distinct") == counts.size)
+    assert(got.getAs[Long]("top_count") == counts.values.max)
+  }
+
+  test("q77 repetition: a pathologically repetitive doc scores near 1") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(50)("spam ham").mkString(" ")),
+      (2L, (1 to 100).map(i => s"w$i").mkString(" ")),
+      (3L, "short")).toDF("doc_id", "text")
+    val st = graft.operators.Repetition.ngramStats(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(st(1L).getAs[Double]("dup_frac") > 0.9, "repeated bigrams must dominate")
+    assert(st(2L).getAs[Double]("dup_frac") == 0.0, "all-unique doc has no repeats")
+    assert(!st.contains(3L), "single-word doc has no bigrams")
+  }
 }
