@@ -47,6 +47,32 @@ object BitmapOps {
     }
     acc
   }
+
+  /** |a ∩ b| of two ASCENDING-sorted long arrays — the hashed-set
+    * verifier's primitive (arrays come from sort_array(collect_set(..)),
+    * so they are null-free and duplicate-free by construction; a null
+    * element would sort first and simply never match). A single merge
+    * pass, so per-pair cost is O(|a|+|b|) independent of any dictionary.
+    */
+  def sortedAndCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var acc = 0L
+    while (i < na && j < nb) {
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i)
+        val y = b.getLong(j)
+        if (x == y) { acc += 1L; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+    }
+    acc
+  }
 }
 
 private object BitmapTypeCheck {
@@ -70,6 +96,22 @@ case class BitmapAndCountExpr(left: Expression, right: Expression) extends Binar
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.BitmapOps.andCount($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BitmapAndCountExpr =
+    copy(left = l, right = r)
+}
+
+case class SortedAndCountExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    BitmapTypeCheck.check(prettyName, Seq(left.dataType, right.dataType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_and_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BitmapOps.sortedAndCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.BitmapOps.sortedAndCount($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedAndCountExpr =
     copy(left = l, right = r)
 }
 
@@ -98,4 +140,11 @@ object BitmapFunctions {
   /** popcount of an array<long> bitmap column (codegen'd). */
   def popcount(a: Column): Column =
     ColumnBridge.column(BitmapCountExpr(ColumnBridge.expression(a)))
+
+  /** intersection size of two ascending-sorted array<long> set columns
+    * (codegen'd merge pass).
+    */
+  def sortedAndCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedAndCountExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

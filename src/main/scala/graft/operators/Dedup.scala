@@ -41,38 +41,75 @@ object Dedup {
   private def substring_index_pos(text: Column, pos: Column, len: Int): Column =
     text.substr(pos, lit(len))
 
+  /** Default vocabulary bound for the dense-bitmap verifier: above this
+    * the per-document array width ((vocab+63)/64 longs ≈ vocab/8 bytes),
+    * the broadcast dictionary, and the single-partition dictionary window
+    * all degrade together. 2^20 slots = 128 KB/doc dense — the point
+    * where sorted hashed sets (one long per DISTINCT shingle, no
+    * dictionary at all) are strictly better. Override with
+    * `graft.dedup.maxBitmapVocab`.
+    */
+  val DefaultMaxBitmapVocab: Long = 1L << 20
+
   /** Per-document shingle-set bitmaps: each document becomes ONE row
     * (id, bm: array<long> — a long per 64 dictionary slots, set_size).
     *
-    * With character k-grams the shingle *vocabulary* is tiny
-    * (≤ charset^k, a few KB of longs per document even at full charset)
-    * while document sets are dense, so a dense bitmap beats an inverted
-    * index: Jaccard between two documents is codegen'd AND+popcount over
-    * two arrays, and candidate verification never materializes per-pair
-    * shingle rows. Built sparse-first: aggregate set bits per (doc, word)
-    * — each shingle row evaluates a single shift, not one conditional per
-    * word — then assemble the dense array per document. bit_or is
+    * With character k-grams over a CLOSED charset the shingle
+    * *vocabulary* is tiny (≤ charset^k) while document sets are dense,
+    * so a dense bitmap beats an inverted index: Jaccard between two
+    * documents is codegen'd AND+popcount over two arrays, and candidate
+    * verification never materializes per-pair shingle rows. Built
+    * sparse-first: aggregate set bits per (doc, word) — each shingle row
+    * evaluates a single shift, not one conditional per word — then
+    * assemble the dense array per document. bit_or is
     * duplicate-idempotent, so the shingle stream needs NO distinct.
     * (The previous form — `words` separate bit_or(when(...)) agg columns
     * and flat w0..wN join rows — evaluated words conditionals per shingle
     * row and copied 2·words-long join rows per candidate pair: measured
     * 2.5-7s on q55's 1250-doc input vs <1s for this.)
+    *
+    * CONTRACT (enforced): the vocabulary must stay ≤
+    * `graft.dedup.maxBitmapVocab` (default [[DefaultMaxBitmapVocab]]) —
+    * an open-charset (e.g. CJK) corpus blows it up, and this throws
+    * loudly instead of degrading silently. The verification entry points
+    * ([[ngramJaccardPairs]], [[lshVerifiedPairs]]) fall back to sorted
+    * hashed sets automatically; call those, not this, unless dense
+    * bitmaps are specifically wanted.
     */
-  def shingleBitmaps(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    bitmapsFromShingles(shinglesRaw(df, idCol, textCol, k), idCol)
+  def shingleBitmaps(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val sh = shinglesRaw(df, idCol, textCol, k)
+    val (dict, vocab) = shingleDict(sh)
+    val maxVocab = maxBitmapVocab(df.sparkSession)
+    require(vocab <= maxVocab,
+      s"shingle vocabulary $vocab exceeds graft.dedup.maxBitmapVocab=$maxVocab: " +
+        s"the dense-bitmap verifier would broadcast a $vocab-entry dictionary and " +
+        s"build ${(vocab + 63) / 64}-long arrays per document. Use the hashed " +
+        "verifier (graft.dedup.verifier=hashed, or the auto fallback in " +
+        "ngramJaccardPairs/lshVerifiedPairs) for open-charset corpora, or raise the bound.")
+    denseBitmaps(sh, dict, vocab, idCol)
+  }
 
-  private def bitmapsFromShingles(sh: DataFrame, idCol: String): DataFrame = {
+  private def maxBitmapVocab(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.dedup.maxBitmapVocab")
+      .map(_.toLong).getOrElse(DefaultMaxBitmapVocab)
+
+  private def shingleDict(sh: DataFrame): (DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
-    // dense shingle dictionary; the window is over the (tiny) vocabulary,
-    // not the corpus, so the single-partition sort is metadata-sized
+    // dense shingle dictionary; the window is over the (bounded)
+    // vocabulary, not the corpus, so the single-partition sort is
+    // metadata-sized — the vocab bound above is exactly what keeps it so
     val dict = sh.select("shingle").distinct()
       .withColumn("sid", row_number().over(Window.orderBy("shingle")) - 1)
-    val vocab = dict.count().toInt
+    (dict, dict.count())
+  }
+
+  private def denseBitmaps(sh: DataFrame, dict: DataFrame, vocab: Long,
+                           idCol: String): DataFrame = {
     // empty vocabulary (every doc shorter than k) → no documents
     if (vocab == 0)
       return sh.select(col(idCol), array().cast("array<bigint>").as("bm"),
         lit(0L).as("set_size")).limit(0)
-    val words = (vocab + 63) / 64
+    val words = (vocab.toInt + 63) / 64
     val perWord = sh.join(broadcast(dict), Seq("shingle"))
       .groupBy(col(idCol), (col("sid") / 64).cast("int").as("w"))
       .agg(bit_or(expr("shiftleft(1L, cast(sid % 64 as int))")).as("bits"))
@@ -86,16 +123,61 @@ object Dedup {
       .select(col(idCol), col("bm"), col("set_size"))
   }
 
+  /** Hashed shingle sets — the open-vocabulary verifier: each document
+    * becomes (id, bm: ASCENDING-sorted array of xxhash64(shingle),
+    * set_size). No dictionary, no broadcast, no dense width: per-doc cost
+    * is one long per DISTINCT shingle regardless of corpus vocabulary,
+    * and pair verification is a codegen'd sorted-merge intersection.
+    * collect_set partially aggregates map-side, so the groupBy shuffles
+    * ~set_size longs per document. Exact modulo 64-bit hash collisions
+    * (P ≈ vocab²/2^65 — below 3·10^-7 even at 100M distinct shingles).
+    */
+  private def hashSetsFromShingles(sh: DataFrame, idCol: String): DataFrame =
+    sh.select(col(idCol), xxhash64(col("shingle")).as("h"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("h"))).as("bm"))
+      .withColumn("set_size", size(col("bm")).cast("bigint"))
+      .select(col(idCol), col("bm"), col("set_size"))
+
+  /** Verifier dispatch — `graft.dedup.verifier`:
+    *  - "auto" (default): count the vocabulary; dense bitmaps when it
+    *    fits `graft.dedup.maxBitmapVocab`, hashed sets beyond.
+    *  - "bitmap": dense bitmaps, FAIL LOUDLY over the bound.
+    *  - "hashed": hashed sets unconditionally — the 100 TB setting; it
+    *    also skips the vocabulary-count job entirely.
+    * Returns the per-doc set frame plus whether it is hashed.
+    */
+  private def docSetsFromShingles(sh: DataFrame, idCol: String): (DataFrame, Boolean) = {
+    val spark = sh.sparkSession
+    val mode = spark.conf.getOption("graft.dedup.verifier").getOrElse("auto")
+    mode match {
+      case "hashed" => (hashSetsFromShingles(sh, idCol), true)
+      case "auto" | "bitmap" =>
+        val maxVocab = maxBitmapVocab(spark)
+        val (dict, vocab) = shingleDict(sh)
+        if (vocab <= maxVocab) (denseBitmaps(sh, dict, vocab, idCol), false)
+        else if (mode == "auto") (hashSetsFromShingles(sh, idCol), true)
+        else throw new IllegalArgumentException(
+          s"shingle vocabulary $vocab exceeds graft.dedup.maxBitmapVocab=$maxVocab " +
+            "with graft.dedup.verifier=bitmap; use verifier=hashed or raise the bound")
+      case other => throw new IllegalArgumentException(
+        s"graft.dedup.verifier must be auto|bitmap|hashed, got '$other'")
+    }
+  }
+
   /** Exact Jaccard verification of (id_a, id_b, bm_a/bm_b, size_a/size_b)
     * pair rows: size-ratio prefilter (J >= t ⇒ min/max set-size ratio
-    * >= t), codegen'd AND+popcount intersection, threshold filter.
+    * >= t), codegen'd intersection count (AND+popcount for dense bitmaps,
+    * sorted-merge for hashed sets), threshold filter.
     */
-  private def jaccardVerify(pairs: DataFrame, threshold: Double): DataFrame =
+  private def jaccardVerify(pairs: DataFrame, threshold: Double,
+                            hashed: Boolean): DataFrame =
     pairs
       .filter(least(col("size_a"), col("size_b")).cast("double") >=
         lit(threshold) * greatest(col("size_a"), col("size_b")).cast("double"))
       .withColumn("n_inter",
-        graft.functions.BitmapFunctions.andCount(col("bm_a"), col("bm_b")))
+        if (hashed) graft.functions.BitmapFunctions.sortedAndCount(col("bm_a"), col("bm_b"))
+        else graft.functions.BitmapFunctions.andCount(col("bm_a"), col("bm_b")))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("size_a") + col("size_b") - col("n_inter")).cast("double"))
@@ -112,12 +194,12 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int, threshold: Double): DataFrame = {
-    val docs = shingleBitmaps(df, idCol, textCol, k)
+    val (docs, hashed) = docSetsFromShingles(shinglesRaw(df, idCol, textCol, k), idCol)
     val a = docs.select(col(idCol).as("id_a"), col("bm").as("bm_a"),
       col("set_size").as("size_a"))
     val b = docs.select(col(idCol).as("id_b"), col("bm").as("bm_b"),
       col("set_size").as("size_b"))
-    jaccardVerify(a.join(broadcast(b), col("id_a") < col("id_b")), threshold)
+    jaccardVerify(a.join(broadcast(b), col("id_a") < col("id_b")), threshold, hashed)
   }
 
   /** The composed 100 TB near-dup pipeline: MinHash-LSH candidate
@@ -140,22 +222,46 @@ object Dedup {
                        numPerm: Int, bands: Int): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     // The shingle stream feeds BOTH the MinHash signatures and the
-    // verification bitmaps; cache it so the corpus (the dominant scan at
+    // verification sets; cache it so the corpus (the dominant scan at
     // 100 TB) is read once. Identical plans share one cache entry
-    // (CacheManager dedupes re-registration), the memory tier
-    // LRU-evicts under pressure, and eviction only costs recompute —
-    // release explicitly via spark.catalog.clearCache() in long-lived
-    // sessions that move between corpora.
-    val sh = shinglesRaw(df, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (CacheManager dedupes re-registration); release via
+    // [[releaseCaches]] (or spark.catalog.clearCache()) in long-lived
+    // sessions that move between corpora — eviction only costs recompute.
+    val sh = trackPersist(shinglesRaw(df, idCol, textCol, k))
     val cands = lshPairsFromSignatures(
       signaturesFromShingles(sh, idCol, numPerm), idCol, numPerm, bands)
-    val docs = bitmapsFromShingles(sh, idCol)
+    val (docs, hashed) = docSetsFromShingles(sh, idCol)
     val a = docs.select(col(idCol).as("id_a"), col("bm").as("bm_a"),
       col("set_size").as("size_a"))
     val b = docs.select(col(idCol).as("id_b"), col("bm").as("bm_b"),
       col("set_size").as("size_b"))
-    jaccardVerify(cands.join(a, Seq("id_a")).join(b, Seq("id_b")), threshold)
+    jaccardVerify(cands.join(a, Seq("id_a")).join(b, Seq("id_b")), threshold, hashed)
+  }
+
+  // ------------------------------------------------------------------
+  // Cache ownership: the near-dup pipelines persist small derived frames
+  // (shingle stream, banded signatures, simhash chunks) that their
+  // self-joins would otherwise recompute. MEMORY_AND_DISK blocks evicted
+  // from memory move to DISK and stay until unpersist, so a long-lived
+  // session sweeping many corpora must release them — unpersisting is
+  // always safe (still-lazy results just recompute).
+  // ------------------------------------------------------------------
+  private val trackedCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def trackPersist(df: DataFrame): DataFrame = trackedCaches.synchronized {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackedCaches += p
+    p
+  }
+
+  /** Unpersist every intermediate frame cached by [[lshVerifiedPairs]],
+    * [[minhashLshPairs]], [[simhashPairs]] and [[embeddingLshPairs]] so
+    * far. Call between corpora in long-lived sessions; results already
+    * computed are unaffected, un-executed lazy plans recompute.
+    */
+  def releaseCaches(): Unit = trackedCaches.synchronized {
+    trackedCaches.foreach(_.unpersist(blocking = false))
+    trackedCaches.clear()
   }
 
   /** Per-document MinHash signature: numPerm permutations
@@ -222,11 +328,10 @@ object Dedup {
     // whole shingle-explode + signature aggregation (the corpus-sized
     // work) — measured 2× the scan cost at sf0.1. The cached frame is
     // docs × bands rows (one per band per document), tiny next to the
-    // corpus; LRU-evicted like the shingle cache in lshVerifiedPairs.
-    val banded = sig.select(col(idCol) +: bandCols: _*)
+    // corpus; released by [[releaseCaches]].
+    val banded = trackPersist(sig.select(col(idCol) +: bandCols: _*)
       .select(col(idCol), explode(array((0 until bands).map(b => col(s"b$b")): _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col(idCol), col("bb.band"), col("bb.bucket")))
     val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket"))
@@ -273,14 +378,14 @@ object Dedup {
     // 4 chunks of 16 bits; hamming<=3 pairs must share one chunk.
     // Persisted for the same reason as the banded LSH frame: the
     // self-join below would otherwise run the 64-bit-column simhash
-    // aggregation once per side. One row per (doc, chunk) — tiny.
-    val chunked = fp.select(col(idCol), col("simhash"),
+    // aggregation once per side. One row per (doc, chunk) — tiny;
+    // released by [[releaseCaches]].
+    val chunked = trackPersist(fp.select(col(idCol), col("simhash"),
         explode(array((0 until 4).map { c =>
           struct(lit(c).as("chunk"),
             shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ckey"))
         }: _*)).as("ck"))
-      .select(col(idCol), col("simhash"), col("ck.chunk"), col("ck.ckey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col(idCol), col("simhash"), col("ck.chunk"), col("ck.ckey")))
     val l = chunked.select(col(idCol).as("id_a"), col("simhash").as("fp_a"),
       col("chunk"), col("ckey"))
     val r = chunked.select(col(idCol).as("id_b"), col("simhash").as("fp_b"),
@@ -440,12 +545,12 @@ object Dedup {
         Similarity.lshSignature(col("v"), planes).as("sig")).as(s"t$t")
     }
     // persisted: the self-join would recompute the nTables × nBits
-    // hyperplane projections per side; one row per (vector, table)
-    val banded = v.select(col("id") +: sigCols: _*)
+    // hyperplane projections per side; one row per (vector, table);
+    // released by [[releaseCaches]]
+    val banded = trackPersist(v.select(col("id") +: sigCols: _*)
       .select(col("id"),
         explode(array((0 until nTables).map(t => col(s"t$t")): _*)).as("b"))
-      .select(col("id"), col("b.tbl"), col("b.sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), col("b.tbl"), col("b.sig")))
     val l = banded.select(col("id").as("id_a"), col("tbl"), col("sig"))
     val r = banded.select(col("id").as("id_b"), col("tbl"), col("sig"))
     val cands = l.join(r, Seq("tbl", "sig"))

@@ -36,6 +36,64 @@ class DedupSpec extends SparkSpec {
     assert(!phys.contains("BroadcastNestedLoopJoin"), "scale path must not nested-loop join")
   }
 
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  test("hashed verifier equals the dense-bitmap verifier on the q21 corpus") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") % 4 === 0)
+    def run() = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dense = withConf("graft.dedup.verifier" -> "bitmap")(run())
+    val hashed = withConf("graft.dedup.verifier" -> "hashed")(run())
+    assert(dense.nonEmpty)
+    assert(hashed === dense)
+  }
+
+  test("wide-charset corpus: auto falls back to hashed sets, bitmap mode fails loud") {
+    val s = spark
+    import s.implicits._
+    // synthetic open-charset (CJK-plane) corpus: 26 base texts over a
+    // 300-codepoint alphabet + a shifted near-duplicate of each — the
+    // 3-gram vocabulary far exceeds the tiny bound set below
+    val alpha = (0 until 300).map(i => (0x4E00 + i).toChar).mkString
+    val base = (0 until 26).map { d =>
+      val t = (0 until 40).map(p => alpha((d * 7 + p * 3) % alpha.length)).mkString
+      (d.toLong, t)
+    }
+    val near = base.map { case (d, t) => (d + 1000L, t.drop(1) + t.head) }
+    val docs = (base ++ near).toDF("doc_id", "text")
+    // driver-side ground truth: exact char-3-gram Jaccard
+    def shingleSet(t: String) = t.sliding(3).toSet
+    val byId = (base ++ near).map { case (d, t) => d -> shingleSet(t) }
+    val truth = (for {
+      (a, sa) <- byId; (b, sb) <- byId
+      if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j >= 0.6
+    } yield (a, b)).toSet
+    assert(truth.nonEmpty, "synthetic corpus must contain near-dup pairs")
+    withConf("graft.dedup.maxBitmapVocab" -> "64") {
+      // the dense path must refuse, not degrade
+      intercept[IllegalArgumentException](
+        Dedup.shingleBitmaps(docs, "doc_id", "text", 3).count())
+      intercept[IllegalArgumentException](withConf(
+        "graft.dedup.verifier" -> "bitmap")(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6).count()))
+      // auto mode silently switches to hashed sets and stays exact —
+      // through BOTH the all-pairs and the composed LSH paths
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact === truth)
+      val lsh = Dedup.lshVerifiedPairs(docs, "doc_id", "text", 3, 0.6,
+        numPerm = 16, bands = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lsh === truth)
+    }
+    Dedup.releaseCaches()
+  }
+
   test("embedding LSH pairs: exact precision, high recall, no cross join") {
     val e = Tables.embeddings(spark, sf)
     val lsh = Dedup.embeddingLshPairs(e, "vec_id", "embedding",
