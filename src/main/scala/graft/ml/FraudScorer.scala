@@ -28,21 +28,12 @@ object FraudScorer {
       .withColumn("is_error", when(col("event_type") === "error", 1.0).otherwise(0.0))
       .withColumn("is_purchase", when(col("event_type") === "purchase", 1.0).otherwise(0.0))
 
-  /** Train on rule-labeled events, emit per-event fraud probability.
-    *
-    * The labeled+assembled training set is cached once: the label join
-    * replays the 4-rule mart plan (4 window shuffles), and both lr.fit's
-    * iterative passes and the final transform would otherwise recompute
-    * it from the parquet scan each time.
-    *
-    * TRAINING is capped at `trainSampleCap` rows via a seeded uniform
-    * sample (same reasoning as the IVF quantizer fit): lr's maxIter
-    * passes need a representative sample, not 100 TB of facts, and only
-    * the capped sample is cached — the full-corpus work stays a single
-    * streaming transform pass. Below the cap nothing changes.
+  /** Rule-labeled, feature-assembled event frame: the shared input of
+    * [[score]] (fit on everything) and [[evaluate]] (fit on a held-out
+    * split). The label join replays the 4-rule mart plan once per
+    * execution; callers cache the slice they iterate over.
     */
-  def score(s: SparkSession, dir: String,
-            trainSampleCap: Long = 1000000L): DataFrame = {
+  private def assembled(s: SparkSession, dir: String): DataFrame = {
     val ev = featurize(Tables.events(s, dir))
     val labels = graft.pipeline.FraudMart.report(s, dir)
       .select(col("event_id")).distinct().withColumn("label", lit(1.0))
@@ -51,8 +42,38 @@ object FraudScorer {
     val assembler = new VectorAssembler()
       .setInputCols(Array("value", "k", "hour", "is_error", "is_purchase"))
       .setOutputCol("features")
-    val assembled = assembler.transform(data)
+    assembler.transform(data)
       .select(col("event_id"), col("user_id"), col("label"), col("features"))
+  }
+
+  private def fit(train: DataFrame) =
+    new LogisticRegression()
+      .setMaxIter(10).setRegParam(0.01).setStandardization(true)
+      .fit(train)
+
+  /** Seeded uniform cap: lr's maxIter passes need a representative
+    * sample, not 100 TB of facts. `n` is the (footer-cheap) cardinality
+    * of `df` — below the cap the frame passes through unchanged.
+    */
+  private def capped(df: DataFrame, n: Long, cap: Long): DataFrame =
+    if (n <= cap) df
+    else df.sample(withReplacement = false, cap.toDouble / n, seed = 42L)
+
+  /** Train on rule-labeled events, emit per-event fraud probability.
+    *
+    * The labeled+assembled training set is cached once: the label join
+    * replays the 4-rule mart plan (4 window shuffles), and both lr.fit's
+    * iterative passes and the final transform would otherwise recompute
+    * it from the parquet scan each time.
+    *
+    * TRAINING is capped at `trainSampleCap` rows via a seeded uniform
+    * sample (same reasoning as the IVF quantizer fit): only the capped
+    * sample is cached — the full-corpus work stays a single streaming
+    * transform pass. Below the cap nothing changes.
+    */
+  def score(s: SparkSession, dir: String,
+            trainSampleCap: Long = 1000000L): DataFrame = {
+    val a = assembled(s, dir)
     // cached, not unpersisted here: the returned DataFrame is lazy and
     // still reads the cache when the caller executes it; Spark evicts
     // LRU under memory pressure.
@@ -62,15 +83,50 @@ object FraudScorer {
     // IS assembled, so caching it gives the final transform a cache hit
     // on the same plan (the pre-cap behavior, unchanged).
     val n = Tables.events(s, dir).count()
-    val train = (if (n <= trainSampleCap) assembled
-                 else assembled.sample(withReplacement = false,
-                   trainSampleCap.toDouble / n, seed = 42L)).cache()
-    val lr = new LogisticRegression()
-      .setMaxIter(10).setRegParam(0.01).setStandardization(true)
-    val model = lr.fit(train)
-    model.transform(assembled)
+    val model = fit(capped(a, n, trainSampleCap).cache())
+    model.transform(a)
       .select(col("event_id"), col("user_id"), col("label"),
         col("prediction"),
         round(element_at(vector_to_array(col("probability")), 2), 6).as("fraud_prob"))
+  }
+
+  /** Held-out evaluation — what [[score]] alone never proves. Events
+    * split leakage-free by hashed event_id (the q62 pattern: the same
+    * id always lands in the same split, independent of row order or
+    * partitioning); the model fits ONLY on the train split and is
+    * measured on the unseen test split with AUC-ROC and AUC-PR
+    * (`BinaryClassificationEvaluator`). AUC-PR is reported because the
+    * fraud label is rare — a high ROC area alone can mask a useless
+    * precision/recall trade-off at this class skew.
+    *
+    * Returns one row: split/class sizes + both AUCs (rows-only entry —
+    * MLlib metrics are not SQL-expressible). Scale shape matches
+    * [[score]]: the fit sees a capped seeded sample, scoring the test
+    * split is one streaming pass, and the AUC reduction is a sort-based
+    * aggregate MLlib runs distributed.
+    */
+  def evaluate(s: SparkSession, dir: String, trainPct: Int = 80,
+               trainSampleCap: Long = 1000000L): DataFrame = {
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    val split = pmod(xxhash64(col("event_id")), lit(100L)) < trainPct
+    val a = assembled(s, dir)
+    val n = Tables.events(s, dir).count()
+    val train = capped(a.filter(split), n * trainPct / 100, trainSampleCap).cache()
+    val test = a.filter(!split)
+    val scoredTest = fit(train).transform(test).cache()
+    val evaluator = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("rawPrediction")
+    val aucRoc = evaluator.setMetricName("areaUnderROC").evaluate(scoredTest)
+    val aucPr = evaluator.setMetricName("areaUnderPR").evaluate(scoredTest)
+    val sizes = scoredTest.agg(
+      count(lit(1)).as("n_test"),
+      sum(col("label")).cast("bigint").as("n_test_pos")).collect()(0)
+    val nTrain = train.count()
+    train.unpersist(blocking = false)
+    scoredTest.unpersist(blocking = false)
+    import s.implicits._
+    Seq((nTrain, sizes.getLong(0), sizes.getLong(1),
+        math.rint(aucRoc * 1e6) / 1e6, math.rint(aucPr * 1e6) / 1e6))
+      .toDF("n_train", "n_test", "n_test_pos", "auc_roc", "auc_pr")
   }
 }

@@ -104,6 +104,12 @@ object TextQueries {
   def q33(s: SparkSession, dir: String): DataFrame =
     graft.ml.FraudScorer.score(s, dir)
 
+  // --- q78: held-out evaluation of q33's scorer — AUC-ROC / AUC-PR on
+  // an unseen hashed test split (rows-only: MLlib metrics aren't
+  // SQL-expressible; MlSpec asserts the AUC floor) ---
+  def q78(s: SparkSession, dir: String): DataFrame =
+    graft.ml.FraudScorer.evaluate(s, dir)
+
   // --- q74: stream-stream interval join, batch execution (the streaming
   // twin runs the SAME definition on two watermarked streams —
   // StreamingSpec proves batch/stream equality) ---
@@ -154,6 +160,7 @@ object TextQueries {
     "q31_multimodal_meta" -> (q31 _),
     "q32_stream_windowed" -> (q32 _),
     "q33_fraud_score"     -> (q33 _),
+    "q78_score_eval"      -> (q78 _),
     "q74_stream_join"     -> (q74 _),
     "q77_repetition"      -> (q77 _))
 

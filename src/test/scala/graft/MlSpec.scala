@@ -23,6 +23,28 @@ class MlSpec extends SparkSpec {
     assert(scored.filter(!col("prediction").isin(0.0, 1.0)).isEmpty)
   }
 
+  test("held-out evaluation: AUC clears the floor on an unseen split") {
+    val m = graft.ml.FraudScorer.evaluate(spark, sf).collect()(0)
+    val nTrain = m.getAs[Long]("n_train")
+    val nTest = m.getAs[Long]("n_test")
+    val nPos = m.getAs[Long]("n_test_pos")
+    assert(nTrain > 0 && nTest > 0, "both splits must be populated")
+    assert(nPos > 0, "test split must contain positive labels")
+    assert(nPos < nTest, "test split must contain negative labels")
+    // split is disjoint and covers every event
+    val n = graft.sources.Tables.events(spark, sf).count()
+    assert(nTrain + nTest === n)
+    val aucRoc = m.getAs[Double]("auc_roc")
+    val aucPr = m.getAs[Double]("auc_pr")
+    assert(aucRoc > 0.65, s"held-out AUC-ROC $aucRoc below floor")
+    // PR floor = beating the random-classifier baseline (positive rate)
+    // by a clear margin at this class skew. 1.5x leaves honest headroom
+    // for a 5-feature linear model on the sf0.001 split (measured ~1.8x).
+    val baseline = nPos.toDouble / nTest
+    assert(aucPr > baseline * 1.5,
+      s"held-out AUC-PR $aucPr not above 1.5x the $baseline chance baseline")
+  }
+
   test("scores separate the training labels better than chance") {
     val byLabel = scored.groupBy("label")
       .agg(avg(col("fraud_prob")).as("mean_prob"))
