@@ -33,7 +33,7 @@ object EtlPipeline {
     * scd=1 → [[Scd.scd1Merge]] (upsert, action-tagged)
     * scd=2 → [[Scd.scd2Merge]] against the provided history
     */
-  def mergeTable(runId: Int, mapping: TableMapping, stg: DataFrame,
+  def mergeTable(runId: Long, mapping: TableMapping, stg: DataFrame,
                  dwh: DataFrame, deleteTs: String): RunResult = {
     val merged = mapping.scd match {
       case 1 => Scd.scd1Merge(dwh, stg, mapping.key, mapping.payload)
@@ -47,7 +47,7 @@ object EtlPipeline {
   /** Run-log row (reference trsh_meta_etl_run_log): inserted/updated
     * counts derived from the merge output itself.
     */
-  private def runLog(runId: Int, table: String, merged: DataFrame, scd: Int): DataFrame = {
+  private def runLog(runId: Long, table: String, merged: DataFrame, scd: Int): DataFrame = {
     val counts =
       if (scd == 1)
         merged.agg(
@@ -92,10 +92,75 @@ object EtlPipeline {
       decimalCols: Seq[String] = Nil)
 
   /** What one `run` did: the run-log rows it appended (also persisted to
-    * `<warehouseDir>/etl_run_log`), and which inbox files it consumed.
+    * `<warehouseDir>/etl_run_log` with run start/end timestamps), and
+    * which inbox files it consumed.
     */
-  case class RunReport(runId: Int, log: DataFrame,
+  case class RunReport(runId: Long, log: DataFrame,
                        processedFiles: Seq[String], archivedFiles: Seq[String])
+
+  /** Allocate the next run id from the persistent run log — the
+    * reference's NEXTVAL sequence (etl.py:45-51) re-based on the
+    * warehouse state: max(run_id)+1, or 1 for a fresh warehouse.
+    * Monotone across completed runs (each run appends its id to the
+    * log). A parquet directory has no atomic counter, so two callers
+    * allocating CONCURRENTLY against the same warehouse can still
+    * collide — concurrent orchestration must hand out disjoint explicit
+    * ids instead (the reference's sequence lives in the database and
+    * doesn't have this gap).
+    */
+  def nextRunId(spark: SparkSession, warehouseDir: String): Long = {
+    val path = s"$warehouseDir/etl_run_log"
+    if (!hadoopFs(spark, path).exists(new Path(path))) 1L
+    else {
+      val mx = spark.read.parquet(path).agg(max(col("run_id"))).collect()(0)
+      if (mx.isNullAt(0)) 1L else mx.getAs[Number](0).longValue() + 1L
+    }
+  }
+
+  /** How a mart refreshes after the merge loop (main.py `mart_update`). */
+  sealed trait MartRefresh
+
+  /** Rebuild from the warehouse and snapshot-swap — always correct,
+    * reads full history; the right default for small marts.
+    */
+  final case class MartRebuild(build: (SparkSession, String) => DataFrame)
+      extends MartRefresh
+
+  /** Append-only accumulation — the reference's mart semantics
+    * (trsh_rep_fraud_sync.sql:22-24 `create_dt > MAX(report_dt)`) and
+    * the 100 TB answer: `full` bootstraps an absent mart;
+    * afterwards each refresh appends `increment(spark, whDir, since)`
+    * where `since` is the stored mart's MAX(`watermarkCol`), rendered
+    * at µs precision. `increment` must return exactly the rows with
+    * `watermarkCol > since` ([[FraudMart.incrementalReport]]'s contract,
+    * with its proven 96 h lookback re-window). Statement-idempotent: a
+    * re-run recomputes MAX and appends nothing.
+    */
+  final case class MartAccumulate(
+      full: (SparkSession, String) => DataFrame,
+      increment: (SparkSession, String, String) => DataFrame,
+      watermarkCol: String) extends MartRefresh
+
+  private def refreshMart(spark: SparkSession, warehouseDir: String,
+                          name: String, how: MartRefresh): Unit = how match {
+    case MartRebuild(build) =>
+      writeSwap(build(spark, warehouseDir), s"$warehouseDir/$name")
+    case MartAccumulate(full, increment, wmCol) =>
+      val path = s"$warehouseDir/$name"
+      val exists = hadoopFs(spark, path).exists(new Path(path))
+      val since =
+        if (!exists) None
+        else {
+          val mx = spark.read.parquet(path).agg(max(col(wmCol))).collect()(0)
+          if (mx.isNullAt(0)) None else Some(utcString(mx.getTimestamp(0)))
+        }
+      since match {
+        case None     => writeSwap(full(spark, warehouseDir), path)
+        case Some(ts) =>
+          increment(spark, warehouseDir, ts)
+            .write.mode(SaveMode.Append).parquet(path)
+      }
+  }
 
   /** The reference's whole ETL loop (etl.py:132-189, driven by main.py)
     * as one call. For each mapping, in business-date order and only for
@@ -130,11 +195,12 @@ object EtlPipeline {
     * sources, not through this inbox loop.
     */
   def run(spark: SparkSession, inboxDir: String, warehouseDir: String,
-          mappings: Seq[FileMapping], runId: Int,
-          marts: Map[String, (SparkSession, String) => DataFrame] = Map.empty,
+          mappings: Seq[FileMapping], runId: Long,
+          marts: Map[String, MartRefresh] = Map.empty,
           archiveFiles: Boolean = true): RunReport = {
+    val runStart = new java.sql.Timestamp(System.currentTimeMillis())
     var wm = loadWatermarks(spark, warehouseDir)
-    val logRows = Seq.newBuilder[(Int, String, Long, Long, Long)]
+    val logRows = Seq.newBuilder[(Long, String, Long, Long, Long)]
     val processed = Seq.newBuilder[String]
     val archived = Seq.newBuilder[String]
 
@@ -144,6 +210,17 @@ object EtlPipeline {
         .map(p => (p, businessDate(p)))
         .filter { case (_, d) => last.forall(d.isAfter) }
         .sortBy(_._2)
+      // Two files with the SAME business date matching one template have
+      // no defined merge order, and the second same-date scd2 merge
+      // would violate scd2Merge's forward-order precondition (silently
+      // producing versions with effective_to < effective_from). Refuse
+      // up front — a redelivery should replace the file, not add one.
+      val dup = fresh.groupBy(_._2).collect {
+        case (d, fs) if fs.size > 1 => s"$d: ${fs.map(_._1).sorted.mkString(", ")}"
+      }
+      require(dup.isEmpty,
+        s"mapping ${m.template}: multiple inbox files share a business date — " +
+          s"merge order is undefined. ${dup.mkString("; ")}")
       fresh.foreach { case (path, dt) =>
         val raw =
           if (path.toLowerCase.endsWith(".xlsx")) XlsxSource.read(spark, path)
@@ -173,16 +250,30 @@ object EtlPipeline {
       }
     }
 
-    import spark.implicits._
-    val log = logRows.result()
-      .toDF("run_id", "table_name", "rows_inserted", "rows_updated", "rows_deleted")
-      .withColumn("run_ts", current_timestamp())
-    log.write.mode(SaveMode.Append).parquet(s"$warehouseDir/etl_run_log")
+    val log = writeRunLog(spark, warehouseDir, logRows.result(), runStart)
 
-    marts.foreach { case (name, build) =>
-      writeSwap(build(spark, warehouseDir), s"$warehouseDir/$name")
-    }
-    RunReport(runId, log.drop("run_ts"), processed.result(), archived.result())
+    marts.foreach { case (name, how) => refreshMart(spark, warehouseDir, name, how) }
+    RunReport(runId, log, processed.result(), archived.result())
+  }
+
+  /** Append this run's log rows (with run start/end timestamps — the
+    * reference's run_start_dt/run_end_dt, etl.py:108-125) and return the
+    * count-only view callers assert on.
+    */
+  private def writeRunLog(spark: SparkSession, warehouseDir: String,
+                          rows: Seq[(Long, String, Long, Long, Long)],
+                          runStart: java.sql.Timestamp): DataFrame = {
+    import spark.implicits._
+    val log = rows
+      .toDF("run_id", "table_name", "rows_inserted", "rows_updated", "rows_deleted")
+      .withColumn("run_start_dt", lit(runStart))
+      .withColumn("run_end_dt", current_timestamp())
+    // a no-op run appends nothing: an empty append writes a schemaless
+    // marker directory that would break later schema inference (and
+    // nextRunId) on a warehouse whose first run staged zero rows
+    if (rows.nonEmpty)
+      log.write.mode(SaveMode.Append).parquet(s"$warehouseDir/etl_run_log")
+    log.drop("run_start_dt", "run_end_dt")
   }
 
   /** One database-fed table (reference etl.py:236-284 `from_database`):
@@ -207,10 +298,11 @@ object EtlPipeline {
     * identical tables.
     */
   def runFromTables(spark: SparkSession, warehouseDir: String,
-                    feeds: Seq[TableFeed], runId: Int,
+                    feeds: Seq[TableFeed], runId: Long,
                     deleteTs: String): RunReport = {
+    val runStart = new java.sql.Timestamp(System.currentTimeMillis())
     var wm = loadTsWatermarks(spark, warehouseDir)
-    val logRows = Seq.newBuilder[(Int, String, Long, Long, Long)]
+    val logRows = Seq.newBuilder[(Long, String, Long, Long, Long)]
 
     feeds.foreach { f =>
       val m = f.mapping
@@ -240,12 +332,8 @@ object EtlPipeline {
       saveTsWatermarks(spark, warehouseDir, wm)
     }
 
-    import spark.implicits._
-    val log = logRows.result()
-      .toDF("run_id", "table_name", "rows_inserted", "rows_updated", "rows_deleted")
-      .withColumn("run_ts", current_timestamp())
-    log.write.mode(SaveMode.Append).parquet(s"$warehouseDir/etl_run_log")
-    RunReport(runId, log.drop("run_ts"), Seq.empty, Seq.empty)
+    val log = writeRunLog(spark, warehouseDir, logRows.result(), runStart)
+    RunReport(runId, log, Seq.empty, Seq.empty)
   }
 
   /** Continuous warehouse ingestion: each micro-batch of a stream
@@ -258,6 +346,12 @@ object EtlPipeline {
     * runs until stopped; run-log rows append per micro-batch with
     * `run_id = batchId`.
     *
+    * foreachBatch is at-least-once: on a micro-batch RETRY the merge
+    * itself is idempotent (upserting identical rows changes nothing) but
+    * a second log append would double-count inserts — so a batch whose
+    * id is already logged for this table is skipped entirely, making the
+    * whole step effectively-once.
+    *
     * The batch argument must already be shaped like a staging frame:
     * `mapping.key`, `mapping.payload`, and (for scd=2) `create_dt`.
     */
@@ -267,17 +361,20 @@ object EtlPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val stg = batch.persist()
-          val logRows = Seq.newBuilder[(Int, String, Long, Long, Long)]
-          mergeInto(spark, warehouseDir, m, stg, batchId.toInt,
-            deleteTs = "9999-12-31 00:00:00", Scd.NoDeletes, logRows)
-          import spark.implicits._
-          logRows.result()
-            .toDF("run_id", "table_name", "rows_inserted", "rows_updated",
-              "rows_deleted")
-            .withColumn("run_ts", current_timestamp())
-            .write.mode(SaveMode.Append).parquet(s"$warehouseDir/etl_run_log")
-          stg.unpersist(blocking = false)
+          val logPath = s"$warehouseDir/etl_run_log"
+          val alreadyDone = hadoopFs(spark, logPath).exists(new Path(logPath)) &&
+            !spark.read.parquet(logPath)
+              .filter(col("run_id") === batchId && col("table_name") === m.targetName)
+              .isEmpty
+          if (!alreadyDone) {
+            val runStart = new java.sql.Timestamp(System.currentTimeMillis())
+            val stg = batch.persist()
+            val logRows = Seq.newBuilder[(Long, String, Long, Long, Long)]
+            mergeInto(spark, warehouseDir, m, stg, batchId,
+              deleteTs = "9999-12-31 00:00:00", Scd.NoDeletes, logRows)
+            writeRunLog(spark, warehouseDir, logRows.result(), runStart)
+            stg.unpersist(blocking = false)
+          }
         }
         ()
       }
@@ -287,11 +384,11 @@ object EtlPipeline {
     * database loops.
     */
   private def mergeInto(spark: SparkSession, warehouseDir: String,
-                        m: TableMapping, stg: DataFrame, runId: Int,
+                        m: TableMapping, stg: DataFrame, runId: Long,
                         deleteTs: String, liveness: Scd.Liveness,
                         logRows: scala.collection.mutable.Builder[
-                          (Int, String, Long, Long, Long),
-                          Seq[(Int, String, Long, Long, Long)]]): Unit = {
+                          (Long, String, Long, Long, Long),
+                          Seq[(Long, String, Long, Long, Long)]]): Unit = {
     val targetPath = s"$warehouseDir/${m.targetName}"
     val dwh = readTargetOrEmpty(spark, targetPath,
       if (m.scd == 2)

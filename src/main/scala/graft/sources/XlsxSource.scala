@@ -42,6 +42,13 @@ object XlsxSource {
         throw new IllegalArgumentException(s"XlsxSource: $firstPath has no header row"))
         .map(_.trim)
     }
+    // empty or duplicate header names build a schema that only fails
+    // later (and further away) on column resolution — reject at read
+    require(header.forall(_.nonEmpty),
+      s"XlsxSource: $firstPath header has empty column name(s): $header")
+    require(header.distinct.size == header.size,
+      s"XlsxSource: $firstPath header has duplicate column name(s): " +
+        header.diff(header.distinct).distinct.mkString(", "))
     val width = header.length
     val schema = StructType(
       header.map(h => StructField(h, StringType)) :+ StructField("create_dt", DateType))
@@ -55,6 +62,13 @@ object XlsxSource {
           s"XlsxSource: $path header $h differs from $firstPath header $header")
         val dt = businessDate(path)
         all.iterator.drop(1).map { r =>
+          // data beyond the header width means a malformed sheet —
+          // dropping the cells silently would lose data; styled-but-
+          // EMPTY trailing cells (padding artifacts) are fine
+          val extra = r.drop(width).filter(_.nonEmpty)
+          require(extra.isEmpty,
+            s"XlsxSource: $path has a data row ${r.length} cells wide but the " +
+              s"header has $width columns; overflow values: ${extra.mkString(", ")}")
           Row.fromSeq((0 until width).map(i => r.lift(i).filter(_.nonEmpty).orNull) :+ dt)
         }
       }

@@ -24,9 +24,8 @@ class EtlPipelineSpec extends SparkSpec {
         decimalCols = Seq("rate")),
       FileMapping("terminals_*.csv", "dwh_terminals", "term_id", Seq("city"), scd = 2),
       FileMapping("blacklist_*.xlsx", "dwh_blacklist", "passport", Seq("entry_dt"), scd = 1))
-    val marts = Map[String, (org.apache.spark.sql.SparkSession, String) =>
-      org.apache.spark.sql.DataFrame](
-      "mart_rate_count" -> ((s, whDir) =>
+    val marts = Map[String, EtlPipeline.MartRefresh](
+      "mart_rate_count" -> EtlPipeline.MartRebuild((s, whDir) =>
         s.read.parquet(s"$whDir/dwh_rates").agg(count(lit(1)).as("n"))))
 
     // --- day 1 ---
@@ -223,6 +222,66 @@ class EtlPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("accumulating mart equals the full rebuild across two runs") {
+    val inbox = Files.createTempDirectory("graft_mart_inbox").toString
+    val wh = Files.createTempDirectory("graft_mart_wh").toString
+    val cutoff = "2024-01-20 00:00:00"
+    val marts = Map[String, EtlPipeline.MartRefresh](
+      "mart_fraud" -> EtlPipeline.MartAccumulate(
+        (s, d) => graft.pipeline.FraudMart.report(s, d),
+        (s, d, since) => graft.pipeline.FraudMart.incrementalReport(s, d, since),
+        watermarkCol = "event_dt"))
+    // warehouse facts arrive in two time slices of the same stream
+    Tables.customer(spark, sf).write.parquet(s"$wh/customer.parquet")
+    Tables.events(spark, sf).filter(col("ts") <= lit(cutoff).cast("timestamp"))
+      .write.parquet(s"$wh/events.parquet")
+    EtlPipeline.run(spark, inbox, wh, Seq.empty, runId = 1, marts = marts)
+    val afterRun1 = spark.read.parquet(s"$wh/mart_fraud").count()
+    assert(afterRun1 > 0, "bootstrap build must flag events in the first slice")
+
+    // second slice lands: the refresh must APPEND only the new rows
+    Tables.events(spark, sf).write.mode("overwrite").parquet(s"$wh/events.parquet")
+    EtlPipeline.run(spark, inbox, wh, Seq.empty, runId = 2, marts = marts)
+    val accumulated = spark.read.parquet(s"$wh/mart_fraud")
+    assert(accumulated.count() > afterRun1, "second run must append new flags")
+    val full = graft.pipeline.FraudMart.report(spark, wh)
+    assert(accumulated.exceptAll(full).count() == 0,
+      "accumulated mart contains rows the full rebuild does not")
+    assert(full.exceptAll(accumulated).count() == 0,
+      "accumulated mart is missing rows of the full rebuild")
+
+    // statement-level idempotence: an immediate re-refresh appends nothing
+    EtlPipeline.run(spark, inbox, wh, Seq.empty, runId = 3, marts = marts)
+    assert(spark.read.parquet(s"$wh/mart_fraud").count() == accumulated.count())
+  }
+
+  test("nextRunId allocates monotone ids and runs log start/end timestamps") {
+    val s = spark
+    import s.implicits._
+    val wh = Files.createTempDirectory("graft_runid").toString
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val nullTs = null.asInstanceOf[java.sql.Timestamp]
+    def feed(src: org.apache.spark.sql.DataFrame) = Seq(EtlPipeline.TableFeed(
+      TableMapping("rates", "dwh_seq_rates", "cur", Seq("rate"), 1), src))
+    assert(EtlPipeline.nextRunId(spark, wh) == 1L, "fresh warehouse starts at 1")
+    val src1 = Seq(("USD", 90.5, ts("2024-01-01 08:00:00"), nullTs))
+      .toDF("cur", "rate", "create_dt", "update_dt")
+    val r1 = EtlPipeline.runFromTables(spark, wh, feed(src1),
+      EtlPipeline.nextRunId(spark, wh), "2024-01-02 00:00:00")
+    assert(r1.runId == 1L)
+    assert(EtlPipeline.nextRunId(spark, wh) == 2L, "allocator follows the log")
+    val src2 = Seq(("USD", 92.0, ts("2024-01-01 08:00:00"), ts("2024-01-02 09:00:00")))
+      .toDF("cur", "rate", "create_dt", "update_dt")
+    val r2 = EtlPipeline.runFromTables(spark, wh, feed(src2),
+      EtlPipeline.nextRunId(spark, wh), "2024-01-03 00:00:00")
+    assert(r2.runId == 2L)
+    assert(EtlPipeline.nextRunId(spark, wh) == 3L)
+    val log = spark.read.parquet(s"$wh/etl_run_log")
+    assert(log.select("run_id").distinct().count() == 2)
+    assert(log.filter(col("run_start_dt").isNull || col("run_end_dt").isNull).count() == 0)
+    assert(log.filter(col("run_end_dt") < col("run_start_dt")).count() == 0)
+  }
+
   test("scd1 pipeline merge produces a consistent run log") {
     val dwh = Tables.customer(spark, sf).filter(col("c_custkey") < 100)
       .select(col("c_custkey").as("id"), col("c_acctbal").as("bal"))
@@ -231,7 +290,7 @@ class EtlPipelineSpec extends SparkSpec {
     val res = EtlPipeline.mergeTable(7, TableMapping("stg_cust", "dwh_cust", "id", Seq("bal"), 1),
       stg, dwh, "2024-02-01 00:00:00")
     val log = res.log.collect()(0)
-    assert(log.getAs[Int]("run_id") == 7)
+    assert(log.getAs[Long]("run_id") == 7L)
     assert(log.getAs[Long]("rows_inserted") == 20)   // keys 100..119
     assert(log.getAs[Long]("rows_updated") == 100)   // all overlapping bals shifted
   }

@@ -53,6 +53,25 @@ class SourcesSpec extends SparkSpec {
     assert(df.select("create_dt").distinct().count() == 2)
   }
 
+  test("xlsx reader rejects malformed sheets instead of silently dropping data") {
+    val dir = Files.createTempDirectory("graft_xlsx3").toString
+    // a data row wider than the header loses its overflow cells silently
+    // without the guard
+    TestXlsx.write(s"$dir/wide_01012024.xlsx", Seq("a", "b"),
+      Seq(Seq("1", "2"), Seq("3", "4", "OVERFLOW")))
+    val wide = intercept[Exception](
+      XlsxSource.read(spark, s"$dir/wide_*.xlsx").count())
+    val msgs = Iterator.iterate[Throwable](wide)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgs.contains("OVERFLOW"), s"unexpected failure: $msgs")
+    // duplicate header names resolve ambiguously downstream
+    TestXlsx.write(s"$dir/dup_01012024.xlsx", Seq("a", "a"), Seq(Seq("1", "2")))
+    intercept[IllegalArgumentException](XlsxSource.read(spark, s"$dir/dup_*.xlsx"))
+    // empty header names are unaddressable
+    TestXlsx.write(s"$dir/empty_01012024.xlsx", Seq("a", ""), Seq(Seq("1", "2")))
+    intercept[IllegalArgumentException](XlsxSource.read(spark, s"$dir/empty_*.xlsx"))
+  }
+
   test("xlsx round-trips arbitrary cell content (unicode, escapes, sparse rows)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
