@@ -109,7 +109,12 @@ object FraudScorer {
                trainSampleCap: Long = 1000000L): DataFrame = {
     import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
     val split = pmod(xxhash64(col("event_id")), lit(100L)) < trainPct
+    // persisted across the train/test filters — the label join replays
+    // the 4-window mart plan, and both splits derive from it. Unlike
+    // score(), everything here materializes eagerly (the metrics are
+    // collected below), so the unpersist at the end is safe.
     val a = assembled(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = Tables.events(s, dir).count()
     val train = capped(a.filter(split), n * trainPct / 100, trainSampleCap).cache()
     val test = a.filter(!split)
@@ -124,6 +129,7 @@ object FraudScorer {
     val nTrain = train.count()
     train.unpersist(blocking = false)
     scoredTest.unpersist(blocking = false)
+    a.unpersist(blocking = false)
     import s.implicits._
     Seq((nTrain, sizes.getLong(0), sizes.getLong(1),
         math.rint(aucRoc * 1e6) / 1e6, math.rint(aucPr * 1e6) / 1e6))

@@ -308,7 +308,38 @@ object PipelineQueries {
       |SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
       |FROM b GROUP BY 1, 2""".stripMargin
 
+  // --- q79: epoch-aware weighted dataset mixing (the pretraining
+  // "data mixture" op): each language gets a sampling weight in
+  // thousandths — en 2.5 epochs, zh 1.0, the rest 0.5 — and every doc
+  // materializes floor(w) full copies plus one fractional-epoch copy
+  // kept by a deterministic per-(doc, epoch) hash draw. One explode +
+  // one codegen'd filter, no shuffle at all: at 100 TB the mixture is
+  // a streaming map over the corpus. Integer thousandths keep the
+  // keep-test exact (no float compare) and oracle-reproducible; the
+  // multiplicative hash bounds are q62's (exact to doc_id ~3.4e9,
+  // ANSI-loud beyond).
+  def q79(s: SparkSession, dir: String): DataFrame = {
+    val w = when(col("lang") === "en", 2500L)
+      .when(col("lang") === "zh", 1000L).otherwise(500L)
+    Tables.documents(s, dir)
+      .withColumn("w", w)
+      .withColumn("epoch", explode(sequence(lit(0L), expr("(w + 999) div 1000 - 1"))))
+      .filter(pmod(col("doc_id") * 48271L + col("epoch") * 7919L + 12345L, lit(1000L)) <
+        least(lit(1000L), col("w") - col("epoch") * 1000L))
+      .select(col("doc_id"), col("lang"), col("epoch"))
+  }
+
+  val q79Sql: String =
+    """WITH w AS (SELECT doc_id, lang,
+      |  CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 1000 ELSE 500 END AS w
+      | FROM documents),
+      |e AS (SELECT doc_id, lang, w,
+      |  UNNEST(GENERATE_SERIES(0, (w + 999) // 1000 - 1)) AS epoch FROM w)
+      |SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch FROM e
+      |WHERE (doc_id*48271 + epoch*7919 + 12345) % 1000 < LEAST(1000, w - epoch*1000)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_interleave"        -> (q79 _),
     "q62_hash_split"        -> (q62 _),
     "q63_stratified_sample" -> (q63 _),
     "q64_pack_sequences"    -> (q64 _),
@@ -322,6 +353,7 @@ object PipelineQueries {
     "q76_decontaminate"     -> (q76 _))
 
   val oracle: Map[String, String] = Map(
+    "q79_interleave"        -> q79Sql,
     "q62_hash_split"        -> q62Sql,
     "q63_stratified_sample" -> q63Sql,
     "q64_pack_sequences"    -> q64Sql,

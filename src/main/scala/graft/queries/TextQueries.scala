@@ -152,7 +152,56 @@ object TextQueries {
       | CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac
       |FROM pc GROUP BY 1""".stripMargin
 
+  // --- q80: bigram language-model quality score (the KenLM-style
+  // "perplexity filter" signal for pretraining curation): per document,
+  // the mean natural-log probability of its word bigrams under the
+  // corpus's own add-one-smoothed bigram model,
+  // ln((c(w1,w2)+1) / (c(w1·)+V)). Everything is equi-joins on token
+  // keys: the (doc, bigram) stream joins the global bigram-count table,
+  // first-token totals come from re-aggregating that (small) count
+  // table — never a second corpus pass — and the vocabulary size is a
+  // 1-row broadcast (the q47 scalar pattern). Linear shuffles only; at
+  // 100 TB persist the bigram stream across its two uses like
+  // Dedup.lshVerifiedPairs persists its shingle stream.
+  def q80(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val docs = Tables.documents(s, dir)
+    val bg = docs.select(col("doc_id"), explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (x, y) => struct(x.as("tok_a"), y.as("tok_b")))).as("bg"))
+      .select(col("doc_id"), col("bg.tok_a"), col("bg.tok_b"))
+    val c12 = bg.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n12"))
+    val c1 = c12.groupBy("tok_a").agg(sum("n12").as("n1"))
+    val vocab = docs.select(explode(toks).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .agg(countDistinct(col("tok")).as("v"))
+    bg.join(c12, Seq("tok_a", "tok_b"))
+      .join(c1, Seq("tok_a"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("n12") + 1).cast("double") /
+          (col("n1") + col("v")).cast("double"))), 6).as("lm_score"))
+  }
+
+  val q80Sql: String =
+    """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+') AS toks
+      |  FROM documents),
+      |b AS (SELECT doc_id, UNNEST(toks[1:LEN(toks)-1]) AS tok_a,
+      |             UNNEST(toks[2:LEN(toks)]) AS tok_b
+      |      FROM t WHERE LEN(toks) > 1),
+      |c12 AS (SELECT tok_a, tok_b, COUNT(*) AS n12 FROM b GROUP BY 1, 2),
+      |c1 AS (SELECT tok_a, SUM(n12) AS n1 FROM c12 GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT tok) AS v
+      |      FROM (SELECT UNNEST(toks) AS tok FROM t) WHERE LEN(tok) > 0)
+      |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      | ROUND(AVG(LN((c12.n12 + 1) / (c1.n1 + v.v))), 6) AS lm_score
+      |FROM b JOIN c12 USING (tok_a, tok_b) JOIN c1 USING (tok_a) CROSS JOIN v
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_lm_score"        -> (q80 _),
     "q27_text_stats"      -> (q27 _),
     "q28_lang_id"         -> (q28 _),
     "q29_quality_filter"  -> (q29 _),
@@ -165,6 +214,7 @@ object TextQueries {
     "q77_repetition"      -> (q77 _))
 
   val oracle: Map[String, String] = Map(
+    "q80_lm_score"        -> q80Sql,
     "q27_text_stats"      -> q27Sql,
     "q28_lang_id"         -> q28Sql,
     "q29_quality_filter"  -> q29Sql,
