@@ -18,6 +18,40 @@ object Dedup {
     df.groupBy(keyCols: _*)
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Cross-corpus span dedup (the C4 recipe, arXiv:1910.10683 §2.2, at
+    * token-span granularity): every `spanTokens`-token span at stride
+    * `stride` is kept only at its first occurrence in (id, pos) order;
+    * later identical spans — in OTHER documents or repeated within one —
+    * are flagged. Returns per-document `n_spans` / `n_dup_spans`, the
+    * removal plan a rewrite pass consumes.
+    *
+    * Scale shape: one explode (corpus-linear, ~1/stride rows per token)
+    * and ONE shuffle, on the span text, where row_number finds the first
+    * occurrence; the per-doc rollup partially aggregates map-side. At
+    * open scale shuffle `xxhash64(span)` instead of the span text — 8
+    * bytes/row; kept as text here for oracle parity (q81).
+    */
+  def spanDuplicates(df: DataFrame, idCol: String, textCol: String,
+                     spanTokens: Int, stride: Int): DataFrame = {
+    require(spanTokens >= 1 && stride >= 1, "spanTokens and stride must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val spans = df
+      .select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= spanTokens)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("toks")) - spanTokens, lit(stride)),
+        i => struct(i.as("pos"),
+          array_join(slice(col("toks"), i + 1, lit(spanTokens)), " ").as("span")))).as("sp"))
+      .select(col(idCol), col("sp.pos"), col("sp.span"))
+    val firstSeen = Window.partitionBy("span").orderBy(col(idCol).asc, col("pos").asc)
+    spans
+      .withColumn("rn", row_number().over(firstSeen))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+  }
+
   /** Character k-shingles of a text column, one row per (id, shingle),
     * distinct within a document.
     */

@@ -27,6 +27,38 @@ object Scd {
   private def openEndTs: Column = lit(java.sql.Timestamp.from(openEndInstant))
   private val oneMicro = expr("INTERVAL 1 MICROSECOND")
 
+  /** Snapshot-diff CDC extraction: classify every key across two
+    * snapshots of the same entity as inserted ('I': key only in `newer`),
+    * deleted ('D': key only in `older`), or updated ('U': key in both
+    * with any payload column differing, null-safely); unchanged keys are
+    * dropped. The change stream this emits is exactly what [[scd1Merge]]
+    * / [[scd2Merge]] consume when a source system ships full snapshots
+    * instead of a changelog — the reference infers the same three classes
+    * inside its merge SQL (etl.py:297-407); extracting them first lets a
+    * 100 TB pipeline ship only the (typically tiny) diff downstream.
+    *
+    * One full-outer equi-join on the key — a single co-partitioned
+    * shuffle of each snapshot, no window, no driver state. Keys must be
+    * non-null (they identify the entity); payload nulls are handled by
+    * the null-safe comparison.
+    */
+  def snapshotDiff(older: DataFrame, newer: DataFrame,
+                   keyCols: Seq[String], payloadCols: Seq[String]): DataFrame = {
+    val o = older.as("o")
+    val n = newer.as("n")
+    val keyEq = keyCols.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
+    val inOld = col(s"o.${keyCols.head}").isNotNull
+    val inNew = col(s"n.${keyCols.head}").isNotNull
+    val changed = payloadCols.map(c => !(col(s"o.$c") <=> col(s"n.$c"))).reduce(_ || _)
+    o.join(n, keyEq, "full_outer")
+      .filter(!inOld || !inNew || changed)
+      .select(
+        keyCols.map(k => coalesce(col(s"o.$k"), col(s"n.$k")).as(k)) ++
+          Seq(when(!inOld, "I").when(!inNew, "D").otherwise("U").as("change_type")) ++
+          payloadCols.map(c => col(s"o.$c").as(s"old_$c")) ++
+          payloadCols.map(c => col(s"n.$c").as(s"new_$c")): _*)
+  }
+
   /** Change stream → versioned history: each change row becomes a version
     * effective from its timestamp until the next change of the same key
     * (minus 1µs), the last version open-ended (reference's 9999-12-31,

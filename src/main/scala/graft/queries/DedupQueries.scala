@@ -114,7 +114,29 @@ object DedupQueries {
     Dedup.embeddingLshPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
       threshold = CosT, nBits = 4, nTables = 16, dim = 64)
 
+  // --- q81: C4-style cross-corpus span dedup — every 3-token span at
+  // stride 3 is kept only at its first (doc, pos) occurrence; later
+  // identical spans anywhere in the corpus are flagged. One explode +
+  // ONE shuffle on the span key (oracle-checked).
+  def q81(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanDuplicates(Tables.documents(s, dir), "doc_id", "text",
+      spanTokens = 3, stride = 3)
+
+  val q81Sql: String =
+    """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+') AS w
+      |  FROM documents),
+      |sp AS (SELECT doc_id, i, ARRAY_TO_STRING(w[i:i+2], ' ') AS span
+      |  FROM (SELECT doc_id, w, UNNEST(GENERATE_SERIES(1, LEN(w) - 2, 3)) AS i
+      |        FROM t WHERE LEN(w) >= 3)),
+      |r AS (SELECT doc_id, span,
+      |  ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id ASC, i ASC) AS rn
+      |  FROM sp)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      | CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+      |FROM r GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_span_dedup"         -> (q81 _),
     "q21_dedup_ngram"        -> (q21 _),
     "q22_dedup_minhash"      -> (q22 _),
     "q23_dedup_simhash"      -> (q23 _),
@@ -125,6 +147,7 @@ object DedupQueries {
     "q73_dedup_embedding_lsh" -> (q73 _))
 
   val oracle: Map[String, String] = Map(
+    "q81_span_dedup"         -> q81Sql,
     "q21_dedup_ngram"        -> q21Sql,
     "q24_dedup_embedding"    -> q24Sql,
     "q25_ann_bruteforce"     -> q25Sql,

@@ -169,7 +169,34 @@ object OlapQueries {
       |JOIN part ON l_partkey = p_partkey
       |GROUP BY n_name, p_brand""".stripMargin
 
+  // --- q83: bloom-prefiltered semi-join ≡ plain EXISTS (oracle proves
+  // equivalence). The dim (negative-balance customers — the repo's
+  // blacklist notion, q05/q16) builds a bloom filter in one small-side
+  // aggregation; the fact table is pruned MAP-SIDE by a codegen'd probe
+  // before the exact semi-join removes the bloom's false positives —
+  // the explicit runtime-filter pattern for 100 TB facts vs selective
+  // dims (see operators.BloomJoin).
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(s, dir)
+      .filter(col("c_acctbal") < 0).select("c_custkey")
+    graft.operators.BloomJoin.semiJoin(
+        Tables.orders(s, dir), dim, "o_custkey", "c_custkey",
+        expectedDimKeys = 100000L, fpp = 0.01)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("sum_total"))
+  }
+
+  val q83Sql: String =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM customer c
+      |              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_bloom_join"    -> (q83 _),
     "q34_cube"          -> (q34 _),
     "q35_pivot"         -> (q35 _),
     "q36_approx_agg"    -> (q36 _),
@@ -180,6 +207,7 @@ object OlapQueries {
     "q75_supplier_part" -> (q75 _))
 
   val oracle: Map[String, String] = Map(
+    "q83_bloom_join"    -> q83Sql,
     "q34_cube"          -> q34Sql,
     "q35_pivot"         -> q35Sql,
     "q37_sessionize"    -> q37Sql,

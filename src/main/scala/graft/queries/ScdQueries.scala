@@ -164,7 +164,44 @@ object ScdQueries {
       |UNION ALL SELECT CAST(1 AS INT), 'customer', CAST(COUNT(*) AS BIGINT)
       |FROM customer""".stripMargin
 
+  // --- q84: snapshot-diff CDC extraction — two per-user state snapshots
+  // (aggregates over shifted 7-day windows of the event stream) diffed
+  // into the I/U/D change stream the SCD merges consume. max() (not
+  // sum-of-doubles) keeps the payload order-independent, so equality
+  // classification is exact on both engines. One full-outer key join.
+  def q84(s: SparkSession, dir: String): DataFrame = {
+    def snap(lo: String, hi: String): DataFrame =
+      Tables.events(s, dir)
+        .filter(col("ts") >= lit(lo).cast("timestamp") &&
+          col("ts") < lit(hi).cast("timestamp"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), max("value").as("max_value"))
+    Scd.snapshotDiff(
+      snap("2024-01-01 00:00:00", "2024-01-08 00:00:00"),
+      snap("2024-01-04 00:00:00", "2024-01-11 00:00:00"),
+      Seq("user_id"), Seq("n_events", "max_value"))
+  }
+
+  val q84Sql: String =
+    s"""$EvCte,
+      |o AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, MAX(value) AS max_value
+      |  FROM ev WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+      |  GROUP BY 1),
+      |n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, MAX(value) AS max_value
+      |  FROM ev WHERE ts >= TIMESTAMP '2024-01-04' AND ts < TIMESTAMP '2024-01-11'
+      |  GROUP BY 1)
+      |SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+      | CASE WHEN o.user_id IS NULL THEN 'I'
+      |      WHEN n.user_id IS NULL THEN 'D' ELSE 'U' END AS change_type,
+      | o.n_events AS old_n_events, o.max_value AS old_max_value,
+      | n.n_events AS new_n_events, n.max_value AS new_max_value
+      |FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+      |WHERE o.user_id IS NULL OR n.user_id IS NULL
+      |   OR o.n_events IS DISTINCT FROM n.n_events
+      |   OR o.max_value IS DISTINCT FROM n.max_value""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_cdc_diff"   -> (q84 _),
     "q11_scd2_build" -> (q11 _),
     "q12_asof_join"  -> (q12 _),
     "q13_scd1_merge" -> (q13 _),
@@ -172,6 +209,7 @@ object ScdQueries {
     "q15_run_log"    -> (q15 _))
 
   val oracle: Map[String, String] = Map(
+    "q84_cdc_diff"   -> q84Sql,
     "q11_scd2_build" -> q11Sql,
     "q12_asof_join"  -> q12Sql,
     "q13_scd1_merge" -> q13Sql,

@@ -200,7 +200,53 @@ object TextQueries {
       |FROM b JOIN c12 USING (tok_a, tok_b) JOIN c1 USING (tok_a) CROSS JOIN v
       |GROUP BY 1""".stripMargin
 
+  // --- q82: tokenizer character-coverage analysis (the SentencePiece
+  // `character_coverage` statistic): rank every character by corpus
+  // frequency and keep the smallest prefix covering 99.9% of all
+  // character occurrences — the vocabulary a byte/char tokenizer must
+  // allocate before falling back to <unk>/bytes. The corpus pass is one
+  // explode + hash agg (linear, partial-agg map-side); the ranking
+  // window then runs over the CHARACTER ALPHABET — metadata-sized by
+  // definition (≤ a few thousand even for CJK), the same bounded-window
+  // argument as Dedup.shingleDict — and the coverage cut is exact
+  // integer arithmetic (cum·1000 < total·999), no float rounding to
+  // diverge between engines.
+  def q82(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, dir)
+      // "(?!^)" splits between every pair of characters (zero-width
+      // lookahead, so nothing is consumed); empty text yields one empty
+      // token, dropped by the length guard
+      .select(explode(split(col("text"), "(?!^)")).as("ch"))
+      .filter(length(col("ch")) === 1)
+      .groupBy("ch").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("total"))
+    val byFreq = Window.orderBy(col("n").desc, col("ch").asc)
+    counts
+      .withColumn("rank", row_number().over(byFreq))
+      .withColumn("cum_n", sum("n").over(
+        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .filter((col("cum_n") - col("n")) * 1000 < col("total") * 999)
+      .select("ch", "n", "rank", "cum_n")
+  }
+
+  val q82Sql: String =
+    """WITH pos AS (SELECT text,
+      |  UNNEST(GENERATE_SERIES(1, CAST(LEN(text) AS BIGINT))) AS i FROM documents),
+      |g AS (SELECT SUBSTR(text, CAST(i AS INT), 1) AS ch, COUNT(*) AS n
+      |  FROM pos GROUP BY 1),
+      |r AS (SELECT ch, n,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, ch ASC) AS INT) AS rank,
+      |  SUM(n) OVER (ORDER BY n DESC, ch ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+      |  SUM(n) OVER () AS total
+      | FROM g)
+      |SELECT ch, CAST(n AS BIGINT) AS n, rank, CAST(cum_n AS BIGINT) AS cum_n
+      |FROM r WHERE (cum_n - n) * 1000 < total * 999""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_char_coverage"   -> (q82 _),
     "q80_lm_score"        -> (q80 _),
     "q27_text_stats"      -> (q27 _),
     "q28_lang_id"         -> (q28 _),
@@ -214,6 +260,7 @@ object TextQueries {
     "q77_repetition"      -> (q77 _))
 
   val oracle: Map[String, String] = Map(
+    "q82_char_coverage"   -> q82Sql,
     "q80_lm_score"        -> q80Sql,
     "q27_text_stats"      -> q27Sql,
     "q28_lang_id"         -> q28Sql,

@@ -157,4 +157,36 @@ class DedupSpec extends SparkSpec {
     assert(ann.count() > 0)
     assert(ann.filter(col("probe_id") === col("neighbor_id")).count() == 0)
   }
+
+  test("span dedup flags exactly the later occurrences of repeated spans") {
+    val s = spark
+    import s.implicits._
+    // doc 1 and doc 2 share the span "a b c"; doc 3 repeats "x y z"
+    // internally; doc 4 is too short to produce any span
+    val docs = Seq(
+      (1L, "a b c d e f"),   // spans: "a b c", "d e f"
+      (2L, "a b c q r s"),   // "a b c" again (dup), "q r s"
+      (3L, "x y z x y z"),   // "x y z" twice — second is an intra-doc dup
+      (4L, "t u")            // no 3-token span
+    ).toDF("doc_id", "text")
+    val res = Dedup.spanDuplicates(docs, "doc_id", "text", spanTokens = 3, stride = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(res == Map(1L -> (2L, 0L), 2L -> (2L, 1L), 3L -> (2L, 1L)))
+  }
+
+  test("span dedup invariant: dup count equals total spans minus distinct spans") {
+    val docs = Tables.documents(spark, sf)
+    val agg = Dedup.spanDuplicates(docs, "doc_id", "text", 3, 3)
+      .agg(sum("n_spans").as("total"), sum("n_dup_spans").as("dups"))
+      .collect().head
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val distinctSpans = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(transform(sequence(lit(0), size(col("toks")) - 3, lit(3)),
+        i => array_join(slice(col("toks"), i + 1, lit(3)), " "))).as("span"))
+      .distinct().count()
+    assert(agg.getLong(0) - agg.getLong(1) == distinctSpans)
+    assert(agg.getLong(1) > 0, "sf0.001 corpus should contain repeated spans")
+  }
 }

@@ -52,4 +52,30 @@ class OlapSpec extends SparkSpec {
     val dupes = snap.groupBy("user_id").count().filter(col("count") > 1)
     assert(dupes.count() == 0)
   }
+
+  test("bloom-prefiltered semi-join equals the plain semi-join") {
+    val facts = Tables.orders(spark, sf)
+    val dim = Tables.customer(spark, sf)
+      .filter(col("c_acctbal") < 0).select("c_custkey")
+    val viaBloom = graft.operators.BloomJoin.semiJoin(
+      facts, dim, "o_custkey", "c_custkey", expectedDimKeys = 10000L)
+    val plain = facts.join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+    assert(viaBloom.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(viaBloom).count() == 0)
+  }
+
+  test("bloom prefilter prunes non-matching facts ahead of the join") {
+    val facts = Tables.orders(spark, sf)
+    val dim = Tables.customer(spark, sf)
+      .filter(col("c_acctbal") < 0).select("c_custkey")
+    val hits = graft.operators.BloomJoin.bloomHits(
+      facts, dim, "o_custkey", "c_custkey", expectedDimKeys = 10000L).count()
+    val exact = facts.join(dim, col("o_custkey") === col("c_custkey"), "left_semi").count()
+    val total = facts.count()
+    assert(hits >= exact, "a bloom filter must never produce false negatives")
+    // fpp=0.01 over the non-matching remainder: the prefilter should kill
+    // essentially all of it (generous 10x-fpp slack keeps this stable)
+    assert(hits - exact <= math.max(10L, (total - exact) / 10),
+      s"bloom pruned too little: $hits hits vs $exact exact of $total")
+  }
 }

@@ -21,11 +21,13 @@ class PlanLintSpec extends SparkSpec {
     *  - q49_ann_ivf: probes × nCells centroid table (quantizer output).
     *  - q80_lm_score: scalar vocabulary size broadcast to every row
     *    (the q47 pattern).
+    *  - q82_char_coverage: scalar total-character count broadcast to the
+    *    alphabet-sized count table (the q47 pattern).
     */
   private val boundedNestedLoop = Set(
     "q21_dedup_ngram", "q24_dedup_embedding", "q25_ann_bruteforce",
     "q46_gap_fill", "q47_tfidf", "q49_ann_ivf", "q68_ann_recall",
-    "q80_lm_score")
+    "q80_lm_score", "q82_char_coverage")
 
   test("no cartesian products; nested-loop joins only where bounded by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -42,4 +42,36 @@ class ScdSpec extends SparkSpec {
     assert(merged.filter(col("deleted_flg")).count() ==
       open.filter(col("deleted_flg")).count(), "tombstones must be open-ended")
   }
+
+  test("snapshotDiff classifies I/U/D, drops unchanged, and is null-safe") {
+    val s = spark
+    import s.implicits._
+    val older = Seq(
+      (1L, 10L, Option(1.0)),  // unchanged
+      (2L, 20L, Option(2.0)),  // payload changes → U
+      (3L, 30L, None),         // null → value  → U (null-safe compare)
+      (4L, 40L, Option(4.0))   // disappears    → D
+    ).toDF("k", "n", "v")
+    val newer = Seq(
+      (1L, 10L, Option(1.0)),
+      (2L, 21L, Option(2.0)),
+      (3L, 30L, Option(3.0)),
+      (5L, 50L, Option(5.0))   // appears       → I
+    ).toDF("k", "n", "v")
+    val d = Scd.snapshotDiff(older, newer, Seq("k"), Seq("n", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(2L -> "U", 3L -> "U", 4L -> "D", 5L -> "I"))
+  }
+
+  test("q84 diff agrees with independently recomputed snapshots") {
+    val d = ScdQueries.q84(spark, sf).cache()
+    // D rows carry no new-state, I rows no old-state
+    assert(d.filter(col("change_type") === "D" && col("new_n_events").isNotNull).count() == 0)
+    assert(d.filter(col("change_type") === "I" && col("old_n_events").isNotNull).count() == 0)
+    // U rows differ in at least one payload column
+    assert(d.filter(col("change_type") === "U" &&
+      col("old_n_events") === col("new_n_events") &&
+      col("old_max_value") === col("new_max_value")).count() == 0)
+    assert(d.count() > 0)
+  }
 }

@@ -94,4 +94,23 @@ class TextSpec extends SparkSpec {
     assert(st(2L).getAs[Double]("dup_frac") == 0.0, "all-unique doc has no repeats")
     assert(!st.contains(3L), "single-word doc has no bigrams")
   }
+
+  test("q82 char coverage keeps the minimal ranked prefix reaching 99.9%") {
+    val rows = graft.queries.TextQueries.q82(spark, sf)
+      .orderBy("rank").collect()
+    assert(rows.nonEmpty)
+    // ranks are dense from 1 and cum_n strictly increases with them
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    val cums = rows.map(_.getAs[Long]("cum_n"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b })
+    // the prefix is exactly the chars needed: coverage before the last
+    // kept char is < 99.9% of the independently counted total
+    val total = Tables.documents(spark, sf)
+      .agg(sum(length(col("text")))).collect()(0).getLong(0)
+    val last = rows.last
+    assert((last.getAs[Long]("cum_n") - last.getAs[Long]("n")) * 1000 < total * 999)
+    assert(cums.last <= total)
+    // every char is a single character (split artifact guard)
+    assert(rows.forall(_.getAs[String]("ch").length == 1))
+  }
 }
