@@ -272,6 +272,71 @@ object Dedup {
     jaccardVerify(cands.join(a, Seq("id_a")).join(b, Seq("id_b")), threshold, hashed)
   }
 
+  /** The persistable near-dup index of a corpus: the two tables a
+    * production pipeline stores (parquet, partitioned by band /
+    * bucketed by id) so that DAILY INGEST never re-scans the corpus —
+    * the realistic 100 TB operating mode, where [[lshVerifiedPairs]] is
+    * the one-time backfill and [[dedupIncrement]] the steady state.
+    *
+    *  - bands: (id, band, bucket) — one row per (doc, band); the LSH
+    *    candidate side ([[bandedBuckets]]).
+    *  - sets:  (id, bm, set_size) — hashed shingle sets (the
+    *    open-vocabulary verifier, [[hashSetsFromShingles]]; hashed
+    *    unconditionally because a persisted index cannot depend on a
+    *    rebuild-time dictionary).
+    *
+    * Both derive from ONE cached shingle scan. All hashes are seeded
+    * xxhash64 — deterministic across batches and sessions, so an index
+    * written today joins tomorrow's batch correctly.
+    */
+  def nearDupIndex(df: DataFrame, idCol: String, textCol: String,
+                   k: Int, numPerm: Int, bands: Int): (DataFrame, DataFrame) = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val sh = trackPersist(shinglesRaw(df, idCol, textCol, k))
+    (bandedBuckets(signaturesFromShingles(sh, idCol, numPerm), idCol, numPerm, bands),
+      hashSetsFromShingles(sh, idCol))
+  }
+
+  /** Incremental ingest dedup: verified near-dup pairs touching a NEW
+    * batch — (new × corpus) ∪ (new × new) — against a corpus represented
+    * ONLY by its [[nearDupIndex]]. The corpus text is never re-read:
+    * candidates come from equi-joining the batch's band buckets to the
+    * index's (for a daily batch ≪ corpus, AQE broadcasts the batch side,
+    * so the index scan is shuffle-free); verification equi-joins the
+    * candidate list to the stored hashed sets. Batch-internal dups use
+    * the same one-bucket-shuffle self-join as the backfill.
+    *
+    * Id spaces must be disjoint (new ids are new — the ingest
+    * precondition); recall follows [[lshVerifiedPairs]]'s (1-J)^numPerm
+    * band-miss bound. Emits the [[jaccardVerify]] schema with
+    * id_a < id_b.
+    */
+  def dedupIncrement(indexBands: DataFrame, indexSets: DataFrame,
+                     newDocs: DataFrame, idCol: String, textCol: String,
+                     k: Int, threshold: Double, numPerm: Int, bands: Int): DataFrame = {
+    val (newBandsRaw, newSets) = nearDupIndex(newDocs, idCol, textCol, k, numPerm, bands)
+    val nb = trackPersist(newBandsRaw) // feeds the cross-batch join AND the self-join
+    val vsCorpus = nb.select(col(idCol).as("id_n"), col("band"), col("bucket"))
+      .join(indexBands.select(col(idCol).as("id_o"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+    val l = nb.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val r = nb.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    val vsBatch = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val cands = vsCorpus.union(vsBatch).distinct()
+    val allSets = indexSets.unionByName(newSets)
+    val a = allSets.select(col(idCol).as("id_a"), col("bm").as("bm_a"),
+      col("set_size").as("size_a"))
+    val b = allSets.select(col(idCol).as("id_b"), col("bm").as("bm_b"),
+      col("set_size").as("size_b"))
+    jaccardVerify(cands.join(a, Seq("id_a")).join(b, Seq("id_b")), threshold,
+      hashed = true)
+  }
+
   // ------------------------------------------------------------------
   // Cache ownership: the near-dup pipelines persist small derived frames
   // (shingle stream, banded signatures, simhash chunks) that their
@@ -349,23 +414,33 @@ object Dedup {
       idCol, numPerm, bands)
   }
 
-  private def lshPairsFromSignatures(sig: DataFrame, idCol: String,
-                                     numPerm: Int, bands: Int): DataFrame = {
+  /** (id, band, bucket) rows from a signature frame — one row per
+    * (document, band); documents sharing a (band, bucket) are candidate
+    * near-duplicates. This frame IS the persistable LSH index schema
+    * (see [[nearDupIndex]]).
+    */
+  private def bandedBuckets(sig: DataFrame, idCol: String,
+                            numPerm: Int, bands: Int): DataFrame = {
     val rowsPerBand = numPerm / bands
     // band id -> hash of that band's signature slice
     val bandCols = (0 until bands).map { bnd =>
       val slice = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(bnd).as("band"), xxhash64(slice: _*).as("bucket")).as(s"b$bnd")
     }
+    sig.select(col(idCol) +: bandCols: _*)
+      .select(col(idCol), explode(array((0 until bands).map(b => col(s"b$b")): _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
+  private def lshPairsFromSignatures(sig: DataFrame, idCol: String,
+                                     numPerm: Int, bands: Int): DataFrame = {
     // Persist the banded rows: both sides of the self-join below derive
     // from this frame, and without the cache each side re-runs the
     // whole shingle-explode + signature aggregation (the corpus-sized
     // work) — measured 2× the scan cost at sf0.1. The cached frame is
     // docs × bands rows (one per band per document), tiny next to the
     // corpus; released by [[releaseCaches]].
-    val banded = trackPersist(sig.select(col(idCol) +: bandCols: _*)
-      .select(col(idCol), explode(array((0 until bands).map(b => col(s"b$b")): _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket")))
+    val banded = trackPersist(bandedBuckets(sig, idCol, numPerm, bands))
     val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket"))

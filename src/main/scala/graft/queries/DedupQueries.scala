@@ -114,6 +114,26 @@ object DedupQueries {
     Dedup.embeddingLshPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
       threshold = CosT, nBits = 4, nTables = 16, dim = 64)
 
+  // --- q85: incremental ingest dedup — the q21 sample is split into a
+  // pre-indexed "corpus" (doc_id % 8 == 0) and a "daily batch" (the
+  // rest); the batch is near-dup-checked against the corpus's persisted
+  // LSH index (bands + hashed sets) WITHOUT re-reading corpus text, plus
+  // batch-internal pairs. Same (1-J)^16 miss bound as q72, so the result
+  // equals the exact all-pairs SQL restricted to pairs touching the
+  // batch — the oracle checks exactly that.
+  def q85(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).filter(col("doc_id") % 4 === 0)
+    val (indexBands, indexSets) = Dedup.nearDupIndex(
+      base.filter(col("doc_id") % 8 === 0), "doc_id", "text",
+      k = 3, numPerm = 16, bands = 16)
+    Dedup.dedupIncrement(indexBands, indexSets,
+      base.filter(col("doc_id") % 8 =!= 0), "doc_id", "text",
+      k = 3, threshold = JaccardT, numPerm = 16, bands = 16)
+  }
+
+  val q85Sql: String =
+    ngramPairsSql(JaccardT) + "\n AND NOT (id_a % 8 = 0 AND id_b % 8 = 0)"
+
   // --- q81: C4-style cross-corpus span dedup — every 3-token span at
   // stride 3 is kept only at its first (doc, pos) occurrence; later
   // identical spans anywhere in the corpus are flagged. One explode +
@@ -136,6 +156,7 @@ object DedupQueries {
       |FROM r GROUP BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_dedup_increment"    -> (q85 _),
     "q81_span_dedup"         -> (q81 _),
     "q21_dedup_ngram"        -> (q21 _),
     "q22_dedup_minhash"      -> (q22 _),
@@ -147,6 +168,7 @@ object DedupQueries {
     "q73_dedup_embedding_lsh" -> (q73 _))
 
   val oracle: Map[String, String] = Map(
+    "q85_dedup_increment"    -> q85Sql,
     "q81_span_dedup"         -> q81Sql,
     "q21_dedup_ngram"        -> q21Sql,
     "q24_dedup_embedding"    -> q24Sql,

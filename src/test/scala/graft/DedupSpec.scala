@@ -158,6 +158,27 @@ class DedupSpec extends SparkSpec {
     assert(ann.filter(col("probe_id") === col("neighbor_id")).count() == 0)
   }
 
+  test("incremental dedup over a parquet-persisted index equals the backfill") {
+    val base = Tables.documents(spark, sf).filter(col("doc_id") % 4 === 0)
+    val full = Dedup.lshVerifiedPairs(base, "doc_id", "text", 3, 0.6, 16, 16)
+      .filter(!(col("id_a") % 8 === 0 && col("id_b") % 8 === 0))
+      .select("id_a", "id_b", "n_inter")
+    // round-trip the index through parquet: the incremental path must
+    // work from a STORED index (fresh session, no lineage), not from
+    // the in-memory frames that built it
+    val dir = java.nio.file.Files.createTempDirectory("dedup_idx").toString
+    val (ib, is) = Dedup.nearDupIndex(
+      base.filter(col("doc_id") % 8 === 0), "doc_id", "text", 3, 16, 16)
+    ib.write.parquet(s"$dir/bands"); is.write.parquet(s"$dir/sets")
+    val incr = Dedup.dedupIncrement(
+        spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sets"),
+        base.filter(col("doc_id") % 8 =!= 0), "doc_id", "text", 3, 0.6, 16, 16)
+      .select("id_a", "id_b", "n_inter")
+    assert(incr.exceptAll(full).count() == 0)
+    assert(full.exceptAll(incr).count() == 0)
+    assert(incr.count() > 0, "the sample corpus has batch-touching near-dups")
+  }
+
   test("span dedup flags exactly the later occurrences of repeated spans") {
     val s = spark
     import s.implicits._
