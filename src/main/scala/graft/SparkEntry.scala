@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.OlapQueries.queries ++
       graft.queries.ExtendedQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracle ++
       graft.queries.OlapQueries.oracle ++
       graft.queries.ExtendedQueries.oracle ++
-      graft.queries.PipelineQueries.oracle
+      graft.queries.PipelineQueries.oracle ++
+      graft.queries.AnalyticsQueries.oracle
 }

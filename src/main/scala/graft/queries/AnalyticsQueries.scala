@@ -1,0 +1,335 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Round-6 widening (SURVEY.md §2, q86–q93): interval analytics,
+  * scalable fuzzy matching, iterative graph computation, feature
+  * engineering, incremental aggregate maintenance, and operational
+  * diagnostics — the ops a 100 TB warehouse runs daily that no earlier
+  * query covered.
+  *
+  * Scale notes are per query; the common discipline: no global sorts
+  * (per-day / per-key windows only), no cross joins (blocking turns
+  * similarity into equi-joins; PlanLintSpec enforces repo-wide), and
+  * iterative work (q88) touches the corpus once — iterations run on the
+  * metadata-sized derived graph.
+  */
+object AnalyticsQueries {
+
+  // Cache ownership (same contract as Dedup.releaseCaches): q88 persists
+  // its vocabulary-sized graph frames for the 3 iterative joins; a
+  // long-lived multi-corpus session releases them between corpora.
+  private val trackedCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def trackPersist(df: DataFrame): DataFrame = trackedCaches.synchronized {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackedCaches += p
+    p
+  }
+
+  /** Unpersist every intermediate frame cached by [[q88]] so far. */
+  def releaseCaches(): Unit = trackedCaches.synchronized {
+    trackedCaches.foreach(_.unpersist(blocking = false))
+    trackedCaches.clear()
+  }
+
+  // --- q86: max concurrent intervals per day (sweep line). Each event
+  // opens a half-open 30-minute activity interval [ts, ts+30m); the
+  // query reports, per calendar day, the peak number of simultaneously
+  // open intervals. Intervals are split at midnight so the sweep is a
+  // PER-DAY window (bounded partitions — the 100 TB shape), never a
+  // global sort. Ends sort before starts at the same instant (half-open
+  // semantics: an interval ending exactly when another starts does not
+  // overlap it); the default RANGE frame gives sort-key peers one shared
+  // cumulative value, so ties are deterministic across engines.
+  def q86(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(s, dir)
+      .select(col("ts").as("t0"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("t1"))
+    val segs = iv
+      .withColumn("day",
+        explode(expr("sequence(to_date(t0), to_date(t1 - INTERVAL 1 MICROSECOND))")))
+      .select(col("day"),
+        greatest(col("t0"), col("day").cast("timestamp")).as("s0"),
+        least(col("t1"), date_add(col("day"), 1).cast("timestamp")).as("s1"))
+    val pts = segs.select(col("day"), col("s0").as("t"), lit(1L).as("delta"))
+      .unionByName(segs.select(col("day"), col("s1").as("t"), lit(-1L).as("delta")))
+    val w = Window.partitionBy("day").orderBy(col("t").asc, col("delta").asc)
+    pts.withColumn("cur", sum("delta").over(w))
+      .groupBy("day")
+      .agg(max("cur").as("max_concurrent"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_intervals"))
+  }
+
+  val q86Sql: String =
+    """WITH iv AS (SELECT CAST(ts AS TIMESTAMP) AS t0,
+      |  CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS t1 FROM events),
+      |segs AS (SELECT CAST(UNNEST(GENERATE_SERIES(CAST(t0 AS DATE),
+      |    CAST(t1 - INTERVAL 1 MICROSECOND AS DATE), INTERVAL 1 DAY)) AS DATE) AS day,
+      |  t0, t1 FROM iv),
+      |seg2 AS (SELECT day, GREATEST(t0, CAST(day AS TIMESTAMP)) AS s0,
+      |  LEAST(t1, CAST(day AS TIMESTAMP) + INTERVAL 1 DAY) AS s1 FROM segs),
+      |pts AS (SELECT day, s0 AS t, 1 AS delta FROM seg2
+      |        UNION ALL SELECT day, s1, -1 FROM seg2),
+      |cum AS (SELECT day, delta,
+      |  SUM(delta) OVER (PARTITION BY day ORDER BY t, delta) AS cur FROM pts)
+      |SELECT day, CAST(MAX(cur) AS BIGINT) AS max_concurrent,
+      | CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_intervals
+      |FROM cum GROUP BY 1""".stripMargin
+
+  // --- q87: fuzzy entity-resolution join — customer-name pairs within
+  // edit distance 1, found WITHOUT a cross join. Blocking is the exact
+  // deletion-neighborhood (FastSS): every name emits itself plus each
+  // single-character deletion; two names at edit distance ≤ 1 MUST share
+  // a variant (equal-length substitutions share the deletion at the
+  // differing position; insert/delete pairs share the shorter name
+  // itself), so an equi-join on the variant produces a candidate
+  // superset and `levenshtein ≤ 1` verifies. Cost is (len+1)·n variant
+  // rows and one hash join — linear at corpus scale, vs the oracle's
+  // quadratic brute force (which is why the query bounds its input set;
+  // the operator itself has no such bound).
+  def q87(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .filter(col("c_custkey") < 2000L)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"))
+    val variants = c
+      .withColumn("i", explode(sequence(lit(0), length(col("name")))))
+      .select(col("key"), col("name"),
+        when(col("i") === 0, col("name"))
+          .otherwise(concat(expr("substring(name, 1, i - 1)"),
+            expr("substring(name, i + 1)"))).as("v"))
+    val a = variants.select(col("key").as("key_a"), col("name").as("name_a"), col("v"))
+    val b = variants.select(col("key").as("key_b"), col("name").as("name_b"), col("v"))
+    a.join(b, Seq("v"))
+      .filter(col("key_a") < col("key_b"))
+      .select("key_a", "key_b", "name_a", "name_b").distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select("key_a", "key_b")
+  }
+
+  val q87Sql: String =
+    """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 2000)
+      |SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+      |FROM c a JOIN c b
+      |ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+
+  // --- q88: PageRank, 3 power iterations, over the token-adjacency
+  // graph (distinct bigram pairs, self-loops dropped). The corpus is
+  // scanned ONCE to build edges; iterations then run on the derived
+  // graph (vocabulary-sized — metadata next to a 100 TB corpus), each
+  // iteration one equi-join + one aggregation, the classic distributed
+  // PageRank shape. Dangling-node mass is deliberately not redistributed
+  // (ranks sum < 1) — same fixed formula both engines. The node count
+  // driving the teleport term is a driver-side count of the cached
+  // vocabulary — metadata-sized by construction, like Dedup's bounded
+  // union-find.
+  def q88(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val edges = trackPersist(Tables.documents(s, dir)
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (x, y) => struct(x.as("src"), y.as("dst")))).as("bg"))
+      .select(col("bg.src"), col("bg.dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    val nodes = trackPersist(
+      edges.select(col("src").as("tok"))
+        .unionByName(edges.select(col("dst").as("tok")))
+        .distinct())
+    val nN = nodes.count().toDouble // vocabulary-bounded metadata count
+    val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("outd"))
+    var r = nodes.withColumn("r", lit(1.0 / nN))
+    for (_ <- 1 to 3) {
+      val contrib = r.withColumnRenamed("tok", "src")
+        .join(deg, "src").join(edges, "src")
+        .groupBy("dst").agg(sum(col("r") / col("outd")).as("m"))
+      r = nodes.join(contrib, nodes("tok") === contrib("dst"), "left")
+        .select(nodes("tok"),
+          (lit(0.15 / nN) + lit(0.85) * coalesce(col("m"), lit(0.0))).as("r"))
+    }
+    r.select(col("tok"), round(col("r"), 6).as("pr"))
+  }
+
+  private def q88IterSql(k: Int): String =
+    s"""r$k AS (SELECT nodes.tok, 0.15/nn.n + 0.85*COALESCE(m.m, 0) AS r
+       | FROM nodes CROSS JOIN nn LEFT JOIN (SELECT bg.dst, SUM(p.r/deg.outd) AS m
+       |   FROM bg JOIN r${k - 1} p ON p.tok = bg.src
+       |   JOIN deg ON deg.src = bg.src GROUP BY 1) m ON m.dst = nodes.tok)""".stripMargin
+
+  val q88Sql: String =
+    s"""WITH t AS (SELECT STRING_SPLIT_REGEX(TRIM(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |bg AS (SELECT DISTINCT tok_a AS src, tok_b AS dst FROM (
+       |  SELECT UNNEST(toks[1:LEN(toks)-1]) AS tok_a, UNNEST(toks[2:LEN(toks)]) AS tok_b
+       |  FROM t WHERE LEN(toks) > 1) WHERE tok_a <> tok_b),
+       |nodes AS (SELECT DISTINCT tok FROM (SELECT src AS tok FROM bg UNION SELECT dst FROM bg)),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       |deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outd FROM bg GROUP BY 1),
+       |r0 AS (SELECT tok, 1.0/nn.n AS r FROM nodes CROSS JOIN nn),
+       |${q88IterSql(1)},
+       |${q88IterSql(2)},
+       |${q88IterSql(3)}
+       |SELECT tok, ROUND(r, 6) AS pr FROM r3""".stripMargin
+
+  // --- q89: equal-frequency feature binning — decile buckets of event
+  // value per event type (the standard numeric-feature quantization
+  // before model training). ntile is a per-type window (bounded
+  // partitions); ties broken by event_id so bin membership is
+  // deterministic across engines and partitionings.
+  def q89(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("bin", ntile(10).over(w))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n_rows"),
+        min("value").as("min_value"), max("value").as("max_value"))
+  }
+
+  val q89Sql: String =
+    """WITH b AS (SELECT event_type, value,
+      |  NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bin
+      | FROM events)
+      |SELECT event_type, CAST(bin AS INT) AS bin,
+      | CAST(COUNT(*) AS BIGINT) AS n_rows,
+      | MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM b GROUP BY 1, 2""".stripMargin
+
+  // --- q90: per-type z-score standardization (feature scaling). The
+  // stats frame is one row per event type — broadcast back onto the
+  // fact, so the normalization pass is map-side: at 100 TB this is one
+  // aggregation plus one streaming projection, no second shuffle.
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val stats = ev.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(col("sd") > 0)
+      .select(col("event_id"), col("event_type"),
+        round((col("value") - col("mu")) / col("sd"), 6).as("z"))
+  }
+
+  val q90Sql: String =
+    """WITH s AS (SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+      |  FROM events GROUP BY 1)
+      |SELECT event_id, e.event_type, ROUND((value - mu) / sd, 6) AS z
+      |FROM events e JOIN s ON s.event_type = e.event_type WHERE sd > 0""".stripMargin
+
+  // --- q91: incremental aggregate maintenance — the mart-refresh
+  // algebra made explicit. Per-user (count, sum) partials are computed
+  // separately for the history (< Jan 15) and the delta (≥ Jan 15) and
+  // MERGED by re-aggregation; avg derives from merged sums. The oracle
+  // aggregates the union directly — proving partial-merge ≡ full
+  // recompute, which is what lets a 100 TB mart refresh touch only the
+  // delta partition (the reference's accumulation semantics,
+  // trsh_rep_fraud_sync.sql:22-24, as re-aggregatable state).
+  //
+  // All money math is exact integer cents: double sums are order-
+  // dependent in the last bits, and round(·, 6) sits exactly on a
+  // half-way boundary whenever the group size is a power of two (the
+  // sf0.01 data hit one) — so sum and avg derive from an exact BIGINT
+  // cent total via truncating integer division, then one exact
+  // int→double division. Values are non-negative (div vs floor-div
+  // agree); the *10000 step is ANSI-loud beyond ±9·10^14 cents.
+  def q91(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = "2024-01-15 00:00:00"
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sc"))
+    val hist  = partial(Tables.events(s, dir).filter(col("ts") < lit(cutoff).cast("timestamp")))
+    val delta = partial(Tables.eventsSince(s, dir, cutoff))
+    hist.unionByName(delta)
+      .groupBy("user_id")
+      .agg(sum("n").as("n_events"), sum("sc").as("sc"))
+      .select(col("user_id"), col("n_events"),
+        (col("sc") / 100.0).as("sum_value"),
+        (expr("sc * 10000 div n_events") / 1000000.0).as("avg_value"))
+  }
+
+  val q91Sql: String =
+    """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sc FROM events GROUP BY 1)
+      |SELECT user_id, n_events, sc / 100.0 AS sum_value,
+      | CAST(sc * 10000 // n_events AS BIGINT) / 1000000.0 AS avg_value
+      |FROM c""".stripMargin
+
+  // --- q92: inter-arrival statistics — per-user event-gap distribution
+  // (burst detection / rate modeling input; the velocity rule R3's
+  // LAG-over-user shape, reference trsh_rep_fraud_sync.sql:47-80,
+  // generalized to full gap statistics). One shuffle on user_id;
+  // microsecond longs convert exactly to double seconds (< 2^53).
+  def q92(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("prev", lag("ts", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap",
+        (unix_micros(col("ts")) - unix_micros(col("prev"))) / lit(1000000.0))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg("gap"), 6).as("avg_gap_s"),
+        min("gap").as("min_gap_s"), max("gap").as("max_gap_s"))
+  }
+
+  val q92Sql: String =
+    """WITH g AS (SELECT user_id,
+      |  (epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(LAG(CAST(ts AS TIMESTAMP), 1)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id))) / 1000000.0 AS gap
+      | FROM events)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      | ROUND(AVG(gap), 6) AS avg_gap_s,
+      | MIN(gap) AS min_gap_s, MAX(gap) AS max_gap_s
+      |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin
+
+  // --- q93: key-skew diagnostics — the profile a join/agg planner (or
+  // an engineer deciding whether q39's salting is needed) reads first:
+  // the 5 hottest keys with their share of all rows. Top-5 is
+  // orderBy+limit (TakeOrderedAndProject: per-partition top-K merge,
+  // never a full sort); the total is a separate 1-row aggregate joined
+  // by broadcast.
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val total = counts.agg(sum("n_events").as("total"))
+    val top = counts.orderBy(col("n_events").desc, col("user_id").asc).limit(5)
+    val w = Window.orderBy(col("n_events").desc, col("user_id").asc)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("user_id"), col("n_events"),
+        round(col("n_events") / col("total"), 6).as("share"))
+  }
+
+  val q93Sql: String =
+    """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT SUM(n_events) AS total FROM c)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS INT) AS rank,
+      | user_id, n_events, ROUND(n_events / t.total, 6) AS share
+      |FROM c CROSS JOIN t ORDER BY n_events DESC, user_id LIMIT 5""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_concurrency"   -> (q86 _),
+    "q87_fuzzy_join"    -> (q87 _),
+    "q88_pagerank"      -> (q88 _),
+    "q89_quantile_bins" -> (q89 _),
+    "q90_zscore"        -> (q90 _),
+    "q91_agg_merge"     -> (q91 _),
+    "q92_interarrival"  -> (q92 _),
+    "q93_skew_profile"  -> (q93 _))
+
+  val oracle: Map[String, String] = Map(
+    "q86_concurrency"   -> q86Sql,
+    "q87_fuzzy_join"    -> q87Sql,
+    "q88_pagerank"      -> q88Sql,
+    "q89_quantile_bins" -> q89Sql,
+    "q90_zscore"        -> q90Sql,
+    "q91_agg_merge"     -> q91Sql,
+    "q92_interarrival"  -> q92Sql,
+    "q93_skew_profile"  -> q93Sql)
+}

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.AnalyticsQueries
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("q86 concurrency: peak bounded by day volume, every event day present") {
+    val out = AnalyticsQueries.q86(spark, sf).cache()
+    val ev = graft.sources.Tables.events(spark, sf)
+    // peak concurrency on a day can never exceed the intervals touching it
+    assert(out.filter(col("max_concurrent") > col("n_intervals") ||
+      col("max_concurrent") < 1).isEmpty)
+    // every day with an event start appears (its own interval is open then)
+    val evDays = ev.select(to_date(col("ts")).as("day")).distinct()
+    assert(evDays.exceptAll(out.select("day")).isEmpty)
+    // independent check on the busiest day: driver-side sweep
+    val top = out.orderBy(col("max_concurrent").desc, col("day").asc).head()
+    val day = top.getAs[java.sql.Date]("day").toString
+    val iv = ev.select(unix_micros(col("ts")).as("t0"),
+        (unix_micros(col("ts")) + 1800000000L).as("t1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val d0 = java.time.LocalDate.parse(day).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.toEpochMilli * 1000L
+    val d1 = d0 + 86400000000L
+    val pts = iv.filter { case (a, b) => a < d1 && b > d0 }
+      .flatMap { case (a, b) => Seq((math.max(a, d0), 1), (math.min(b, d1), -1)) }
+    // ends (-1) sort before starts (+1) at the same instant: half-open
+    val peak = pts.sortBy { case (t, dl) => (t, dl) }
+      .scanLeft(0) { case (acc, (_, dl)) => acc + dl }.max
+    assert(top.getAs[Long]("max_concurrent") === peak,
+      s"sweep-line peak on $day must match the driver-side re-computation")
+  }
+
+  test("q87 fuzzy join: exactly the edit-distance-1 pairs, no cross join") {
+    val out = AnalyticsQueries.q87(spark, sf).cache()
+    assert(out.count() > 0, "synthetic names must yield 1-digit-apart pairs")
+    // ground truth by brute force on the driver (bounded input set)
+    val names = graft.sources.Tables.customer(spark, sf)
+      .filter(col("c_custkey") < 2000L).select("c_custkey", "c_name")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val truth = (for {
+      (ka, na) <- names; (kb, nb) <- names
+      if ka < kb && lev(na, nb) <= 1
+    } yield (ka, kb)).toSet
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === truth, "deletion-neighborhood blocking must be exact for ed<=1")
+    // the plan must not contain a cartesian/BNL join (blocking, not brute force)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q88 pagerank: rank mass conserved minus dangling leak, teleport floor") {
+    val out = AnalyticsQueries.q88(spark, sf).cache()
+    val n = out.count()
+    assert(n > 0)
+    // every rank >= teleport floor (1-d)/N, and total mass <= 1
+    val floor = 0.15 / n - 1e-9
+    assert(out.filter(col("pr") < floor).isEmpty)
+    val mass = out.agg(sum("pr")).head().getDouble(0)
+    assert(mass <= 1.0 + 1e-6 && mass > 0.5,
+      s"3-iteration rank mass $mass should be in (0.5, 1]")
+  }
+
+  test("q89 binning: deciles near-equal within type, ranges ordered and disjoint") {
+    val out = AnalyticsQueries.q89(spark, sf).cache()
+    // ntile balance: bin sizes differ by at most 1 within an event type
+    val spread = out.groupBy("event_type")
+      .agg((max("n_rows") - min("n_rows")).as("d"), count(lit(1)).as("bins"))
+    assert(spread.filter(col("d") > 1).isEmpty)
+    assert(spread.filter(col("bins") =!= 10).isEmpty, "10 bins per type")
+    // value ranges must be non-decreasing across bins
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("bin")
+    val bad = out.withColumn("prev_max", lag("max_value", 1).over(w))
+      .filter(col("prev_max").isNotNull && col("min_value") < col("prev_max"))
+    assert(bad.isEmpty, "bin b's min can never undercut bin b-1's max")
+  }
+
+  test("q90 zscore: per-type mean ~0, sample stddev ~1, all rows kept") {
+    val out = AnalyticsQueries.q90(spark, sf).cache()
+    assert(out.count() === graft.sources.Tables.events(spark, sf).count())
+    val stats = out.groupBy("event_type")
+      .agg(avg("z").as("m"), stddev_samp("z").as("s"))
+    assert(stats.filter(abs(col("m")) > 1e-4).isEmpty, "standardized mean ~ 0")
+    assert(stats.filter(abs(col("s") - 1.0) > 1e-4).isEmpty, "standardized sd ~ 1")
+  }
+
+  test("q91 partial-merge aggregation equals a single full aggregation") {
+    val out = AnalyticsQueries.q91(spark, sf)
+    val full = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sc"))
+      .select(col("user_id"), col("n_events"),
+        (col("sc") / 100.0).as("sum_value"),
+        (expr("sc * 10000 div n_events") / 1000000.0).as("avg_value"))
+    assert(out.exceptAll(full).isEmpty && full.exceptAll(out).isEmpty,
+      "history-partial + delta-partial merged must equal the full rebuild")
+  }
+
+  test("q92 interarrival: gaps non-negative, count = events - users") {
+    val out = AnalyticsQueries.q92(spark, sf).cache()
+    assert(out.filter(col("min_gap_s") < 0).isEmpty)
+    assert(out.filter(col("max_gap_s") < col("min_gap_s")).isEmpty)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(out.agg(sum("n_gaps")).head().getLong(0) === expected,
+      "each user with k events contributes exactly k-1 gaps")
+  }
+
+  test("q93 skew profile: top-5 by count, shares consistent and ordered") {
+    val out = AnalyticsQueries.q93(spark, sf).cache()
+    assert(out.count() === 5)
+    // ranks 1..5 with non-increasing counts
+    assert(out.orderBy("rank").collect().map(_.getAs[Long]("n_events"))
+      .sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    // rank-1 really is the hottest key
+    val hottest = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id").count().orderBy(col("count").desc, col("user_id").asc)
+      .head()
+    val r1 = out.filter(col("rank") === 1).head()
+    assert(r1.getAs[Long]("user_id") === hottest.getAs[Long]("user_id"))
+    assert(r1.getAs[Long]("n_events") === hottest.getAs[Long]("count"))
+  }
+}

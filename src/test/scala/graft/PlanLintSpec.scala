@@ -23,11 +23,13 @@ class PlanLintSpec extends SparkSpec {
     *    (the q47 pattern).
     *  - q82_char_coverage: scalar total-character count broadcast to the
     *    alphabet-sized count table (the q47 pattern).
+    *  - q93_skew_profile: scalar total-row count broadcast to the 5-row
+    *    top-K frame (the q47 pattern).
     */
   private val boundedNestedLoop = Set(
     "q21_dedup_ngram", "q24_dedup_embedding", "q25_ann_bruteforce",
     "q46_gap_fill", "q47_tfidf", "q49_ann_ivf", "q68_ann_recall",
-    "q80_lm_score", "q82_char_coverage")
+    "q80_lm_score", "q82_char_coverage", "q93_skew_profile")
 
   test("no cartesian products; nested-loop joins only where bounded by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
