@@ -30,5 +30,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g default: the bench/verify surface is 93 queries whose internal
+  // caches (shingle streams, LSH indexes, ML samples) accumulate across
+  // Bench's warmup + two timed passes; at 8g the storage/execution pool
+  // (~0.6·heap) evicts and GC-thrashes, inflating cache-heavy queries
+  // 10-40× (round-6 finding: q21 51.7s at 8g vs 4.0s isolated). The
+  // target host has 125 GiB; 48g leaves room for the duckdb oracle and
+  // concurrent sbt test JVMs. Override with SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -13,6 +13,32 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Ordered word-bigram stream: one row per adjacent token pair of
+    * each document — the shared primitive under q71 (transition counts),
+    * q80 (LM scoring) and q88 (token-graph edges).
+    *
+    * Deliberately NOT `explode(zip_with(slice, slice, struct))`: ZipWith
+    * has no codegen, so that form evaluates interpreted per row —
+    * re-running the regex split once per slice branch and deep-copying a
+    * GenericInternalRow per pair (profiled as the dominant serial stage
+    * of the round-6 bench: 3 such branches pinned single cores for
+    * minutes at sf0.1). This form — split once in a codegen'd project,
+    * position explode, two element_at lookups — stays inside whole-stage
+    * codegen end to end and emits identical rows (a size<2 array yields
+    * no pairs, exactly like zipping a slice with its empty tail).
+    */
+  def wordBigrams(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    df.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(2), size(col("toks")))).as("i"))
+      .select(col(idCol),
+        element_at(col("toks"), col("i") - 1).as("tok_a"),
+        element_at(col("toks"), col("i")).as("tok_b"))
+  }
+
   /** Whitespace-delimited token count; a blank/whitespace-only text has
     * ZERO tokens (split of "" returns [""], which must not count).
     */

@@ -131,9 +131,12 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // dense shingle dictionary; the window is over the (bounded)
     // vocabulary, not the corpus, so the single-partition sort is
-    // metadata-sized — the vocab bound above is exactly what keeps it so
-    val dict = sh.select("shingle").distinct()
-      .withColumn("sid", row_number().over(Window.orderBy("shingle")) - 1)
+    // metadata-sized — the vocab bound above is exactly what keeps it so.
+    // Cached: the count() below (the dispatch decision) and the
+    // denseBitmaps broadcast join both need it — without the persist the
+    // distinct+window lineage (and its corpus scan) runs twice per call.
+    val dict = trackPersist(sh.select("shingle").distinct()
+      .withColumn("sid", row_number().over(Window.orderBy("shingle")) - 1))
     (dict, dict.count())
   }
 
@@ -228,7 +231,11 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int, threshold: Double): DataFrame = {
-    val (docs, hashed) = docSetsFromShingles(shinglesRaw(df, idCol, textCol, k), idCol)
+    // docs is BOTH sides of the all-pairs join below — persist it (one
+    // row per document of this bounded sample) or the whole shingle →
+    // bitmap aggregation pipeline executes twice
+    val (docsRaw, hashed) = docSetsFromShingles(shinglesRaw(df, idCol, textCol, k), idCol)
+    val docs = trackPersist(docsRaw)
     val a = docs.select(col(idCol).as("id_a"), col("bm").as("bm_a"),
       col("set_size").as("size_a"))
     val b = docs.select(col(idCol).as("id_b"), col("bm").as("bm_b"),
@@ -264,7 +271,10 @@ object Dedup {
     val sh = trackPersist(shinglesRaw(df, idCol, textCol, k))
     val cands = lshPairsFromSignatures(
       signaturesFromShingles(sh, idCol, numPerm), idCol, numPerm, bands)
-    val (docs, hashed) = docSetsFromShingles(sh, idCol)
+    // docs joins the candidate list on BOTH ends — persist (one row per
+    // document) so the shingle→set aggregation runs once, not twice
+    val (docsRaw, hashed) = docSetsFromShingles(sh, idCol)
+    val docs = trackPersist(docsRaw)
     val a = docs.select(col(idCol).as("id_a"), col("bm").as("bm_a"),
       col("set_size").as("size_a"))
     val b = docs.select(col(idCol).as("id_b"), col("bm").as("bm_b"),

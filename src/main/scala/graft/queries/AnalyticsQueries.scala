@@ -128,13 +128,9 @@ object AnalyticsQueries {
   // vocabulary — metadata-sized by construction, like Dedup's bounded
   // union-find.
   def q88(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(trim(lower(col("text"))), "\\s+")
-    val edges = trackPersist(Tables.documents(s, dir)
-      .select(explode(zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (x, y) => struct(x.as("src"), y.as("dst")))).as("bg"))
-      .select(col("bg.src"), col("bg.dst"))
+    val edges = trackPersist(graft.functions.TextFunctions
+      .wordBigrams(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("tok_a").as("src"), col("tok_b").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct())
     val nodes = trackPersist(

@@ -284,20 +284,14 @@ object PipelineQueries {
   }
 
   // --- q71: ordered bigram counts (language-model transition counts).
-  // Adjacency pairs come from zipping each token array with its own
-  // tail — per-document interpreted HOF, corpus-linear; the count is one
-  // hash aggregation.
-  def q71(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(trim(lower(col("text"))), "\\s+")
-    Tables.documents(s, dir)
-      .select(explode(zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (x, y) => struct(x.as("tok_a"), y.as("tok_b")))).as("bg"))
-      .select(col("bg.tok_a"), col("bg.tok_b"))
+  // Adjacency pairs from the codegen'd position-explode bigram stream
+  // (TextFunctions.wordBigrams — see its doc for why not zip_with);
+  // the count is one hash aggregation, corpus-linear.
+  def q71(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TextFunctions
+      .wordBigrams(Tables.documents(s, dir), "doc_id", "text")
       .groupBy("tok_a", "tok_b")
       .agg(count(lit(1)).as("n_pairs"))
-  }
 
   val q71Sql: String =
     """WITH t AS (SELECT STRING_SPLIT_REGEX(TRIM(lower(text)), '\s+') AS toks

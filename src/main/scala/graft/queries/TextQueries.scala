@@ -166,11 +166,7 @@ object TextQueries {
   def q80(s: SparkSession, dir: String): DataFrame = {
     val toks = split(trim(lower(col("text"))), "\\s+")
     val docs = Tables.documents(s, dir)
-    val bg = docs.select(col("doc_id"), explode(zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (x, y) => struct(x.as("tok_a"), y.as("tok_b")))).as("bg"))
-      .select(col("doc_id"), col("bg.tok_a"), col("bg.tok_b"))
+    val bg = graft.functions.TextFunctions.wordBigrams(docs, "doc_id", "text")
     val c12 = bg.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n12"))
     val c1 = c12.groupBy("tok_a").agg(sum("n12").as("n1"))
     val vocab = docs.select(explode(toks).as("tok"))

@@ -20,8 +20,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Spread a small single-split scan across the cluster BEFORE the
+    * CPU-heavy per-row stages that consume it (shingle/bigram explode,
+    * per-vector math): a few-MB parquet file arrives as ONE input
+    * partition, which pins the entire explode+aggregate map stage — the
+    * dominant cost of the text/ANN pipelines — to a single core
+    * (profiled: minutes of serial CPU in the round-6 bench). At corpus
+    * scale the table arrives in thousands of splits and this guard is a
+    * no-op; when it does fire it shuffles only the small raw table.
+    * Filters still reach the parquet scan — Catalyst pushes predicates
+    * through Repartition (PushDownPredicates), asserted in SourcesSpec.
+    */
+  private def parallelized(s: SparkSession, df: DataFrame): DataFrame =
+    if (df.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+      df.repartition(s.sparkContext.defaultParallelism)
+    else df
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    parallelized(s, table(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    parallelized(s, table(s, d, "embeddings"))
 
   /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS). Spark's
     * vectorized reader has no nanos TimestampType; the legacy conf

@@ -148,6 +148,19 @@ class SourcesSpec extends SparkSpec {
     assert(df.collect()(0).getAs[String]("name") == "foobar")
   }
 
+  test("documents scan parallelizes small files; filters still push to parquet") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // the guard fires on the single-split test file
+    assert(docs.rdd.getNumPartitions === spark.sparkContext.defaultParallelism,
+      "a single-split documents scan must be spread across the cluster")
+    // and does not cost predicate pushdown: the filter crosses the
+    // repartition down into the parquet scan
+    val plan = docs.filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo(lang,en)"),
+      s"lang filter must reach the scan through the repartition:\n$plan")
+  }
+
   test("file finder globs templates and archive moves the file") {
     val dir = Files.createTempDirectory("graft_find").toString
     mkTxt(dir, "terminals_01012024.txt", "a;b\n1;2\n")
