@@ -42,24 +42,35 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      // TWO timed passes, report the min: a transient host stall during
-      // a single pass misgrades the whole artifact (round 5: q17 timed
-      // 7.7s by the driver vs 0.49s reproducible — a 16x phantom).
-      // The min of two steady-state passes is the honest steady-state
-      // number; stalls only ever inflate, never deflate, a timing.
-      // A failed query reports -1, never a misleadingly fast timing.
-      val t = try math.min(once(), once())
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
-        }
-      name -> t
+    // TWO timed passes, report the per-query min: a transient host stall
+    // during a single pass misgrades the whole artifact (round 5: q17
+    // timed 7.7s by the driver vs 0.49s reproducible — a 16x phantom).
+    // The min of two steady-state passes is the honest steady-state
+    // number; stalls only ever inflate, never deflate, a timing.
+    //
+    // The passes are SEPARATE FULL SWEEPS, not back-to-back runs of the
+    // same query: a multi-second host freeze spans adjacent executions,
+    // so back-to-back sampling put both samples inside the same freeze
+    // (round 6: q25 44.9s in the artifact vs 0.38s isolated). Sweeping
+    // the whole suite between a query's two samples separates them by
+    // minutes — one of the two almost surely lands outside any freeze.
+    // A failed query reports -1, never a misleadingly fast timing.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sweep(): Map[String, Double] = ordered.map { case (name, fn) =>
+      name -> (try once(fn) catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        -1.0
+      })
+    }.toMap
+    val (p1, p2) = (sweep(), sweep())
+    val results = ordered.map { case (name, _) =>
+      val (a, b) = (p1(name), p2(name))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
