@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.OlapQueries.queries ++
       graft.queries.ExtendedQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.AnalyticsQueries.queries
+      graft.queries.AnalyticsQueries.queries ++
+      graft.queries.CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.OlapQueries.oracle ++
       graft.queries.ExtendedQueries.oracle ++
       graft.queries.PipelineQueries.oracle ++
-      graft.queries.AnalyticsQueries.oracle
+      graft.queries.AnalyticsQueries.oracle ++
+      graft.queries.CorpusQueries.oracle
 }

@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.sources.Tables
+
+/** Round-6 widening, second batch (SURVEY.md §2, q94–q99): the corpus
+  * preparation ops that sit between raw ingest and training — chunking
+  * for retrieval, canonical-document selection after near-dup
+  * clustering, vocabulary/OOV accounting, robust feature scaling,
+  * windowed cardinality, and the per-slice dataset card a data curator
+  * publishes with a release.
+  *
+  * Scale discipline matches the rest of the repo: every aggregation is
+  * partial-aggregable, every join is an equi-join (broadcast where one
+  * side is metadata-sized), windows partition by bounded keys, and the
+  * corpus is scanned once per query.
+  */
+object CorpusQueries {
+
+  private val ChunkTokens = 32
+  private val ChunkStride = 16
+  private val VocabSize   = 12
+
+  // --- q94: overlapping token-window chunking (retrieval / context-
+  // window prep). Each document splits once into tokens; chunk starts
+  // advance by a fixed stride so consecutive chunks overlap by
+  // (ChunkTokens - ChunkStride) tokens. Everything is per-row codegen
+  // (split once, explode the start offsets, slice) — no shuffle at all:
+  // at 100 TB this is a pure map stage that parallelizes with the input
+  // splits.
+  def q94(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("start",
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(ChunkStride))))
+      .select(col("doc_id"),
+        expr(s"CAST(start DIV $ChunkStride AS INT)").as("chunk_idx"),
+        slice(col("toks"), col("start") + 1, lit(ChunkTokens)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+
+  val q94Sql: String =
+    s"""WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks
+       |  FROM documents WHERE LEN(TRIM(text)) > 0),
+       |st AS (SELECT doc_id, toks,
+       |  UNNEST(GENERATE_SERIES(0, LEN(toks) - 1, $ChunkStride)) AS start FROM t)
+       |SELECT doc_id, CAST(start // $ChunkStride AS INT) AS chunk_idx,
+       | CAST(LEN(LIST_SLICE(toks, start + 1, start + $ChunkTokens)) AS BIGINT) AS n_tokens,
+       | ARRAY_TO_STRING(LIST_SLICE(toks, start + 1, start + $ChunkTokens), ' ') AS chunk_text
+       |FROM st""".stripMargin
+
+  // --- q95: canonical-document selection — the step that turns q55's
+  // near-dup clusters into a deduplicated corpus. Per cluster the
+  // representative is the longest document (ties to the smallest id,
+  // made total by the struct order); documents outside any cluster keep
+  // themselves. The cluster and canonical frames are candidate-pair
+  // sized (orders of magnitude below the corpus), so the final joins
+  // broadcast and the corpus is touched by exactly one streaming pass —
+  // the 100 TB "apply the dedup verdict" shape.
+  def q95(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val clusters = ExtendedQueries.q55(s, dir)
+    val canon = clusters
+      .join(docs.select(col("doc_id").as("node"), col("n_chars")), "node")
+      .groupBy("cluster")
+      .agg(max_by(col("node"), struct(col("n_chars"), -col("node"))).as("canonical"))
+    docs.select(col("doc_id"))
+      .join(broadcast(clusters.withColumnRenamed("node", "doc_id")), Seq("doc_id"), "left")
+      .join(broadcast(canon), Seq("cluster"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical"), col("doc_id")).as("canonical_id"),
+        (col("doc_id") === coalesce(col("canonical"), col("doc_id")))
+          .cast("int").as("is_kept"))
+  }
+
+  val q95Sql: String =
+    s"""WITH ${ExtendedQueries.clustersCteSql},
+       |sized AS (SELECT cl.node, cl.cluster, d.n_chars
+       |  FROM cl JOIN documents d ON d.doc_id = cl.node),
+       |canon AS (SELECT cluster, node AS canonical FROM (
+       |  SELECT cluster, node,
+       |   ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n_chars DESC, node ASC) AS rn
+       |  FROM sized) WHERE rn = 1)
+       |SELECT d.doc_id,
+       | COALESCE(canon.canonical, d.doc_id) AS canonical_id,
+       | CAST(CASE WHEN d.doc_id = COALESCE(canon.canonical, d.doc_id)
+       |   THEN 1 ELSE 0 END AS INT) AS is_kept
+       |FROM documents d
+       |LEFT JOIN cl ON cl.node = d.doc_id
+       |LEFT JOIN canon ON canon.cluster = cl.cluster""".stripMargin
+
+  // --- q96: frequency-cut vocabulary + per-document OOV rate (the
+  // tokenizer-coverage check run before committing a vocab). The vocab
+  // is the top-VocabSize tokens by global count (ties by token — a
+  // total order, so the cut is deterministic); TakeOrderedAndProject
+  // keeps the top-k a per-partition merge, never a full sort, and the
+  // resulting vocab is broadcast back over the token stream — one
+  // corpus scan, one token-count shuffle, no join shuffle.
+  def q96(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(VocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
+  val q96Sql: String =
+    s"""WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS tok
+       |  FROM documents WHERE LEN(TRIM(text)) > 0),
+       |tt AS (SELECT doc_id, tok FROM t WHERE LEN(tok) > 0),
+       |v AS (SELECT tok FROM (
+       |  SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rn
+       |  FROM tt GROUP BY tok) WHERE rn <= $VocabSize)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       | CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       | ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) / COUNT(*), 6) AS oov_rate
+       |FROM tt LEFT JOIN v ON v.tok = tt.tok
+       |GROUP BY doc_id""".stripMargin
+
+  // --- q97: robust (median/IQR) feature standardization per event type
+  // — the outlier-insensitive sibling of q90's z-score, the scaling a
+  // heavy-tailed `value` column actually needs. Stats are one exact-
+  // percentile aggregation (one row per type — broadcast), the scaling
+  // pass is map-side; stats round to 4 decimals BEFORE the division so
+  // both engines divide bit-identical doubles (q43 established that
+  // Spark `percentile` and DuckDB PERCENTILE_CONT agree at 4 decimals;
+  // their raw low-order bits differ).
+  def q97(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val stats = ev.groupBy("event_type").agg(
+      round(expr("percentile(value, 0.5)"), 4).as("med"),
+      round(expr("percentile(value, 0.75) - percentile(value, 0.25)"), 4).as("iqr"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(col("iqr") > 0)
+      .select(col("event_id"), col("event_type"),
+        round((col("value") - col("med")) / col("iqr"), 6).as("robust_z"))
+  }
+
+  val q97Sql: String =
+    """WITH s AS (SELECT event_type,
+      |  ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value), 4) AS med,
+      |  ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY value)
+      |    - PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY value), 4) AS iqr
+      | FROM events GROUP BY 1)
+      |SELECT event_id, e.event_type, ROUND((value - med) / iqr, 6) AS robust_z
+      |FROM events e JOIN s ON s.event_type = e.event_type
+      |WHERE iqr > 0""".stripMargin
+
+  // --- q98: exact distinct-user cardinality per overlapping sliding
+  // window (1 h window, 15 min slide — q52's sliding frame with the op
+  // q52 lacks: COUNT DISTINCT under overlap). Spark expands each event
+  // into its 4 covering windows, then the two-phase distinct aggregate
+  // partially dedups (window, user) map-side — the exact-cardinality
+  // shape that HLL (q36) approximates when exactness stops being worth
+  // the shuffle.
+  def q98(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("n_users"), col("n_events"))
+
+  val q98Sql: String =
+    """WITH cand AS (
+      | SELECT user_id,
+      |  TIME_BUCKET(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+      |    - UNNEST([0, 1, 2, 3]) * INTERVAL '15 minutes' AS window_start,
+      |  CAST(ts AS TIMESTAMP) AS tts
+      | FROM events)
+      |SELECT window_start,
+      | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      | CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM cand
+      |WHERE tts >= window_start AND tts < window_start + INTERVAL '1 hour'
+      |GROUP BY window_start""".stripMargin
+
+  // --- q99: dataset card — the per-(source, lang) release summary a
+  // curator publishes: volume (docs/tokens/chars), exact-duplicate
+  // incidence, and quality-gate pass counts. One corpus scan: the
+  // duplicate flag is a count-over-(source, lang, text) window (text as
+  // partition key — duplicate groups are tiny), every aggregate is
+  // partial-aggregable, and the output is slice-cardinality-sized.
+  def q99(s: SparkSession, dir: String): DataFrame = {
+    val dupW = Window.partitionBy("source", "lang", "text")
+    Tables.documents(s, dir)
+      .withColumn("n_same", count(lit(1)).over(dupW))
+      .withColumn("quality", TF.qualityScore(col("text")))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount(col("text"))).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars_total"),
+        sum(when(col("n_same") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("n_quality"))
+  }
+
+  val q99Sql: String = {
+    val tokens = "CAST(CASE WHEN LEN(TRIM(text)) = 0 THEN 0 ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS BIGINT)"
+    s"""WITH d AS (SELECT source, lang,
+       |  COUNT(*) OVER (PARTITION BY source, lang, text) AS n_same,
+       |  ${TextQueries.qualityExprSql} AS quality,
+       |  $tokens AS n_toks,
+       |  CAST(LEN(text) AS BIGINT) AS n_c
+       | FROM documents)
+       |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       | CAST(SUM(n_c) AS BIGINT) AS n_chars_total,
+       | CAST(SUM(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       | CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+       |FROM d GROUP BY 1, 2""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_chunk_overlap"    -> (q94 _),
+    "q95_canonical_docs"   -> (q95 _),
+    "q96_vocab_oov"        -> (q96 _),
+    "q97_robust_scale"     -> (q97 _),
+    "q98_sliding_distinct" -> (q98 _),
+    "q99_dataset_card"     -> (q99 _))
+
+  val oracle: Map[String, String] = Map(
+    "q94_chunk_overlap"    -> q94Sql,
+    "q95_canonical_docs"   -> q95Sql,
+    "q96_vocab_oov"        -> q96Sql,
+    "q97_robust_scale"     -> q97Sql,
+    "q98_sliding_distinct" -> q98Sql,
+    "q99_dataset_card"     -> q99Sql)
+}

@@ -361,7 +361,9 @@ object ExtendedQueries {
   // pairs — tighter than q21's 0.6 exploration threshold, which chains
   // half the corpus into one giant high-diameter component; 0.65 keeps
   // genuine template families with small diameters) ---
-  private val ClusterT = 0.65
+  // (shared with CorpusQueries.q95's canonical-doc selection, which
+  // builds on q55's cluster assignment)
+  val ClusterT = 0.65
 
   def q55(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.dedupClusters(
@@ -373,9 +375,14 @@ object ExtendedQueries {
   // transitive closure by recursive CTE (UNION dedups, so it terminates);
   // cluster id = min reachable node — same fixpoint the iterative Spark
   // label propagation converges to
-  val q55Sql: String = {
+  /** CTE chain whose final relation `cl(node, cluster)` is q55's cluster
+    * assignment (transitive closure, cluster id = min reachable node —
+    * the fixpoint the Spark union-find / label propagation reaches).
+    * Shared with CorpusQueries.q95's canonical-doc selection.
+    */
+  val clustersCteSql: String = {
     val pairs = DedupQueries.ngramPairsSql(ClusterT)
-    s"""WITH pairs AS ($pairs),
+    s"""pairs AS ($pairs),
        |edges AS (
        | SELECT id_a AS src, id_b AS dst FROM pairs
        | UNION SELECT id_b, id_a FROM pairs),
@@ -385,9 +392,12 @@ object ExtendedQueries {
        |  SELECT node, node FROM nodes
        |  UNION
        |  SELECT w.node, e.dst FROM w JOIN edges e ON e.src = w.r)
-       | SELECT node, r FROM w)
-       |SELECT node, MIN(r) AS cluster FROM walk GROUP BY node""".stripMargin
+       | SELECT node, r FROM w),
+       |cl AS (SELECT node, MIN(r) AS cluster FROM walk GROUP BY node)""".stripMargin
   }
+
+  val q55Sql: String =
+    s"WITH $clustersCteSql\nSELECT node, cluster FROM cl"
 
   // --- q56: BPE-style pre-tokenization token counts ---
   def q56(s: SparkSession, dir: String): DataFrame =

@@ -66,17 +66,23 @@ object TextQueries {
       .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
       .filter(col("quality") >= 0.5)
 
-  val q29Sql: String = {
+  /** DuckDB expression computing [[TF.qualityScore]] over a `text`
+    * column, term for term (shared by q29's oracle and q99's dataset
+    * card).
+    */
+  val qualityExprSql: String = {
     val tokens = "CAST(CASE WHEN LEN(TRIM(text)) = 0 THEN 0 ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS DOUBLE)"
     val punct = "CAST(LEN(REGEXP_EXTRACT_ALL(text, '[.!?,;:]')) AS DOUBLE)"
     val stops = "CAST(CAST((LEN(text) - LEN(REPLACE(text, ' the ', ''))) / 5 AS BIGINT) AS DOUBLE)"
-    s"""WITH q AS (SELECT doc_id,
-       |  LEAST($tokens / 50.0, 1.0) * 0.4 +
+    s"""LEAST($tokens / 50.0, 1.0) * 0.4 +
        |  (1.0 - LEAST($punct / GREATEST($tokens, 1.0), 1.0)) * 0.3 +
-       |  LEAST($stops * 10.0 / GREATEST($tokens, 1.0), 1.0) * 0.3 AS quality
+       |  LEAST($stops * 10.0 / GREATEST($tokens, 1.0), 1.0) * 0.3""".stripMargin
+  }
+
+  val q29Sql: String =
+    s"""WITH q AS (SELECT doc_id, $qualityExprSql AS quality
        | FROM documents)
        |SELECT doc_id, quality FROM q WHERE quality >= 0.5""".stripMargin
-  }
 
   // --- q30: rolling-hash fingerprint via native Catalyst expression ---
   def q30(s: SparkSession, dir: String): DataFrame =

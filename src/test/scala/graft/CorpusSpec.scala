@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.CorpusQueries
+
+class CorpusSpec extends SparkSpec {
+
+  // Never cache a raw Tables.* frame here: the shared CacheManager
+  // substitutes it into every later plan over the same scan, breaking
+  // other suites' pushdown assertions (SourcesSpec reads PushedFilters
+  // from the documents scan). Query outputs are safe to cache but are
+  // released per test.
+  private def withCached[A](dfs: DataFrame*)(body: => A): A =
+    try { dfs.foreach(_.cache()); body }
+    finally dfs.foreach(_.unpersist(blocking = false))
+
+  test("q94 chunking: strided cover of every tokenized document") {
+    val out = CorpusQueries.q94(spark, sf)
+    withCached(out) {
+      val docs = graft.sources.Tables.documents(spark, sf)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+      // chunk token totals reconstruct the stride arithmetic exactly:
+      // full chunks cover [start, start+32); the last chunks shrink
+      val agg = out.groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        max("chunk_idx").as("max_idx"),
+        min("chunk_idx").as("min_idx"),
+        max("n_tokens").as("max_len"))
+      val j = agg.join(docs, "doc_id")
+      assert(j.filter(col("n_chunks") =!= expr("(n - 1) DIV 16 + 1")).isEmpty,
+        "chunk count must be ceil(n/stride) for stride 16")
+      assert(j.filter(col("min_idx") =!= 0).isEmpty)
+      assert(j.filter(col("max_idx") =!= col("n_chunks") - 1).isEmpty)
+      assert(j.filter(col("max_len") > 32).isEmpty, "no chunk exceeds the window")
+      assert(out.filter(col("n_tokens") < 1).isEmpty, "no empty chunks")
+      // overlap: chunk i's tokens 17..32 == chunk i+1's tokens 1..16 —
+      // reconstructing each doc from stride-aligned prefixes gives the text
+      val rebuilt = out
+        .select(col("doc_id"), col("chunk_idx"),
+          when(col("chunk_idx") === 0, col("chunk_text"))
+            .otherwise(concat_ws(" ",
+              slice(split(col("chunk_text"), " "), 17, 16))).as("piece"))
+      // doc 0's chunk pieces concatenated = the trimmed original text
+      val d0 = rebuilt.filter(col("doc_id") === 0).orderBy("chunk_idx")
+        .collect().map(_.getString(2)).filter(_.nonEmpty).mkString(" ")
+      val t0 = spark.read.parquet(s"$sf/documents.parquet")
+        .filter(col("doc_id") === 0).head().getAs[String]("text").trim
+        .replaceAll("\\s+", " ")
+      assert(d0 === t0, "stride-aligned pieces must reassemble the document")
+    }
+  }
+
+  test("q95 canonical docs: cluster members map to one longest representative") {
+    val out = CorpusQueries.q95(spark, sf)
+    withCached(out) {
+      val docs = graft.sources.Tables.documents(spark, sf)
+      assert(out.count() === docs.count(), "one verdict per document")
+      // canonical ids are themselves kept
+      val canon = out.select(col("canonical_id").as("doc_id")).distinct()
+      val keptIds = out.filter(col("is_kept") === 1)
+        .select("doc_id")
+      assert(canon.exceptAll(keptIds).isEmpty, "every canonical doc is kept")
+      // a dropped doc's canonical is a different doc with >= its length
+      val n = docs.select(col("doc_id"), col("n_chars"))
+      val dropped = out.filter(col("is_kept") === 0)
+        .join(n.withColumnRenamed("n_chars", "own"), "doc_id")
+        .join(n.select(col("doc_id").as("canonical_id"),
+          col("n_chars").as("rep")), "canonical_id")
+      assert(dropped.filter(col("rep") < col("own")).isEmpty,
+        "representative is never shorter than the doc it replaces")
+      assert(out.filter(col("is_kept") === 0).count() > 0,
+        "the near-dup corpus must produce at least one drop")
+    }
+  }
+
+  test("q96 vocab/OOV: rates bounded, vocab covers the head of the distribution") {
+    val out = CorpusQueries.q96(spark, sf)
+    withCached(out) {
+      assert(out.filter(col("oov_rate") < 0 || col("oov_rate") > 1).isEmpty)
+      assert(out.filter(col("n_oov") > col("n_tokens")).isEmpty)
+      // with a 12-token vocab over a ~31-token vocabulary corpus, both
+      // in-vocab and OOV mass must be present
+      assert(out.filter(col("n_oov") > 0).count() > 0, "some OOV expected")
+      assert(out.filter(col("n_oov") < col("n_tokens")).count() > 0,
+        "some in-vocab tokens expected")
+      // token conservation vs the independent token counter
+      val total = out.agg(sum("n_tokens")).head().getLong(0)
+      val expected = graft.sources.Tables.documents(spark, sf)
+        .agg(sum(graft.functions.TextFunctions.tokenCount(col("text"))))
+        .head().getLong(0)
+      assert(total === expected, "every token is classified exactly once")
+    }
+  }
+
+  test("q97 robust scaling: median maps to 0, IQR to unit interval") {
+    val out = CorpusQueries.q97(spark, sf)
+    withCached(out) {
+      val ev = graft.sources.Tables.events(spark, sf)
+      assert(out.count() === ev.count(), "all events scaled (IQR > 0 per type)")
+      // per type: the median-valued event lands at |z| ~ 0 and quartile
+      // events at ~ +-0.5 (exact to the 4-decimal stat rounding)
+      val med = out.groupBy("event_type")
+        .agg(expr("percentile(robust_z, 0.5)").as("m"),
+          expr("percentile(robust_z, 0.75) - percentile(robust_z, 0.25)").as("spread"))
+      assert(med.filter(abs(col("m")) > 0.01).isEmpty,
+        "scaled median must be ~0 per type")
+      assert(med.filter(abs(col("spread") - 1.0) > 0.01).isEmpty,
+        "scaled IQR must be ~1 per type")
+    }
+  }
+
+  test("q98 sliding distinct: distinct <= events, windows nest the tumbling view") {
+    val out = CorpusQueries.q98(spark, sf)
+    withCached(out) {
+      assert(out.filter(col("n_users") > col("n_events") ||
+        col("n_users") < 1).isEmpty)
+      // each event lands in exactly 4 windows
+      val ev = graft.sources.Tables.events(spark, sf)
+      assert(out.agg(sum("n_events")).head().getLong(0) === 4L * ev.count())
+      // a window's distinct count >= any contained 15-min tumbling bucket's
+      val tumble = ev.groupBy(window(col("ts"), "15 minutes").as("w"))
+        .agg(countDistinct("user_id").as("tn"))
+        .select(col("w.start").as("ts15"), col("tn"))
+      val covered = out.join(tumble,
+        col("ts15") >= col("window_start") &&
+          col("ts15") < col("window_start") + expr("INTERVAL 1 HOUR"))
+      assert(covered.filter(col("tn") > col("n_users")).isEmpty,
+        "sliding window distinct dominates its tumbling sub-buckets")
+    }
+  }
+
+  test("q99 dataset card: totals reconcile with the corpus") {
+    val out = CorpusQueries.q99(spark, sf)
+    withCached(out) {
+      val docs = graft.sources.Tables.documents(spark, sf)
+      assert(out.agg(sum("n_docs")).head().getLong(0) === docs.count())
+      val chars = docs.agg(sum(length(col("text")).cast("long"))).head().getLong(0)
+      assert(out.agg(sum("n_chars_total")).head().getLong(0) === chars)
+      assert(out.filter(col("n_dup_docs") > col("n_docs") ||
+        col("n_quality") > col("n_docs")).isEmpty)
+      // quality gate total matches q29's filter cardinality
+      val q29n = graft.queries.TextQueries.q29(spark, sf).count()
+      assert(out.agg(sum("n_quality")).head().getLong(0) === q29n)
+    }
+  }
+}
