@@ -159,6 +159,12 @@ object EtlPipeline {
         case Some(ts) =>
           increment(spark, warehouseDir, ts)
             .write.mode(SaveMode.Append).parquet(path)
+          // Each tick appends a few files; over many runs the mart
+          // fragments into task-per-row scans. The census is
+          // metadata-priced, so every tick checks and only a
+          // fragmented mart pays the rewrite.
+          if (graft.sources.Compaction.needsCompaction(spark, path))
+            graft.sources.Compaction.compact(spark, path)
       }
   }
 

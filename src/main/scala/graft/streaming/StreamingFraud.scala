@@ -34,6 +34,28 @@ object StreamingFraud {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding-window exact distinct-user cardinality — the streaming twin
+    * of CorpusQueries.q98. Distinct aggregates aren't supported in
+    * streaming aggregation, so exactness comes from `collect_set` (a
+    * supported streaming aggregate) sized at emit: one stateful
+    * operator, valid in complete/update mode, and on a batch frame it
+    * is exactly q98 (`size(collect_set)` ≡ `countDistinct` on non-null
+    * keys).
+    *
+    * Scale note: state holds the user-id set per open window. When the
+    * per-window set itself is too big for state, the scale path is the
+    * append-mode chain `dropDuplicatesWithinWatermark(window, user)` →
+    * windowed count (two stateful operators, state bounded by the
+    * watermark), or `approx_count_distinct` when exactness is
+    * negotiable — same trade q36 makes in batch.
+    */
+  def slidingDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(size(collect_set(col("user_id"))).cast("long").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("n_users"), col("n_events"))
+
   /** Streaming source over a directory of parquet event files, watermarked
     * for state cleanup (10 min lateness — at scale this bounds the window
     * state store regardless of input volume).

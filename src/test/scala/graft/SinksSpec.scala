@@ -2,9 +2,31 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.sources.{Sinks, Tables, XlsxSource}
+import graft.sources.{Compaction, Sinks, Tables, XlsxSource}
 
 class SinksSpec extends SparkSpec {
+
+  test("compaction merges fragmented parquet, preserves data, swaps atomically") {
+    val base = Files.createTempDirectory("graft_compact").toString
+    val path = s"$base/events"
+    // fragment: 40 single-row-group files, the streaming-sink signature
+    val ev = Tables.events(spark, sf)
+    ev.repartition(40).write.parquet(path)
+    val before = Compaction.census(spark, path)
+    assert(before.nFiles >= 40)
+    assert(Compaction.needsCompaction(spark, path), "fragmented dir must trigger")
+    val expected = ev.count()
+
+    val after = Compaction.compact(spark, path, targetBytes = 512L * 1024 * 1024)
+    assert(after.nFiles == 1, s"tiny table compacts to one file, got ${after.nFiles}")
+    assert(!Compaction.needsCompaction(spark, path), "compacted dir must not re-trigger")
+    val back = spark.read.parquet(path)
+    assert(back.count() == expected, "compaction must not lose rows")
+    assert(back.agg(sum(col("event_id"))).head().getLong(0) ==
+      ev.agg(sum(col("event_id"))).head().getLong(0), "content checksum must survive")
+    // no stage directory left behind
+    assert(!new java.io.File(path + "__compact").exists())
+  }
 
   test("parquet/csv/json/orc round-trips preserve row counts") {
     val base = Files.createTempDirectory("graft_sinks").toString

@@ -25,6 +25,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding distinct matches batch q98 row-for-row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdist").toString
+    val batchEvents = graft.sources.Tables.events(spark, sf)
+    batchEvents.write.mode("overwrite").parquet(dir)
+
+    val stream = StreamingFraud.readEventStream(spark, dir)
+    val q = StreamingFraud.slidingDistinctUsers(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sdist_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sdist_out")
+      val batch = graft.queries.CorpusQueries.q98(spark, sf)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+      // and the shared transform IS q98 when run in batch mode
+      val asBatch = StreamingFraud.slidingDistinctUsers(batchEvents)
+      assert(asBatch.exceptAll(batch).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming sessionization matches batch q37 on closed sessions") {
     val batchEvents = graft.sources.Tables.events(spark, sf)
     val streamed = StreamingFraud.sessionStream(batchEvents, gapMinutes = 30)
