@@ -26,10 +26,24 @@ object Compaction {
     def avgBytes: Long = if (nFiles == 0) 0L else totalBytes / nFiles
   }
 
+  /** A crash between compact()'s delete and rename leaves the ONLY copy
+    * of the table at the stage path; treating that as an empty table
+    * would silently drop it. Fail loudly with the recovery step instead
+    * (same guard as EtlPipeline's readers for `__stage`).
+    */
+  private def guardInterrupted(fs: org.apache.hadoop.fs.FileSystem,
+                               p: Path, path: String): Unit =
+    if (!fs.exists(p) && fs.exists(new Path(path + "__compact")))
+      throw new IllegalStateException(
+        s"$path is missing but ${path}__compact exists — an interrupted " +
+          "compaction swap. Recover by renaming the stage directory back " +
+          "to the table path before re-running.")
+
   /** Count the data files and bytes under `path` (metadata-only). */
   def census(spark: SparkSession, path: String): Census = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    guardInterrupted(fs, p, path)
     if (!fs.exists(p)) Census(0, 0L)
     else {
       val files = fs.listStatus(p).filter { st =>
@@ -55,7 +69,11 @@ object Compaction {
     * and atomically swap the result in. Returns the post-compaction
     * census. `coalesce` (not repartition) keeps the rewrite shuffle-free
     * — one streaming pass over the old files; row order within the
-    * table is not part of the parquet contract.
+    * table is not part of the parquet contract. Note coalesce also caps
+    * the READ parallelism at `nOut`; that is the right trade here
+    * because a small `nOut` implies a small table (nOut scales with
+    * total bytes), while a 100 TB-scale compaction gets hundreds of
+    * output files and therefore hundreds of read tasks.
     */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Census = {

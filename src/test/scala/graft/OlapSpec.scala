@@ -22,6 +22,32 @@ class OlapSpec extends SparkSpec {
     assert(salted.exceptAll(plain.select("o_orderpriority", "n_items")).count() == 0)
   }
 
+  test("auto-salted join measures skew, picks a factor, equals the plain join") {
+    import graft.operators.SkewJoin
+    // build a deliberately skewed fact: every 3rd lineitem rekeys to
+    // order 1, making it the hot key
+    val orders = Tables.orders(spark, sf)
+    val facts = Tables.lineitem(spark, sf)
+      .withColumn("k",
+        when(col("l_linenumber") % 3 === 0, lit(1L)).otherwise(col("l_orderkey")))
+    val p = SkewJoin.profile(facts, "k")
+    assert(p.hotKeyRows > p.nRows / p.nKeys * 4,
+      "synthetic hot key must dominate the average")
+    val (joined, salt) = SkewJoin.autoSaltedEquiJoin(
+      facts, orders, "k", "o_orderkey",
+      saltSource = Seq("l_orderkey", "l_linenumber"))
+    assert(salt > 1 && salt <= 64, s"measured skew must drive salting, got $salt")
+    val plain = facts.join(orders, col("k") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_items"))
+    val auto = joined.groupBy("o_orderpriority").agg(count(lit(1)).as("n_items"))
+    assert(auto.exceptAll(plain).count() == 0 && plain.exceptAll(auto).count() == 0)
+    // a unique key distribution must NOT salt (no needless dim replication)
+    val (_, noSalt) = SkewJoin.autoSaltedEquiJoin(
+      Tables.customer(spark, sf), orders, "c_custkey", "o_custkey",
+      saltSource = Seq("c_custkey"))
+    assert(noSalt == 1, s"unique keys must skip salting, got $noSalt")
+  }
+
   test("sessionization: session count per user is bounded by event count") {
     val sess = OlapQueries.q37(spark, sf)
       .groupBy("user_id").agg(max(col("session_seq")).as("n_sessions"),

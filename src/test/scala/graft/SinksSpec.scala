@@ -26,6 +26,14 @@ class SinksSpec extends SparkSpec {
       ev.agg(sum(col("event_id"))).head().getLong(0), "content checksum must survive")
     // no stage directory left behind
     assert(!new java.io.File(path + "__compact").exists())
+
+    // interrupted-swap guard: table gone, only the stage dir remains
+    assert(new java.io.File(path).renameTo(new java.io.File(path + "__compact")))
+    val e = intercept[IllegalStateException] { Compaction.census(spark, path) }
+    assert(e.getMessage.contains("interrupted"), "must name the failure mode")
+    // recovery: rename back, census works again
+    assert(new java.io.File(path + "__compact").renameTo(new java.io.File(path)))
+    assert(Compaction.census(spark, path).nFiles == 1)
   }
 
   test("parquet/csv/json/orc round-trips preserve row counts") {
