@@ -32,10 +32,15 @@ object CorpusQueries {
   // (split once, explode the start offsets, slice) — no shuffle at all:
   // at 100 TB this is a pure map stage that parallelizes with the input
   // splits.
+  // Tokens are regex-split then filtered of empties: `trim` strips only
+  // SPACES in both engines, so a tab-only document survives a
+  // LEN(TRIM(·)) guard and would otherwise chunk into empty tokens
+  // (caught by the edge-shape spec).
   def q94(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        filter(split(trim(col("text")), "\\s+"), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
       .withColumn("start",
         explode(sequence(lit(0), size(col("toks")) - 1, lit(ChunkStride))))
       .select(col("doc_id"),
@@ -46,8 +51,10 @@ object CorpusQueries {
         concat_ws(" ", col("chunk")).as("chunk_text"))
 
   val q94Sql: String =
-    s"""WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks
-       |  FROM documents WHERE LEN(TRIM(text)) > 0),
+    s"""WITH t0 AS (SELECT doc_id,
+       |  LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |t AS (SELECT doc_id, toks FROM t0 WHERE LEN(toks) > 0),
        |st AS (SELECT doc_id, toks,
        |  UNNEST(GENERATE_SERIES(0, LEN(toks) - 1, $ChunkStride)) AS start FROM t)
        |SELECT doc_id, CAST(start // $ChunkStride AS INT) AS chunk_idx,

@@ -54,6 +54,43 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q94 edge shapes: boundary token counts chunk exactly like the reference model") {
+    // adversarial shapes around the window (32) and stride (16)
+    // boundaries, plus degenerate texts the corpus never exercises
+    val shapes = Seq(1, 15, 16, 17, 31, 32, 33, 48, 49, 64, 65)
+    val docs =
+      shapes.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(t => s"t$t").mkString(" "), "en", "edge", n.toLong)
+      } ++ Seq(
+        (100L, "", "en", "edge", 0L),          // empty
+        (101L, "   \t  ", "en", "edge", 6L),   // whitespace-only
+        (102L, "  lone  ", "en", "edge", 8L))  // untrimmed single token
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge").toString
+    val s = spark
+    import s.implicits._
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val out = CorpusQueries.q94(spark, dir)
+      .collect().groupBy(_.getLong(0))
+    // empty / whitespace-only docs produce no chunks at all
+    assert(!out.contains(100L) && !out.contains(101L))
+    // the untrimmed single token chunks to exactly itself
+    val lone = out(102L)
+    assert(lone.length == 1 && lone.head.getString(3) == "lone")
+    // driver-side reference model: chunks are toks.drop(16*i).take(32)
+    shapes.zipWithIndex.foreach { case (n, i) =>
+      val toks = (1 to n).map(t => s"t$t")
+      val expected = (0 until n by 16).map(s => toks.slice(s, s + 32))
+      val got = out(i.toLong).sortBy(_.getInt(1))
+      assert(got.length == expected.length, s"n=$n chunk count")
+      got.zip(expected).foreach { case (row, exp) =>
+        assert(row.getLong(2) == exp.length, s"n=$n chunk ${row.getInt(1)} length")
+        assert(row.getString(3) == exp.mkString(" "), s"n=$n chunk ${row.getInt(1)} text")
+      }
+    }
+  }
+
   test("q95 canonical docs: cluster members map to one longest representative") {
     val out = CorpusQueries.q95(spark, sf)
     withCached(out) {
