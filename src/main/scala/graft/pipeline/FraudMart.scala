@@ -104,12 +104,58 @@ object FraudMart {
 
   private val CommonCols = Seq("event_id", "event_dt", "user_id", "rule")
 
+  /** All four rules in ONE pass over the fact stream. The naive shape
+    * (union of the four standalone rules) scans `ev` four times and
+    * shuffles it by user_id twice (r3 and r4 window independently); at
+    * 100 TB that is 4 fact scans + 2 fact shuffles for one report. Here:
+    *
+    *  - every window column of r3 AND r4 is computed over the same
+    *    `wUser` spec, so Catalyst plans them over a single
+    *    exchange+sort — one fact shuffle total;
+    *  - the windowed frame leaves the exchange hash-partitioned AND
+    *    sorted by user_id, so the validity join (also keyed user_id, an
+    *    aggregate that shuffles only the tiny signup slice) needs no
+    *    re-shuffle or re-sort of the fact side;
+    *  - the blacklist dim broadcasts (left joins keep non-firing rows
+    *    alive for the other rules — rule predicates re-check the
+    *    inner-join conditions via null-rejecting flags);
+    *  - one projection evaluates all four predicates and explodes the
+    *    matching rule ids — rows firing k rules emit k rows, exactly the
+    *    UNION ALL semantics.
+    *
+    * Net: one fact scan, one fact shuffle, zero extra sorts — vs four
+    * scans and two shuffles. Per-rule semantics stay byte-identical to
+    * r1On..r4On (q16-q19 assert them individually; FraudMartSpec asserts
+    * this fused plan equals the four-way union row-for-row).
+    */
   private def unionRules(ev: DataFrame, customer: DataFrame,
-                         validity: DataFrame): DataFrame =
-    r1On(ev, customer).select(CommonCols.map(col): _*)
-      .unionByName(r2On(ev, validity).select(CommonCols.map(col): _*))
-      .unionByName(r3On(ev).select(CommonCols.map(col): _*))
-      .unionByName(r4On(ev).select(CommonCols.map(col): _*))
+                         validity: DataFrame): DataFrame = {
+    val bl = customer.filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("user_id"), lit(1).as("bl"))
+    val frame3 = wUser.rowsBetween(-3, -1)
+    val frame2 = wUser.rowsBetween(-2, 0)
+    val purchase = col("event_type") === "purchase"
+    ev.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("prv_k", lag(col("k"), 1).over(wUser))
+      .withColumn("prv_ts", lag(col("ts"), 1).over(wUser))
+      .withColumn("prv_amt", lag(col("value"), 1).over(wUser))
+      .withColumn("min_dt", min(col("ts")).over(frame3))
+      .withColumn("errs",
+        sum(when(col("event_type") === "error", 1).otherwise(0)).over(frame3))
+      .withColumn("red",
+        min(when(col("value") < col("prv_amt"), 1).otherwise(0)).over(frame2))
+      .join(broadcast(bl), Seq("user_id"), "left")
+      .join(validity, Seq("user_id"), "left")
+      .withColumn("rule", explode(filter(array(
+        when(purchase && col("bl") === 1, lit(1)),
+        when(purchase && col("ts") > col("valid_to"), lit(2)),
+        when(col("k") =!= col("prv_k") &&
+          col("ts") < col("prv_ts") + expr("INTERVAL 1 HOUR"), lit(3)),
+        when(purchase && col("errs") >= 2 &&
+          col("ts") < col("min_dt") + expr("INTERVAL 96 HOURS") &&
+          col("red") === 1, lit(4))), x => x.isNotNull)))
+      .select(col("event_id"), col("ts").as("event_dt"), col("user_id"), col("rule"))
+  }
 
   /** The accumulated report: UNION ALL of the four rules projected to the
     * common schema, only rows newer than the last report watermark.

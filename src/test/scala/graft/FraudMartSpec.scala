@@ -40,5 +40,36 @@ class FraudMartSpec extends SparkSpec {
     val rep = FraudMart.report(spark, sf).cache()
     assert(rep.select("rule").distinct().count() >= 3)
     assert(rep.filter(col("event_dt") <= lit(FraudMart.Watermark).cast("timestamp")).count() == 0)
+    rep.unpersist(blocking = false)
+  }
+
+  test("fused report equals the four-way union of the standalone rules") {
+    val common = Seq("event_id", "user_id", "rule")
+    val fused = FraudMart.report(spark, sf, watermark = "2000-01-01 00:00:00")
+      .select(common.map(col): _*).cache()
+    val naive = FraudMart.r1Blacklist(spark, sf).select(common.map(col): _*)
+      .unionByName(FraudMart.r2Expired(spark, sf).select(common.map(col): _*))
+      .unionByName(FraudMart.r3Velocity(spark, sf).select(common.map(col): _*))
+      .unionByName(FraudMart.r4Guessing(spark, sf).select(common.map(col): _*))
+      .cache()
+    assert(fused.count() == naive.count())
+    assert(fused.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(fused).count() == 0)
+    fused.unpersist(blocking = false); naive.unpersist(blocking = false)
+  }
+
+  test("fused report shuffles the fact table exactly once") {
+    // distinct watermark → distinct plan → immune to cache substitution
+    // from sibling tests (an InMemoryRelation would re-print its cached
+    // child plan and double the exchange count)
+    val plan = FraudMart.report(spark, sf, watermark = "1999-12-31 00:00:00")
+      .queryExecution.executedPlan
+    // every Exchange that reads the events scan (directly or transitively)
+    // must be the single window exchange; validity's agg exchange only
+    // carries the signup slice
+    val explained = plan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(explained).size
+    // window exchange + validity-agg exchange (signup slice) only
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$explained")
   }
 }
