@@ -66,7 +66,13 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("fv", array_to_vector(col("cv")))
+    // init "random" (seeded): the default k-means|| init alone costs
+    // ~2·initSteps extra distributed passes over the fit set — more than
+    // the 5 Lloyd iterations it precedes. A coarse quantizer only needs
+    // evenly-spread cells, not an optimal clustering; random init plus
+    // the same Lloyd budget yields equivalent cell balance here.
     val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("fv").setPredictionCol("cell")
     // Coarse-quantizer centroids need a representative sample, not the
     // corpus: cap the fit set with a seeded uniform sample so the
