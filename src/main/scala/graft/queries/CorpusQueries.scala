@@ -229,7 +229,32 @@ object CorpusQueries {
        |FROM d GROUP BY 1, 2""".stripMargin
   }
 
+  // --- q100: exact heavy hitters via the Misra-Gries sketch-then-
+  // recount plan (HeavyHitters.exact). Pass 1 folds the token stream
+  // into a width-bounded mergeable summary — NO token-keyed shuffle;
+  // pass 2 recounts only the candidate tokens (driver-pruned isin), so
+  // the exact GROUP BY shuffles a bounded key set. share = 1/32 (an
+  // exact binary fraction — both engines compute the same floor) with
+  // width 63 > 1/share - 1 keeps the candidate set a guaranteed
+  // superset of the true heavy hitters, so the output equals the
+  // oracle's full GROUP BY / HAVING exactly.
+  def q100(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    graft.operators.HeavyHitters.exact(toks, share = 0.03125, width = 63)
+  }
+
+  val q100Sql: String =
+    """WITH t AS (SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS tok
+      |  FROM documents WHERE LEN(TRIM(text)) > 0),
+      |tt AS (SELECT tok FROM t WHERE LEN(tok) > 0),
+      |tot AS (SELECT COUNT(*) AS n FROM tt)
+      |SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tt GROUP BY tok
+      |HAVING COUNT(*) >= (SELECT FLOOR(n * 0.03125) FROM tot)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_heavy_hitters"   -> (q100 _),
     "q94_chunk_overlap"    -> (q94 _),
     "q95_canonical_docs"   -> (q95 _),
     "q96_vocab_oov"        -> (q96 _),
@@ -238,6 +263,7 @@ object CorpusQueries {
     "q99_dataset_card"     -> (q99 _))
 
   val oracle: Map[String, String] = Map(
+    "q100_heavy_hitters"   -> q100Sql,
     "q94_chunk_overlap"    -> q94Sql,
     "q95_canonical_docs"   -> q95Sql,
     "q96_vocab_oov"        -> q96Sql,

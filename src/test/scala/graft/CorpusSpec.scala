@@ -184,4 +184,53 @@ class CorpusSpec extends SparkSpec {
       assert(out.agg(sum("n_quality")).head().getLong(0) === q29n)
     }
   }
+
+  test("q100 heavy hitters equal the brute-force GROUP BY / HAVING") {
+    val out = CorpusQueries.q100(spark, sf)
+    withCached(out) {
+      val toks = graft.sources.Tables.documents(spark, sf)
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0).cache()
+      val n = toks.count()
+      val threshold = math.max(1L, math.floor(0.03125 * n).toLong)
+      val brute = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= threshold)
+      assert(out.count() > 0, "threshold must keep some heavy hitters")
+      assert(out.exceptAll(brute).isEmpty && brute.exceptAll(out).isEmpty)
+      toks.unpersist(blocking = false)
+    }
+  }
+
+  test("Misra-Gries summary is a superset of true heavy hitters even when width < distinct") {
+    val s = spark
+    import s.implicits._
+    // 100 distinct keys forces the decrement/merge-trim paths at width 9;
+    // keys 0 and 1 are heavy (>n/10 each), the rest are background noise
+    val rows = (0 until 400).map(i => s"hot${i % 2}") ++
+      (0 until 600).map(i => s"cold${i % 98}")
+    val df = rows.toDF("tok").repartition(8) // multi-partition → real merges
+    val summary = df.as[String]
+      .select(new graft.operators.HeavyHitters.MisraGries(9).toColumn).head()
+    assert(summary.n === 1000)
+    assert(summary.counts.size <= 9, "summary must stay width-bounded")
+    // every key with true count > n/(width+1) = 100 must be present
+    assert(summary.counts.contains("hot0") && summary.counts.contains("hot1"))
+    // stored counts are lower bounds within n/(width+1)
+    summary.counts.get("hot0").foreach(c => assert(c <= 200 && c >= 200 - 100))
+    // and the exact() recount is identical to brute force at a share
+    // where the guarantee holds (share > 1/(width+1))
+    val out = graft.operators.HeavyHitters.exact(df, share = 0.15, width = 9)
+    val brute = df.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 150)
+    assert(out.exceptAll(brute).isEmpty && brute.exceptAll(out).isEmpty)
+  }
+
+  test("heavy-hitters guard refuses a share below the sketch guarantee") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("a", "b").toDF("tok")
+    intercept[IllegalArgumentException] {
+      graft.operators.HeavyHitters.exact(df, share = 0.01, width = 9)
+    }
+  }
 }
