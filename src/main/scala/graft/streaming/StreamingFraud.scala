@@ -56,6 +56,34 @@ object StreamingFraud {
         count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("n_users"), col("n_events"))
 
+  /** Windowed streaming heavy hitters: q100's Misra-Gries Aggregator
+    * registered as a udaf, so the SKETCH is the streaming aggregation
+    * state — per hour window the state store holds one O(width) summary
+    * instead of a counter per distinct key. This is the hot-key-alerting
+    * shape: at 100 TB/day the per-window distinct-user state of an exact
+    * count explodes, while the sketch state is constant-size and the
+    * n/(width+1) error bound still guarantees every truly hot key
+    * surfaces.
+    *
+    * Output: one row per (window, candidate key) with the lower-bound
+    * count and the window's total event count. The candidate SET is a
+    * guaranteed superset of keys with count > n_events/(width+1); the
+    * per-key count underestimates by at most that same bound. The exact
+    * membership of near-threshold candidates depends on merge order
+    * (inherent to Misra-Gries) — the spec asserts the order-independent
+    * guarantees against the exact batch counts, not row equality.
+    */
+  def hotUsersSketch(events: DataFrame, width: Int = 15): DataFrame = {
+    val mg = udaf(new graft.operators.HeavyHitters.MisraGries(width),
+      org.apache.spark.sql.Encoders.STRING)
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(mg(col("user_id").cast("string")).as("sketch"))
+      .select(col("w.start").as("window_start"),
+        col("sketch.n").as("n_events"),
+        explode(col("sketch.counts")).as(Seq("user_id", "lb_count")))
+  }
+
   /** Streaming source over a directory of parquet event files, watermarked
     * for state cleanup (10 min lateness — at scale this bounds the window
     * state store regardless of input volume).

@@ -25,6 +25,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hot-user sketch honors the Misra-Gries guarantees per window") {
+    val width = 15
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh").toString
+    graft.sources.Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+
+    val stream = StreamingFraud.readEventStream(spark, dir)
+    val q = StreamingFraud.hotUsersSketch(stream, width)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hh_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val sketch = spark.table("hh_out").cache()
+      assert(sketch.count() > 0)
+      // summary stays width-bounded per window
+      val oversize = sketch.groupBy("window_start")
+        .agg(count(lit(1)).as("m")).filter(col("m") > width)
+      assert(oversize.isEmpty)
+      // exact per-(window,user) counts from the batch side
+      val exact = graft.sources.Tables.events(spark, sf)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("window_start"),
+          col("user_id").cast("string").as("user_id"), col("cnt"))
+        .cache()
+      // superset guarantee: every key with cnt > n_events/(width+1) is
+      // present in the streamed sketch for its window
+      val bounds = sketch.groupBy("window_start").agg(max("n_events").as("n"))
+      val mustHave = exact.join(bounds, Seq("window_start"))
+        .filter(col("cnt") > col("n") / (width + 1))
+      val missing = mustHave.join(sketch.select("window_start", "user_id"),
+        Seq("window_start", "user_id"), "left_anti")
+      assert(missing.isEmpty, "a guaranteed heavy hitter is missing from the sketch")
+      // count bounds: lb_count <= exact, and within n/(width+1) of exact
+      val joined = sketch.join(exact, Seq("window_start", "user_id"))
+      assert(joined.filter(col("lb_count") > col("cnt")).isEmpty,
+        "sketch count must be a lower bound")
+      assert(joined.filter(col("lb_count") < col("cnt") - col("n_events") / (width + 1)).isEmpty,
+        "sketch count must be within n/(width+1) of exact")
+      sketch.unpersist(blocking = false); exact.unpersist(blocking = false)
+    } finally q.stop()
+  }
+
   test("streaming sliding distinct matches batch q98 row-for-row") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sdist").toString
     val batchEvents = graft.sources.Tables.events(spark, sf)
