@@ -232,56 +232,73 @@ object Scd {
     val changed = stateCols.map(c => !(col(s"d_$c") <=> col(s"s_$c")))
       .reduce(_ || _) || col("d_flg")
 
-    def row(key: Column, state: String => Column, from: Column, to: Column,
-            flg: Column): Seq[Column] =
-      (key.as(keyCol) +: stateCols.map(c => state(c).as(c))) :+
-        from.as("effective_from") :+ to.as("effective_to") :+ flg.as("deleted_flg")
+    // ALL twelve post-join row classes are flag cases over the SAME
+    // joined row, so they fuse into one projection: an array of
+    // `when(case, struct)` entries, nulls filtered, exploded. The naive
+    // union-of-filtered-branches formulation is a scale trap — each
+    // branch's nullity filter pushes through the full-outer join and
+    // SPECIALIZES it (inner / left / right per branch), so no exchange
+    // or scan is ever reused: 13 separate joins and 50 parquet scans at
+    // plan level. Fused: ONE full-outer join, one scan of each side,
+    // and a map-side explode — a row firing k cases emits k rows,
+    // exactly the union semantics (spec-asserted row-for-row, and the
+    // q14 oracle hash-matches the reference formulation).
+    def caseRow(key: Column, state: String => Column, from: Column, to: Column,
+                flg: Column): Column =
+      struct((key.as(keyCol) +: stateCols.map(c => state(c).as(c))) :+
+        from.as("effective_from") :+ to.as("effective_to") :+ flg.as("deleted_flg"): _*)
 
-    val both = j.filter(col("d_key").isNotNull && col("s_key").isNotNull)
-    val unchanged = both.filter(!changed && col("alive"))
-      .select(row(col("d_key"), c => col(s"d_$c"), col("d_from"), openEndTs, col("d_flg")): _*)
-    val closedChanged = both.filter(changed)
-      .select(row(col("d_key"), c => col(s"d_$c"), col("d_from"), col("s_dt") - oneMicro,
-        col("d_flg")): _*)
-    val newVersions = both.filter(changed && col("alive"))
-      .select(row(col("d_key"), c => col(s"s_$c"), col("s_dt"), openEndTs, lit(false)): _*)
-    // changed AND gone from the key list within one extraction window:
-    // the change still happened — record it as a CLOSED live period
-    // [s_dt, deleteTs), then tombstone. (The reference resolves this
-    // case only on the following run; recording it immediately keeps
-    // as-of queries correct in the gap.)
-    val newDead = both.filter(changed && !col("alive"))
-      .select(row(col("d_key"), c => col(s"s_$c"), col("s_dt"), delTs - oneMicro,
-        lit(false)): _*)
-    val deadUnchanged = both.filter(!changed && !col("alive"))
-      .select(row(col("d_key"), c => col(s"d_$c"), col("d_from"), delTs - oneMicro,
-        col("d_flg")): _*)
-    val bothTombstones = both.filter(!col("alive"))
-      .select(row(col("d_key"), c => col(s"s_$c"), delTs, openEndTs, lit(true)): _*)
+    val bothP = col("d_key").isNotNull && col("s_key").isNotNull
+    val dOnly = col("d_key").isNotNull && col("s_key").isNull
+    val sOnly = col("d_key").isNull
+    val alive = col("alive")
+    val dState = (c: String) => col(s"d_$c")
+    val sState = (c: String) => col(s"s_$c")
 
-    val deletedSrc = j.filter(col("s_key").isNull && !col("alive") && !col("d_flg"))
-    val closedDeleted = deletedSrc
-      .select(row(col("d_key"), c => col(s"d_$c"), col("d_from"), delTs - oneMicro,
-        col("d_flg")): _*)
-    val tombstones = deletedSrc
-      .select(row(col("d_key"), c => col(s"d_$c"), delTs, openEndTs, lit(true)): _*)
-    val keptOpen = j.filter(col("s_key").isNull && (col("alive") || col("d_flg")))
-      .select(row(col("d_key"), c => col(s"d_$c"), col("d_from"), openEndTs, col("d_flg")): _*)
+    val cases = Seq(
+      // key present on both sides
+      when(bothP && !changed && alive,
+        caseRow(col("d_key"), dState, col("d_from"), openEndTs, col("d_flg"))),
+      when(bothP && changed,
+        caseRow(col("d_key"), dState, col("d_from"), col("s_dt") - oneMicro, col("d_flg"))),
+      when(bothP && changed && alive,
+        caseRow(col("d_key"), sState, col("s_dt"), openEndTs, lit(false))),
+      // changed AND gone from the key list within one extraction window:
+      // the change still happened — record it as a CLOSED live period
+      // [s_dt, deleteTs), then tombstone. (The reference resolves this
+      // case only on the following run; recording it immediately keeps
+      // as-of queries correct in the gap.)
+      when(bothP && changed && !alive,
+        caseRow(col("d_key"), sState, col("s_dt"), delTs - oneMicro, lit(false))),
+      when(bothP && !changed && !alive,
+        caseRow(col("d_key"), dState, col("d_from"), delTs - oneMicro, col("d_flg"))),
+      when(bothP && !alive,
+        caseRow(col("d_key"), sState, delTs, openEndTs, lit(true))),
+      // key only in history: deleted at source (close + tombstone) or
+      // merely absent from an incremental batch (kept open)
+      when(dOnly && !alive && !col("d_flg"),
+        caseRow(col("d_key"), dState, col("d_from"), delTs - oneMicro, col("d_flg"))),
+      when(dOnly && !alive && !col("d_flg"),
+        caseRow(col("d_key"), dState, delTs, openEndTs, lit(true))),
+      when(dOnly && (alive || col("d_flg")),
+        caseRow(col("d_key"), dState, col("d_from"), openEndTs, col("d_flg"))),
+      // key only in staging: insert — alive, or created-and-deleted
+      // between extractions (a closed live period + tombstone, never an
+      // open row for a key the source no longer has)
+      when(sOnly && alive,
+        caseRow(col("s_key"), sState, col("s_dt"), openEndTs, lit(false))),
+      when(sOnly && !alive,
+        caseRow(col("s_key"), sState, col("s_dt"), delTs - oneMicro, lit(false))),
+      when(sOnly && !alive,
+        caseRow(col("s_key"), sState, delTs, openEndTs, lit(true))))
 
-    val insAlive = j.filter(col("d_key").isNull && col("alive"))
-      .select(row(col("s_key"), c => col(s"s_$c"), col("s_dt"), openEndTs, lit(false)): _*)
-    // created and deleted between extractions: a closed live period +
-    // tombstone, never an open row for a key the source no longer has
-    val insDead = j.filter(col("d_key").isNull && !col("alive"))
-      .select(row(col("s_key"), c => col(s"s_$c"), col("s_dt"), delTs - oneMicro,
-        lit(false)): _*)
-    val insDeadTombstones = j.filter(col("d_key").isNull && !col("alive"))
-      .select(row(col("s_key"), c => col(s"s_$c"), delTs, openEndTs, lit(true)): _*)
+    // duplicate `when` conditions (close+tombstone pairs) must stay two
+    // distinct array entries — each emits its own output row
+    val fused = j
+      .select(explode(filter(array(cases: _*), x => x.isNotNull)).as("r"))
+      .select(col(s"r.$keyCol") +: stateCols.map(c => col(s"r.$c")) :+
+        col("r.effective_from") :+ col("r.effective_to") :+ col("r.deleted_flg"): _*)
 
-    closed
-      .unionByName(unchanged).unionByName(closedChanged).unionByName(newVersions)
-      .unionByName(newDead).unionByName(deadUnchanged).unionByName(bothTombstones)
-      .unionByName(closedDeleted).unionByName(tombstones).unionByName(keptOpen)
-      .unionByName(insAlive).unionByName(insDead).unionByName(insDeadTombstones)
+    closed.unionByName(fused)
   }
 }
