@@ -42,4 +42,23 @@ class PlanLintSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"scale-contract violations:\n${offenders.mkString("\n")}")
   }
+
+  test("fused plans stay fused: branch filters must not re-specialize shared joins") {
+    // Regression guard for the two flag-explode fusions. The
+    // union-of-filtered-branches formulation lets each branch's nullity
+    // filter push through the shared join and specialize it per branch
+    // (scd2Merge: 50 scans/13 joins; fraud mart: 4 scans/2 window
+    // shuffles) — if a refactor reintroduces that shape, scan/join
+    // counts jump far past these bounds.
+    def countIn(name: String, token: String): Int = {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      token.r.findAllIn(plan).size
+    }
+    assert(countIn("q14_scd2_merge", "Scan parquet") <= 8,
+      "q14 re-planned multiple joins: scd2Merge un-fused?")
+    assert(countIn("q14_scd2_merge", "SortMergeJoin") <= 2,
+      "q14 plans >2 sort-merge joins: scd2Merge un-fused?")
+    assert(countIn("q20_fraud_report", "Scan parquet") <= 4,
+      "q20 re-scans the fact table per rule: mart un-fused?")
+  }
 }
