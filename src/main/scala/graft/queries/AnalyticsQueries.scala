@@ -56,8 +56,12 @@ object AnalyticsQueries {
       .select(col("day"),
         greatest(col("t0"), col("day").cast("timestamp")).as("s0"),
         least(col("t1"), date_add(col("day"), 1).cast("timestamp")).as("s1"))
-    val pts = segs.select(col("day"), col("s0").as("t"), lit(1L).as("delta"))
-      .unionByName(segs.select(col("day"), col("s1").as("t"), lit(-1L).as("delta")))
+    // both sweep points of a segment emit from ONE pass (a self-union
+    // would re-scan the fact table per branch — the q14/q20 lesson)
+    val pts = segs.select(col("day"), explode(array(
+        struct(col("s0").as("t"), lit(1L).as("delta")),
+        struct(col("s1").as("t"), lit(-1L).as("delta")))).as("p"))
+      .select(col("day"), col("p.t").as("t"), col("p.delta").as("delta"))
     val w = Window.partitionBy("day").orderBy(col("t").asc, col("delta").asc)
     pts.withColumn("cur", sum("delta").over(w))
       .groupBy("day")
