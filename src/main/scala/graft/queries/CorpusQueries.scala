@@ -253,8 +253,58 @@ object CorpusQueries {
       |SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tt GROUP BY tok
       |HAVING COUNT(*) >= (SELECT FLOOR(n * 0.03125) FROM tot)""".stripMargin
 
+  // --- q101: cross-source vocabulary overlap via KMV distinct-set
+  // sketches (KmvSketch). Distinct-token sets per source fold into
+  // O(k) summaries in ONE scan + one tiny agg (no (source,tok) distinct
+  // shuffle, no token self-join); union/intersection/Jaccard come from
+  // pairwise sketch algebra on the driver — the per-source sketch table
+  // is metadata-sized (|sources| × k). Below sketch capacity (k=1024 ≫
+  // test vocabularies) every number is EXACT, which is what the oracle
+  // checks; at 100 TB the same plan degrades to ~1/sqrt(k) relative
+  // error instead of an unshuffleable exact distinct-join.
+  def q101(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kmv = udaf(new graft.operators.KmvSketch.KmvAgg(1024),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sketches = Tables.documents(s, dir)
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source")
+      .agg(kmv(xxhash64(col("tok"))).as("sk"))
+      .as[(String, graft.operators.KmvSketch.KmvSummary)]
+      .collect()
+      .sortBy(_._1)
+    val rows = for {
+      (sa, ka) <- sketches.toSeq
+      (sb, kb) <- sketches.toSeq if sa < sb
+    } yield {
+      val (u, o) = ka.setOps(kb)
+      (sa, sb, math.rint(ka.distinct).toLong, math.rint(kb.distinct).toLong,
+        math.rint(u).toLong, math.rint(o).toLong, o / u)
+    }
+    rows.toDF("source_a", "source_b", "n_a", "n_b", "n_union", "n_overlap", "jaccard")
+      .withColumn("jaccard", round(col("jaccard"), 6))
+  }
+
+  val q101Sql: String =
+    """WITH t AS (SELECT DISTINCT source, tok FROM (
+      |  SELECT source, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS tok
+      |  FROM documents WHERE LEN(TRIM(text)) > 0) WHERE LEN(tok) > 0),
+      |s AS (SELECT source, COUNT(*) AS n FROM t GROUP BY source),
+      |p AS (SELECT a.source sa, b.source sb, a.n na, b.n nb
+      |  FROM s a JOIN s b ON a.source < b.source),
+      |o AS (SELECT x.source sa, y.source sb, COUNT(*) nov
+      |  FROM t x JOIN t y ON x.tok = y.tok AND x.source < y.source GROUP BY 1, 2)
+      |SELECT p.sa AS source_a, p.sb AS source_b,
+      | CAST(p.na AS BIGINT) AS n_a, CAST(p.nb AS BIGINT) AS n_b,
+      | CAST(p.na + p.nb - COALESCE(o.nov, 0) AS BIGINT) AS n_union,
+      | CAST(COALESCE(o.nov, 0) AS BIGINT) AS n_overlap,
+      | ROUND(COALESCE(o.nov, 0) / (p.na + p.nb - COALESCE(o.nov, 0)), 6) AS jaccard
+      |FROM p LEFT JOIN o ON p.sa = o.sa AND p.sb = o.sb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_heavy_hitters"   -> (q100 _),
+    "q101_source_overlap"  -> (q101 _),
     "q94_chunk_overlap"    -> (q94 _),
     "q95_canonical_docs"   -> (q95 _),
     "q96_vocab_oov"        -> (q96 _),
@@ -264,6 +314,7 @@ object CorpusQueries {
 
   val oracle: Map[String, String] = Map(
     "q100_heavy_hitters"   -> q100Sql,
+    "q101_source_overlap"  -> q101Sql,
     "q94_chunk_overlap"    -> q94Sql,
     "q95_canonical_docs"   -> q95Sql,
     "q96_vocab_oov"        -> q96Sql,

@@ -225,6 +225,31 @@ class CorpusSpec extends SparkSpec {
     assert(out.exceptAll(brute).isEmpty && brute.exceptAll(out).isEmpty)
   }
 
+  test("q101 sketch overlap equals exact set algebra below capacity") {
+    val out = CorpusQueries.q101(spark, sf)
+    withCached(out) {
+      val t = graft.sources.Tables.documents(spark, sf)
+        .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select("source", "tok").distinct().cache()
+      val a = t.withColumnRenamed("source", "source_a")
+      val b = t.withColumnRenamed("source", "source_b")
+      val exactOverlap = a.join(b, Seq("tok"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("x_overlap"))
+      val joined = out.join(exactOverlap, Seq("source_a", "source_b"), "left")
+        .withColumn("x_overlap", coalesce(col("x_overlap"), lit(0L)))
+      assert(out.count() > 0)
+      assert(joined.filter(col("n_overlap") =!= col("x_overlap")).isEmpty,
+        "sketch overlap must be exact below capacity")
+      val sizes = t.groupBy("source").agg(count(lit(1)).as("x_n"))
+      val badN = out.join(sizes, col("source_a") === col("source"))
+        .filter(col("n_a") =!= col("x_n"))
+      assert(badN.isEmpty, "per-source distinct counts must be exact below capacity")
+      t.unpersist(blocking = false)
+    }
+  }
+
   test("heavy-hitters guard refuses a share below the sketch guarantee") {
     val s = spark
     import s.implicits._
