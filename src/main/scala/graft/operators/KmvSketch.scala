@@ -135,4 +135,20 @@ object KmvSketch {
     def bufferEncoder: Encoder[KmvBuf] = Encoders.kryo[KmvBuf]
     def outputEncoder: Encoder[KmvSummary] = Encoders.product[KmvSummary]
   }
+
+  /** Column-level distinct estimator over a KmvSummary struct column —
+    * the same two-regime arithmetic as [[KmvSummary.distinct]], but as a
+    * codegen-friendly expression so grouped/windowed sketch aggregations
+    * can surface cardinalities without leaving the plan (e.g. the
+    * streaming sliding-distinct scale path).
+    */
+  def distinctCol(sk: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val last = element_at(sk.getField("mins"), -1)
+    val frac = (last.cast("double") / lit(1.8446744073709552e19)) +
+      when(last < 0, lit(1.0)).otherwise(lit(0.0))
+    when(size(sk.getField("mins")) < k,
+      size(sk.getField("mins")).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / frac)
+  }
 }

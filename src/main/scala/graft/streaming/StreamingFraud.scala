@@ -56,6 +56,28 @@ object StreamingFraud {
         count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("n_users"), col("n_events"))
 
+  /** The documented SCALE PATH for [[slidingDistinctUsers]]: per-window
+    * distinct cardinality from a KMV sketch instead of `collect_set` —
+    * O(k) state per open window regardless of how many distinct users it
+    * sees. Below sketch capacity (window distinct < k) the estimate is
+    * the EXACT count, so on test data this matches q98 row-for-row; at
+    * 100 TB the same plan holds state constant and degrades to
+    * ~1/sqrt(k) relative error. Valid on both batch and streaming
+    * frames, like every twin in this file.
+    */
+  def slidingDistinctSketch(events: DataFrame, k: Int = 4096): DataFrame = {
+    val kmv = udaf(new graft.operators.KmvSketch.KmvAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(kmv(xxhash64(col("user_id"))).as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"),
+        round(graft.operators.KmvSketch.distinctCol(col("sk"), k))
+          .cast("long").as("n_users"),
+        col("n_events"))
+  }
+
   /** Windowed streaming heavy hitters: q100's Misra-Gries Aggregator
     * registered as a udaf, so the SKETCH is the streaming aggregation
     * state — per hour window the state store holds one O(width) summary

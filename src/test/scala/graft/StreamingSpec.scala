@@ -68,6 +68,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding-distinct sketch twin equals exact q98 below capacity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdsk").toString
+    graft.sources.Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+    val stream = StreamingFraud.readEventStream(spark, dir)
+    val q = StreamingFraud.slidingDistinctSketch(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sdsk_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sdsk_out")
+      val batch = graft.queries.CorpusQueries.q98(spark, sf)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0,
+        "below sketch capacity the estimate must BE the exact count")
+    } finally q.stop()
+  }
+
   test("streaming sliding distinct matches batch q98 row-for-row") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sdist").toString
     val batchEvents = graft.sources.Tables.events(spark, sf)
