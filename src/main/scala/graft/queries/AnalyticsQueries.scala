@@ -313,7 +313,45 @@ object AnalyticsQueries {
       | user_id, n_events, ROUND(n_events / t.total, 6) AS share
       |FROM c CROSS JOIN t ORDER BY n_events DESC, user_id LIMIT 5""".stripMargin
 
+  // --- q104: first-order event-transition (Markov) matrix — for each
+  // ordered pair of event types, how often does one directly follow the
+  // other within a user's stream, and with what conditional
+  // probability. The behavioral-modeling twin of q65's funnel: funnels
+  // check one prescribed path, the transition matrix surfaces ALL
+  // paths (and feeds next-event prediction / anomaly scoring).
+  // Scale shape: the lag window partitions by user_id — high
+  // cardinality, so the one corpus shuffle spreads evenly — and the
+  // pair aggregate has at most |types|² keys (partial-aggregable,
+  // metadata-sized). Row totals broadcast back for normalization; the
+  // corpus is scanned once.
+  def q104(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = pairs.groupBy("prev_type").agg(sum("n_trans").as("n_from"))
+    pairs.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n_trans"),
+        round(col("n_trans") / col("n_from"), 6).as("p_trans"))
+  }
+
+  val q104Sql: String =
+    """WITH e AS (SELECT user_id, ts, event_id, event_type,
+      |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      | FROM events),
+      |p AS (SELECT prev_type, event_type AS next_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_trans
+      | FROM e WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT prev_type, SUM(n_trans) AS n_from FROM p GROUP BY 1)
+      |SELECT p.prev_type, p.next_type, p.n_trans,
+      | ROUND(p.n_trans / t.n_from, 6) AS p_trans
+      |FROM p JOIN t USING (prev_type)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_transitions"  -> (q104 _),
     "q86_concurrency"   -> (q86 _),
     "q87_fuzzy_join"    -> (q87 _),
     "q88_pagerank"      -> (q88 _),
@@ -324,6 +362,7 @@ object AnalyticsQueries {
     "q93_skew_profile"  -> (q93 _))
 
   val oracle: Map[String, String] = Map(
+    "q104_transitions"  -> q104Sql,
     "q86_concurrency"   -> q86Sql,
     "q87_fuzzy_join"    -> q87Sql,
     "q88_pagerank"      -> q88Sql,

@@ -302,8 +302,56 @@ object CorpusQueries {
       | ROUND(COALESCE(o.nov, 0) / (p.na + p.nb - COALESCE(o.nov, 0)), 6) AS jaccard
       |FROM p LEFT JOIN o ON p.sa = o.sa AND p.sb = o.sb""".stripMargin
 
+  // --- q103: length-bucketed batch packing with padding-waste
+  // accounting — the dynamic-batching op that turns a filtered corpus
+  // into fixed-size training batches of similar-length sequences
+  // (padding-to-max inside a batch wastes max_len·n − Σlen; bucketing
+  // by length class keeps that near zero). Deterministic end to end:
+  // the length class is integer division (no float log2 boundary
+  // hazards), the shard is the MINSTD scramble mod S, and batch order
+  // is (n_chars, doc_id). Scale shape: the batching window partitions
+  // by (bucket, shard) — S is the parallelism dial, so partition-key
+  // cardinality is buckets × S and no single reducer owns a whole
+  // length class; shards are uniform samples of their bucket, so the
+  // padding quality of pure length-bucketing is preserved. One
+  // shuffle, sorts only within (bucket, shard).
+  private val BatchSize      = 8
+  private val LenBucketWidth = 64
+  private val BatchShards    = 4
+
+  def q103(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("len_bucket", "shard")
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        expr(s"CAST(n_chars DIV $LenBucketWidth AS INT)").as("len_bucket"),
+        pmod(pmod(col("doc_id") * lit(48271L) + lit(12821L), lit(1000003L)),
+          lit(BatchShards.toLong)).cast("int").as("shard"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_id", expr(s"CAST((rn - 1) DIV $BatchSize AS INT)"))
+      .groupBy("len_bucket", "shard", "batch_id")
+      .agg(count(lit(1)).as("n_seqs"),
+        max("n_chars").as("max_len"),
+        sum("n_chars").as("sum_len"))
+      .withColumn("pad_waste", col("max_len") * col("n_seqs") - col("sum_len"))
+  }
+
+  val q103Sql: String =
+    s"""WITH d AS (SELECT doc_id, n_chars,
+       |  CAST(n_chars // $LenBucketWidth AS INT) AS len_bucket,
+       |  CAST((doc_id*48271 + 12821) % 1000003 % $BatchShards AS INT) AS shard
+       | FROM documents),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY len_bucket, shard
+       |  ORDER BY n_chars ASC, doc_id ASC) AS rn FROM d)
+       |SELECT len_bucket, shard, CAST((rn - 1) // $BatchSize AS INT) AS batch_id,
+       | CAST(COUNT(*) AS BIGINT) AS n_seqs, CAST(MAX(n_chars) AS BIGINT) AS max_len,
+       | CAST(SUM(n_chars) AS BIGINT) AS sum_len,
+       | CAST(MAX(n_chars)*COUNT(*) - SUM(n_chars) AS BIGINT) AS pad_waste
+       |FROM r GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_heavy_hitters"   -> (q100 _),
+    "q103_length_batches"  -> (q103 _),
     "q101_source_overlap"  -> (q101 _),
     "q94_chunk_overlap"    -> (q94 _),
     "q95_canonical_docs"   -> (q95 _),
@@ -314,6 +362,7 @@ object CorpusQueries {
 
   val oracle: Map[String, String] = Map(
     "q100_heavy_hitters"   -> q100Sql,
+    "q103_length_batches"  -> q103Sql,
     "q101_source_overlap"  -> q101Sql,
     "q94_chunk_overlap"    -> q94Sql,
     "q95_canonical_docs"   -> q95Sql,

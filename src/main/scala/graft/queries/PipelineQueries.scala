@@ -332,8 +332,39 @@ object PipelineQueries {
       |SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch FROM e
       |WHERE (doc_id*48271 + epoch*7919 + 12345) % 1000 < LEAST(1000, w - epoch*1000)""".stripMargin
 
+  // --- q102: the stratified sample as a mergeable bounded summary —
+  // q63's scale twin (same deterministic MINSTD scramble, same output,
+  // same oracle) with the window sort replaced by GroupSample's
+  // Aggregator: each partition folds to at most k (skey, doc_id) pairs
+  // per stratum, partials merge by k-way sorted-merge, and the shuffle
+  // carries |strata| × k pairs instead of the corpus. At 100 TB the
+  // window plan moves and sorts every row inside a handful of stratum
+  // partitions; this plan is one scan + a metadata-sized exchange.
+  // Identical output because the k smallest pairs of a deterministic
+  // key are merge-order-independent — CORRECTNESS hash-checks it
+  // against the exact row_number oracle.
+  def q102(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val samp = udaf(new graft.operators.GroupSample.GroupSampleAgg(20),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        pmod(col("doc_id") * lit(48271L) + lit(12821L), lit(1000003L)).as("skey"),
+        col("doc_id"))
+      .groupBy("lang")
+      .agg(samp(col("skey"), col("doc_id")).as("s"))
+      .select(col("lang"), posexplode(col("s.ids")))
+      .select(col("lang"), col("col").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
+  // Same sample as q63 by construction — the oracle is the exact
+  // window formulation.
+  val q102Sql: String = q63Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_interleave"        -> (q79 _),
+    "q102_sample_sketch"    -> (q102 _),
     "q62_hash_split"        -> (q62 _),
     "q63_stratified_sample" -> (q63 _),
     "q64_pack_sequences"    -> (q64 _),
@@ -348,6 +379,7 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "q79_interleave"        -> q79Sql,
+    "q102_sample_sketch"    -> q102Sql,
     "q62_hash_split"        -> q62Sql,
     "q63_stratified_sample" -> q63Sql,
     "q64_pack_sequences"    -> q64Sql,

@@ -132,4 +132,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(r1.getAs[Long]("user_id") === hottest.getAs[Long]("user_id"))
     assert(r1.getAs[Long]("n_events") === hottest.getAs[Long]("count"))
   }
+
+  test("q104 transitions: counts conserve events and probabilities row-normalize") {
+    val out = AnalyticsQueries.q104(spark, sf).cache()
+    try {
+      val ev = graft.sources.Tables.events(spark, sf)
+      // each user with k events contributes exactly k-1 transitions
+      val expected = ev.count() - ev.select("user_id").distinct().count()
+      assert(out.agg(sum("n_trans")).head().getLong(0) === expected)
+      // per prev_type the conditional probabilities sum to ~1 (rounding
+      // leaves at most |types| * 5e-7 of mass unaccounted)
+      val sums = out.groupBy("prev_type").agg(sum("p_trans").as("p")).collect()
+      assert(sums.nonEmpty)
+      sums.foreach(r =>
+        assert(math.abs(r.getAs[Double]("p") - 1.0) < 1e-4,
+          s"prev=${r.get(0)} sums to ${r.get(1)}"))
+      // matrix is at most |types|^2
+      val nTypes = ev.select("event_type").distinct().count()
+      assert(out.count() <= nTypes * nTypes)
+    } finally out.unpersist()
+  }
 }

@@ -250,6 +250,30 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q103 length batches: full batches, bounded length classes, exact waste") {
+    val out = CorpusQueries.q103(spark, sf).cache()
+    try {
+      val docs = graft.sources.Tables.documents(spark, sf)
+      // every document lands in exactly one batch
+      assert(out.agg(sum("n_seqs")).head().getLong(0) === docs.count())
+      // batches never exceed the target size; within each (bucket, shard)
+      // only the LAST batch may be partial
+      assert(out.filter(col("n_seqs") > 8 || col("n_seqs") < 1).isEmpty)
+      val lastIds = out.groupBy("len_bucket", "shard")
+        .agg(max("batch_id").as("last_id"))
+      val partialNotLast = out.join(lastIds, Seq("len_bucket", "shard"))
+        .filter(col("n_seqs") < 8 && col("batch_id") =!= col("last_id"))
+      assert(partialNotLast.isEmpty, "only the trailing batch may be partial")
+      // lengths stay inside their class: max_len in [64b, 64b+63], and
+      // padding waste is bounded by the class width
+      assert(out.filter(col("max_len") < col("len_bucket") * 64 ||
+        col("max_len") >= (col("len_bucket") + 1) * 64).isEmpty)
+      assert(out.filter(col("pad_waste") < 0 ||
+        col("pad_waste") > (col("n_seqs") - 1) * 63).isEmpty,
+        "per-batch waste is bounded by (n-1) * (class width - 1)")
+    } finally out.unpersist()
+  }
+
   test("heavy-hitters guard refuses a share below the sketch guarantee") {
     val s = spark
     import s.implicits._

@@ -171,4 +171,30 @@ class PipelineSpec extends SparkSpec {
     assert(toks <= PipelineQueries.CoocTopK,
       s"$toks distinct tokens exceed the CoocTopK=${PipelineQueries.CoocTopK} prune")
   }
+
+  test("q102 sample sketch is row-identical to q63's window formulation") {
+    val sketch = PipelineQueries.q102(spark, sf).cache()
+    try {
+      val window = PipelineQueries.q63(spark, sf)
+      assert(sketch.count() > 0)
+      assert(sketch.exceptAll(window).isEmpty && window.exceptAll(sketch).isEmpty,
+        "bounded-summary sample must equal the exact row_number sample")
+    } finally sketch.unpersist()
+  }
+
+  test("q102 sample sketch is partitioning-invariant") {
+    import org.apache.spark.sql.Encoders
+    val samp = udaf(new graft.operators.GroupSample.GroupSampleAgg(20),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    val base = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"),
+        pmod(col("doc_id") * lit(48271L) + lit(12821L), lit(1000003L)).as("skey"),
+        col("doc_id"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("lang").agg(samp(col("skey"), col("doc_id")).as("s"))
+        .select(col("lang"), posexplode(col("s.ids")))
+    val a = run(base)
+    val b = run(base.repartition(13))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
