@@ -333,6 +333,42 @@ object StreamingFraud {
           lit(4).as("rule")))
   }
 
+  /** Streaming twin of the q104 transition matrix: per-user stateful
+    * last-event memory emits one (prev_type, next_type) pair per
+    * consecutive event pair — O(1) state per user, pairs aggregate
+    * downstream into the bounded types² matrix. Within a micro-batch
+    * events sort by the batch twin's (ts, event_id) total order; across
+    * batches the chain continues from state, so in-order delivery per
+    * user (the watermarked-ingest contract) keeps the stream
+    * pair-identical to the batch lag window.
+    */
+  case class Trans(user_id: Long, prev_type: String, next_type: String)
+  case class LastEv(ts: Long, eid: Long, tpe: String)
+
+  def transitionsStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)](
+        Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaLong,
+          Encoders.STRING))
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: GroupState[LastEv]) => {
+          val sorted = rows.toSeq.sortBy(r => (micros(r._2), r._3))
+          val out = scala.collection.mutable.ArrayBuffer[Trans]()
+          var prev = state.getOption
+          sorted.foreach { case (_, ts, eid, tpe) =>
+            prev.foreach(p => out += Trans(user, p.tpe, tpe))
+            prev = Some(LastEv(micros(ts), eid, tpe))
+          }
+          prev.foreach(state.update)
+          out.iterator
+        })(Encoders.product[LastEv], Encoders.product[Trans])
+      .toDF()
+  }
+
   def velocityStream(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

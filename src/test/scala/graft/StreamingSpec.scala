@@ -208,6 +208,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("stateful transitions stream reproduces the q104 matrix count-for-count") {
+    val batchEvents = graft.sources.Tables.events(spark, sf)
+    val streamed = StreamingFraud.transitionsStream(batchEvents)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n_trans")).cache()
+    try {
+      val batch = graft.queries.AnalyticsQueries.q104(spark, sf)
+        .select("prev_type", "next_type", "n_trans")
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stateful pair counts must equal the batch lag-window matrix")
+    } finally streamed.unpersist()
+  }
+
   test("full fraud report runs as one continuous stream, matching batch rules") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rep_stream").toString
     val batchEvents = graft.sources.Tables.events(spark, sf).cache()
