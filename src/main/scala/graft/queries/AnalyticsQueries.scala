@@ -322,20 +322,22 @@ object AnalyticsQueries {
   // Scale shape: the lag window partitions by user_id — high
   // cardinality, so the one corpus shuffle spreads evenly — and the
   // pair aggregate has at most |types|² keys (partial-aggregable,
-  // metadata-sized). Row totals broadcast back for normalization; the
-  // corpus is scanned once.
+  // metadata-sized). Row normalization is a window over that
+  // metadata-sized matrix, NOT a join back to a second aggregation of
+  // the corpus — a totals-join formulation makes Spark recompute the
+  // whole pairs branch (scan + user_id shuffle twice); the window form
+  // scans the corpus once and re-shuffles only types² rows.
   def q104(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-    val pairs = Tables.events(s, dir)
+    val wTot = Window.partitionBy("prev_type")
+    Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("prev_type", lag("event_type", 1).over(w))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(count(lit(1)).as("n_trans"))
-    val totals = pairs.groupBy("prev_type").agg(sum("n_trans").as("n_from"))
-    pairs.join(broadcast(totals), "prev_type")
       .select(col("prev_type"), col("next_type"), col("n_trans"),
-        round(col("n_trans") / col("n_from"), 6).as("p_trans"))
+        round(col("n_trans") / sum("n_trans").over(wTot), 6).as("p_trans"))
   }
 
   val q104Sql: String =
