@@ -6,7 +6,13 @@ import org.apache.spark.sql.expressions.Aggregator
 /** Bounded per-group sampling as a mergeable summary — the scale path
   * for stratified "k docs per stratum" sampling (reference
   * analysis.sql's per-segment sampling intent; the window formulation
-  * is q63).
+  * is q63). The keep-k-smallest-random-keys scheme is the classic
+  * bottom-k / order sample (Rosén 1997 "On sampling with probability
+  * proportional to size"; Cohen & Kaplan, "Summarizing data using
+  * bottom-k sketches", PODC 2007): with uniform keys it draws a
+  * uniform sample without replacement, and because the k smallest of a
+  * multiset are invariant to partitioning it is a mergeable summary in
+  * the Agarwal et al. PODS 2012 sense.
   *
   * The window formulation (`row_number() OVER (PARTITION BY stratum
   * ORDER BY scrambled_key)` then `<= k`) is exact but pays a full

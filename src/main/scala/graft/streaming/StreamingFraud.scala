@@ -341,9 +341,12 @@ object StreamingFraud {
     * batches the chain continues from state, so in-order delivery per
     * user (the watermarked-ingest contract) keeps the stream
     * pair-identical to the batch lag window.
+    *
+    * State is ONLY the last event's type string — the chain's timestamp
+    * never feeds the output, so carrying it would be dead weight in the
+    * state store at user-population scale.
     */
   case class Trans(user_id: Long, prev_type: String, next_type: String)
-  case class LastEv(ts: Long, eid: Long, tpe: String)
 
   def transitionsStream(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.Encoders
@@ -355,17 +358,18 @@ object StreamingFraud {
       .groupByKey(_._1)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
-         state: GroupState[LastEv]) => {
+         state: GroupState[String]) => {
+          // sort by (ts, event_id) — the batch twin's lag-window order
           val sorted = rows.toSeq.sortBy(r => (micros(r._2), r._3))
           val out = scala.collection.mutable.ArrayBuffer[Trans]()
           var prev = state.getOption
-          sorted.foreach { case (_, ts, eid, tpe) =>
-            prev.foreach(p => out += Trans(user, p.tpe, tpe))
-            prev = Some(LastEv(micros(ts), eid, tpe))
+          sorted.foreach { case (_, _, _, tpe) =>
+            prev.foreach(p => out += Trans(user, p, tpe))
+            prev = Some(tpe)
           }
           prev.foreach(state.update)
           out.iterator
-        })(Encoders.product[LastEv], Encoders.product[Trans])
+        })(Encoders.STRING, Encoders.product[Trans])
       .toDF()
   }
 
