@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.ExtendedQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
-      graft.queries.CorpusQueries.queries
+      graft.queries.CorpusQueries.queries ++
+      graft.queries.PrivacyQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.ExtendedQueries.oracle ++
       graft.queries.PipelineQueries.oracle ++
       graft.queries.AnalyticsQueries.oracle ++
-      graft.queries.CorpusQueries.oracle
+      graft.queries.CorpusQueries.oracle ++
+      graft.queries.PrivacyQueries.oracle
 }

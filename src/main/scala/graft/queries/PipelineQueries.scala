@@ -332,6 +332,44 @@ object PipelineQueries {
       |SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch FROM e
       |WHERE (doc_id*48271 + epoch*7919 + 12345) % 1000 < LEAST(1000, w - epoch*1000)""".stripMargin
 
+  /** Epoch-seeded deterministic global reshuffle into training shards:
+    * every row gets a shard (balanced — an odd multiplier is a
+    * bijection mod nShards) and a position within the shard (ordered
+    * by a second, independent scramble), so a data loader can replay
+    * any epoch's exact order from the manifest alone. Changing `epoch`
+    * permutes both assignments without touching the data.
+    *
+    * Scale shape: one hash exchange on `shard`, then a per-shard sort.
+    * nShards is the dial — at 100 TB pick nShards ≈ corpus/1 GB so
+    * each window partition is a bounded in-memory sort, never a global
+    * one. Hash constants inherit q62's ANSI-overflow bounds (exact to
+    * id ≈ 3.4e9, loud beyond; pass wider constants or xxhash64 via a
+    * custom `shardKey` for open domains).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, nShards: Int, epoch: Long): DataFrame = {
+    require(nShards >= 1, s"epochShuffle: nShards must be >= 1, got $nShards")
+    val id = col(idCol)
+    val shard = pmod(id * 48271L + lit(7919L * (epoch + 1)), lit(nShards.toLong)).cast("int")
+    val skey = pmod(id * 2654435761L + lit(104729L * (epoch + 1)), lit(1000003L))
+    df.select(id, shard.as("shard"), skey.as("__skey"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy("shard").orderBy(col("__skey"), id)).cast("int"))
+      .drop("__skey")
+  }
+
+  // --- q106: epoch-0 shard manifest for the documents corpus (16
+  // shards; row-level output so the oracle checks every assignment and
+  // every within-shard position, not just counts) ---
+  def q106(s: SparkSession, dir: String): DataFrame =
+    epochShuffle(Tables.documents(s, dir), "doc_id", 16, 0L)
+
+  val q106Sql: String =
+    """SELECT doc_id,
+      |  CAST((doc_id*48271 + 7919) % 16 AS INT) AS shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY (doc_id*48271 + 7919) % 16
+      |       ORDER BY (doc_id*2654435761 + 104729) % 1000003, doc_id) AS INT) AS pos
+      |FROM documents""".stripMargin
+
   // --- q102: the stratified sample as a mergeable bounded summary —
   // q63's scale twin (same deterministic MINSTD scramble, same output,
   // same oracle) with the window sort replaced by GroupSample's
@@ -365,6 +403,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_interleave"        -> (q79 _),
     "q102_sample_sketch"    -> (q102 _),
+    "q106_epoch_shuffle"    -> (q106 _),
     "q62_hash_split"        -> (q62 _),
     "q63_stratified_sample" -> (q63 _),
     "q64_pack_sequences"    -> (q64 _),
@@ -380,6 +419,7 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "q79_interleave"        -> q79Sql,
     "q102_sample_sketch"    -> q102Sql,
+    "q106_epoch_shuffle"    -> q106Sql,
     "q62_hash_split"        -> q62Sql,
     "q63_stratified_sample" -> q63Sql,
     "q64_pack_sequences"    -> q64Sql,

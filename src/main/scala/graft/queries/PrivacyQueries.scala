@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Privacy / governance extract (SURVEY.md §2, q105): the
+  * pseudonymize-generalize-suppress pass every shared training corpus
+  * or analytics extract runs before leaving the trust boundary
+  * (the reference's mart layer exposes raw customer rows; this is the
+  * compliance-grade projection of the same data).
+  *
+  * Semantics (classic k-anonymity, Sweeney 2002 "k-anonymity: a model
+  * for protecting privacy"):
+  *  - direct identifiers are replaced by a deterministic pseudonym
+  *    (md5 of the name — deterministic so downstream joins on
+  *    pseudo_id still work, one-way so the extract alone can't be
+  *    reversed);
+  *  - continuous attributes are generalized into coarse bands
+  *    (account balance → width-1000 bands);
+  *  - quasi-identifier combinations (nation × market segment) that
+  *    fewer than k individuals share are SUPPRESSED (both columns
+  *    collapse to "*"), so every surviving quasi-identifier group has
+  *    ≥ k members and no row is re-identifiable by linking.
+  *
+  * Scale shape: group sizes come from one partial-aggregated groupBy
+  * (output is at most |nations|·|segments| rows — metadata-sized) that
+  * broadcasts back onto the row stream. The alternative window
+  * formulation (`count(*) OVER (PARTITION BY qi)`) would shuffle the
+  * FULL table by the quasi-identifier key — skewed and pointless at
+  * 100 TB when the aggregate fits in a broadcast. The row side stays
+  * a single scan + map.
+  */
+object PrivacyQueries {
+
+  /** Suppress quasi-identifier columns of rows whose QI combination
+    * has fewer than k members. Returns the input plus one string
+    * column per QI (named `<col>_qi`), collapsed to "*" in suppressed
+    * groups.
+    */
+  def kAnonymize(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
+    require(quasiIds.nonEmpty && k >= 1, s"kAnonymize: need QI columns and k >= 1")
+    val sizes = df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("__qi_n"))
+    val joined = df.join(broadcast(sizes), quasiIds)
+    quasiIds.foldLeft(joined) { (d, q) =>
+      d.withColumn(s"${q}_qi",
+        when(col("__qi_n") >= k, col(q).cast("string")).otherwise(lit("*")))
+    }.drop("__qi_n")
+  }
+
+  // --- q105: k-anonymous customer extract (k=10 over nation×segment,
+  // md5 pseudonym, width-1000 balance bands) ---
+  def q105(s: SparkSession, dir: String): DataFrame =
+    kAnonymize(Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"), 10)
+      .select(
+        md5(col("c_name")).as("pseudo_id"),
+        col("c_nationkey_qi").as("nation_qi"),
+        col("c_mktsegment_qi").as("segment_qi"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+
+  val q105Sql: String =
+    """WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS grp_n
+      |           FROM customer GROUP BY 1, 2)
+      |SELECT md5(c.c_name) AS pseudo_id,
+      |  CASE WHEN g.grp_n >= 10 THEN CAST(c.c_nationkey AS VARCHAR) ELSE '*' END AS nation_qi,
+      |  CASE WHEN g.grp_n >= 10 THEN c.c_mktsegment ELSE '*' END AS segment_qi,
+      |  CAST(FLOOR(c.c_acctbal / 1000) AS BIGINT) AS bal_band
+      |FROM customer c JOIN g USING (c_nationkey, c_mktsegment)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_privacy_extract" -> (q105 _))
+
+  val oracle: Map[String, String] = Map(
+    "q105_privacy_extract" -> q105Sql)
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{PipelineQueries, PrivacyQueries}
+
+class PrivacySpec extends SparkSpec {
+
+  test("kAnonymize: every surviving QI group has >= k members, small groups suppress") {
+    val s = spark
+    import s.implicits._
+    // 1 group of 12, 1 of 3, 1 of 1 over (g, seg)
+    val rows = Seq.fill(12)(("a", "X")) ++ Seq.fill(3)(("b", "X")) ++ Seq(("c", "Y"))
+    val df = rows.zipWithIndex.map { case ((g, seg), i) => (i.toLong, g, seg) }
+      .toDF("id", "g", "seg")
+    val out = PrivacyQueries.kAnonymize(df, Seq("g", "seg"), 5).cache()
+    try {
+      assert(out.count() === 16, "row count preserved")
+      val kept = out.filter(col("g_qi") =!= "*")
+      assert(kept.groupBy("g_qi", "seg_qi").count().filter(col("count") < 5).isEmpty,
+        "no surviving QI group smaller than k")
+      assert(kept.select("g_qi").distinct().collect().map(_.getString(0)).toSet === Set("a"))
+      // suppression collapses BOTH QI columns together
+      assert(out.filter(col("g_qi") === "*" && col("seg_qi") =!= "*").isEmpty)
+      assert(out.filter(col("g_qi") === "*").count() === 4)
+    } finally out.unpersist()
+  }
+
+  test("q105: pseudonyms unique, original identifiers absent, k honored at sf0.01") {
+    val out = PrivacyQueries.q105(spark, "/root/testdata/sf0.01").cache()
+    try {
+      val n = out.count()
+      assert(n === 1500)
+      assert(out.select("pseudo_id").distinct().count() === n,
+        "deterministic pseudonym is collision-free on this corpus")
+      assert(!out.columns.exists(Set("c_name", "c_custkey")),
+        "direct identifiers do not leave the extract")
+      val kept = out.filter(col("nation_qi") =!= "*")
+      assert(kept.count() > 0, "sf0.01 must exercise the non-suppressed path")
+      assert(kept.groupBy("nation_qi", "segment_qi").count()
+        .filter(col("count") < 10).isEmpty, "k-anonymity holds in the output")
+    } finally out.unpersist()
+  }
+
+  test("q106 epoch shuffle: exact partition, dense positions, balanced shards") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val out = PipelineQueries.q106(spark, sf).cache()
+    try {
+      assert(out.count() === docs.count(), "every doc sharded exactly once")
+      assert(out.select("doc_id").distinct().count() === docs.count())
+      // dense 1..size positions per shard
+      val bad = out.groupBy("shard")
+        .agg(count(lit(1)).as("n"), max("pos").as("mx"), countDistinct("pos").as("nd"))
+        .filter(col("mx") =!= col("n") || col("nd") =!= col("n"))
+      assert(bad.isEmpty)
+      // odd multiplier is a bijection mod 16: contiguous ids spread evenly
+      val sizes = out.groupBy("shard").count().collect().map(_.getLong(1))
+      assert(sizes.length === 16 && sizes.max - sizes.min <= 1)
+    } finally out.unpersist()
+  }
+
+  test("epochShuffle: changing epoch permutes order but not membership") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val e0 = PipelineQueries.epochShuffle(docs, "doc_id", 16, 0L)
+    val e1 = PipelineQueries.epochShuffle(docs, "doc_id", 16, 1L)
+    val joined = e0.as("a").join(e1.as("b"), "doc_id")
+      .select(col("a.shard").as("s0"), col("a.pos").as("p0"),
+        col("b.shard").as("s1"), col("b.pos").as("p1")).cache()
+    try {
+      assert(joined.count() === docs.count(), "same membership across epochs")
+      assert(joined.filter(col("s0") =!= col("s1") || col("p0") =!= col("p1")).count() > 0,
+        "a new epoch reassigns at least some rows")
+    } finally joined.unpersist()
+  }
+}
