@@ -349,7 +349,44 @@ object CorpusQueries {
        | CAST(MAX(n_chars)*COUNT(*) - SUM(n_chars) AS BIGINT) AS pad_waste
        |FROM r GROUP BY 1, 2, 3""".stripMargin
 
+  // --- q107: per-type value percentiles via the mergeable quantile
+  // summary (QuantileSummary — Munro-Paterson/KLL-style deterministic
+  // compaction). Capacity 4096 exceeds every sf0.01/sf0.001 group, so
+  // the summary is the EXACT type-1 order statistic (rank
+  // ceil(p·n/100), integer ceil-division both sides — no float
+  // boundary) and hash-matches the exact window oracle; at bench
+  // sf0.1 (~20k/group) the compaction path runs and the answer stays
+  // rank-bounded. The scale contrast with exact q43: that plan sorts
+  // every group's full row set; this one ships O(c·log n) state per
+  // group with map-side combine — the only viable shape when groups
+  // have billions of rows.
+  def q107(s: SparkSession, dir: String): DataFrame = {
+    val qagg = udaf(
+      new graft.operators.QuantileSummary.QuantileAgg(4096, Seq(25, 50, 75, 95)),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(qagg(col("value")).as("s"))
+      .select(col("event_type"), col("s.n_events").as("n_events"),
+        col("s.qs")(0).as("p25"), col("s.qs")(1).as("p50"),
+        col("s.qs")(2).as("p75"), col("s.qs")(3).as("p95"))
+  }
+
+  val q107Sql: String =
+    """WITH r AS (SELECT event_type, value,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS n
+      | FROM events WHERE value IS NOT NULL)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+      | MAX(CASE WHEN rk = (25*n + 99)//100 THEN value END) AS p25,
+      | MAX(CASE WHEN rk = (50*n + 99)//100 THEN value END) AS p50,
+      | MAX(CASE WHEN rk = (75*n + 99)//100 THEN value END) AS p75,
+      | MAX(CASE WHEN rk = (95*n + 99)//100 THEN value END) AS p95
+      |FROM r GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_quantile_sketch" -> (q107 _),
     "q100_heavy_hitters"   -> (q100 _),
     "q103_length_batches"  -> (q103 _),
     "q101_source_overlap"  -> (q101 _),
@@ -361,6 +398,7 @@ object CorpusQueries {
     "q99_dataset_card"     -> (q99 _))
 
   val oracle: Map[String, String] = Map(
+    "q107_quantile_sketch" -> q107Sql,
     "q100_heavy_hitters"   -> q100Sql,
     "q103_length_batches"  -> q103Sql,
     "q101_source_overlap"  -> q101Sql,
