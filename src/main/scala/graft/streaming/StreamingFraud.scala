@@ -106,6 +106,33 @@ object StreamingFraud {
         explode(col("sketch.counts")).as(Seq("user_id", "lb_count")))
   }
 
+  /** Windowed streaming value percentiles: q107's quantile summary as
+    * the streaming aggregation state — per (window, event_type) the
+    * state store holds one O(capacity·log n) summary instead of every
+    * value, which is what makes latency-percentile dashboards viable
+    * at 100 TB/day (the exact formulation would buffer each window's
+    * full value set in the store).
+    *
+    * Below capacity the summary never compacts and is merge-order
+    * independent, so the stream is row-identical to the same
+    * aggregation run in batch — the spec asserts exact equality, the
+    * q101/q102 "exact below capacity" contract. Above capacity answers
+    * stay rank-bounded (QuantileSummary's deterministic compaction)
+    * but may depend on micro-batch arrival order, as any sketch does.
+    */
+  def valueQuantilesStream(events: DataFrame, capacity: Int = 4096): DataFrame = {
+    val qagg = udaf(
+      new graft.operators.QuantileSummary.QuantileAgg(capacity, Seq(50, 95)),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    events
+      .filter(col("value").isNotNull)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(qagg(col("value")).as("s"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("s.n_events").as("n_events"),
+        col("s.qs")(0).as("p50"), col("s.qs")(1).as("p95"))
+  }
+
   /** Streaming source over a directory of parquet event files, watermarked
     * for state cleanup (10 min lateness — at scale this bounds the window
     * state store regardless of input volume).

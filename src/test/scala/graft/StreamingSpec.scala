@@ -86,6 +86,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed quantile sketch equals batch and exact ranks below capacity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qsk").toString
+    val batchEvents = graft.sources.Tables.events(spark, sf)
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val stream = StreamingFraud.readEventStream(spark, dir)
+    val q = StreamingFraud.valueQuantilesStream(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("qsk_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("qsk_out").cache()
+      val batch = StreamingFraud.valueQuantilesStream(batchEvents)
+      assert(streamed.count() > 0 && streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0,
+        "below capacity the summary is merge-order independent — stream must equal batch")
+      // ...and both must BE the exact type-1 order statistics
+      val exact = batchEvents.filter(col("value").isNotNull)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(sort_array(collect_list(col("value"))).as("vs"),
+          count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          element_at(col("vs"), expr("CAST((50*n + 99) DIV 100 AS INT)")).as("e50"),
+          element_at(col("vs"), expr("CAST((95*n + 99) DIV 100 AS INT)")).as("e95"))
+      val mismatch = streamed.join(exact, Seq("window_start", "event_type"))
+        .filter(col("p50") =!= col("e50") || col("p95") =!= col("e95"))
+      assert(mismatch.isEmpty, "sketch quantiles must equal exact ranks below capacity")
+      streamed.unpersist(blocking = false)
+    } finally q.stop()
+  }
+
   test("streaming sliding distinct matches batch q98 row-for-row") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sdist").toString
     val batchEvents = graft.sources.Tables.events(spark, sf)
