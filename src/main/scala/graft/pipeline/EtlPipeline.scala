@@ -199,11 +199,21 @@ object EtlPipeline {
     * Daily dimension files are small by construction — the 100 TB side
     * (facts) flows through [[stage]]/Incremental against partitioned
     * sources, not through this inbox loop.
+    *
+    * `quarantineDir`: when set, delimited files read through
+    * [[DelimitedSource.readWithQuarantine]] — rows missing the mapping
+    * key or carrying unparseable decimal values are appended (raw, with
+    * `reject_reason`/`src_file`/`run_id`) to
+    * `<quarantineDir>/<targetName>` instead of flowing into the merge
+    * as silent nulls, and each file's reject count is logged as a
+    * `qtn_<target>` run-log row. Without it the permissive legacy
+    * behavior is unchanged.
     */
   def run(spark: SparkSession, inboxDir: String, warehouseDir: String,
           mappings: Seq[FileMapping], runId: Long,
           marts: Map[String, MartRefresh] = Map.empty,
-          archiveFiles: Boolean = true): RunReport = {
+          archiveFiles: Boolean = true,
+          quarantineDir: Option[String] = None): RunReport = {
     val runStart = new java.sql.Timestamp(System.currentTimeMillis())
     var wm = loadWatermarks(spark, warehouseDir)
     val logRows = Seq.newBuilder[(Long, String, Long, Long, Long)]
@@ -228,10 +238,26 @@ object EtlPipeline {
         s"mapping ${m.template}: multiple inbox files share a business date — " +
           s"merge order is undefined. ${dup.mkString("; ")}")
       fresh.foreach { case (path, dt) =>
-        val raw =
-          if (path.toLowerCase.endsWith(".xlsx")) XlsxSource.read(spark, path)
-          else DelimitedSource.read(spark, path)
-        val norm = DelimitedSource.normalizeDecimalColumns(raw, m.decimalCols)
+        val isXlsx = path.toLowerCase.endsWith(".xlsx")
+        val norm = (quarantineDir, isXlsx) match {
+          case (Some(qdir), false) =>
+            val q = DelimitedSource.readWithQuarantine(
+              spark, path, Seq(m.key), m.decimalCols)
+            // count first (rejects are small by construction); write
+            // only when non-empty so a clean run leaves no empty dirs
+            val nBad = q.bad.count()
+            if (nBad > 0) {
+              q.bad.withColumn("run_id", lit(runId))
+                .write.mode(org.apache.spark.sql.SaveMode.Append)
+                .parquet(s"$qdir/${m.targetName}")
+              logRows += ((runId, s"qtn_${m.targetName}", nBad, 0L, 0L))
+            }
+            q.good
+          case _ =>
+            val raw = if (isXlsx) XlsxSource.read(spark, path)
+                      else DelimitedSource.read(spark, path)
+            DelimitedSource.normalizeDecimalColumns(raw, m.decimalCols)
+        }
         val stg = norm.select(
           (m.key +: m.payload).map(col) :+
             col("create_dt").cast("timestamp").as("create_dt"): _*).persist()

@@ -39,4 +39,49 @@ object DelimitedSource {
     cols.foldLeft(df) { (d, c) =>
       d.withColumn(c, regexp_replace(col(c), ",", ".").cast("double"))
     }
+
+  /** A read split into clean rows and quarantined rejects. `bad` keeps
+    * every column as the RAW string plus `reject_reason` and
+    * `src_file`, so a rejected row can be inspected and replayed
+    * exactly as delivered.
+    */
+  case class QuarantinedRead(good: DataFrame, bad: DataFrame)
+
+  /** Read with bad-record routing instead of the permissive default
+    * (where a short row or unparseable number silently becomes null and
+    * flows into the warehouse). A row is quarantined when a required
+    * column is missing/empty or a decimal-comma column carries a value
+    * that parses to neither `12,5` nor `12.5` form; everything else is
+    * returned normalized, exactly as [[read]] +
+    * [[normalizeDecimalColumns]] would.
+    *
+    * Both frames derive from ONE flagged projection — the validity
+    * predicate is codegen'd into the scan, so at scale this costs one
+    * extra boolean column, not a second parse. (Spark re-scans the file
+    * per sink unless the caller persists; the ETL loop counts the small
+    * `bad` side first and lets the `good` scan stream into the merge.)
+    */
+  def readWithQuarantine(spark: SparkSession, pathGlob: String,
+                         requiredCols: Seq[String],
+                         decimalCols: Seq[String]): QuarantinedRead = {
+    val raw = read(spark, pathGlob)
+    val missing = requiredCols
+      .map(c => col(c).isNull || trim(col(c)) === "")
+      .foldLeft(lit(false))(_ || _)
+    val badNum = decimalCols
+      .map(c => col(c).isNotNull &&
+        expr(s"try_cast(replace($c, ',', '.') AS DOUBLE)").isNull)
+      .foldLeft(lit(false))(_ || _)
+    val flagged = raw.withColumn("__missing", missing).withColumn("__badnum", badNum)
+    val bad = flagged.filter(col("__missing") || col("__badnum"))
+      .withColumn("reject_reason",
+        when(col("__missing"), "missing_required").otherwise("bad_decimal"))
+      .withColumn("src_file", input_file_name())
+      .drop("__missing", "__badnum")
+    val good = normalizeDecimalColumns(
+      flagged.filter(!col("__missing") && !col("__badnum"))
+        .drop("__missing", "__badnum"),
+      decimalCols)
+    QuarantinedRead(good, bad)
+  }
 }

@@ -95,6 +95,44 @@ class EtlPipelineSpec extends SparkSpec {
     assert(fullLog.filter(col("run_id") === 2).count() == 4)
   }
 
+  test("quarantine routes bad rows out of the merge and logs reject counts") {
+    val inbox = Files.createTempDirectory("graft_qinbox").toString
+    val wh = Files.createTempDirectory("graft_qwh").toString
+    val qdir = Files.createTempDirectory("graft_qtn").toString
+    val mappings = Seq(
+      FileMapping("rates_*.csv", "dwh_rates", "cur", Seq("rate"), scd = 1,
+        decimalCols = Seq("rate")))
+    // good comma-decimal, unparseable decimal, missing key, good dot-decimal
+    mkFile(inbox, "rates_01012024.csv",
+      "cur;rate\nUSD;90,5\nJPY;1x2,3\n;77,0\nEUR;88.25\n")
+
+    val r1 = EtlPipeline.run(spark, inbox, wh, mappings, runId = 11,
+      quarantineDir = Some(qdir))
+    val rates = spark.read.parquet(s"$wh/dwh_rates")
+    assert(rates.count() == 2, "only clean rows may reach the warehouse")
+    assert(math.abs(rates.filter(col("cur") === "USD").collect()(0)
+      .getAs[Double]("rate") - 90.5) < 1e-9)
+    val qtn = spark.read.parquet(s"$qdir/dwh_rates")
+    assert(qtn.count() == 2)
+    assert(qtn.select("reject_reason").collect().map(_.getString(0)).toSet ===
+      Set("bad_decimal", "missing_required"))
+    // the rejected row keeps its RAW string value and provenance
+    val jpy = qtn.filter(col("cur") === "JPY").collect()(0)
+    assert(jpy.getAs[String]("rate") === "1x2,3")
+    assert(jpy.getAs[String]("src_file").contains("rates_01012024.csv"))
+    assert(jpy.getAs[Long]("run_id") === 11L)
+    assert(logRow(r1, "qtn_dwh_rates").getAs[Long]("rows_inserted") == 2)
+
+    // a clean day appends nothing to the quarantine and logs no qtn row
+    mkFile(inbox, "rates_02012024.csv", "cur;rate\nUSD;91,0\n")
+    val r2 = EtlPipeline.run(spark, inbox, wh, mappings, runId = 12,
+      quarantineDir = Some(qdir))
+    assert(spark.read.parquet(s"$qdir/dwh_rates").count() == 2)
+    assert(r2.log.filter(col("table_name") === "qtn_dwh_rates").isEmpty)
+    assert(spark.read.parquet(s"$wh/dwh_rates")
+      .filter(col("cur") === "USD").collect()(0).getAs[Double]("rate") == 91.0)
+  }
+
   test("from-database run: incremental pull, key-list deletes, tombstone revival") {
     val s = spark
     import s.implicits._
