@@ -385,7 +385,45 @@ object CorpusQueries {
       | MAX(CASE WHEN rk = (95*n + 99)//100 THEN value END) AS p95
       |FROM r GROUP BY 1""".stripMargin
 
+  // --- q108: per-vector int8 scalar quantization of the embedding
+  // column — the memory-layout prep for a 100 TB ANN index (float32 →
+  // int8 cuts the index 4×; recall loss is bounded by the per-vector
+  // scale). Pure map stage, zero shuffle: scale = max|x|, code =
+  // floor(127·x/scale). Every step is an exactly-rounded IEEE op
+  // (multiply, divide, floor — no round()), so Spark and DuckDB
+  // produce bit-identical codes and the summary (sum/min/max of codes)
+  // hash-matches; an all-zero vector quantizes to zeros rather than
+  // dividing by zero. The spec asserts the reconstruction bound
+  // |x − code·scale/127| ≤ scale/127 elementwise.
+  def q108(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qv", transform(col("v"),
+        x => when(col("scale") === 0d, lit(0L))
+          .otherwise(floor(lit(127.0) * x / col("scale")))))
+    e.select(col("vec_id"), size(col("v")).cast("int").as("n_dims"),
+      col("scale"),
+      aggregate(col("qv"), lit(0L), (a, x) => a + x).as("sum_q"),
+      array_min(col("qv")).as("min_q"),
+      array_max(col("qv")).as("max_q"))
+  }
+
+  val q108Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v, LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) AS scale FROM e),
+      |q AS (SELECT vec_id, v, scale,
+      |  LIST_TRANSFORM(v, x -> CASE WHEN scale = 0 THEN 0
+      |    ELSE FLOOR(127.0 * x / scale) END) AS qv
+      | FROM s)
+      |SELECT vec_id, CAST(LEN(v) AS INT) AS n_dims, scale,
+      | CAST(LIST_SUM(qv) AS BIGINT) AS sum_q,
+      | CAST(LIST_MIN(qv) AS BIGINT) AS min_q,
+      | CAST(LIST_MAX(qv) AS BIGINT) AS max_q
+      |FROM q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_quantize_embed"  -> (q108 _),
     "q107_quantile_sketch" -> (q107 _),
     "q100_heavy_hitters"   -> (q100 _),
     "q103_length_batches"  -> (q103 _),
@@ -398,6 +436,7 @@ object CorpusQueries {
     "q99_dataset_card"     -> (q99 _))
 
   val oracle: Map[String, String] = Map(
+    "q108_quantize_embed"  -> q108Sql,
     "q107_quantile_sketch" -> q107Sql,
     "q100_heavy_hitters"   -> q100Sql,
     "q103_length_batches"  -> q103Sql,

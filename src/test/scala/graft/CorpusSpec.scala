@@ -16,6 +16,29 @@ class CorpusSpec extends SparkSpec {
     try { dfs.foreach(_.cache()); body }
     finally dfs.foreach(_.unpersist(blocking = false))
 
+  test("q108 quantization: int8 codes, every vector kept, reconstruction bounded") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val out = CorpusQueries.q108(spark, sf)
+    withCached(out) {
+      assert(out.count() === emb.count(), "one summary row per vector")
+      // codes must fit int8: floor puts y=127·x/scale in [-128, 127]
+      assert(out.filter(col("min_q") < -128 || col("max_q") > 127).isEmpty)
+      assert(out.filter(col("scale") < 0).isEmpty)
+    }
+    // elementwise reconstruction bound |x − code·scale/127| ≤ scale/127
+    val bad = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("scale") > 0)
+      .withColumn("viol", org.apache.spark.sql.functions.exists(
+        transform(col("v"), x =>
+          abs(x - floor(lit(127.0) * x / col("scale")) * col("scale") / 127.0) >
+            col("scale") / 127.0 + lit(1e-12)),
+        b => b))
+      .filter(col("viol"))
+    assert(bad.isEmpty, "quantization error must stay within one code step")
+  }
+
   test("q94 chunking: strided cover of every tokenized document") {
     val out = CorpusQueries.q94(spark, sf)
     withCached(out) {
