@@ -70,7 +70,7 @@ object DelimitedSource {
       .foldLeft(lit(false))(_ || _)
     val badNum = decimalCols
       .map(c => col(c).isNotNull &&
-        expr(s"try_cast(replace($c, ',', '.') AS DOUBLE)").isNull)
+        expr(s"try_cast(replace(`$c`, ',', '.') AS DOUBLE)").isNull)
       .foldLeft(lit(false))(_ || _)
     val flagged = raw.withColumn("__missing", missing).withColumn("__badnum", badNum)
     val bad = flagged.filter(col("__missing") || col("__badnum"))
