@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.EtlPipeline
+import graft.pipeline.{EtlPipeline, WarehouseOps}
 import graft.pipeline.EtlPipeline.{FileMapping, TableMapping}
 import graft.operators.Scd
 import graft.sources.Tables
@@ -131,6 +131,30 @@ class EtlPipelineSpec extends SparkSpec {
     assert(r2.log.filter(col("table_name") === "qtn_dwh_rates").isEmpty)
     assert(spark.read.parquet(s"$wh/dwh_rates")
       .filter(col("cur") === "USD").collect()(0).getAs[Double]("rate") == 91.0)
+  }
+
+  test("warehouse inventory reports footprint, watermark, and last run per table") {
+    val inbox = Files.createTempDirectory("graft_winbox").toString
+    val wh = Files.createTempDirectory("graft_wwh").toString
+    val mappings = Seq(
+      FileMapping("rates_*.csv", "dwh_rates", "cur", Seq("rate"), scd = 1,
+        decimalCols = Seq("rate")))
+    mkFile(inbox, "rates_01012024.csv", "cur;rate\nUSD;90,5\nEUR;99,1\n")
+    EtlPipeline.run(spark, inbox, wh, mappings, runId = 21)
+
+    val inv = WarehouseOps.inventory(spark, wh).collect()
+    assert(inv.map(_.getString(0)).toSeq === Seq("dwh_rates"),
+      "meta tables are excluded, data tables listed")
+    val r = inv(0)
+    assert(r.getAs[Long]("n_files") > 0 && r.getAs[Long]("total_bytes") > 0)
+    assert(r.getAs[java.sql.Timestamp]("last_modified") != null)
+    assert(r.getAs[String]("watermark") === "2024-01-01")
+    assert(r.getAs[Long]("last_run_id") === 21L)
+    assert(r.getAs[java.sql.Timestamp]("last_run_dt") != null)
+    // empty warehouse: empty frame, same schema, no exception
+    val none = WarehouseOps.inventory(spark,
+      Files.createTempDirectory("graft_nowh").toString)
+    assert(none.isEmpty && none.columns.length === 7)
   }
 
   test("from-database run: incremental pull, key-list deletes, tombstone revival") {
