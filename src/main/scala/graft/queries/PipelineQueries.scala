@@ -243,6 +243,49 @@ object PipelineQueries {
       |FROM pt a JOIN pt b ON a.doc_id = b.doc_id AND a.tok < b.tok
       |GROUP BY 1, 2""".stripMargin
 
+  // --- q109: triangle enumeration over the co-occurrence graph —
+  // cohesive token triples (every pair co-occurs in >= TriMinSupport
+  // docs), the classic graph-analytics primitive q88's PageRank and
+  // q55's components don't cover. The edge set derives from q69, whose
+  // CoocTopK prune bounds it at K²/2 rows — metadata-sized for ANY
+  // corpus size — so the edges materialize on the driver (the q55
+  // bounded-driver precedent; K=300 → ≤45k edges) and the three-way
+  // triangle join runs entirely on broadcast copies: the only
+  // corpus-scale work is q69's single scan + one shuffle. Canonical
+  // pair order (a<b from q69) means each triangle emits exactly once
+  // as a<b<c with no orientation pass; `support` = the weakest edge.
+  val TriMinSupport = 320
+
+  def q109(s: SparkSession, dir: String): DataFrame = {
+    val edges = q69(s, dir).filter(col("n_docs") >= TriMinSupport)
+      .select("tok_a", "tok_b", "n_docs").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val e1 = s.createDataFrame(edges).toDF("tok_a", "tok_b", "w1")
+    val e2 = s.createDataFrame(edges).toDF("tok_b", "tok_c", "w2")
+    val e3 = s.createDataFrame(edges).toDF("tok_a", "tok_c", "w3")
+    e1.join(e2, "tok_b").join(e3, Seq("tok_a", "tok_c"))
+      .select(col("tok_a"), col("tok_b"), col("tok_c"),
+        least(col("w1"), col("w2"), col("w3")).as("support"))
+  }
+
+  val q109Sql: String =
+    s"""WITH toks AS (
+      | SELECT DISTINCT doc_id, tok FROM (
+      |  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(lower(text), '\\s+')) AS tok
+      |  FROM documents)
+      | WHERE LEN(tok) > 0),
+      |vocab AS (
+      | SELECT tok FROM (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok)
+      | ORDER BY df DESC, tok ASC LIMIT $CoocTopK),
+      |pt AS (SELECT t.doc_id, t.tok FROM toks t JOIN vocab v USING (tok)),
+      |edges AS (SELECT a.tok AS ta, b.tok AS tb, COUNT(*) AS n_docs
+      | FROM pt a JOIN pt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      | GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinSupport)
+      |SELECT e1.ta AS tok_a, e1.tb AS tok_b, e2.tb AS tok_c,
+      | CAST(LEAST(e1.n_docs, e2.n_docs, e3.n_docs) AS BIGINT) AS support
+      |FROM edges e1 JOIN edges e2 ON e2.ta = e1.tb
+      | JOIN edges e3 ON e3.ta = e1.ta AND e3.tb = e2.tb""".stripMargin
+
   // --- q76: benchmark decontamination — corpus docs sharing a 5-word
   // n-gram with the (doc_id % 11 == 0) eval split. Eval n-grams
   // broadcast; corpus streams once (oracle-checked).
@@ -404,6 +447,7 @@ object PipelineQueries {
     "q79_interleave"        -> (q79 _),
     "q102_sample_sketch"    -> (q102 _),
     "q106_epoch_shuffle"    -> (q106 _),
+    "q109_triangles"        -> (q109 _),
     "q62_hash_split"        -> (q62 _),
     "q63_stratified_sample" -> (q63 _),
     "q64_pack_sequences"    -> (q64 _),
@@ -420,6 +464,7 @@ object PipelineQueries {
     "q79_interleave"        -> q79Sql,
     "q102_sample_sketch"    -> q102Sql,
     "q106_epoch_shuffle"    -> q106Sql,
+    "q109_triangles"        -> q109Sql,
     "q62_hash_split"        -> q62Sql,
     "q63_stratified_sample" -> q63Sql,
     "q64_pack_sequences"    -> q64Sql,

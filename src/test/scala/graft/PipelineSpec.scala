@@ -6,6 +6,25 @@ import graft.queries.PipelineQueries
 
 class PipelineSpec extends SparkSpec {
 
+  test("q109 triangles: exact closure of the thresholded edge set, canonical order") {
+    val edges = PipelineQueries.q69(spark, sf)
+      .filter(col("n_docs") >= PipelineQueries.TriMinSupport)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val w = edges.map { case (a, b, n) => (a, b) -> n }.toMap
+    // independent driver-side enumeration
+    val expect = (for {
+      (a, b) <- w.keys
+      c <- w.keys.collect { case (`b`, x) => x }
+      if w.contains((a, c))
+    } yield (a, b, c, Seq(w((a, b)), w((b, c)), w((a, c))).min)).toSet
+    val got = PipelineQueries.q109(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got === expect, "triangle set must equal the brute-force closure")
+    assert(got.forall { case (a, b, c, _) => a < b && b < c },
+      "canonical a<b<c — each triangle exactly once")
+    assert(got.nonEmpty, "threshold must leave a non-trivial graph at test scale")
+  }
+
   test("q62 hash split: pure (same id -> same split), partitions all docs") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val out = PipelineQueries.q62(spark, sf)
