@@ -42,9 +42,14 @@ object SqlSurface {
   }
 
   /** Register every SparkEntry query (or the named subset) as a temp
-    * view under its full qNN_ name. Views are lazy logical plans —
-    * registration executes nothing; heavy queries cost only at
-    * SELECT time. Returns the view names registered.
+    * view under its full qNN_ name. Most queries are purely declarative
+    * — their views are lazy logical plans and registration executes
+    * nothing. The exceptions are the queries with a documented bounded
+    * driver stage (q33/q78 train a model, q55 runs union-find,
+    * q100/q101/q109 materialize metadata-sized sketches/edges): those
+    * execute that stage AT REGISTRATION and their views snapshot its
+    * result — register a subset if that cost is unwanted up front.
+    * Returns the view names registered.
     */
   def registerQueries(spark: SparkSession, dir: String,
                       names: Seq[String] = Nil): Seq[String] = {

@@ -114,12 +114,17 @@ object Dedup {
     val sh = shinglesRaw(df, idCol, textCol, k)
     val (dict, vocab) = shingleDict(sh)
     val maxVocab = maxBitmapVocab(df.sparkSession)
-    require(vocab <= maxVocab,
-      s"shingle vocabulary $vocab exceeds graft.dedup.maxBitmapVocab=$maxVocab: " +
-        s"the dense-bitmap verifier would broadcast a $vocab-entry dictionary and " +
-        s"build ${(vocab + 63) / 64}-long arrays per document. Use the hashed " +
-        "verifier (graft.dedup.verifier=hashed, or the auto fallback in " +
-        "ngramJaccardPairs/lshVerifiedPairs) for open-charset corpora, or raise the bound.")
+    if (vocab > maxVocab) {
+      // release the over-bound dictionary before refusing — it would
+      // otherwise pin vocabulary-sized storage until releaseCaches()
+      dict.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"shingle vocabulary $vocab exceeds graft.dedup.maxBitmapVocab=$maxVocab: " +
+          s"the dense-bitmap verifier would broadcast a $vocab-entry dictionary and " +
+          s"build ${(vocab + 63) / 64}-long arrays per document. Use the hashed " +
+          "verifier (graft.dedup.verifier=hashed, or the auto fallback in " +
+          "ngramJaccardPairs/lshVerifiedPairs) for open-charset corpora, or raise the bound.")
+    }
     denseBitmaps(sh, dict, vocab, idCol)
   }
 
@@ -193,10 +198,15 @@ object Dedup {
         val maxVocab = maxBitmapVocab(spark)
         val (dict, vocab) = shingleDict(sh)
         if (vocab <= maxVocab) (denseBitmaps(sh, dict, vocab, idCol), false)
-        else if (mode == "auto") (hashSetsFromShingles(sh, idCol), true)
-        else throw new IllegalArgumentException(
-          s"shingle vocabulary $vocab exceeds graft.dedup.maxBitmapVocab=$maxVocab " +
-            "with graft.dedup.verifier=bitmap; use verifier=hashed or raise the bound")
+        else {
+          // the dictionary was persisted only to price the dispatch —
+          // release it, the hashed path never reads it
+          dict.unpersist(blocking = false)
+          if (mode == "auto") (hashSetsFromShingles(sh, idCol), true)
+          else throw new IllegalArgumentException(
+            s"shingle vocabulary $vocab exceeds graft.dedup.maxBitmapVocab=$maxVocab " +
+              "with graft.dedup.verifier=bitmap; use verifier=hashed or raise the bound")
+        }
       case other => throw new IllegalArgumentException(
         s"graft.dedup.verifier must be auto|bitmap|hashed, got '$other'")
     }
@@ -347,31 +357,20 @@ object Dedup {
       hashed = true)
   }
 
-  // ------------------------------------------------------------------
   // Cache ownership: the near-dup pipelines persist small derived frames
   // (shingle stream, banded signatures, simhash chunks) that their
-  // self-joins would otherwise recompute. MEMORY_AND_DISK blocks evicted
-  // from memory move to DISK and stay until unpersist, so a long-lived
-  // session sweeping many corpora must release them — unpersisting is
-  // always safe (still-lazy results just recompute).
-  // ------------------------------------------------------------------
-  private val trackedCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  // self-joins would otherwise recompute. Policy lives in the shared
+  // [[graft.util.CacheTracker]].
+  private val caches = new graft.util.CacheTracker
 
-  private def trackPersist(df: DataFrame): DataFrame = trackedCaches.synchronized {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    trackedCaches += p
-    p
-  }
+  private def trackPersist(df: DataFrame): DataFrame = caches.trackPersist(df)
 
   /** Unpersist every intermediate frame cached by [[lshVerifiedPairs]],
     * [[minhashLshPairs]], [[simhashPairs]] and [[embeddingLshPairs]] so
     * far. Call between corpora in long-lived sessions; results already
     * computed are unaffected, un-executed lazy plans recompute.
     */
-  def releaseCaches(): Unit = trackedCaches.synchronized {
-    trackedCaches.foreach(_.unpersist(blocking = false))
-    trackedCaches.clear()
-  }
+  def releaseCaches(): Unit = caches.release()
 
   /** Per-document MinHash signature: numPerm permutations
     * h_i(x) = xxhash64(i, shingle), signature element = min over the

@@ -58,6 +58,10 @@ object HeavyHitters {
     def zero: MGBuf = new MGBuf(0L, mutable.Map.empty)
 
     def reduce(b: MGBuf, tok: String): MGBuf = {
+      // null tokens are IGNORED (not counted toward n): a null map key
+      // would NPE the sorted candidate pass and fail Catalyst's map
+      // encoder ("Cannot use null as map key") in streaming output
+      if (tok == null) return b
       val m = b.counts
       m.get(tok) match {
         case Some(c) => m(tok) = c + 1
@@ -124,11 +128,22 @@ object HeavyHitters {
         s"HeavyHitters.exact expects a single token column, got ${other.map(_.name).mkString(",")}")
     }
     import tokens.sparkSession.implicits._
-    val ds = tokens.select(col(colName).cast("string")).as[String]
+    // null tokens are ignored in both passes (and by MisraGries.reduce)
+    val nonNull = tokens.filter(col(colName).isNotNull)
+    val ds = nonNull.select(col(colName).cast("string")).as[String]
     val summary = ds.select(new MisraGries(width).toColumn).head()
     val threshold = math.max(1L, math.floor(share * summary.n).toLong)
+    // the REAL-valued guard above is necessary but not sufficient:
+    // floor can land the integer threshold exactly ON n/(width+1),
+    // where Misra-Gries no longer guarantees candidate membership
+    // (e.g. width=1, share=0.51, n=4: floor(2.04)=2 = 4/2). Enforce
+    // the superset condition on the integer threshold itself.
+    require(threshold.toDouble * (width + 1) > summary.n.toDouble,
+      s"threshold=$threshold (floor($share * ${summary.n})) is not strictly " +
+        s"above n/(width+1)=${summary.n.toDouble / (width + 1)}: the candidate " +
+        "set may miss a true heavy hitter; raise width or share")
     val cands = summary.counts.keys.toSeq.sorted
-    tokens.filter(col(colName).isInCollection(cands))
+    nonNull.filter(col(colName).isInCollection(cands))
       .groupBy(col(colName).as("tok"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)

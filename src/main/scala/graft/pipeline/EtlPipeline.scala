@@ -239,6 +239,13 @@ object EtlPipeline {
           s"merge order is undefined. ${dup.mkString("; ")}")
       fresh.foreach { case (path, dt) =>
         val isXlsx = path.toLowerCase.endsWith(".xlsx")
+        // A quarantined row's key was PRESENT in the delivery — only its
+        // payload was unparseable. The snapshot-based scd2 merge reads
+        // key absence as deleted-at-source, so feeding it the thinned
+        // good frame would tombstone live entities (phantom deletes).
+        // When rejects exist, liveness switches to an explicit key list
+        // covering good ∪ quarantined keys; scd1 ignores liveness.
+        var liveness: Scd.Liveness = Scd.SnapshotStg
         val norm = (quarantineDir, isXlsx) match {
           case (Some(qdir), false) =>
             val q = DelimitedSource.readWithQuarantine(
@@ -251,6 +258,9 @@ object EtlPipeline {
                 .write.mode(org.apache.spark.sql.SaveMode.Append)
                 .parquet(s"$qdir/${m.targetName}")
               logRows += ((runId, s"qtn_${m.targetName}", nBad, 0L, 0L))
+              liveness = Scd.KeyList(
+                q.good.select(m.key).union(
+                  q.bad.select(m.key).filter(col(m.key).isNotNull)).distinct())
             }
             q.good
           case _ =>
@@ -267,7 +277,7 @@ object EtlPipeline {
           java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
         mergeInto(spark, warehouseDir,
           TableMapping(m.template, m.targetName, m.key, m.payload, m.scd),
-          stg, runId, deleteTs, Scd.SnapshotStg, logRows)
+          stg, runId, deleteTs, liveness, logRows)
         stg.unpersist(blocking = false)
 
         wm += (m.targetName -> dt)
@@ -292,6 +302,11 @@ object EtlPipeline {
     * reference's run_start_dt/run_end_dt, etl.py:108-125) and return the
     * count-only view callers assert on.
     */
+  // Log schema note: run_id is Long and rows carry run_start_dt /
+  // run_end_dt (both added in this library's current line). A warehouse
+  // whose etl_run_log predates that (INT32 run_id, run_ts) mixes parquet
+  // physical types in one directory — readers here do NOT mergeSchema,
+  // so such a warehouse needs a one-time log rewrite before upgrading.
   private def writeRunLog(spark: SparkSession, warehouseDir: String,
                           rows: Seq[(Long, String, Long, Long, Long)],
                           runStart: java.sql.Timestamp): DataFrame = {
@@ -380,9 +395,13 @@ object EtlPipeline {
     *
     * foreachBatch is at-least-once: on a micro-batch RETRY the merge
     * itself is idempotent (upserting identical rows changes nothing) but
-    * a second log append would double-count inserts — so a batch whose
-    * id is already logged for this table is skipped entirely, making the
-    * whole step effectively-once.
+    * a second log append would double-count inserts — so each batch
+    * also logs a `stream_<target>` MARKER row, and a batch whose marker
+    * is already present is skipped entirely, making the whole step
+    * effectively-once. The marker name is what's checked (not the
+    * target's own log rows): batch `run()`/`runFromTables` runs log
+    * under the target name with ids from the same sequence space, and
+    * matching on those would silently skip live micro-batches.
     *
     * The batch argument must already be shaped like a staging frame:
     * `mapping.key`, `mapping.payload`, and (for scd=2) `create_dt`.
@@ -394,14 +413,16 @@ object EtlPipeline {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val logPath = s"$warehouseDir/etl_run_log"
+          val marker = s"stream_${m.targetName}"
           val alreadyDone = hadoopFs(spark, logPath).exists(new Path(logPath)) &&
             !spark.read.parquet(logPath)
-              .filter(col("run_id") === batchId && col("table_name") === m.targetName)
+              .filter(col("run_id") === batchId && col("table_name") === marker)
               .isEmpty
           if (!alreadyDone) {
             val runStart = new java.sql.Timestamp(System.currentTimeMillis())
             val stg = batch.persist()
             val logRows = Seq.newBuilder[(Long, String, Long, Long, Long)]
+            logRows += ((batchId, marker, 0L, 0L, 0L))
             mergeInto(spark, warehouseDir, m, stg, batchId,
               deleteTs = "9999-12-31 00:00:00", Scd.NoDeletes, logRows)
             writeRunLog(spark, warehouseDir, logRows.result(), runStart)

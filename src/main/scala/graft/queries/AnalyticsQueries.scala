@@ -20,22 +20,16 @@ import graft.sources.Tables
   */
 object AnalyticsQueries {
 
-  // Cache ownership (same contract as Dedup.releaseCaches): q88 persists
-  // its vocabulary-sized graph frames for the 3 iterative joins; a
+  // Cache ownership (same contract as Dedup.releaseCaches, shared
+  // implementation in [[graft.util.CacheTracker]]): q88 persists its
+  // vocabulary-sized graph frames for the 3 iterative joins; a
   // long-lived multi-corpus session releases them between corpora.
-  private val trackedCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val caches = new graft.util.CacheTracker
 
-  private def trackPersist(df: DataFrame): DataFrame = trackedCaches.synchronized {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    trackedCaches += p
-    p
-  }
+  private def trackPersist(df: DataFrame): DataFrame = caches.trackPersist(df)
 
   /** Unpersist every intermediate frame cached by [[q88]] so far. */
-  def releaseCaches(): Unit = trackedCaches.synchronized {
-    trackedCaches.foreach(_.unpersist(blocking = false))
-    trackedCaches.clear()
-  }
+  def releaseCaches(): Unit = caches.release()
 
   // --- q86: max concurrent intervals per day (sweep line). Each event
   // opens a half-open 30-minute activity interval [ts, ts+30m); the

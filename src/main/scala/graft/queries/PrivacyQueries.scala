@@ -21,8 +21,11 @@ import graft.sources.Tables
   *    (account balance → width-1000 bands);
   *  - quasi-identifier combinations (nation × market segment) that
   *    fewer than k individuals share are SUPPRESSED (both columns
-  *    collapse to "*"), so every surviving quasi-identifier group has
-  *    ≥ k members and no row is re-identifiable by linking.
+  *    collapse to "*"), and if the "*" bucket itself lands below k the
+  *    smallest surviving classes are suppressed whole until it
+  *    reaches k — so EVERY quasi-identifier class in the output,
+  *    including "*", has ≥ k members and no row is re-identifiable by
+  *    linking.
   *
   * Scale shape: group sizes come from one partial-aggregated groupBy
   * (output is at most |nations|·|segments| rows — metadata-sized) that
@@ -38,16 +41,42 @@ object PrivacyQueries {
     * has fewer than k members. Returns the input plus one string
     * column per QI (named `<col>_qi`), collapsed to "*" in suppressed
     * groups.
+    *
+    * The "*" bucket is ITSELF a quasi-identifier class: if the
+    * undersized groups sum to fewer than k rows, a suppressed row
+    * would still be k-identifiable. So when 0 < Σ(undersized) < k, the
+    * smallest surviving classes (deterministic order: size, then QI
+    * values) are suppressed whole until the bucket reaches k — after
+    * which EVERY output class, "*" included, has ≥ k members (or the
+    * input was smaller than k and everything collapses). The top-up
+    * windows run over the GROUP frame (≤ |QI-combo| rows — metadata-
+    * sized; the unpartitioned window is fine there), never the corpus.
     */
   def kAnonymize(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(quasiIds.nonEmpty && k >= 1, s"kAnonymize: need QI columns and k >= 1")
     val sizes = df.groupBy(quasiIds.map(col): _*)
       .agg(count(lit(1)).as("__qi_n"))
-    val joined = df.join(broadcast(sizes), quasiIds)
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wOrd = Window
+      .orderBy((col("__qi_n") +: quasiIds.map(col)).map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = sizes
+      .withColumn("__s_base",
+        sum(when(col("__qi_n") < k, col("__qi_n")).otherwise(0L)).over(wAll))
+      .withColumn("__cum_before", coalesce(
+        sum(when(col("__qi_n") < k, 0L).otherwise(col("__qi_n"))).over(wOrd),
+        lit(0L)))
+      .withColumn("__sup",
+        col("__qi_n") < k ||
+          (col("__s_base") > 0 && col("__s_base") + col("__cum_before") < k))
+      .select((quasiIds.map(col) :+ col("__sup")): _*)
+    val joined = df.join(broadcast(flagged), quasiIds)
     quasiIds.foldLeft(joined) { (d, q) =>
       d.withColumn(s"${q}_qi",
-        when(col("__qi_n") >= k, col(q).cast("string")).otherwise(lit("*")))
-    }.drop("__qi_n")
+        when(!col("__sup"), col(q).cast("string")).otherwise(lit("*")))
+    }.drop("__sup")
   }
 
   // --- q105: k-anonymous customer extract (k=10 over nation×segment,
@@ -62,12 +91,20 @@ object PrivacyQueries {
 
   val q105Sql: String =
     """WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS grp_n
-      |           FROM customer GROUP BY 1, 2)
+      |           FROM customer GROUP BY 1, 2),
+      |t AS (SELECT *,
+      |  SUM(CASE WHEN grp_n < 10 THEN grp_n ELSE 0 END) OVER () AS s_base,
+      |  COALESCE(SUM(CASE WHEN grp_n < 10 THEN 0 ELSE grp_n END)
+      |    OVER (ORDER BY grp_n, c_nationkey, c_mktsegment
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      | FROM g),
+      |f AS (SELECT c_nationkey, c_mktsegment,
+      |  (grp_n < 10 OR (s_base > 0 AND s_base + cum_before < 10)) AS sup FROM t)
       |SELECT md5(c.c_name) AS pseudo_id,
-      |  CASE WHEN g.grp_n >= 10 THEN CAST(c.c_nationkey AS VARCHAR) ELSE '*' END AS nation_qi,
-      |  CASE WHEN g.grp_n >= 10 THEN c.c_mktsegment ELSE '*' END AS segment_qi,
+      |  CASE WHEN NOT f.sup THEN CAST(c.c_nationkey AS VARCHAR) ELSE '*' END AS nation_qi,
+      |  CASE WHEN NOT f.sup THEN c.c_mktsegment ELSE '*' END AS segment_qi,
       |  CAST(FLOOR(c.c_acctbal / 1000) AS BIGINT) AS bal_band
-      |FROM customer c JOIN g USING (c_nationkey, c_mktsegment)""".stripMargin
+      |FROM customer c JOIN f USING (c_nationkey, c_mktsegment)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_privacy_extract" -> (q105 _))

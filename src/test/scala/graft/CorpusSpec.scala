@@ -305,4 +305,28 @@ class CorpusSpec extends SparkSpec {
       graft.operators.HeavyHitters.exact(df, share = 0.01, width = 9)
     }
   }
+
+  test("heavy-hitters guard catches the integer-threshold boundary too") {
+    val s = spark
+    import s.implicits._
+    // share=0.51 passes the real-valued guard (0.51 > 1/2) but
+    // floor(0.51·4)=2 lands exactly ON n/(width+1)=2, where the
+    // candidate-superset guarantee no longer holds — must refuse
+    val df = Seq("a", "a", "b", "c").toDF("tok")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.HeavyHitters.exact(df, share = 0.51, width = 1).collect()
+    }
+    assert(e.getMessage.contains("candidate set may miss"))
+  }
+
+  test("heavy hitters ignore null tokens instead of crashing") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Some("a"), Some("a"), Some("a"), None, Some("b"))
+      .toDF("tok")
+    val out = graft.operators.HeavyHitters.exact(df, share = 0.5, width = 7)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // n counts only the 4 non-null tokens; a (3) clears ceil-threshold 2
+    assert(out === Map("a" -> 3L))
+  }
 }

@@ -157,6 +157,63 @@ class EtlPipelineSpec extends SparkSpec {
     assert(none.isEmpty && none.columns.length === 7)
   }
 
+  test("quarantined rows do not read as deleted-at-source in an scd2 snapshot merge") {
+    val inbox = Files.createTempDirectory("graft_qpinbox").toString
+    val wh = Files.createTempDirectory("graft_qpwh").toString
+    val qdir = Files.createTempDirectory("graft_qpqtn").toString
+    val mappings = Seq(
+      FileMapping("terms_*.csv", "dwh_terms", "term_id", Seq("fee"), scd = 2,
+        decimalCols = Seq("fee")))
+    mkFile(inbox, "terms_01012024.csv", "term_id;fee\nT1;1,0\nT2;2,0\nT3;3,0\n")
+    EtlPipeline.run(spark, inbox, wh, mappings, runId = 31,
+      quarantineDir = Some(qdir))
+    // day 2: T2's fee is unparseable (quarantined), T3 is truly absent
+    mkFile(inbox, "terms_02012024.csv", "term_id;fee\nT1;1,5\nT2;zz\n")
+    val r2 = EtlPipeline.run(spark, inbox, wh, mappings, runId = 32,
+      quarantineDir = Some(qdir))
+    val cur = spark.read.parquet(s"$wh/dwh_terms")
+      .filter(col("effective_to") === "9999-12-31 00:00:00" && !col("deleted_flg"))
+    assert(cur.filter(col("term_id") === "T2").count() === 1,
+      "a quarantined key was PRESENT in the delivery — it must not tombstone")
+    assert(cur.filter(col("term_id") === "T3").isEmpty,
+      "a key truly absent from the snapshot still tombstones")
+    assert(cur.filter(col("term_id") === "T1" && col("fee") === 1.5).count() === 1)
+    assert(logRow(r2, "qtn_dwh_terms").getAs[Long]("rows_inserted") == 1)
+  }
+
+  test("streaming markers keep micro-batches distinct from batch run ids") {
+    val s = spark
+    import s.implicits._
+    val inDir = Files.createTempDirectory("graft_smk_in").toString
+    val wh = Files.createTempDirectory("graft_smk_wh").toString
+    // a prior BATCH run logged run_id 0 and 1 for this very table — the
+    // streaming dedup must not mistake those for its own batch ids
+    Seq((0L, "dwh_feed", 1L, 0L, 0L), (1L, "dwh_feed", 1L, 0L, 0L))
+      .toDF("run_id", "table_name", "rows_inserted", "rows_updated", "rows_deleted")
+      .withColumn("run_start_dt", current_timestamp())
+      .withColumn("run_end_dt", current_timestamp())
+      .write.mode("append").parquet(s"$wh/etl_run_log")
+
+    val m = TableMapping("feed", "dwh_feed", "id", Seq("v"), scd = 1)
+    def push(rows: Seq[(Long, Double)]): Unit =
+      rows.toDF("id", "v").coalesce(1).write.mode("append").parquet(inDir)
+    push(Seq((1L, 1.0)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val q = EtlPipeline.streamingMerge(
+      spark.readStream.schema(schema).parquet(inDir), wh, m)
+    try {
+      q.processAllAvailable()                      // batchId 0
+      push(Seq((2L, 2.0))); q.processAllAvailable() // batchId 1
+      assert(spark.read.parquet(s"$wh/dwh_feed").count() === 2,
+        "micro-batches 0 and 1 must merge despite batch log rows with ids 0/1")
+      val markers = spark.read.parquet(s"$wh/etl_run_log")
+        .filter(col("table_name") === "stream_dwh_feed")
+      assert(markers.count() === 2)
+    } finally q.stop()
+  }
+
   test("from-database run: incremental pull, key-list deletes, tombstone revival") {
     val s = spark
     import s.implicits._

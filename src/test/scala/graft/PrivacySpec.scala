@@ -9,20 +9,40 @@ class PrivacySpec extends SparkSpec {
   test("kAnonymize: every surviving QI group has >= k members, small groups suppress") {
     val s = spark
     import s.implicits._
-    // 1 group of 12, 1 of 3, 1 of 1 over (g, seg)
-    val rows = Seq.fill(12)(("a", "X")) ++ Seq.fill(3)(("b", "X")) ++ Seq(("c", "Y"))
+    // groups of 12, 3, 2 over (g, seg): base suppression = 3 + 2 = 5 = k,
+    // so the "*" bucket is already k-sized and 'a' survives untouched
+    val rows = Seq.fill(12)(("a", "X")) ++ Seq.fill(3)(("b", "X")) ++
+      Seq.fill(2)(("c", "Y"))
     val df = rows.zipWithIndex.map { case ((g, seg), i) => (i.toLong, g, seg) }
       .toDF("id", "g", "seg")
     val out = PrivacyQueries.kAnonymize(df, Seq("g", "seg"), 5).cache()
     try {
-      assert(out.count() === 16, "row count preserved")
+      assert(out.count() === 17, "row count preserved")
       val kept = out.filter(col("g_qi") =!= "*")
       assert(kept.groupBy("g_qi", "seg_qi").count().filter(col("count") < 5).isEmpty,
         "no surviving QI group smaller than k")
       assert(kept.select("g_qi").distinct().collect().map(_.getString(0)).toSet === Set("a"))
       // suppression collapses BOTH QI columns together
       assert(out.filter(col("g_qi") === "*" && col("seg_qi") =!= "*").isEmpty)
-      assert(out.filter(col("g_qi") === "*").count() === 4)
+      assert(out.filter(col("g_qi") === "*").count() === 5)
+    } finally out.unpersist()
+  }
+
+  test("kAnonymize: an undersized '*' bucket tops up from the smallest survivors") {
+    val s = spark
+    import s.implicits._
+    // base suppression = {c:1}, 1 < k=5 → the smallest survivor (b:4)
+    // must also collapse, making the bucket 5; 'a' (12) survives
+    val rows = Seq.fill(12)(("a", "X")) ++ Seq.fill(4)(("b", "X")) ++ Seq(("c", "Y"))
+    val df = rows.zipWithIndex.map { case ((g, seg), i) => (i.toLong, g, seg) }
+      .toDF("id", "g", "seg")
+    val out = PrivacyQueries.kAnonymize(df, Seq("g", "seg"), 5).cache()
+    try {
+      assert(out.filter(col("g_qi") === "*").count() === 5,
+        "bucket must reach k by absorbing the smallest surviving class")
+      assert(out.filter(col("g_qi") === "a").count() === 12)
+      // EVERY output class — '*' included — now has >= k members
+      assert(out.groupBy("g_qi", "seg_qi").count().filter(col("count") < 5).isEmpty)
     } finally out.unpersist()
   }
 
