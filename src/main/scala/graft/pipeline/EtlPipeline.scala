@@ -433,6 +433,47 @@ object EtlPipeline {
       }
       .start()
 
+  /** Close the quarantine loop: re-validate the rows parked at
+    * `<quarantineDir>/<targetName>` (after an operator fixed them in
+    * place, or after a mapping fix changed what's parseable) and merge
+    * the now-clean ones into the warehouse. Replayed rows leave the
+    * quarantine atomically (snapshot swap; the directory is removed
+    * outright when nothing remains); still-invalid rows stay with a
+    * recomputed `reject_reason` and their original `src_file`/`run_id`
+    * provenance. The merge is NoDeletes on purpose — a replay is an
+    * incremental arrival, never a snapshot, so it must not tombstone.
+    * Logs the merge under the target name plus a `qrp_<target>` row
+    * with the replayed count.
+    */
+  def replayQuarantine(spark: SparkSession, quarantineDir: String,
+                       warehouseDir: String, m: FileMapping,
+                       runId: Long): RunReport = {
+    val runStart = new java.sql.Timestamp(System.currentTimeMillis())
+    val path = s"$quarantineDir/${m.targetName}"
+    val logRows = Seq.newBuilder[(Long, String, Long, Long, Long)]
+    val fs = hadoopFs(spark, path)
+    if (fs.exists(new Path(path))) {
+      val qtn = spark.read.parquet(path)
+      val sp = DelimitedSource.validitySplit(
+        qtn.drop("reject_reason"), Seq(m.key), m.decimalCols)
+      val nGood = sp.good.count()
+      if (nGood > 0) {
+        val stg = sp.good.select(
+          (m.key +: m.payload).map(col) :+
+            col("create_dt").cast("timestamp").as("create_dt"): _*).persist()
+        logRows += ((runId, s"qrp_${m.targetName}", nGood, 0L, 0L))
+        mergeInto(spark, warehouseDir,
+          TableMapping(m.template, m.targetName, m.key, m.payload, m.scd),
+          stg, runId, deleteTs = "9999-12-31 00:00:00", Scd.NoDeletes, logRows)
+        stg.unpersist(blocking = false)
+        if (sp.bad.isEmpty) fs.delete(new Path(path), true)
+        else writeSwap(sp.bad, path)
+      }
+    }
+    val log = writeRunLog(spark, warehouseDir, logRows.result(), runStart)
+    RunReport(runId, log, Seq.empty, Seq.empty)
+  }
+
   /** Shared merge→log→snapshot-swap step for both the file and the
     * database loops.
     */

@@ -64,7 +64,19 @@ object DelimitedSource {
   def readWithQuarantine(spark: SparkSession, pathGlob: String,
                          requiredCols: Seq[String],
                          decimalCols: Seq[String]): QuarantinedRead = {
-    val raw = read(spark, pathGlob)
+    val sp = validitySplit(read(spark, pathGlob), requiredCols, decimalCols)
+    sp.copy(bad = sp.bad.withColumn("src_file", input_file_name()))
+  }
+
+  /** The validity split itself, applicable to ANY frame of raw string
+    * columns — the file reader above and the quarantine REPLAY path
+    * (`EtlPipeline.replayQuarantine`, where the input is the quarantine
+    * table, not a file) share it. `bad` gains `reject_reason` only;
+    * extra columns on the input (e.g. a preserved `src_file`) pass
+    * through both sides untouched.
+    */
+  def validitySplit(raw: DataFrame, requiredCols: Seq[String],
+                    decimalCols: Seq[String]): QuarantinedRead = {
     val missing = requiredCols
       .map(c => col(c).isNull || trim(col(c)) === "")
       .foldLeft(lit(false))(_ || _)
@@ -76,7 +88,6 @@ object DelimitedSource {
     val bad = flagged.filter(col("__missing") || col("__badnum"))
       .withColumn("reject_reason",
         when(col("__missing"), "missing_required").otherwise("bad_decimal"))
-      .withColumn("src_file", input_file_name())
       .drop("__missing", "__badnum")
     val good = normalizeDecimalColumns(
       flagged.filter(!col("__missing") && !col("__badnum"))

@@ -181,6 +181,51 @@ class EtlPipelineSpec extends SparkSpec {
     assert(logRow(r2, "qtn_dwh_terms").getAs[Long]("rows_inserted") == 1)
   }
 
+  test("replayQuarantine merges fixed rows, keeps still-bad ones, clears when empty") {
+    val inbox = Files.createTempDirectory("graft_rpinbox").toString
+    val wh = Files.createTempDirectory("graft_rpwh").toString
+    val qdir = Files.createTempDirectory("graft_rpqtn").toString
+    val m = FileMapping("rates_*.csv", "dwh_rates", "cur", Seq("rate"), scd = 1,
+      decimalCols = Seq("rate"))
+    mkFile(inbox, "rates_01012024.csv", "cur;rate\nUSD;90,5\nJPY;zz\nGBP;xx\n")
+    EtlPipeline.run(spark, inbox, wh, Seq(m), runId = 41,
+      quarantineDir = Some(qdir))
+    assert(spark.read.parquet(s"$qdir/dwh_rates").count() === 2)
+
+    // operator fixes ONE of the two parked rows in place
+    val fixed = spark.read.parquet(s"$qdir/dwh_rates")
+      .withColumn("rate",
+        when(col("cur") === "JPY", "0,65").otherwise(col("rate")))
+    val tmp = Files.createTempDirectory("graft_rpfix").toString
+    fixed.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(s"$qdir/dwh_rates")
+
+    val r = EtlPipeline.replayQuarantine(spark, qdir, wh, m, runId = 42)
+    val rates = spark.read.parquet(s"$wh/dwh_rates").collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(rates === Map("USD" -> 90.5, "JPY" -> 0.65),
+      "the fixed row merges; the still-broken one does not")
+    val remaining = spark.read.parquet(s"$qdir/dwh_rates").cache()
+    try {
+      assert(remaining.count() === 1 &&
+        remaining.head().getAs[String]("cur") === "GBP")
+      assert(remaining.head().getAs[String]("src_file")
+        .contains("rates_01012024.csv"), "original provenance survives replay")
+    } finally remaining.unpersist()
+    assert(logRow(r, "qrp_dwh_rates").getAs[Long]("rows_inserted") == 1)
+
+    // fix the last row too: quarantine directory disappears entirely
+    val fixed2 = spark.read.parquet(s"$qdir/dwh_rates")
+      .withColumn("rate", lit("1,15"))
+    val tmp2 = Files.createTempDirectory("graft_rpfix2").toString
+    fixed2.write.mode("overwrite").parquet(tmp2)
+    spark.read.parquet(tmp2).write.mode("overwrite").parquet(s"$qdir/dwh_rates")
+    EtlPipeline.replayQuarantine(spark, qdir, wh, m, runId = 43)
+    assert(!new java.io.File(s"$qdir/dwh_rates").exists(),
+      "an emptied quarantine leaves no directory behind")
+    assert(spark.read.parquet(s"$wh/dwh_rates").count() === 3)
+  }
+
   test("streaming markers keep micro-batches distinct from batch run ids") {
     val s = spark
     import s.implicits._
