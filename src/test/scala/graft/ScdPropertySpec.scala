@@ -97,6 +97,40 @@ class ScdPropertySpec extends SparkSpec {
     }
   }
 
+  test("random snapshot sequences: the PIT view at every day reproduces that day's snapshot") {
+    // The totality property behind the whole warehouse: fold ANY
+    // sequence of daily snapshots through scd2Merge (creates, changes,
+    // deletes, revivals, no-ops in arbitrary mixes) and the
+    // point-in-time view at each day's midday must equal that day's
+    // snapshot EXACTLY — history is a lossless index of every state
+    // the source ever presented.
+    val dayGen: Gen[Map[Long, String]] =
+      Gen.listOf(Gen.zip(Gen.choose(1L, 6L), Gen.oneOf("a", "b", "c"))).map(_.toMap)
+    forAllSamples(Gen.listOfN(5, dayGen), 4) { days =>
+      var hist = Seq.empty[(Long, String)].toDF("k", "state")
+        .withColumn("effective_from", lit(null).cast("timestamp"))
+        .withColumn("effective_to", lit(null).cast("timestamp"))
+        .withColumn("deleted_flg", lit(false))
+      days.zipWithIndex.foreach { case (snap, i) =>
+        val ts = f"2024-03-${i + 1}%02d 00:00:00"
+        val stg = snap.toSeq.toDF("k", "state")
+          .withColumn("create_dt", lit(ts).cast("timestamp"))
+        // checkpoint per day: bounds plan depth across the fold
+        hist = Scd.scd2Merge(hist, stg, "k", Seq("state"), deleteTs = ts)
+          .localCheckpoint()
+      }
+      days.zipWithIndex.foreach { case (snap, i) =>
+        val probe = lit(f"2024-03-${i + 1}%02d 12:00:00").cast("timestamp")
+        val pit = hist
+          .filter(col("effective_from") <= probe && col("effective_to") >= probe &&
+            !col("deleted_flg"))
+          .select("k", "state").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(pit === snap, s"PIT at day ${i + 1} must equal that day's snapshot")
+      }
+    }
+  }
+
   test("scd2MergeIncremental tombstones changed-then-deleted and created-then-deleted keys") {
     def ts(x: String) = java.sql.Timestamp.valueOf(x)
     val openEnd = lit(Scd.OpenEnd).cast("timestamp")
