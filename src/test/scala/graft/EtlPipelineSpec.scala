@@ -95,6 +95,39 @@ class EtlPipelineSpec extends SparkSpec {
     assert(fullLog.filter(col("run_id") === 2).count() == 4)
   }
 
+  test("random daily deliveries: warehouse PIT reproduces every delivered snapshot") {
+    // The file-loop totality property (end-to-end sibling of
+    // ScdPropertySpec's operator-level fold): deliver random daily
+    // snapshot files — creates, changes, deletes, revivals, empty
+    // days, decimal commas — through run(), then the warehouse's
+    // point-in-time view at each day's midday must equal exactly what
+    // that day's file said.
+    for (seed <- Seq(7L, 21L)) {
+      val rnd = new scala.util.Random(seed)
+      val inbox = Files.createTempDirectory(s"graft_pt_in$seed").toString
+      val wh = Files.createTempDirectory(s"graft_pt_wh$seed").toString
+      val m = FileMapping("snap_*.csv", "dwh_snap", "k", Seq("v"), scd = 2,
+        decimalCols = Seq("v"))
+      val days = (1 to 4).map { d =>
+        val snap = (1 to 6).filter(_ => rnd.nextBoolean())
+          .map(i => s"K$i" -> s"${rnd.nextInt(100)},5").toMap
+        mkFile(inbox, f"snap_${d}%02d012024.csv",
+          "k;v\n" + snap.map { case (k, v) => s"$k;$v" }.mkString("\n") + "\n")
+        EtlPipeline.run(spark, inbox, wh, Seq(m), runId = d)
+        snap.map { case (k, v) => k -> v.replace(',', '.').toDouble }
+      }
+      days.zipWithIndex.foreach { case (snap, i) =>
+        val probe = lit(f"2024-01-${i + 1}%02d 12:00:00").cast("timestamp")
+        val pit = spark.read.parquet(s"$wh/dwh_snap")
+          .filter(col("effective_from") <= probe && col("effective_to") >= probe &&
+            !col("deleted_flg"))
+          .select("k", "v").collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(pit === snap, s"seed $seed day ${i + 1}: PIT must equal the file")
+      }
+    }
+  }
+
   test("quarantine routes bad rows out of the merge and logs reject counts") {
     val inbox = Files.createTempDirectory("graft_qinbox").toString
     val wh = Files.createTempDirectory("graft_qwh").toString
