@@ -117,7 +117,7 @@ object Dedup {
     if (vocab > maxVocab) {
       // release the over-bound dictionary before refusing — it would
       // otherwise pin vocabulary-sized storage until releaseCaches()
-      dict.unpersist(blocking = false)
+      caches.releaseOne(dict)
       throw new IllegalArgumentException(
         s"shingle vocabulary $vocab exceeds graft.dedup.maxBitmapVocab=$maxVocab: " +
           s"the dense-bitmap verifier would broadcast a $vocab-entry dictionary and " +
@@ -200,8 +200,9 @@ object Dedup {
         if (vocab <= maxVocab) (denseBitmaps(sh, dict, vocab, idCol), false)
         else {
           // the dictionary was persisted only to price the dispatch —
-          // release it, the hashed path never reads it
-          dict.unpersist(blocking = false)
+          // release it (and drop its tracker entry), the hashed path
+          // never reads it
+          caches.releaseOne(dict)
           if (mode == "auto") (hashSetsFromShingles(sh, idCol), true)
           else throw new IllegalArgumentException(
             s"shingle vocabulary $vocab exceeds graft.dedup.maxBitmapVocab=$maxVocab " +

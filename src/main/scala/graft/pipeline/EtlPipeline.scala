@@ -221,6 +221,7 @@ object EtlPipeline {
     val archived = Seq.newBuilder[String]
 
     mappings.foreach { m =>
+      requireValidTarget(m.targetName)
       val last = wm.get(m.targetName)
       val fresh = FileIngest.find(spark, inboxDir, Seq(m.template))
         .map(p => (p, businessDate(p)))
@@ -353,6 +354,7 @@ object EtlPipeline {
 
     feeds.foreach { f =>
       val m = f.mapping
+      requireValidTarget(m.targetName)
       val watermark = wm.getOrElse(m.targetName, "1900-01-01 00:00:00")
       val changeTs = f.updateCol match {
         case Some(u) => coalesce(col(u), col(f.createCol))
@@ -407,7 +409,8 @@ object EtlPipeline {
     * `mapping.key`, `mapping.payload`, and (for scd=2) `create_dt`.
     */
   def streamingMerge(stream: DataFrame, warehouseDir: String,
-                     m: TableMapping): org.apache.spark.sql.streaming.StreamingQuery =
+                     m: TableMapping): org.apache.spark.sql.streaming.StreamingQuery = {
+    requireValidTarget(m.targetName)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -432,22 +435,36 @@ object EtlPipeline {
         ()
       }
       .start()
+  }
 
   /** Close the quarantine loop: re-validate the rows parked at
     * `<quarantineDir>/<targetName>` (after an operator fixed them in
     * place, or after a mapping fix changed what's parseable) and merge
-    * the now-clean ones into the warehouse. Replayed rows leave the
-    * quarantine atomically (snapshot swap; the directory is removed
-    * outright when nothing remains); still-invalid rows stay with a
-    * recomputed `reject_reason` and their original `src_file`/`run_id`
-    * provenance. The merge is NoDeletes on purpose — a replay is an
-    * incremental arrival, never a snapshot, so it must not tombstone.
-    * Logs the merge under the target name plus a `qrp_<target>` row
-    * with the replayed count.
+    * the now-clean ones into the warehouse.
+    *
+    * Freshness: the file loop delivers FULL SNAPSHOTS, so any delivery
+    * after a quarantined row's business date supersedes it wholesale —
+    * replaying a stale row would clobber newer state (and invert scd2
+    * intervals, whose merge requires forward-ordered arrivals). Only
+    * rows from the table's LATEST merged epoch (`create_dt` equal to
+    * the stored business-date watermark) merge; older now-valid rows
+    * are dropped as superseded, counted in the `qrp_<target>` log
+    * row's `rows_deleted`. The merge is NoDeletes — a replay is an
+    * arrival, never a snapshot, so it must not tombstone.
+    *
+    * The quarantine shrinks atomically (snapshot swap; the directory
+    * is removed outright when nothing remains); still-invalid rows
+    * stay with a recomputed `reject_reason` and original
+    * `src_file`/`run_id` provenance. Pass the same `marts` map as
+    * `run` to refresh marts afterwards — note a `MartAccumulate`
+    * whose stored watermark already covers the replayed rows' dates
+    * will not re-derive them (strictly-greater contract); pair
+    * replay-heavy feeds with `MartRebuild` or a lookback increment.
     */
   def replayQuarantine(spark: SparkSession, quarantineDir: String,
-                       warehouseDir: String, m: FileMapping,
-                       runId: Long): RunReport = {
+                       warehouseDir: String, m: FileMapping, runId: Long,
+                       marts: Map[String, MartRefresh] = Map.empty): RunReport = {
+    requireValidTarget(m.targetName)
     val runStart = new java.sql.Timestamp(System.currentTimeMillis())
     val path = s"$quarantineDir/${m.targetName}"
     val logRows = Seq.newBuilder[(Long, String, Long, Long, Long)]
@@ -456,23 +473,44 @@ object EtlPipeline {
       val qtn = spark.read.parquet(path)
       val sp = DelimitedSource.validitySplit(
         qtn.drop("reject_reason"), Seq(m.key), m.decimalCols)
-      val nGood = sp.good.count()
-      if (nGood > 0) {
-        val stg = sp.good.select(
-          (m.key +: m.payload).map(col) :+
-            col("create_dt").cast("timestamp").as("create_dt"): _*).persist()
-        logRows += ((runId, s"qrp_${m.targetName}", nGood, 0L, 0L))
-        mergeInto(spark, warehouseDir,
-          TableMapping(m.template, m.targetName, m.key, m.payload, m.scd),
-          stg, runId, deleteTs = "9999-12-31 00:00:00", Scd.NoDeletes, logRows)
-        stg.unpersist(blocking = false)
+      val current = loadWatermarks(spark, warehouseDir).get(m.targetName) match {
+        case Some(d) => sp.good.filter(col("create_dt").cast("date") >= lit(d.toString).cast("date"))
+        case None    => sp.good
+      }
+      val nGood = current.count()
+      val nStale = sp.good.count() - nGood
+      if (nGood > 0 || nStale > 0) {
+        logRows += ((runId, s"qrp_${m.targetName}", nGood, 0L, nStale))
+        if (nGood > 0) {
+          val stg = current.select(
+            (m.key +: m.payload).map(col) :+
+              col("create_dt").cast("timestamp").as("create_dt"): _*).persist()
+          mergeInto(spark, warehouseDir,
+            TableMapping(m.template, m.targetName, m.key, m.payload, m.scd),
+            stg, runId, deleteTs = "9999-12-31 00:00:00", Scd.NoDeletes, logRows)
+          stg.unpersist(blocking = false)
+        }
+        // replayed AND superseded rows both leave; only still-invalid stay
         if (sp.bad.isEmpty) fs.delete(new Path(path), true)
         else writeSwap(sp.bad, path)
       }
     }
     val log = writeRunLog(spark, warehouseDir, logRows.result(), runStart)
+    marts.foreach { case (name, how) => refreshMart(spark, warehouseDir, name, how) }
     RunReport(runId, log, Seq.empty, Seq.empty)
   }
+
+  // The run-log's table_name column doubles as a namespace: staging
+  // counts log as stg_<target>, quarantine as qtn_/qrp_<target>, and
+  // streaming idempotence markers as stream_<target>. A real target
+  // named with one of these prefixes would collide (e.g. a table
+  // literally called stream_x shares rows with streaming markers for
+  // x, which can silently skip live micro-batches) — refused up front.
+  private val ReservedPrefixes = Seq("stg_", "qtn_", "qrp_", "stream_")
+  private def requireValidTarget(name: String): Unit =
+    require(!ReservedPrefixes.exists(name.startsWith),
+      s"target name '$name' starts with a reserved run-log prefix " +
+        s"(${ReservedPrefixes.mkString(", ")}) — pick another name")
 
   /** Shared merge→log→snapshot-swap step for both the file and the
     * database loops.

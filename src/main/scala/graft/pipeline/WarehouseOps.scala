@@ -18,12 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object WarehouseOps {
 
-  private val MetaTables = Set("etl_watermark", "etl_run_log")
+  private val MetaTables = Set("etl_watermark", "etl_watermark_ts", "etl_run_log")
 
   /** One row per warehouse table: file/byte footprint, last file
-    * modification, stored business-date watermark (null when the table
-    * has none), and the id/time of the last run that wrote it (null
-    * when never logged). Meta tables themselves are excluded.
+    * modification, stored watermark — the file loop's business date or
+    * the database loop's timestamp, whichever store names the table
+    * (null when neither does) — and the id/time of the LAST run that
+    * wrote it, taken from one run-log row (struct-max on
+    * (run_end_dt, run_id), so the pair is internally consistent even
+    * when caller-supplied run ids aren't time-ordered). Meta tables
+    * themselves are excluded.
     */
   def inventory(spark: SparkSession, warehouseDir: String): DataFrame = {
     import spark.implicits._
@@ -47,19 +51,22 @@ object WarehouseOps {
         if (lastMod == 0) null else new java.sql.Timestamp(lastMod))
     }.toSeq.toDF("table_name", "n_files", "total_bytes", "last_modified")
 
-    val wmPath = s"$warehouseDir/etl_watermark"
-    val wm =
-      if (fs.exists(new Path(wmPath)))
-        spark.read.parquet(wmPath).toDF("table_name", "watermark")
+    def wmStore(name: String) = {
+      val p = s"$warehouseDir/$name"
+      if (fs.exists(new Path(p)))
+        spark.read.parquet(p).toDF("table_name", "watermark")
       else Seq.empty[(String, String)].toDF("table_name", "watermark")
+    }
+    val wm = wmStore("etl_watermark").unionByName(wmStore("etl_watermark_ts"))
 
     val logPath = s"$warehouseDir/etl_run_log"
     val lastRun =
       if (fs.exists(new Path(logPath)))
         spark.read.parquet(logPath)
           .groupBy("table_name")
-          .agg(max("run_id").as("last_run_id"),
-            max("run_end_dt").as("last_run_dt"))
+          .agg(max(struct(col("run_end_dt"), col("run_id"))).as("lr"))
+          .select(col("table_name"), col("lr.run_id").as("last_run_id"),
+            col("lr.run_end_dt").as("last_run_dt"))
       else Seq.empty[(String, Long, java.sql.Timestamp)]
         .toDF("table_name", "last_run_id", "last_run_dt")
 

@@ -72,7 +72,15 @@ object PrivacyQueries {
         col("__qi_n") < k ||
           (col("__s_base") > 0 && col("__s_base") + col("__cum_before") < k))
       .select((quasiIds.map(col) :+ col("__sup")): _*)
-    val joined = df.join(broadcast(flagged), quasiIds)
+    // null-safe join: a null QI value forms its own group (groupBy
+    // already counted it) and must flow through like any other —
+    // a plain equi-join would silently DROP null-QI rows, losing
+    // records from a governance extract
+    val fl = flagged.select(
+      (quasiIds.map(q => col(q).as(s"__f_$q")) :+ col("__sup")): _*)
+    val cond = quasiIds.map(q => col(q) <=> col(s"__f_$q")).reduce(_ && _)
+    val joined = df.join(broadcast(fl), cond)
+      .drop(quasiIds.map(q => s"__f_$q"): _*)
     quasiIds.foldLeft(joined) { (d, q) =>
       d.withColumn(s"${q}_qi",
         when(!col("__sup"), col(q).cast("string")).otherwise(lit("*")))

@@ -24,4 +24,14 @@ final class CacheTracker {
     tracked.foreach(_.unpersist(blocking = false))
     tracked.clear()
   }
+
+  /** Unpersist ONE tracked frame and forget it — for early releases
+    * (e.g. a dispatch decision abandoning a probe frame) that would
+    * otherwise leave a dead reference pinned until [[release]].
+    */
+  def releaseOne(df: DataFrame): Unit = tracked.synchronized {
+    df.unpersist(blocking = false)
+    val i = tracked.indexWhere(_ eq df)
+    if (i >= 0) tracked.remove(i)
+  }
 }

@@ -259,6 +259,49 @@ class EtlPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$wh/dwh_rates").count() === 3)
   }
 
+  test("replayQuarantine drops rows superseded by a later snapshot instead of clobbering") {
+    val inbox = Files.createTempDirectory("graft_stinbox").toString
+    val wh = Files.createTempDirectory("graft_stwh").toString
+    val qdir = Files.createTempDirectory("graft_stqtn").toString
+    val m = FileMapping("rates_*.csv", "dwh_rates", "cur", Seq("rate"), scd = 1,
+      decimalCols = Seq("rate"))
+    // day 1 quarantines USD; day 2 delivers a NEWER parseable USD
+    mkFile(inbox, "rates_01012024.csv", "cur;rate\nUSD;zz\nEUR;99,0\n")
+    EtlPipeline.run(spark, inbox, wh, Seq(m), runId = 51,
+      quarantineDir = Some(qdir))
+    mkFile(inbox, "rates_02012024.csv", "cur;rate\nUSD;92,0\nEUR;99,0\n")
+    EtlPipeline.run(spark, inbox, wh, Seq(m), runId = 52,
+      quarantineDir = Some(qdir))
+    // operator "fixes" the stale day-1 USD row
+    val fixed = spark.read.parquet(s"$qdir/dwh_rates")
+      .withColumn("rate", lit("90,5"))
+    val tmp = Files.createTempDirectory("graft_stfix").toString
+    fixed.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(s"$qdir/dwh_rates")
+    val r = EtlPipeline.replayQuarantine(spark, qdir, wh, m, runId = 53)
+    assert(spark.read.parquet(s"$wh/dwh_rates")
+      .filter(col("cur") === "USD").head().getAs[Double]("rate") === 92.0,
+      "the day-2 value must survive — a stale replay cannot clobber it")
+    val qrp = logRow(r, "qrp_dwh_rates")
+    assert(qrp.getAs[Long]("rows_inserted") === 0L &&
+      qrp.getAs[Long]("rows_deleted") === 1L,
+      "the superseded row is dropped, not merged")
+    assert(!new java.io.File(s"$qdir/dwh_rates").exists(),
+      "superseded rows leave the quarantine too")
+  }
+
+  test("reserved run-log prefixes are refused as target names") {
+    val wh = Files.createTempDirectory("graft_rsv").toString
+    intercept[IllegalArgumentException] {
+      EtlPipeline.run(spark, wh, wh,
+        Seq(FileMapping("x_*.csv", "stream_x", "k", Seq("v"), scd = 1)), runId = 1)
+    }
+    intercept[IllegalArgumentException] {
+      EtlPipeline.replayQuarantine(spark, wh, wh,
+        FileMapping("x_*.csv", "qtn_x", "k", Seq("v"), scd = 1), runId = 1)
+    }
+  }
+
   test("streaming markers keep micro-batches distinct from batch run ids") {
     val s = spark
     import s.implicits._

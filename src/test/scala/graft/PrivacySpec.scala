@@ -28,6 +28,25 @@ class PrivacySpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("kAnonymize: null QI values form a class and are never dropped") {
+    val s = spark
+    import s.implicits._
+    // 6 rows with a NULL nation + 12 with 'a': null class >= k survives
+    // as its own (string "null" never appears — suppression or the
+    // null itself render it); plain equi-join semantics would LOSE the
+    // null rows entirely
+    val rows = Seq.fill(6)((Option.empty[String], "X")) ++
+      Seq.fill(12)((Option("a"), "X"))
+    val df = rows.zipWithIndex.map { case ((g, seg), i) => (i.toLong, g, seg) }
+      .toDF("id", "g", "seg")
+    val out = PrivacyQueries.kAnonymize(df, Seq("g", "seg"), 5).cache()
+    try {
+      assert(out.count() === 18, "null-QI rows must not vanish from the extract")
+      assert(out.groupBy("g_qi", "seg_qi").count().filter(col("count") < 5).isEmpty)
+      assert(out.filter(col("g").isNull).count() === 6)
+    } finally out.unpersist()
+  }
+
   test("kAnonymize: an undersized '*' bucket tops up from the smallest survivors") {
     val s = spark
     import s.implicits._
