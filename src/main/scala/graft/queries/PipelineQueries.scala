@@ -443,7 +443,48 @@ object PipelineQueries {
   // window formulation.
   val q102Sql: String = q63Sql
 
+  // --- q110: weight-biased stratified sampling — sample higher-value
+  // documents at a higher rate (the "quality-weighted corpus sample"
+  // op; here weight by lang: en 3×, zh 2×, rest 1×). Classic order
+  // sampling (Rosén 1997): keep the k smallest of key/weight per
+  // stratum, so a w-weighted item is selected roughly w× as often.
+  // The division is EXACT-INTEGER via the LCM rescale — key ·
+  // (LCM/w) with LCM(1,2,3)=6 orders identically to key/w with no
+  // float anywhere, so both engines agree bit-for-bit (true
+  // Efraimidis-Spirakis PPS needs u^(1/w) — libm, not
+  // oracle-portable). Same mergeable-summary scale shape as q102:
+  // GroupSample's bottom-k Aggregator folds each partition to ≤ k
+  // pairs, the shuffle carries strata·k rows, no per-stratum sort of
+  // the corpus.
+  def q110(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val samp = udaf(new graft.operators.GroupSample.GroupSampleAgg(8),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    val invW = when(col("lang") === "en", 2L)
+      .when(col("lang") === "zh", 3L).otherwise(6L) // LCM(1,2,3)/w
+    Tables.documents(s, dir)
+      .select(col("source"),
+        (pmod(col("doc_id") * 48271L + 12821L, lit(1000003L)) * invW).as("wkey"),
+        col("doc_id"))
+      .groupBy("source")
+      .agg(samp(col("wkey"), col("doc_id")).as("s"))
+      .select(col("source"), posexplode(col("s.ids")))
+      .select(col("source"), col("col").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
+  val q110Sql: String =
+    """WITH w AS (SELECT source, doc_id,
+      |  ((doc_id*48271+12821)%1000003)
+      |    * (CASE lang WHEN 'en' THEN 2 WHEN 'zh' THEN 3 ELSE 6 END) AS wkey
+      | FROM documents),
+      |r AS (SELECT source, doc_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY wkey, doc_id) AS INT) AS rk
+      | FROM w)
+      |SELECT source, doc_id, rk FROM r WHERE rk <= 8""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_weighted_sample"  -> (q110 _),
     "q79_interleave"        -> (q79 _),
     "q102_sample_sketch"    -> (q102 _),
     "q106_epoch_shuffle"    -> (q106 _),
@@ -465,6 +506,7 @@ object PipelineQueries {
     "q102_sample_sketch"    -> q102Sql,
     "q106_epoch_shuffle"    -> q106Sql,
     "q109_triangles"        -> q109Sql,
+    "q110_weighted_sample"  -> q110Sql,
     "q62_hash_split"        -> q62Sql,
     "q63_stratified_sample" -> q63Sql,
     "q64_pack_sequences"    -> q64Sql,

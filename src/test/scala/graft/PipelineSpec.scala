@@ -25,6 +25,30 @@ class PipelineSpec extends SparkSpec {
     assert(got.nonEmpty, "threshold must leave a non-trivial graph at test scale")
   }
 
+  test("q110 weighted sample: k per stratum, higher-weight langs sampled at higher rates") {
+    val out = PipelineQueries.q110(spark, sf).cache()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    try {
+      // exactly min(8, stratum size) per source, no duplicate docs
+      val sizes = docs.groupBy("source").count()
+      val bad = out.groupBy("source")
+        .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("nd"))
+        .join(sizes, Seq("source"))
+        .filter(col("n") =!= least(lit(8L), col("count")) || col("n") =!= col("nd"))
+      assert(bad.isEmpty)
+      // inclusion rate must order with the weights: en(3) > zh(2) > rest(1)
+      val rates = out.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val base = docs.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      def rate(l: String) = rates.getOrElse(l, 0L).toDouble / base(l)
+      val restAvg = base.keys.filterNot(Set("en", "zh")).map(rate).sum /
+        base.keys.count(!Set("en", "zh").contains(_))
+      assert(rate("en") > rate("zh") && rate("zh") > restAvg,
+        s"weights must order the inclusion rates: en=${rate("en")} zh=${rate("zh")} rest=$restAvg")
+    } finally out.unpersist()
+  }
+
   test("q62 hash split: pure (same id -> same split), partitions all docs") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val out = PipelineQueries.q62(spark, sf)
