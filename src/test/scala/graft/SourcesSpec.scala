@@ -24,6 +24,16 @@ class SourcesSpec extends SparkSpec {
     assert(r.getAs[java.sql.Date]("create_dt").toString == "2024-03-15")
   }
 
+  test("delimited reader tolerates a UTF-8 BOM: first header name comes out clean") {
+    val dir = Files.createTempDirectory("graft_bom").toString
+    val bytes = ("﻿" + "cur;rate\nUSD;90,5\n").getBytes("UTF-8")
+    Files.write(java.nio.file.Paths.get(dir, "rates_01012024.csv"), bytes)
+    val df = DelimitedSource.read(spark, s"$dir/rates_*.csv")
+    assert(df.columns.take(2).toSeq === Seq("cur", "rate"),
+      s"BOM must not leak into the first column name, got ${df.columns.toSeq}")
+    assert(df.filter(col("cur") === "USD").count() === 1)
+  }
+
   test("xlsx reader round-trips shared strings, numbers, skipped cells, filename dates") {
     val dir = Files.createTempDirectory("graft_xlsx").toString
     TestXlsx.write(s"$dir/terminals_02032024.xlsx",
