@@ -346,7 +346,55 @@ object AnalyticsQueries {
       | ROUND(p.n_trans / t.n_from, 6) AS p_trans
       |FROM p JOIN t USING (prev_type)""".stripMargin
 
+  // --- q111: pareto frontier (skyline) per language on (length,
+  // lexical diversity) — the data-selection primitive "which documents
+  // are not strictly beaten on BOTH axes", used to pick the
+  // quality-vs-cost frontier of a corpus. A doc is dominated iff some
+  // same-lang doc has x' ≥ x ∧ y' ≥ y with one strict.
+  //
+  // Scale shape: frontier membership depends only on (lang, x, y) and
+  // only the max-y point at each x can survive, so the corpus first
+  // partial-aggregates to max(y) per (lang, x) — a bounded set (langs ×
+  // distinct doc lengths, NOT corpus-sized) — the classic desc-x sweep
+  // (running max of y) runs as a window over THAT bounded frame, and
+  // the surviving (lang, x, y) triples broadcast-semi-join back to
+  // recover every frontier document. One partial-agg shuffle over the
+  // corpus + metadata-sized window + broadcast join — never a
+  // per-lang sort of the full corpus (the naive window formulation the
+  // oracle uses would sort billions of rows inside ≤ |langs|
+  // partitions at 100 TB).
+  def q111(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(trim(col("text")), "\\s+"),
+      (t: org.apache.spark.sql.Column) => t =!= "")
+    val d = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars").as("x"),
+        size(array_distinct(toks)).cast("long").as("y"))
+    val reduced = d.groupBy("lang", "x").agg(max("y").as("y"))
+    val wGt = Window.partitionBy("lang").orderBy(col("x").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val frontier = reduced
+      .withColumn("max_y_gt", max("y").over(wGt))
+      .filter(coalesce(col("max_y_gt"), lit(-1L)) < col("y"))
+      .select("lang", "x", "y")
+    d.join(broadcast(frontier), Seq("lang", "x", "y"))
+      .select("lang", "doc_id", "x", "y")
+  }
+
+  val q111Sql: String =
+    """WITH d AS (SELECT lang, doc_id, n_chars AS x,
+      |  CAST(LEN(LIST_DISTINCT(LIST_FILTER(
+      |    STRING_SPLIT_REGEX(TRIM(text), '\s+'), t -> t <> ''))) AS BIGINT) AS y
+      | FROM documents),
+      |w AS (SELECT *,
+      |  MAX(y) OVER (PARTITION BY lang ORDER BY x DESC
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_y_gt,
+      |  MAX(y) OVER (PARTITION BY lang, x) AS max_y_eq
+      | FROM d)
+      |SELECT lang, doc_id, x, y FROM w
+      |WHERE NOT (max_y_eq > y) AND NOT (COALESCE(max_y_gt, -1) >= y)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_pareto_frontier" -> (q111 _),
     "q104_transitions"  -> (q104 _),
     "q86_concurrency"   -> (q86 _),
     "q87_fuzzy_join"    -> (q87 _),
@@ -358,6 +406,7 @@ object AnalyticsQueries {
     "q93_skew_profile"  -> (q93 _))
 
   val oracle: Map[String, String] = Map(
+    "q111_pareto_frontier" -> q111Sql,
     "q104_transitions"  -> q104Sql,
     "q86_concurrency"   -> q86Sql,
     "q87_fuzzy_join"    -> q87Sql,

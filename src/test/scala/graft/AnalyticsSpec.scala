@@ -6,6 +6,32 @@ import graft.queries.AnalyticsQueries
 
 class AnalyticsSpec extends SparkSpec {
 
+  test("q111 frontier: complete characterization — output undominated, excluded dominated") {
+    val toks = filter(split(trim(col("text")), "\\s+"),
+      (t: org.apache.spark.sql.Column) => t =!= "")
+    val d = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"), col("n_chars").as("x"),
+        size(array_distinct(toks)).cast("long").as("y")).cache()
+    val out = graft.queries.AnalyticsQueries.q111(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      // no output point is dominated by ANY input point
+      val dominatedOut = out.as("f").join(d.as("p"),
+        col("f.lang") === col("p.lang") &&
+          col("p.x") >= col("f.x") && col("p.y") >= col("f.y") &&
+          (col("p.x") > col("f.x") || col("p.y") > col("f.y")))
+      assert(dominatedOut.isEmpty, "a frontier point must be undominated")
+      // every excluded point is dominated by SOME frontier point
+      val excluded = d.join(out.select("doc_id"), Seq("doc_id"), "left_anti")
+      val undomExcluded = excluded.as("e").join(out.as("f"),
+        col("e.lang") === col("f.lang") &&
+          col("f.x") >= col("e.x") && col("f.y") >= col("e.y") &&
+          (col("f.x") > col("e.x") || col("f.y") > col("e.y")), "left_anti")
+      assert(undomExcluded.isEmpty,
+        "every excluded point must be dominated by a frontier point")
+    } finally { out.unpersist(); d.unpersist() }
+  }
+
   test("q86 concurrency: peak bounded by day volume, every event day present") {
     val out = AnalyticsQueries.q86(spark, sf).cache()
     val ev = graft.sources.Tables.events(spark, sf)
