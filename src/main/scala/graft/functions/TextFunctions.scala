@@ -13,6 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Whitespace tokens of a text column, empty tokens removed,
+    * case-preserving — the shared tokenizer expression under q94's
+    * chunking, q111's lexical-diversity axis, and their specs. One
+    * definition: oracle parity depends on the exact regex and
+    * empty-token semantics (`trim` strips only spaces in both engines,
+    * so tab-only text still needs the empty filter), and drifting
+    * copies would silently break hash-match.
+    */
+  def wsTokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
   /** Ordered word-bigram stream: one row per adjacent token pair of
     * each document — the shared primitive under q71 (transition counts),
     * q80 (LM scoring) and q88 (token-graph edges).

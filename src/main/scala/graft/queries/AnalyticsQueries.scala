@@ -353,31 +353,33 @@ object AnalyticsQueries {
   // same-lang doc has x' ≥ x ∧ y' ≥ y with one strict.
   //
   // Scale shape: frontier membership depends only on (lang, x, y) and
-  // only the max-y point at each x can survive, so the corpus first
-  // partial-aggregates to max(y) per (lang, x) — a bounded set (langs ×
-  // distinct doc lengths, NOT corpus-sized) — the classic desc-x sweep
-  // (running max of y) runs as a window over THAT bounded frame, and
-  // the surviving (lang, x, y) triples broadcast-semi-join back to
-  // recover every frontier document. One partial-agg shuffle over the
-  // corpus + metadata-sized window + broadcast join — never a
-  // per-lang sort of the full corpus (the naive window formulation the
-  // oracle uses would sort billions of rows inside ≤ |langs|
-  // partitions at 100 TB).
+  // only the max-y point at each x can survive, so the corpus
+  // tokenizes ONCE and partial-aggregates to max(y) per (lang, x) — a
+  // bounded set (langs × distinct doc lengths, NOT corpus-sized) — the
+  // classic desc-x sweep (running max of y) runs as a window over THAT
+  // bounded frame, and the recovery join probes on the CHEAP columns
+  // (lang, x=n_chars): only the few docs at a frontier (lang, x)
+  // re-tokenize to confirm y. One tokenize pass + one partial-agg
+  // shuffle + metadata-sized window + broadcast join — never a
+  // per-lang sort of the full corpus, and never a second corpus-wide
+  // tokenize (the naive window formulation the oracle uses does both).
   def q111(s: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(trim(col("text")), "\\s+"),
-      (t: org.apache.spark.sql.Column) => t =!= "")
-    val d = Tables.documents(s, dir)
-      .select(col("lang"), col("doc_id"), col("n_chars").as("x"),
-        size(array_distinct(toks)).cast("long").as("y"))
-    val reduced = d.groupBy("lang", "x").agg(max("y").as("y"))
+    def diversity(c: org.apache.spark.sql.Column) =
+      size(array_distinct(graft.functions.TextFunctions.wsTokens(c))).cast("long")
+    val docs = Tables.documents(s, dir)
+    val reduced = docs
+      .select(col("lang"), col("n_chars").as("x"), diversity(col("text")).as("y"))
+      .groupBy("lang", "x").agg(max("y").as("y"))
     val wGt = Window.partitionBy("lang").orderBy(col("x").desc)
       .rangeBetween(Window.unboundedPreceding, -1)
     val frontier = reduced
       .withColumn("max_y_gt", max("y").over(wGt))
       .filter(coalesce(col("max_y_gt"), lit(-1L)) < col("y"))
       .select("lang", "x", "y")
-    d.join(broadcast(frontier), Seq("lang", "x", "y"))
-      .select("lang", "doc_id", "x", "y")
+    docs.select(col("lang"), col("doc_id"), col("n_chars").as("x"), col("text"))
+      .join(broadcast(frontier.withColumnRenamed("y", "fy")), Seq("lang", "x"))
+      .filter(diversity(col("text")) === col("fy"))
+      .select(col("lang"), col("doc_id"), col("x"), col("fy").as("y"))
   }
 
   val q111Sql: String =

@@ -39,7 +39,7 @@ object CorpusQueries {
   def q94(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        filter(split(trim(col("text")), "\\s+"), t => t =!= "").as("toks"))
+        graft.functions.TextFunctions.wsTokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .withColumn("start",
         explode(sequence(lit(0), size(col("toks")) - 1, lit(ChunkStride))))

@@ -7,8 +7,7 @@ import graft.queries.AnalyticsQueries
 class AnalyticsSpec extends SparkSpec {
 
   test("q111 frontier: complete characterization — output undominated, excluded dominated") {
-    val toks = filter(split(trim(col("text")), "\\s+"),
-      (t: org.apache.spark.sql.Column) => t =!= "")
+    val toks = graft.functions.TextFunctions.wsTokens(col("text"))
     val d = graft.sources.Tables.documents(spark, sf)
       .select(col("lang"), col("doc_id"), col("n_chars").as("x"),
         size(array_distinct(toks)).cast("long").as("y")).cache()
