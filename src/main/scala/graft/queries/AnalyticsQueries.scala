@@ -395,7 +395,55 @@ object AnalyticsQueries {
       |SELECT lang, doc_id, x, y FROM w
       |WHERE NOT (max_y_eq > y) AND NOT (COALESCE(max_y_gt, -1) >= y)""".stripMargin
 
+  // --- q112: distribution drift between two time windows per event
+  // type — the day-over-day feature-drift monitor a fraud model needs
+  // before its scores decay. Values histogram into 20 fixed-width
+  // bins; drift is total-variation distance, reported as the EXACT
+  // integer numerator Σ|n1·N2 − n2·N1| over bins (TV = num / (2·N1·N2))
+  // — cross-multiplied instead of divided, so no float ever forms and
+  // the oracle hash-matches bit-for-bit. Exact while N1·N2 < 2^63
+  // (windows of ~3·10⁹ rows each; ANSI overflow is loud past that —
+  // cast the products to double for the approximate regime beyond).
+  //
+  // Scale shape: one corpus scan → one partial-aggregable shuffle on
+  // (type, bin); everything after runs on the types×bins frame
+  // (≤ hundreds of rows — totals aggregate, broadcast join, final
+  // per-type fold).
+  def q112(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), 1)
+          .otherwise(2).as("w"),
+        least(floor(col("value") / 25), lit(19L)).cast("long").as("bin"))
+    val c = e.groupBy("event_type", "bin")
+      .agg(sum(when(col("w") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("w") === 2, 1L).otherwise(0L)).as("n2"))
+    val t = c.groupBy("event_type")
+      .agg(sum("n1").as("tot1"), sum("n2").as("tot2"))
+    c.join(broadcast(t), "event_type")
+      .groupBy("event_type")
+      .agg(max("tot1").as("n_w1"), max("tot2").as("n_w2"),
+        sum(abs(col("n1") * col("tot2") - col("n2") * col("tot1"))).as("drift_num"))
+  }
+
+  val q112Sql: String =
+    """WITH e AS (SELECT event_type,
+      |  CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 2 END AS w,
+      |  LEAST(CAST(FLOOR(value/25) AS BIGINT), 19) AS bin
+      | FROM events WHERE value IS NOT NULL),
+      |c AS (SELECT event_type, bin,
+      |  SUM(CASE WHEN w=1 THEN 1 ELSE 0 END) AS n1,
+      |  SUM(CASE WHEN w=2 THEN 1 ELSE 0 END) AS n2
+      | FROM e GROUP BY 1,2),
+      |t AS (SELECT event_type, SUM(n1) AS tot1, SUM(n2) AS tot2 FROM c GROUP BY 1)
+      |SELECT c.event_type, CAST(MAX(t.tot1) AS BIGINT) AS n_w1,
+      | CAST(MAX(t.tot2) AS BIGINT) AS n_w2,
+      | CAST(SUM(ABS(n1*t.tot2 - n2*t.tot1)) AS BIGINT) AS drift_num
+      |FROM c JOIN t ON t.event_type = c.event_type GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_drift"           -> (q112 _),
     "q111_pareto_frontier" -> (q111 _),
     "q104_transitions"  -> (q104 _),
     "q86_concurrency"   -> (q86 _),
@@ -409,6 +457,7 @@ object AnalyticsQueries {
 
   val oracle: Map[String, String] = Map(
     "q111_pareto_frontier" -> q111Sql,
+    "q112_drift"           -> q112Sql,
     "q104_transitions"  -> q104Sql,
     "q86_concurrency"   -> q86Sql,
     "q87_fuzzy_join"    -> q87Sql,

@@ -31,6 +31,33 @@ class AnalyticsSpec extends SparkSpec {
     } finally { out.unpersist(); d.unpersist() }
   }
 
+  test("q112 drift: exact integer TV numerator matches a driver-side recomputation") {
+    val out = graft.queries.AnalyticsQueries.q112(spark, sf).cache()
+    try {
+      val ev = graft.sources.Tables.events(spark, sf)
+        .select("event_type", "ts", "value").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+      val byType = ev.groupBy(_._1)
+      out.collect().foreach { r =>
+        val tpe = r.getString(0)
+        val rows = byType(tpe)
+        val bins = rows.map { case (_, ts, v) =>
+          (math.min(math.floor(v / 25).toLong, 19L), ts.before(cut))
+        }
+        val n1 = bins.count(_._2).toLong; val n2 = bins.size - n1
+        assert(r.getAs[Long]("n_w1") === n1 && r.getAs[Long]("n_w2") === n2)
+        val num = (0L to 19L).map { b =>
+          val c1 = bins.count(p => p._1 == b && p._2).toLong
+          val c2 = bins.count(p => p._1 == b && !p._2).toLong
+          math.abs(c1 * n2 - c2 * n1)
+        }.sum
+        assert(r.getAs[Long]("drift_num") === num, s"$tpe drift numerator")
+        assert(num <= 2L * n1 * n2, "TV distance cannot exceed 1")
+      }
+    } finally out.unpersist()
+  }
+
   test("q86 concurrency: peak bounded by day volume, every event day present") {
     val out = AnalyticsQueries.q86(spark, sf).cache()
     val ev = graft.sources.Tables.events(spark, sf)
