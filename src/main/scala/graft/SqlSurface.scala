@@ -25,6 +25,38 @@ object SqlSurface {
     "supplier", "part", "orders", "lineitem", "events", "documents",
     "embeddings")
 
+  /** Register the mergeable-summary family as SQL AGGREGATE functions
+    * (the scalar functions — rolling_hash, vec_* — register via
+    * GraftExtensions at session build; aggregates go through the
+    * public `functions.udaf` + `spark.udf.register` path instead):
+    *
+    *  - `mg_sketch(tok)`      — Misra-Gries heavy-hitter summary
+    *    (struct: n, counts map), width 63
+    *  - `kmv_sketch(x)`       — KMV distinct-set sketch over a LONG
+    *    (e.g. xxhash64(col)), k 1024
+    *  - `quantile_summary(v)` — p25/p50/p75/p95 summary over a DOUBLE,
+    *    capacity 4096 (exact below it)
+    *  - `group_sample(key, id)` — bottom-8 (key, id) sample
+    *
+    * Parameters are fixed at registration (SQL has no constructor
+    * arguments); Scala callers wanting other widths instantiate the
+    * Aggregators directly. Returns the registered names.
+    */
+  def registerAggregates(spark: SparkSession): Seq[String] = {
+    import org.apache.spark.sql.{Encoders, functions => F}
+    spark.udf.register("mg_sketch",
+      F.udaf(new graft.operators.HeavyHitters.MisraGries(63), Encoders.STRING))
+    spark.udf.register("kmv_sketch",
+      F.udaf(new graft.operators.KmvSketch.KmvAgg(1024), Encoders.scalaLong))
+    spark.udf.register("quantile_summary",
+      F.udaf(new graft.operators.QuantileSummary.QuantileAgg(4096, Seq(25, 50, 75, 95)),
+        Encoders.scalaDouble))
+    spark.udf.register("group_sample",
+      F.udaf(new graft.operators.GroupSample.GroupSampleAgg(8),
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)))
+    Seq("mg_sketch", "kmv_sketch", "quantile_summary", "group_sample")
+  }
+
   /** Register the typed table loaders as temp views (events gets its
     * µs-timestamp conversion, documents/embeddings their parallelize
     * guard — same frames the Scala API serves). Returns the view names.

@@ -25,6 +25,39 @@ class SqlSurfaceSpec extends SparkSpec {
     } finally (tv ++ qv).foreach(spark.catalog.dropTempView)
   }
 
+  test("sketch aggregates run from SQL and agree with their Scala twins") {
+    val names = SqlSurface.registerAggregates(spark)
+    SqlSurface.registerTables(spark, sf)
+    try {
+      assert(names.size === 4)
+      // quantile summary from SQL == exact rank below capacity
+      val q = spark.sql(
+        """SELECT event_type, quantile_summary(value) AS s FROM events
+          |WHERE value IS NOT NULL GROUP BY 1""".stripMargin)
+        .select(col("event_type"), col("s.n_events").as("n"), col("s.qs")(1).as("p50"))
+      val exact = graft.sources.Tables.events(spark, sf)
+        .filter(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(sort_array(collect_list("value")).as("vs"), count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          element_at(col("vs"), expr("CAST((50*n + 99) DIV 100 AS INT)")).as("e50"))
+      val bad = q.join(exact.select(col("event_type"), col("e50")), "event_type")
+        .filter(col("p50") =!= col("e50"))
+      assert(bad.isEmpty, "SQL quantile_summary must be exact below capacity")
+      // KMV from SQL: exact distinct below capacity
+      val kmv = spark.sql(
+        "SELECT kmv_sketch(xxhash64(user_id)) AS s FROM events").head()
+      val distinct = graft.sources.Tables.events(spark, sf)
+        .select("user_id").distinct().count()
+      val s = kmv.getStruct(0)
+      val mins = s.getAs[scala.collection.Seq[Long]]("mins").toSeq
+      val est = graft.operators.KmvSketch
+        .KmvSummary(s.getAs[Int]("k"), mins).distinct
+      assert(est === distinct.toDouble,
+        "below capacity the KMV estimate IS the exact distinct count")
+    } finally SqlSurface.tableNames.foreach(spark.catalog.dropTempView)
+  }
+
   test("registering an unknown query fails loudly") {
     intercept[IllegalArgumentException] {
       SqlSurface.registerQueries(spark, sf, Seq("q999_nope"))
