@@ -357,6 +357,15 @@ class EtlPipelineSpec extends SparkSpec {
     assert(logRow(r1, "stg_dwh_clients").getAs[Long]("rows_inserted") == 3)
     assert(tbl().count() == 3 && tbl().filter(col("deleted_flg")).count() == 0)
 
+    // the inventory treats the ts-watermark store as META and surfaces
+    // the database-loop watermark for the table it covers
+    val inv = WarehouseOps.inventory(spark, wh).collect()
+    assert(inv.map(_.getString(0)).toSeq === Seq("dwh_clients"),
+      "etl_watermark_ts must not appear as a data table")
+    assert(inv(0).getAs[String]("watermark") != null &&
+      inv(0).getAs[String]("watermark").startsWith("2024-01-01 10:00:00"),
+      "the timestamp watermark surfaces in the inventory")
+
     // day 2: Bob renamed (update_dt bumped), Cat gone from the source,
     // Dan new — and Ann untouched, so she is ABSENT from the incremental
     // stg but PRESENT in the key list
