@@ -141,6 +141,17 @@ object EtlPipeline {
       increment: (SparkSession, String, String) => DataFrame,
       watermarkCol: String) extends MartRefresh
 
+  /** Refresh a set of marts once, explicitly — the reference's
+    * orchestration runs BOTH loops (`from_file`, `from_database`) and
+    * then ONE `mart_update()` over the combined warehouse state
+    * (main.py:16-18); express that as `run(..., marts = empty)` +
+    * `runFromTables(...)` + this call. `run`/`replayQuarantine` keep
+    * their own mart hooks for single-loop deployments.
+    */
+  def refreshMarts(spark: SparkSession, warehouseDir: String,
+                   marts: Map[String, MartRefresh]): Unit =
+    marts.foreach { case (name, how) => refreshMart(spark, warehouseDir, name, how) }
+
   private def refreshMart(spark: SparkSession, warehouseDir: String,
                           name: String, how: MartRefresh): Unit = how match {
     case MartRebuild(build) =>

@@ -128,6 +128,33 @@ class EtlPipelineSpec extends SparkSpec {
     }
   }
 
+  test("reference orchestration: both loops then one explicit mart update") {
+    val s = spark
+    import s.implicits._
+    val inbox = Files.createTempDirectory("graft_orch_in").toString
+    val wh = Files.createTempDirectory("graft_orch_wh").toString
+    mkFile(inbox, "rates_01012024.csv", "cur;rate\nUSD;90,5\nEUR;99,1\n")
+    val fm = Seq(FileMapping("rates_*.csv", "dwh_rates", "cur", Seq("rate"), scd = 1,
+      decimalCols = Seq("rate")))
+    val src = Seq((1L, "Ann", java.sql.Timestamp.valueOf("2024-01-01 08:00:00"),
+      null.asInstanceOf[java.sql.Timestamp])).toDF("client_id", "name", "create_dt", "update_dt")
+    val feeds = Seq(EtlPipeline.TableFeed(
+      TableMapping("clients", "dwh_clients", "client_id", Seq("name"), 1), src))
+    val marts = Map[String, EtlPipeline.MartRefresh](
+      "mart_counts" -> EtlPipeline.MartRebuild((sp, whDir) =>
+        sp.read.parquet(s"$whDir/dwh_rates").agg(count(lit(1)).as("n_rates"))
+          .crossJoin(sp.read.parquet(s"$whDir/dwh_clients")
+            .agg(count(lit(1)).as("n_clients")))))
+    // main.py order: from_file, from_database, THEN one mart_update
+    EtlPipeline.run(spark, inbox, wh, fm, runId = 61)
+    EtlPipeline.runFromTables(spark, wh, feeds, runId = 62,
+      deleteTs = "2024-01-02 00:00:00")
+    EtlPipeline.refreshMarts(spark, wh, marts)
+    val m = spark.read.parquet(s"$wh/mart_counts").head()
+    assert(m.getAs[Long]("n_rates") === 2L && m.getAs[Long]("n_clients") === 1L,
+      "the single mart update must see BOTH loops' tables")
+  }
+
   test("quarantine routes bad rows out of the merge and logs reject counts") {
     val inbox = Files.createTempDirectory("graft_qinbox").toString
     val wh = Files.createTempDirectory("graft_qwh").toString
