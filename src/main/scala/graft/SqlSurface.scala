@@ -47,14 +47,65 @@ object SqlSurface {
     spark.udf.register("mg_sketch",
       F.udaf(new graft.operators.HeavyHitters.MisraGries(63), Encoders.STRING))
     spark.udf.register("kmv_sketch",
-      F.udaf(new graft.operators.KmvSketch.KmvAgg(1024), Encoders.scalaLong))
+      F.udaf(new NullSafeKmv(1024), Encoders.LONG))
     spark.udf.register("quantile_summary",
-      F.udaf(new graft.operators.QuantileSummary.QuantileAgg(4096, Seq(25, 50, 75, 95)),
-        Encoders.scalaDouble))
+      F.udaf(new NullSafeQuantile(4096, Seq(25, 50, 75, 95)), Encoders.DOUBLE))
     spark.udf.register("group_sample",
-      F.udaf(new graft.operators.GroupSample.GroupSampleAgg(8),
-        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)))
+      F.udaf(new NullSafeSample(8), Encoders.tuple(Encoders.LONG, Encoders.LONG)))
     Seq("mg_sketch", "kmv_sketch", "quantile_summary", "group_sample")
+  }
+
+  // SQL NULL handling: a primitive-encoder udaf decodes NULL inputs as
+  // 0 and counts them — a phantom 0.0 drags quantiles, a phantom hash 0
+  // permanently occupies KMV's minimum slot, a (0,0) pair wins the
+  // bottom-k sample. Every built-in SQL aggregate IGNORES nulls; these
+  // boxed-input wrappers restore that convention (MisraGries takes
+  // String and already skips nulls in reduce).
+  private final class NullSafeQuantile(capacity: Int, percents: Seq[Int])
+    extends org.apache.spark.sql.expressions.Aggregator[
+      java.lang.Double, graft.operators.QuantileSummary.QBuf,
+      graft.operators.QuantileSummary.Quantiles] {
+    private val inner = new graft.operators.QuantileSummary.QuantileAgg(capacity, percents)
+    def zero = inner.zero
+    def reduce(b: graft.operators.QuantileSummary.QBuf, v: java.lang.Double) =
+      if (v == null) b else inner.reduce(b, v.doubleValue)
+    def merge(a: graft.operators.QuantileSummary.QBuf,
+              b: graft.operators.QuantileSummary.QBuf) = inner.merge(a, b)
+    def finish(b: graft.operators.QuantileSummary.QBuf) = inner.finish(b)
+    def bufferEncoder = inner.bufferEncoder
+    def outputEncoder = inner.outputEncoder
+  }
+
+  private final class NullSafeKmv(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      java.lang.Long, graft.operators.KmvSketch.KmvBuf,
+      graft.operators.KmvSketch.KmvSummary] {
+    private val inner = new graft.operators.KmvSketch.KmvAgg(k)
+    def zero = inner.zero
+    def reduce(b: graft.operators.KmvSketch.KmvBuf, v: java.lang.Long) =
+      if (v == null) b else inner.reduce(b, v.longValue)
+    def merge(a: graft.operators.KmvSketch.KmvBuf,
+              b: graft.operators.KmvSketch.KmvBuf) = inner.merge(a, b)
+    def finish(b: graft.operators.KmvSketch.KmvBuf) = inner.finish(b)
+    def bufferEncoder = inner.bufferEncoder
+    def outputEncoder = inner.outputEncoder
+  }
+
+  private final class NullSafeSample(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      (java.lang.Long, java.lang.Long), graft.operators.GroupSample.SampleBuf,
+      graft.operators.GroupSample.Sample] {
+    private val inner = new graft.operators.GroupSample.GroupSampleAgg(k)
+    def zero = inner.zero
+    def reduce(b: graft.operators.GroupSample.SampleBuf,
+               v: (java.lang.Long, java.lang.Long)) =
+      if (v == null || v._1 == null || v._2 == null) b
+      else inner.reduce(b, (v._1.longValue, v._2.longValue))
+    def merge(a: graft.operators.GroupSample.SampleBuf,
+              b: graft.operators.GroupSample.SampleBuf) = inner.merge(a, b)
+    def finish(b: graft.operators.GroupSample.SampleBuf) = inner.finish(b)
+    def bufferEncoder = inner.bufferEncoder
+    def outputEncoder = inner.outputEncoder
   }
 
   /** Register the typed table loaders as temp views (events gets its

@@ -141,15 +141,20 @@ object EtlPipeline {
       increment: (SparkSession, String, String) => DataFrame,
       watermarkCol: String) extends MartRefresh
 
-  /** Refresh a set of marts once, explicitly — the reference's
-    * orchestration runs BOTH loops (`from_file`, `from_database`) and
-    * then ONE `mart_update()` over the combined warehouse state
-    * (main.py:16-18); express that as `run(..., marts = empty)` +
-    * `runFromTables(...)` + this call. `run`/`replayQuarantine` keep
-    * their own mart hooks for single-loop deployments.
+  /** Refresh a set of marts once, explicitly and IN THE GIVEN ORDER —
+    * the reference's orchestration runs BOTH loops (`from_file`,
+    * `from_database`) and then ONE `mart_update()` over the combined
+    * warehouse state (main.py:16-18); express that as
+    * `run(..., marts = empty)` + `runFromTables(...)` + this call.
+    * The parameter is a Seq, not a Map, because a mart may read
+    * another mart's output: Scala Maps iterate in hash order past 4
+    * entries, which would refresh a dependent mart before its
+    * upstream. (`run`/`replayQuarantine` keep their Map hooks for
+    * single-loop deployments of INDEPENDENT marts — chained marts
+    * belong here.)
     */
   def refreshMarts(spark: SparkSession, warehouseDir: String,
-                   marts: Map[String, MartRefresh]): Unit =
+                   marts: Seq[(String, MartRefresh)]): Unit =
     marts.foreach { case (name, how) => refreshMart(spark, warehouseDir, name, how) }
 
   private def refreshMart(spark: SparkSession, warehouseDir: String,

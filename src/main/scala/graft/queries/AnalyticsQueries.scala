@@ -419,9 +419,13 @@ object AnalyticsQueries {
     val c = e.groupBy("event_type", "bin")
       .agg(sum(when(col("w") === 1, 1L).otherwise(0L)).as("n1"),
         sum(when(col("w") === 2, 1L).otherwise(0L)).as("n2"))
-    val t = c.groupBy("event_type")
-      .agg(sum("n1").as("tot1"), sum("n2").as("tot2"))
-    c.join(broadcast(t), "event_type")
+    // totals via a window over the METADATA-SIZED bin frame, not an
+    // aggregate-then-join back (which makes Spark recompute the whole
+    // corpus branch for the totals side — the q104 lesson, 1ffadc8)
+    val w = Window.partitionBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c.withColumn("tot1", sum("n1").over(w))
+      .withColumn("tot2", sum("n2").over(w))
       .groupBy("event_type")
       .agg(max("tot1").as("n_w1"), max("tot2").as("n_w2"),
         sum(abs(col("n1") * col("tot2") - col("n2") * col("tot1"))).as("drift_num"))

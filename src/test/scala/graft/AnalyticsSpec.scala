@@ -34,7 +34,12 @@ class AnalyticsSpec extends SparkSpec {
   test("q112 drift: exact integer TV numerator matches a driver-side recomputation") {
     val out = graft.queries.AnalyticsQueries.q112(spark, sf).cache()
     try {
+      // mirror the query EXACTLY: same null filter, same bin formula
+      // (no lower clamp), bins folded over the observed set — so the
+      // recomputation stays faithful even if testdata gains nulls or
+      // negative values
       val ev = graft.sources.Tables.events(spark, sf)
+        .filter(col("value").isNotNull)
         .select("event_type", "ts", "value").collect()
         .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
       val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
@@ -47,7 +52,7 @@ class AnalyticsSpec extends SparkSpec {
         }
         val n1 = bins.count(_._2).toLong; val n2 = bins.size - n1
         assert(r.getAs[Long]("n_w1") === n1 && r.getAs[Long]("n_w2") === n2)
-        val num = (0L to 19L).map { b =>
+        val num = bins.map(_._1).distinct.map { b =>
           val c1 = bins.count(p => p._1 == b && p._2).toLong
           val c2 = bins.count(p => p._1 == b && !p._2).toLong
           math.abs(c1 * n2 - c2 * n1)

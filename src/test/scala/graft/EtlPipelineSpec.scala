@@ -140,11 +140,16 @@ class EtlPipelineSpec extends SparkSpec {
       null.asInstanceOf[java.sql.Timestamp])).toDF("client_id", "name", "create_dt", "update_dt")
     val feeds = Seq(EtlPipeline.TableFeed(
       TableMapping("clients", "dwh_clients", "client_id", Seq("name"), 1), src))
-    val marts = Map[String, EtlPipeline.MartRefresh](
+    // ordered seq: the second mart READS the first's output — refresh
+    // order is binding, which is why refreshMarts takes a Seq
+    val marts = Seq[(String, EtlPipeline.MartRefresh)](
       "mart_counts" -> EtlPipeline.MartRebuild((sp, whDir) =>
         sp.read.parquet(s"$whDir/dwh_rates").agg(count(lit(1)).as("n_rates"))
           .crossJoin(sp.read.parquet(s"$whDir/dwh_clients")
-            .agg(count(lit(1)).as("n_clients")))))
+            .agg(count(lit(1)).as("n_clients")))),
+      "mart_derived" -> EtlPipeline.MartRebuild((sp, whDir) =>
+        sp.read.parquet(s"$whDir/mart_counts")
+          .select((col("n_rates") + col("n_clients")).as("total"))))
     // main.py order: from_file, from_database, THEN one mart_update
     EtlPipeline.run(spark, inbox, wh, fm, runId = 61)
     EtlPipeline.runFromTables(spark, wh, feeds, runId = 62,
@@ -153,6 +158,8 @@ class EtlPipelineSpec extends SparkSpec {
     val m = spark.read.parquet(s"$wh/mart_counts").head()
     assert(m.getAs[Long]("n_rates") === 2L && m.getAs[Long]("n_clients") === 1L,
       "the single mart update must see BOTH loops' tables")
+    assert(spark.read.parquet(s"$wh/mart_derived").head().getAs[Long]("total") === 3L,
+      "a chained mart refreshes after its upstream")
   }
 
   test("quarantine routes bad rows out of the merge and logs reject counts") {

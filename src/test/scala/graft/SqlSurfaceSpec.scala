@@ -55,6 +55,19 @@ class SqlSurfaceSpec extends SparkSpec {
         .KmvSummary(s.getAs[Int]("k"), mins).distinct
       assert(est === distinct.toDouble,
         "below capacity the KMV estimate IS the exact distinct count")
+      // the other two registrations execute from SQL too
+      val mg = spark.sql(
+        "SELECT mg_sketch(event_type) AS s FROM events").head().getStruct(0)
+      assert(mg.getAs[Long]("n") ===
+        graft.sources.Tables.events(spark, sf).count())
+      val gs = spark.sql(
+        "SELECT group_sample(user_id, event_id) AS s FROM events").head().getStruct(0)
+      assert(gs.getAs[scala.collection.Seq[Long]]("ids").size === 8)
+      // SQL NULLs are IGNORED, not decoded as zero (built-in convention)
+      val nq = spark.sql(
+        "SELECT quantile_summary(CAST(NULL AS DOUBLE)) AS s FROM events").head().getStruct(0)
+      assert(nq.getAs[Long]("n_events") === 0L,
+        "an all-null column must produce an empty summary, not phantom zeros")
     } finally SqlSurface.tableNames.foreach(spark.catalog.dropTempView)
   }
 
