@@ -485,6 +485,15 @@ object EtlPipeline {
     val path = s"$quarantineDir/${m.targetName}"
     val logRows = Seq.newBuilder[(Long, String, Long, Long, Long)]
     val fs = hadoopFs(spark, path)
+    if (!fs.exists(new Path(path)) && fs.exists(new Path(path + "__stage")))
+      // same crash window as the warehouse tables (readTargetOrEmpty):
+      // a crash between this method's own writeSwap delete and rename
+      // leaves the ONLY copy of the remaining rejects at the stage
+      // path — a silent no-op here would lose them
+      throw new IllegalStateException(
+        s"$path is missing but ${path}__stage exists — an interrupted " +
+          "quarantine swap. Recover by renaming the stage directory to the " +
+          "quarantine path before re-running.")
     if (fs.exists(new Path(path))) {
       val qtn = spark.read.parquet(path)
       val sp = DelimitedSource.validitySplit(

@@ -324,6 +324,18 @@ class EtlPipelineSpec extends SparkSpec {
       "superseded rows leave the quarantine too")
   }
 
+  test("replayQuarantine refuses an interrupted quarantine swap instead of losing it") {
+    val qdir = Files.createTempDirectory("graft_crqtn").toString
+    val wh = Files.createTempDirectory("graft_crwh").toString
+    // simulate the crash window: only the stage directory survives
+    Files.createDirectories(Paths.get(s"$qdir/dwh_rates__stage"))
+    val m = FileMapping("rates_*.csv", "dwh_rates", "cur", Seq("rate"), scd = 1)
+    val e = intercept[IllegalStateException] {
+      EtlPipeline.replayQuarantine(spark, qdir, wh, m, runId = 71)
+    }
+    assert(e.getMessage.contains("interrupted"))
+  }
+
   test("reserved run-log prefixes are refused as target names") {
     val wh = Files.createTempDirectory("graft_rsv").toString
     intercept[IllegalArgumentException] {
