@@ -616,9 +616,24 @@ object EtlPipeline {
   /** Per-target business-date watermark (reference meta `last_update_dt`,
     * etl.py:75-106) — a tiny parquet table, collected driver-side.
     */
+  // A crash inside a watermark writeSwap leaves the only copy at the
+  // __stage path; silently treating that as "no watermarks" would let
+  // a restored older file merge BACKWARDS into scd2 history (the
+  // dup-date guard only covers one run). Same loud refusal as the
+  // warehouse tables.
+  private def requireNoOrphanStage(spark: SparkSession, path: String): Unit = {
+    val fs = hadoopFs(spark, path)
+    if (!fs.exists(new Path(path)) && fs.exists(new Path(path + "__stage")))
+      throw new IllegalStateException(
+        s"$path is missing but ${path}__stage exists — an interrupted " +
+          "snapshot swap. Recover by renaming the stage directory to the " +
+          "target path before re-running.")
+  }
+
   private def loadWatermarks(spark: SparkSession,
                              warehouseDir: String): Map[String, java.time.LocalDate] = {
     val path = s"$warehouseDir/etl_watermark"
+    requireNoOrphanStage(spark, path)
     if (!hadoopFs(spark, path).exists(new Path(path))) Map.empty
     else spark.read.parquet(path).collect()
       .map(r => r.getString(0) -> java.time.LocalDate.parse(r.getString(1))).toMap
@@ -638,6 +653,7 @@ object EtlPipeline {
   private def loadTsWatermarks(spark: SparkSession,
                                warehouseDir: String): Map[String, String] = {
     val path = s"$warehouseDir/etl_watermark_ts"
+    requireNoOrphanStage(spark, path)
     if (!hadoopFs(spark, path).exists(new Path(path))) Map.empty
     else spark.read.parquet(path).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
