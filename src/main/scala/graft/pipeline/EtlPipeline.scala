@@ -271,6 +271,10 @@ object EtlPipeline {
             // only when non-empty so a clean run leaves no empty dirs
             val nBad = q.bad.count()
             if (nBad > 0) {
+              // appending must not recreate a quarantine whose only
+              // copy sits at __stage after an interrupted replay swap —
+              // that would hide the orphan from replay's guard forever
+              requireNoOrphanStage(spark, s"$qdir/${m.targetName}")
               q.bad.withColumn("run_id", lit(runId))
                 .write.mode(org.apache.spark.sql.SaveMode.Append)
                 .parquet(s"$qdir/${m.targetName}")
@@ -311,7 +315,7 @@ object EtlPipeline {
 
     val log = writeRunLog(spark, warehouseDir, logRows.result(), runStart)
 
-    marts.foreach { case (name, how) => refreshMart(spark, warehouseDir, name, how) }
+    refreshMarts(spark, warehouseDir, marts.toSeq)
     RunReport(runId, log, processed.result(), archived.result())
   }
 
@@ -485,15 +489,7 @@ object EtlPipeline {
     val path = s"$quarantineDir/${m.targetName}"
     val logRows = Seq.newBuilder[(Long, String, Long, Long, Long)]
     val fs = hadoopFs(spark, path)
-    if (!fs.exists(new Path(path)) && fs.exists(new Path(path + "__stage")))
-      // same crash window as the warehouse tables (readTargetOrEmpty):
-      // a crash between this method's own writeSwap delete and rename
-      // leaves the ONLY copy of the remaining rejects at the stage
-      // path — a silent no-op here would lose them
-      throw new IllegalStateException(
-        s"$path is missing but ${path}__stage exists — an interrupted " +
-          "quarantine swap. Recover by renaming the stage directory to the " +
-          "quarantine path before re-running.")
+    requireNoOrphanStage(spark, path)
     if (fs.exists(new Path(path))) {
       val qtn = spark.read.parquet(path)
       val sp = DelimitedSource.validitySplit(
@@ -521,7 +517,7 @@ object EtlPipeline {
       }
     }
     val log = writeRunLog(spark, warehouseDir, logRows.result(), runStart)
-    marts.foreach { case (name, how) => refreshMart(spark, warehouseDir, name, how) }
+    refreshMarts(spark, warehouseDir, marts.toSeq)
     RunReport(runId, log, Seq.empty, Seq.empty)
   }
 
@@ -584,18 +580,9 @@ object EtlPipeline {
 
   private def readTargetOrEmpty(spark: SparkSession, path: String,
                                 empty: => DataFrame): DataFrame = {
+    requireNoOrphanStage(spark, path)
     val fs = hadoopFs(spark, path)
-    if (fs.exists(new Path(path))) spark.read.parquet(path)
-    else if (fs.exists(new Path(path + "__stage")))
-      // a crash between writeSwap's delete and rename leaves the ONLY
-      // copy of the table at the stage path — treating that as "empty"
-      // would silently rebuild from the current batch and discard all
-      // history. Fail loudly with the recovery step instead.
-      throw new IllegalStateException(
-        s"$path is missing but ${path}__stage exists — an interrupted " +
-          "snapshot swap. Recover by renaming the stage directory to the " +
-          "table path before re-running.")
-    else empty
+    if (fs.exists(new Path(path))) spark.read.parquet(path) else empty
   }
 
   /** Snapshot-swap write: parquet to `<path>__stage`, then rename over
@@ -616,11 +603,13 @@ object EtlPipeline {
   /** Per-target business-date watermark (reference meta `last_update_dt`,
     * etl.py:75-106) — a tiny parquet table, collected driver-side.
     */
-  // A crash inside a watermark writeSwap leaves the only copy at the
-  // __stage path; silently treating that as "no watermarks" would let
-  // a restored older file merge BACKWARDS into scd2 history (the
-  // dup-date guard only covers one run). Same loud refusal as the
-  // warehouse tables.
+  // A crash between writeSwap's delete and rename leaves the ONLY copy
+  // of a table at the __stage path. Every reader AND every writer that
+  // could recreate the target must refuse loudly then: silently reading
+  // "empty" discards history (warehouse tables), resets watermarks
+  // (backwards scd2 merges), or drops parked rejects (quarantine) —
+  // and a writer recreating the target would HIDE the orphan from the
+  // readers' checks forever.
   private def requireNoOrphanStage(spark: SparkSession, path: String): Unit = {
     val fs = hadoopFs(spark, path)
     if (!fs.exists(new Path(path)) && fs.exists(new Path(path + "__stage")))

@@ -407,8 +407,8 @@ object AnalyticsQueries {
   //
   // Scale shape: one corpus scan → one partial-aggregable shuffle on
   // (type, bin); everything after runs on the types×bins frame
-  // (≤ hundreds of rows — totals aggregate, broadcast join, final
-  // per-type fold).
+  // (≤ hundreds of rows — per-type totals as a window over that tiny
+  // frame, then the final per-type fold).
   def q112(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
       .filter(col("value").isNotNull)

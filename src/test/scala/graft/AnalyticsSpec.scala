@@ -42,7 +42,10 @@ class AnalyticsSpec extends SparkSpec {
         .filter(col("value").isNotNull)
         .select("event_type", "ts", "value").collect()
         .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
-      val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+      // the query's cut is parsed under session timezone UTC — build
+      // the same INSTANT here so the spec passes on any JVM timezone
+      val cut = new java.sql.Timestamp(
+        java.time.Instant.parse("2024-01-16T00:00:00Z").toEpochMilli)
       val byType = ev.groupBy(_._1)
       out.collect().foreach { r =>
         val tpe = r.getString(0)

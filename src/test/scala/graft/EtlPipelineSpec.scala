@@ -336,6 +336,23 @@ class EtlPipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("interrupted"))
   }
 
+  test("run() refuses to recreate a quarantine over an orphaned replay stage") {
+    val inbox = Files.createTempDirectory("graft_orqin").toString
+    val wh = Files.createTempDirectory("graft_orqwh").toString
+    val qdir = Files.createTempDirectory("graft_orqq").toString
+    // interrupted replay: only the stage copy of the rejects survives
+    Files.createDirectories(Paths.get(s"$qdir/dwh_rates__stage"))
+    mkFile(inbox, "rates_01012024.csv", "cur;rate\nUSD;zz\n")
+    val m = FileMapping("rates_*.csv", "dwh_rates", "cur", Seq("rate"), scd = 1,
+      decimalCols = Seq("rate"))
+    val e = intercept[IllegalStateException] {
+      EtlPipeline.run(spark, inbox, wh, Seq(m), runId = 81,
+        quarantineDir = Some(qdir))
+    }
+    assert(e.getMessage.contains("interrupted"),
+      "appending would hide the orphaned stage from replay's guard forever")
+  }
+
   test("reserved run-log prefixes are refused as target names") {
     val wh = Files.createTempDirectory("graft_rsv").toString
     intercept[IllegalArgumentException] {
@@ -408,8 +425,14 @@ class EtlPipelineSpec extends SparkSpec {
     val inv = WarehouseOps.inventory(spark, wh).collect()
     assert(inv.map(_.getString(0)).toSeq === Seq("dwh_clients"),
       "etl_watermark_ts must not appear as a data table")
+    // derive the expected rendering from the same instant the source
+    // carried (UTC-explicit), so the assertion holds on any JVM tz
+    val expWm = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(ts("2024-01-01 10:00:00").toInstant)
     assert(inv(0).getAs[String]("watermark") != null &&
-      inv(0).getAs[String]("watermark").startsWith("2024-01-01 10:00:00"),
+      inv(0).getAs[String]("watermark").startsWith(expWm),
       "the timestamp watermark surfaces in the inventory")
 
     // day 2: Bob renamed (update_dt bumped), Cat gone from the source,
