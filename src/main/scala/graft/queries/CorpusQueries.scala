@@ -422,7 +422,17 @@ object CorpusQueries {
       | CAST(LIST_MAX(qv) AS BIGINT) AS max_q
       |FROM q""".stripMargin
 
+  // --- q113: BPE vocabulary learning over the documents corpus — 12
+  // merges from the word-frequency table (BpeTrainer; corpus-scale
+  // work is ONE tokenize+groupBy shuffle, the greedy loop runs on the
+  // bounded word inventory). Rows-only: the iterative merge loop is
+  // not SQL-expressible; BpeSpec pins the algebra against
+  // hand-computed merges and a driver-side reference.
+  def q113(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrainer.learn(Tables.documents(s, dir), "text", 12)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_bpe_learn"       -> (q113 _),
     "q108_quantize_embed"  -> (q108 _),
     "q107_quantile_sketch" -> (q107 _),
     "q100_heavy_hitters"   -> (q100 _),
