@@ -42,22 +42,30 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame =
     parallelized(s, table(s, d, "embeddings"))
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS). Spark's
-    * vectorized reader has no nanos TimestampType; the legacy conf
-    * `spark.sql.legacy.parquet.nanosAsLong` (set once at session build in
-    * Verify/Bench/Explain/SparkSpec — NOT mutated here, so concurrent
-    * query construction and unrelated parquet reads are unaffected) reads
-    * the raw int64 nanos, which we convert to a microsecond timestamp
-    * (all driver-generated values are microsecond-aligned, so this is
-    * lossless and matches DuckDB's view of the same file).
+  /** `events.parquet` has stored `ts` two ways across driver testdata
+    * generations: parquet TIMESTAMP(NANOS) (no Spark vectorized nanos
+    * type — the legacy conf `spark.sql.legacy.parquet.nanosAsLong`, set
+    * once at session build in Verify/Bench/Explain/SparkSpec, reads the
+    * raw int64 nanos which we convert here), and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (which Spark 4 infers as TIMESTAMP_NTZ; the
+    * builders set `spark.sql.parquet.inferTimestampNTZ.enabled=false`
+    * so it reads as TimestampType under the UTC session — identical
+    * wall values to DuckDB's naive view of the same file). Both normal
+    * forms land on a µs TimestampType column; the NTZ cast below is the
+    * fallback for sessions built without the conf.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer division — `/` on longs is double division and loses
-      // precision at 10^18 nanoseconds (1µs drift)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division — `/` on longs is double division and loses
+        // precision at 10^18 nanoseconds (1µs drift)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // wall-clock reinterpretation under the (UTC) session zone
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Time-bounded events scan with the predicate PUSHED TO PARQUET.
@@ -89,6 +97,12 @@ object Tables {
       // rows the oracle and Incremental.newerThan both exclude.
       raw.filter(if (inclusive) col("ts") >= boundNs else col("ts") >= boundNs + 1000L)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else if (raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType) {
+      // filter on the stored NTZ type so the predicate still pushes to
+      // the scan, then normalize like events()
+      val b = lit(lowerBound).cast("timestamp_ntz")
+      raw.filter(if (inclusive) col("ts") >= b else col("ts") > b)
+        .withColumn("ts", col("ts").cast("timestamp"))
     } else {
       val b = lit(lowerBound).cast("timestamp")
       raw.filter(if (inclusive) col("ts") >= b else col("ts") > b)

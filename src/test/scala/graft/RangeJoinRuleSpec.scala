@@ -31,14 +31,16 @@ class RangeJoinRuleSpec extends SparkSpec {
       Tables.lineitem(spark, sf).select("l_shipdate", "l_quantity"),
       "l_shipdate", windows, "win_start", "win_end", "month").count()
     assert(naive.count() === expected)
-    // and against a driver-side reference (NTZ collects as LocalDateTime)
-    val wins = windows.collect().map(w =>
-      (w.getAs[java.time.LocalDateTime]("win_start"),
-        w.getAs[java.time.LocalDateTime]("win_end")))
-    val manual = Tables.lineitem(spark, sf).select("l_shipdate").collect().map { r =>
-      val ts = r.getAs[java.time.LocalDateTime](0)
-      wins.count { case (s, e) => !ts.isBefore(s) && !ts.isAfter(e) }
-    }.map(_.toLong).sum
+    // and against a driver-side reference — on epoch micros, so the spec
+    // is agnostic to the session's NTZ-vs-LTZ read of the parquet column
+    val wins = windows
+      .select(unix_micros(col("win_start")), unix_micros(col("win_end")))
+      .collect().map(w => (w.getLong(0), w.getLong(1)))
+    val manual = Tables.lineitem(spark, sf)
+      .select(unix_micros(col("l_shipdate"))).collect().map { r =>
+        val ts = r.getLong(0)
+        wins.count { case (s, e) => ts >= s && ts <= e }
+      }.map(_.toLong).sum
     assert(naive.count() === manual)
   }
 
