@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.CorpusQueries.queries ++
-      graft.queries.PrivacyQueries.queries
+      graft.queries.PrivacyQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracle ++
       graft.queries.AnalyticsQueries.oracle ++
       graft.queries.CorpusQueries.oracle ++
-      graft.queries.PrivacyQueries.oracle
+      graft.queries.PrivacyQueries.oracle ++
+      graft.queries.CurationQueries.oracle
 }

@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** Round-7 widening: corpus curation as RETRIEVAL — the query-time side
+  * of the training-data pipeline. Everything before this round filters
+  * or transforms the corpus wholesale; these operators answer targeted
+  * questions against it: score documents for a query (BM25), find the
+  * documents covering a full concept set (relational division), carve
+  * leakage-free rolling backtest folds, and run the learned BPE
+  * vocabulary end-to-end (q113 learns → q118 encodes). Plus the
+  * deflate-ratio quality signal (Gopher's compressibility heuristic).
+  *
+  * Scale notes per query at the definition site; shared shape: query
+  * terms are LITERALS (map-side `isin` prune — the corpus shuffle only
+  * ever carries matching tokens), scalar corpus stats broadcast (the
+  * q47 pattern), and per-row imperative work (deflate, BPE merge loop)
+  * stays in mapPartitions operators.
+  */
+object CurationQueries {
+
+  /** BM25 probe query (Robertson/Spärck Jones; the Lucene-style idf).
+    * Terms are data-independent literals, like q76's eval split.
+    */
+  val Bm25Terms: Seq[String] = Seq("window", "merge", "spark")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** Relational-division probe: docs must contain ALL of these. */
+  val DivisionTerms: Seq[String] = Seq("vector", "stream", "window", "merge")
+
+  // --- q114: BM25 retrieval — top-50 documents for a 3-term query.
+  // The inverted-index shape without materializing the index: the token
+  // stream is pruned to the query terms BEFORE the shuffle (isin on a
+  // literal set — a map-side filter), so the groupBy carries
+  // |terms|·n_docs rows at most, never the corpus token stream. Corpus
+  // stats (N, total token count) are one scalar aggregate broadcast to
+  // the scored rows (q47 pattern — BNLJ on a 1-row side, allowlisted).
+  // Per-term scores round to 6 places THEN cast to DECIMAL(18,6) so the
+  // per-doc sum is exact and order-independent — double summation order
+  // across engines could otherwise flip a rounded digit. Top-50 is
+  // orderBy+limit (TakeOrderedAndProject — distributed top-k, no global
+  // window over the corpus); rank is computed on the bounded result.
+  def q114(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"))
+    val dl = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("dl"))
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.wsTokens(lower(col("text")))).as("token"))
+      .filter(col("token").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_tokens").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("score_t",
+        round(col("idf") * col("tf") * lit(Bm25K1 + 1) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))), 6)
+          .cast("decimal(18,6)"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(sum(col("score_t")).cast("decimal(18,6)").as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(50)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    perDoc.withColumn("rnk", row_number().over(w).cast("int"))
+      .select(col("doc_id"), col("n_terms_hit"), col("score"), col("rnk"))
+  }
+
+  val q114Sql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH stats AS (
+       | SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  SUM(CAST(CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+       |      ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS BIGINT))
+       |    AS total_tokens
+       | FROM documents),
+       |dl AS (
+       | SELECT doc_id, CAST(CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+       |    ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS BIGINT) AS dl
+       | FROM documents),
+       |toks AS (
+       | SELECT doc_id, UNNEST(LIST_FILTER(
+       |   STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'), x -> x <> '')) AS token
+       | FROM documents),
+       |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       | FROM toks WHERE token IN ($terms) GROUP BY 1, 2),
+       |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       | SELECT tf.doc_id,
+       |  CAST(ROUND(LN(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+       |    * tf.tf * ${Bm25K1 + 1} /
+       |    (tf.tf + ${Bm25K1} *
+       |      (${1 - Bm25B} + ${Bm25B} * dl.dl /
+       |        (CAST(stats.total_tokens AS DOUBLE) / stats.n_docs))), 6)
+       |   AS DECIMAL(18,6)) AS score_t
+       | FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |per_doc AS (
+       | SELECT doc_id, CAST(SUM(score_t) AS DECIMAL(18,6)) AS score,
+       |  CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+       | FROM scored GROUP BY 1),
+       |ranked AS (
+       | SELECT doc_id, n_terms_hit, score,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
+       | FROM per_doc)
+       |SELECT doc_id, n_terms_hit, score, rnk FROM ranked WHERE rnk <= 50""".stripMargin
+  }
+
+  // --- q115: relational division — documents containing ALL probe
+  // terms (the "FORALL" join, the one classic relational operator the
+  // inventory lacked). Shape: map-side isin prune, DISTINCT(doc, term)
+  // then a count-matches-|terms| filter — one bounded shuffle; the
+  // probe set never leaves the driver (literals). The reference's
+  // blacklist EXISTS (q05) is the ∃ version; this is ∀.
+  def q115(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val full = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.wsTokens(lower(col("text")))).as("token"))
+      .filter(col("token").isin(DivisionTerms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("token")).as("n_hit"))
+      .filter(col("n_hit") === DivisionTerms.size)
+    docs.join(full, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  val q115Sql: String = {
+    val terms = DivisionTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       | SELECT doc_id, UNNEST(LIST_FILTER(
+       |   STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'), x -> x <> '')) AS token
+       | FROM documents),
+       |hit AS (
+       | SELECT doc_id FROM toks WHERE token IN ($terms)
+       | GROUP BY 1 HAVING COUNT(DISTINCT token) = ${DivisionTerms.size})
+       |SELECT d.doc_id, d.lang, d.source
+       |FROM documents d JOIN hit USING (doc_id)""".stripMargin
+  }
+
+  // --- q116: deflate compression-ratio quality signal (rows-only: the
+  // DEFLATE bitstream is JDK-specific, not portable SQL). Zero-shuffle
+  // map stage; see operators.CompressionStats for the scale contract.
+  def q116(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CompressionStats.deflateStats(
+      Tables.documents(s, dir), "doc_id", "text")
+
+  // --- q117: rolling-origin backtest folds with a 1-day embargo — the
+  // temporal-leakage analog of q62's id-hash split (purged walk-forward
+  // validation: train < cutoff, 1-day gap, 7-day test). One corpus scan:
+  // the fold spine is a 3-element literal array exploded per event (no
+  // per-fold re-scan), the origin is one scalar MIN broadcast (q47
+  // pattern). Output is fold×split counts — the audit a modeler checks
+  // before trusting a backtest.
+  def q117(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val t0 = ev.agg(min(col("ts")).as("t0"))
+    ev.crossJoin(broadcast(t0))
+      .select(col("ts"), col("user_id"), col("t0"),
+        explode(array((1 to 3).map(lit): _*)).as("fold"))
+      .withColumn("split",
+        when(col("ts") < expr("timestampadd(DAY, 7*fold, t0)"), lit("train"))
+          .when(col("ts") >= expr("timestampadd(DAY, 7*fold+1, t0)") &&
+            col("ts") < expr("timestampadd(DAY, 7*fold+8, t0)"), lit("test")))
+      .filter(col("split").isNotNull)
+      .groupBy(col("fold"), col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val q117Sql: String =
+    """WITH t0 AS (SELECT MIN(ts) AS t0 FROM events),
+      |folds AS (SELECT UNNEST([1, 2, 3]) AS fold),
+      |tagged AS (
+      | SELECT f.fold, e.user_id,
+      |  CASE WHEN e.ts < t0.t0 + TO_DAYS(7*f.fold) THEN 'train'
+      |       WHEN e.ts >= t0.t0 + TO_DAYS(7*f.fold + 1)
+      |        AND e.ts < t0.t0 + TO_DAYS(7*f.fold + 8) THEN 'test'
+      |  END AS split
+      | FROM events e CROSS JOIN t0 CROSS JOIN folds f)
+      |SELECT fold, split, CAST(COUNT(*) AS BIGINT) AS n_events,
+      | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM tagged WHERE split IS NOT NULL GROUP BY 1, 2""".stripMargin
+
+  // --- q118: BPE encode with the q113-learned merge table — the full
+  // tokenizer loop (learn → broadcast merges → one encode map pass over
+  // the corpus). Rows-only (the greedy merge loop isn't SQL);
+  // CurationSpec pins the encoding against a driver-side reference and
+  // the trainer's own final symbol state.
+  def q118(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.operators.BpeTrainer.learn(docs, "text", 12)
+      .orderBy(col("rank"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+    graft.operators.BpeEncoder.encode(docs, "doc_id", "text", merges)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_bm25"           -> (q114 _),
+    "q115_contains_all"   -> (q115 _),
+    "q116_compress_ratio" -> (q116 _),
+    "q117_rolling_folds"  -> (q117 _),
+    "q118_bpe_encode"     -> (q118 _))
+
+  val oracle: Map[String, String] = Map(
+    "q114_bm25"          -> q114Sql,
+    "q115_contains_all"  -> q115Sql,
+    "q117_rolling_folds" -> q117Sql)
+}

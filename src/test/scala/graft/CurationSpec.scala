@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BpeEncoder, BpeTrainer, CompressionStats}
+import graft.queries.CurationQueries
+
+class CurationSpec extends SparkSpec {
+
+  private def docTokens: Map[Long, Seq[String]] =
+    graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq.filter(_.nonEmpty))
+      .toMap
+
+  test("q114 bm25: dense ranks, hits only, scores ordered and driver-recomputed") {
+    val out = CurationQueries.q114(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 50)
+    assert(out.map(_.getInt(3)).sorted.toSeq === (1 to out.length))
+    val toks = docTokens
+    val terms = CurationQueries.Bm25Terms.toSet
+    // every retrieved doc contains at least one query term; n_terms_hit exact
+    out.foreach { r =>
+      val hit = toks(r.getLong(0)).toSet.intersect(terms)
+      assert(hit.nonEmpty && hit.size === r.getLong(1))
+    }
+    // scores are non-increasing in rank order
+    val byRank = out.sortBy(_.getInt(3)).map(_.getDecimal(2).doubleValue())
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    // independent BM25 recomputation for the top doc
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.length).sum / n
+    val dfreq = terms.map(t => t -> toks.values.count(_.contains(t)).toDouble).toMap
+    def bm25(id: Long): Double = {
+      val ws = toks(id)
+      terms.toSeq.map { t =>
+        val tf = ws.count(_ == t).toDouble
+        if (tf == 0) BigDecimal(0)
+        else {
+          val idf = math.log(1.0 + (n - dfreq(t) + 0.5) / (dfreq(t) + 0.5))
+          BigDecimal(idf * tf * (CurationQueries.Bm25K1 + 1) /
+            (tf + CurationQueries.Bm25K1 * (1 - CurationQueries.Bm25B +
+              CurationQueries.Bm25B * ws.length / avgdl)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }.sum.toDouble
+    }
+    val top = out.minBy(_.getInt(3))
+    assert(math.abs(bm25(top.getLong(0)) - top.getDecimal(2).doubleValue()) < 1e-9)
+  }
+
+  test("q115 relational division: complete characterization vs driver token sets") {
+    val got = CurationQueries.q115(spark, sf).collect().map(_.getLong(0)).toSet
+    val expect = docTokens.collect {
+      case (id, ws) if CurationQueries.DivisionTerms.forall(ws.contains) => id
+    }.toSet
+    assert(got === expect, "division must return exactly the docs containing ALL terms")
+    assert(expect.nonEmpty, "probe terms should match at least one sf0.001 doc")
+  }
+
+  test("q116 deflate ratio: deterministic, bounded, orders repetition below noise") {
+    val a = CurationQueries.q116(spark, sf).collect().sortBy(_.getLong(0))
+    val b = CurationQueries.q116(spark, sf).collect().sortBy(_.getLong(0))
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq, "deflate must be a pure function")
+    a.foreach { r =>
+      val (nb, nd) = (r.getLong(1), r.getLong(2))
+      assert(nb > 0 && nd > 0 && r.getDouble(3) > 0)
+      assert(nd <= nb + 11, "stored-block overhead bound: deflate never inflates past 11B+5/16k")
+    }
+    // a repetitive text must compress strictly better than high-entropy text
+    val s = spark
+    import s.implicits._
+    val synth = Seq(
+      (1L, "spark " * 200),
+      (2L, (1 to 200).map(i => (i * 2654435761L).toHexString).mkString(" "))
+    ).toDF("doc_id", "text")
+    val m = CompressionStats.deflateStats(synth, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(m(1L) < m(2L))
+    // empty text: no ratio, zero sizes
+    val e = CompressionStats.deflateStats(
+      Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text").collect()(0)
+    assert(e.getLong(1) === 0L && e.isNullAt(3))
+  }
+
+  test("q117 rolling folds: counts equal a driver recomputation; embargo holds") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("ts"), col("user_id")).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+    val t0 = ev.map(_._1).min
+    val day = 86400000L
+    val expect = (for {
+      f <- 1 to 3
+      split <- Seq("train", "test")
+    } yield {
+      val in = ev.filter { case (ts, _) =>
+        if (split == "train") ts < t0 + 7L * f * day
+        else ts >= t0 + (7L * f + 1) * day && ts < t0 + (7L * f + 8) * day
+      }
+      ((f, split), (in.length.toLong, in.map(_._2).distinct.length.toLong))
+    }).filter(_._2._1 > 0).toMap
+    val got = CurationQueries.q117(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect)
+    // temporal hygiene: each fold's train count grows with the horizon
+    val trains = (1 to 3).flatMap(f => got.get((f, "train")).map(_._1))
+    assert(trains.zip(trains.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("bpe encodeWord: merges apply lowest-rank-first, all occurrences at once") {
+    val ranks = Map(("a", "b") -> 1, ("ab", "c") -> 2, ("c", "d") -> 3)
+    assert(BpeEncoder.encodeWord("abcd", ranks).toSeq === Seq("abc", "d"))
+    // rank 1 consumes both 'ab's before rank 3 can see 'cd'
+    assert(BpeEncoder.encodeWord("abab", ranks).toSeq === Seq("ab", "ab"))
+    assert(BpeEncoder.encodeWord("xyz", ranks).toSeq === Seq("x", "y", "z"))
+    assert(BpeEncoder.encodeWord("", ranks).toSeq === Seq.empty)
+  }
+
+  test("q118: encoding the training corpus reproduces the trainer's final symbols") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val mergeRows = BpeTrainer.learn(docs, "text", 12).orderBy("rank").collect()
+    val merges = mergeRows.map(r => (r.getString(1), r.getString(2))).toSeq
+    val ranks = merges.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+    // trainer replay on the word-frequency table = encoder output per word
+    val words = docTokens.values.flatten.toSeq.distinct
+    words.foreach { w =>
+      var syms: Array[String] = w.map(_.toString).toArray
+      merges.foreach { case (l, r) =>
+        val ns = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            ns += l + r; i += 2
+          } else { ns += syms(i); i += 1 }
+        }
+        syms = ns.toArray
+      }
+      assert(BpeEncoder.encodeWord(w, ranks).toSeq === syms.toSeq,
+        s"encode('$w') must equal the trainer's replace-all replay")
+    }
+    // corpus-level invariants from the summary frame
+    val out = graft.queries.CurationQueries.q118(spark, sf).collect()
+    val toks = docTokens
+    out.foreach { r =>
+      val ws = toks(r.getLong(0))
+      assert(r.getLong(1) === ws.length.toLong)
+      val chars = ws.map(_.length).sum.toLong
+      assert(r.getLong(2) <= chars && r.getLong(2) >= r.getLong(1),
+        "token count bounded by chars below, words above")
+      assert(r.getLong(3) <= r.getLong(2))
+    }
+    // with no merges, every token is a single character
+    val plain = BpeEncoder.encode(docs, "doc_id", "text", Seq.empty).collect()
+    plain.foreach { r =>
+      val chars = toks(r.getLong(0)).map(_.length).sum.toLong
+      assert(r.getLong(2) === chars && r.getLong(3) === 0L)
+    }
+  }
+}

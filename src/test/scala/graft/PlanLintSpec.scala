@@ -25,11 +25,16 @@ class PlanLintSpec extends SparkSpec {
     *    alphabet-sized count table (the q47 pattern).
     *  - q93_skew_profile: scalar total-row count broadcast to the 5-row
     *    top-K frame (the q47 pattern).
+    *  - q114_bm25: scalar (N, total-token) corpus stats broadcast to the
+    *    term-pruned scored rows (the q47 pattern).
+    *  - q117_rolling_folds: scalar MIN(ts) origin broadcast to every
+    *    event (the q47 pattern).
     */
   private val boundedNestedLoop = Set(
     "q21_dedup_ngram", "q24_dedup_embedding", "q25_ann_bruteforce",
     "q46_gap_fill", "q47_tfidf", "q49_ann_ivf", "q68_ann_recall",
-    "q80_lm_score", "q82_char_coverage", "q93_skew_profile")
+    "q80_lm_score", "q82_char_coverage", "q93_skew_profile",
+    "q114_bm25", "q117_rolling_folds")
 
   test("no cartesian products; nested-loop joins only where bounded by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -15,7 +15,7 @@ class SparkEntrySpec extends AnyFunSuite {
     graft.queries.TextQueries.queries, graft.queries.OlapQueries.queries,
     graft.queries.ExtendedQueries.queries, graft.queries.PipelineQueries.queries,
     graft.queries.AnalyticsQueries.queries, graft.queries.CorpusQueries.queries,
-    graft.queries.PrivacyQueries.queries)
+    graft.queries.PrivacyQueries.queries, graft.queries.CurationQueries.queries)
 
   test("no module's query name collides with another's") {
     val all = moduleQueryMaps.flatMap(_.keys)
