@@ -133,6 +133,69 @@ object StreamingFraud {
         col("s.qs")(0).as("p50"), col("s.qs")(1).as("p95"))
   }
 
+  /** Windowed streaming drift monitor — q112's total-variation drift as
+    * a stream, the shape a deployed fraud model actually runs: each
+    * 6-hour window's per-type value histogram compared against the
+    * TRAINING-TIME baseline distribution. The baseline is a
+    * types×bins literal map folded in as a constant expression, NOT a
+    * join — so the transform stays one stateful aggregation (a join
+    * after a streaming aggregation is unsupported), exactly how a
+    * deployed monitor ships its reference distribution.
+    *
+    * State per (window, type): one BinHistogram — nBins longs —
+    * regardless of window volume. The drift number is q112's exact
+    * integer cross-multiplied TV numerator Σ|h_i·N_base − b_i·N_win|
+    * (TV = num / (2·N_win·N_base)); no float forms, so batch and
+    * stream agree bit-for-bit (spec asserts equality and a driver
+    * recomputation). Event types absent from the baseline are dropped
+    * — no reference distribution exists to compare against; route
+    * those through the q99-style inventory instead.
+    */
+  def driftStream(events: DataFrame, baseline: Map[String, Seq[Long]],
+                  nBins: Int = 20, binWidth: Double = 25.0): DataFrame = {
+    require(baseline.nonEmpty, "drift needs a non-empty baseline histogram map")
+    require(baseline.values.forall(_.length == nBins),
+      s"every baseline histogram must have exactly $nBins bins")
+    val hist = udaf(new graft.operators.BinHistogram.HistAgg(nBins),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .filter(col("value").isNotNull)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(hist(least(floor(col("value") / binWidth), lit(nBins - 1L))
+        .cast("long")).as("h"))
+      .withColumn("bh", element_at(typedLit(baseline), col("event_type")))
+      .filter(col("bh").isNotNull)
+      .withColumn("n_base", aggregate(col("bh"), lit(0L), _ + _))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("h.n").as("n_events"), col("n_base"),
+        aggregate(zip_with(col("h.bins"), col("bh"),
+          (x, y) => abs(x * col("n_base") - y * col("h.n"))),
+          lit(0L), _ + _).as("drift_num"))
+  }
+
+  /** Batch helper for [[driftStream]]: the per-type reference histogram
+    * over a training window, collected to a driver map (types×bins —
+    * metadata next to the corpus, the q55 union-find precedent).
+    */
+  def baselineHistogram(events: DataFrame, nBins: Int = 20,
+                        binWidth: Double = 25.0): Map[String, Seq[Long]] =
+    events
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        least(floor(col("value") / binWidth), lit(nBins - 1L)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rows) =>
+        val bins = new Array[Long](nBins)
+        // clamp like HistAgg.reduce so negative values land in bin 0
+        rows.foreach { r =>
+          val i = math.min(math.max(r.getLong(1), 0L), (nBins - 1).toLong).toInt
+          bins(i) += r.getLong(2)
+        }
+        t -> bins.toIndexedSeq
+      }
+
   /** Streaming source over a directory of parquet event files, watermarked
     * for state cleanup (10 min lateness — at scale this bounds the window
     * state store regardless of input volume).

@@ -253,6 +253,57 @@ class StreamingSpec extends SparkSpec {
     } finally streamed.unpersist()
   }
 
+  test("streaming drift monitor equals batch and a driver-side TV recomputation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    val batchEvents = graft.sources.Tables.events(spark, sf).cache()
+    batchEvents.write.mode("overwrite").parquet(dir)
+    // training baseline: the q112 "window 1" period
+    val baseline = StreamingFraud.baselineHistogram(
+      batchEvents.filter(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp")))
+    assert(baseline.nonEmpty && baseline.values.forall(_.sum > 0))
+
+    val q = StreamingFraud.driftStream(
+        StreamingFraud.readEventStream(spark, dir), baseline)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("drift_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("drift_out").cache()
+      // exact integer drift: stream == the shared transform run in batch
+      val batch = StreamingFraud.driftStream(batchEvents, baseline)
+      assert(streamed.count() > 0 && streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0,
+        "integer TV numerators must be bit-identical between stream and batch")
+      // ...and both equal a from-scratch driver recomputation
+      val events = batchEvents
+        .filter(col("value").isNotNull)
+        .select(unix_micros(col("ts")), col("event_type"), col("value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      val win = 6L * 3600 * 1000000 // 6h in µs, epoch-aligned like window()
+      val expect = events
+        .map { case (us, t, v) =>
+          ((Math.floorDiv(us, win) * win, t),
+            math.min(math.floor(v / 25.0).toLong, 19L).max(0L))
+        }
+        .groupBy(_._1)
+        .collect { case ((ws, t), rows) if baseline.contains(t) =>
+          val h = new Array[Long](20)
+          rows.foreach { case (_, b) => h(b.toInt) += 1 }
+          val bh = baseline(t)
+          val (n, nb) = (h.sum, bh.sum)
+          val num = h.indices.map(i => math.abs(h(i) * nb - bh(i) * n)).sum
+          (ws, t, n, nb, num)
+        }.toSet
+      val got = streamed.select(unix_micros(col("window_start")),
+          col("event_type"), col("n_events"), col("n_base"), col("drift_num"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got === expect, "streamed drift must equal the driver recomputation")
+      streamed.unpersist(blocking = false)
+    } finally q.stop()
+  }
+
   test("full fraud report runs as one continuous stream, matching batch rules") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rep_stream").toString
     val batchEvents = graft.sources.Tables.events(spark, sf).cache()
