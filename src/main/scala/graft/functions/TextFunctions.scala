@@ -50,6 +50,25 @@ object TextFunctions {
         element_at(col("toks"), col("i")).as("tok_b"))
   }
 
+  /** DISTINCT word n-gram shingles: one row per (doc, space-joined
+    * n-token window) — the containment-dedup primitive (q121). Same
+    * codegen-friendly split-once + position-explode form as
+    * [[wordBigrams]]; documents shorter than n yield no shingles.
+    */
+  def wordNgrams(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    df.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(n), size(col("toks")))).as("i"))
+      .select(col(idCol),
+        concat_ws(" ", (n - 1 to 0 by -1).map(k =>
+          element_at(col("toks"), col("i") - k)): _*).as("shingle"))
+      .distinct()
+  }
+
   /** Whitespace-delimited token count; a blank/whitespace-only text has
     * ZERO tokens (split of "" returns [""], which must not count).
     */

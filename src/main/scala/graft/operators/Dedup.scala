@@ -293,6 +293,71 @@ object Dedup {
     jaccardVerify(cands.join(a, Seq("id_a")).join(b, Seq("id_b")), threshold, hashed)
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs — the case symmetric Jaccard
+    * structurally misses: a short document fully quoted inside a long
+    * one has containment |A∩B|/|A| ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so
+    * MinHash-LSH (tuned for Jaccard) never surfaces it. Candidates come
+    * from the POSTING-INTERSECTION generator instead: word n-gram
+    * shingles self-joined on the shingle — pairs sharing at least one
+    * cold shingle — then verification against the FULL per-doc hashed
+    * sets (the lshVerifiedPairs split: prune shapes candidates, never
+    * the verified arithmetic; exact modulo 64-bit hash collisions) and
+    * a containment-of-the-smaller-side threshold.
+    *
+    * Scale shape: everything is equi-join/groupBy on the shingle or the
+    * pair key. The quadratic hazard (a corpus-hot shingle's posting
+    * list self-joined) is bounded by the `graft.dedup.maxPostingDf`
+    * dial (default 64): shingles hotter than the cap are excluded from
+    * candidate generation, so per-shingle join work is ≤ cap² rows.
+    * Recall contract: a qualifying pair is missed only if EVERY shingle
+    * the two documents share is corpus-hot — for threshold c that means
+    * c·|smaller| shared shingles, all with df > cap; boilerplate that
+    * common belongs to q77's repetition/boilerplate analysis, not
+    * pairwise dedup. The sf oracle runs the UNPRUNED all-pairs SQL and
+    * hash-matches (max df in the test corpora is 4 — the prune never
+    * fires there).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val spark = df.sparkSession
+    val maxDf = spark.conf.getOption("graft.dedup.maxPostingDf")
+      .map(_.toLong).getOrElse(64L)
+    // one shingle scan feeds the candidate postings AND the verification
+    // sets — persist it, like lshVerifiedPairs' shingle stream
+    val sh = trackPersist(
+      graft.functions.TextFunctions.wordNgrams(df, idCol, textCol, n))
+    // verification sets: FULL per-doc sorted xxhash64 sets (the hashed
+    // verifier's representation) — the df prune below shapes CANDIDATE
+    // generation only; n_common is always exact over the whole sets
+    val sets = trackPersist(
+      sh.select(col(idCol), xxhash64(col("shingle")).as("h"))
+        .groupBy(col(idCol))
+        .agg(sort_array(collect_set(col("h"))).as("bm"))
+        .withColumn("sz", size(col("bm")).cast("bigint")))
+    val cold = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("shingle")
+    val pruned = sh.join(cold, Seq("shingle"), "left_semi")
+    val cands = pruned.select(col("shingle"), col(idCol).as("id_a"))
+      .join(pruned.select(col("shingle"), col(idCol).as("id_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("bm").as("bm_a"),
+        col("sz").as("size_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("bm").as("bm_b"),
+        col("sz").as("size_b")), Seq("id_b"))
+      .withColumn("n_common",
+        graft.functions.BitmapFunctions.sortedAndCount(col("bm_a"), col("bm_b")))
+      .filter(col("n_common").cast("double") >=
+        lit(threshold) * least(col("size_a"), col("size_b")).cast("double"))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        col("size_a"), col("size_b"),
+        round(col("n_common").cast("double") /
+          least(col("size_a"), col("size_b")).cast("double"), 6).as("containment"))
+  }
+
   /** The persistable near-dup index of a corpus: the two tables a
     * production pipeline stores (parquet, partitioned by band /
     * bucketed by id) so that DAILY INGEST never re-scans the corpus —

@@ -211,15 +211,147 @@ object CurationQueries {
     graft.operators.BpeEncoder.encode(docs, "doc_id", "text", merges)
   }
 
+  // --- q119: per-type value concentration — do a handful of users
+  // dominate the volume? (the single-source-dominance audit a dataset
+  // card wants, and the fraud analog of "whale" accounts). One
+  // (type, user) decimal aggregation shuffle; the rank window runs over
+  // the per-user AGGREGATE frame (bounded by distinct users — the q04
+  // top-k pattern), never the event stream; every sum is decimal so
+  // partition order can't move a cent.
+  def q119(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy("event_type", "user_id")
+      .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("v").desc, col("user_id").asc)
+    perUser.withColumn("rn", row_number().over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("v")).cast("decimal(18,2)").as("total_value"),
+        sum(when(col("rn") <= 10, col("v"))
+          .otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("decimal(18,2)").as("top10_value"))
+      .withColumn("top10_share",
+        when(col("total_value") === 0, lit(null).cast("double"))
+          .otherwise(round(col("top10_value").cast("double") /
+            col("total_value").cast("double"), 6)))
+  }
+
+  val q119Sql: String =
+    """WITH pu AS (
+      | SELECT event_type, user_id, SUM(CAST(value AS DECIMAL(18,2))) AS v
+      | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |r AS (
+      | SELECT event_type, v,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY v DESC, user_id ASC) AS rn
+      | FROM pu)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+      | CAST(SUM(v) AS DECIMAL(18,2)) AS total_value,
+      | CAST(SUM(CASE WHEN rn <= 10 THEN v ELSE 0 END) AS DECIMAL(18,2)) AS top10_value,
+      | CASE WHEN SUM(v) = 0 THEN NULL
+      |  ELSE ROUND(CAST(SUM(CASE WHEN rn <= 10 THEN v ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(v) AS DOUBLE), 6) END AS top10_share
+      |FROM r GROUP BY 1""".stripMargin
+
+  // --- q120: median-absolute-deviation robust outliers per type — the
+  // robust twin of q60's 3σ rule (a single whale account drags a mean
+  // and σ; it cannot drag a median). Exact type-1 order statistics via
+  // the house rank convention (q97/q107): two (type)-partitioned
+  // corpus sorts — q43's exact-percentile shape twice — with the
+  // types-sized med/mad frames joined back broadcast. The approximate
+  // scale path for the same question is q107's mergeable summary.
+  def q120(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    def medianOf(df: DataFrame, c: String, out: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(col(c).asc)
+      df.withColumn("rk", row_number().over(w))
+        .join(n, Seq("event_type"))
+        .filter(col("rk") === expr("(50*n + 99) div 100"))
+        .select(col("event_type"), col(c).as(out))
+    }
+    val med = medianOf(ev, "value", "med")
+    val dev = ev.join(med, Seq("event_type"))
+      .withColumn("d", abs(col("value") - col("med")))
+    val mad = medianOf(dev.select(col("event_type"), col("d")), "d", "mad")
+    dev.join(mad, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("d") > lit(3) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  val q120Sql: String =
+    """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |n AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1),
+      |r1 AS (
+      | SELECT e.event_type, value,
+      |  ROW_NUMBER() OVER (PARTITION BY e.event_type ORDER BY value ASC) AS rk, n.n
+      | FROM e JOIN n USING (event_type)),
+      |med AS (SELECT event_type, value AS med FROM r1 WHERE rk = (50*n + 99)//100),
+      |dev AS (
+      | SELECT e.event_type, ABS(e.value - med.med) AS d, med.med
+      | FROM e JOIN med USING (event_type)),
+      |r2 AS (
+      | SELECT dev.event_type, d,
+      |  ROW_NUMBER() OVER (PARTITION BY dev.event_type ORDER BY d ASC) AS rk, n.n
+      | FROM dev JOIN n USING (event_type)),
+      |mad AS (SELECT event_type, d AS mad FROM r2 WHERE rk = (50*n + 99)//100)
+      |SELECT dev.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      | MAX(dev.med) AS med, MAX(mad.mad) AS mad,
+      | CAST(SUM(CASE WHEN dev.d > 3*mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev JOIN mad USING (event_type) GROUP BY 1""".stripMargin
+
+  // --- q121: asymmetric containment dedup — the quote-inclusion case
+  // Jaccard-tuned LSH structurally misses (see Dedup.containmentPairs
+  // for the posting-intersection candidate generator and the
+  // maxPostingDf recall contract). The oracle is the UNPRUNED all-pairs
+  // SQL: max shingle df in the test corpora is 4, so the prune never
+  // fires and the pruned pipeline must hash-match exactly.
+  def q121(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.containmentPairs(
+      Tables.documents(s, dir), "doc_id", "text", n = 4, threshold = 0.8)
+
+  val q121Sql: String =
+    """WITH toks AS (
+      | SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+') AS ws
+      | FROM documents),
+      |gr AS (SELECT doc_id, ws, UNNEST(RANGE(1, LEN(ws)-2)) AS i FROM toks),
+      |sh AS (
+      | SELECT DISTINCT doc_id,
+      |  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+      | FROM gr),
+      |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+      |common AS (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      | FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id_a, id_b, n_common, sa.sz AS size_a, sb.sz AS size_b,
+      | ROUND(CAST(n_common AS DOUBLE) / LEAST(sa.sz, sb.sz), 6) AS containment
+      |FROM common
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(n_common AS DOUBLE) >= 0.8 * LEAST(sa.sz, sb.sz)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_bm25"           -> (q114 _),
     "q115_contains_all"   -> (q115 _),
     "q116_compress_ratio" -> (q116 _),
     "q117_rolling_folds"  -> (q117 _),
-    "q118_bpe_encode"     -> (q118 _))
+    "q118_bpe_encode"     -> (q118 _),
+    "q119_concentration"  -> (q119 _),
+    "q120_mad_outliers"   -> (q120 _),
+    "q121_containment"    -> (q121 _))
 
   val oracle: Map[String, String] = Map(
     "q114_bm25"          -> q114Sql,
     "q115_contains_all"  -> q115Sql,
-    "q117_rolling_folds" -> q117Sql)
+    "q117_rolling_folds" -> q117Sql,
+    "q119_concentration" -> q119Sql,
+    "q120_mad_outliers"  -> q120Sql,
+    "q121_containment"   -> q121Sql)
 }

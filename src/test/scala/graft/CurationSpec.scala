@@ -107,6 +107,97 @@ class CurationSpec extends SparkSpec {
     assert(trains.zip(trains.tail).forall { case (a, b) => a <= b })
   }
 
+  test("q119 concentration: top-10 share equals a driver recomputation") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("user_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDouble(2))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val expect = ev.groupBy(_._1).map { case (t, rows) =>
+      val perUser = rows.groupBy(_._2).map { case (u, rs) => (u, rs.map(_._3).sum) }.toSeq
+      val top10 = perUser.sortBy { case (u, v) => (-v, u) }.take(10).map(_._2).sum
+      val total = perUser.map(_._2).sum
+      (t, perUser.size.toLong, total, top10,
+        (top10.toDouble / total.toDouble * 1e6).round / 1e6)
+    }.toSet
+    val got = graft.queries.CurationQueries.q119(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2)),
+        BigDecimal(r.getDecimal(3)), r.getDouble(4))).toSet
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) === expect.map(t => (t._1, t._2, t._3, t._4)))
+    // share within a rounding ulp of the driver-side double
+    val shares = got.map(t => t._1 -> t._5).toMap
+    expect.foreach { case (t, _, _, _, s) =>
+      assert(math.abs(shares(t) - s) < 1e-9, s"share mismatch for $t")
+    }
+  }
+
+  test("q120 MAD outliers: medians and outlier counts equal a driver recomputation") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def rankStat(xs: Seq[Double]): Double = {
+      val sorted = xs.sorted
+      sorted(((50 * xs.size + 99) / 100 - 1).max(0))
+    }
+    val expect = ev.groupBy(_._1).map { case (t, rows) =>
+      val vs = rows.map(_._2).toSeq
+      val med = rankStat(vs)
+      val ds = vs.map(v => math.abs(v - med))
+      val mad = rankStat(ds)
+      (t, vs.size.toLong, med, mad, ds.count(_ > 3 * mad).toLong)
+    }.toSet
+    val got = graft.queries.CurationQueries.q120(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(got === expect)
+    // robustness: MAD-based outlier counts exist and are a small minority
+    got.foreach { case (t, n, _, _, k) => assert(k < n / 4, s"$t flags too much") }
+  }
+
+  test("q121 containment: complete characterization and the asymmetric catch") {
+    // driver all-pairs containment on distinct word-4-grams
+    val toks = docTokens
+    val sets = toks.map { case (id, ws) =>
+      id -> ws.sliding(4).filter(_.size == 4).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val ids = sets.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids; j <- ids if i < j
+      ni = sets(i).intersect(sets(j)).size
+      minSz = math.min(sets(i).size, sets(j).size)
+      if ni >= 0.8 * minSz
+    } yield (i, j, ni.toLong)).toSet
+    val got = graft.queries.CurationQueries.q121(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect, "pruned pipeline must equal all-pairs containment here")
+    assert(expect.nonEmpty, "sf0.001 must contain containment pairs")
+    // the asymmetric case Jaccard misses: a short doc quoted inside a long one
+    val s2 = spark
+    import s2.implicits._
+    val synth = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      // DISTINCT filler tokens: repetition would collapse the long doc's
+      // shingle set and push Jaccard back up
+      (2L, (1 to 100).map(i => s"w$i").mkString(" ") +
+        " alpha beta gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val pair = graft.operators.Dedup.containmentPairs(synth, "doc_id", "text", 4, 0.8)
+      .collect()
+    assert(pair.length == 1 && pair(0).getDouble(5) == 1.0,
+      "full quote inclusion must score containment 1.0")
+    val (szA, szB) = (pair(0).getLong(3), pair(0).getLong(4))
+    val jaccard = pair(0).getLong(2).toDouble / (szA + szB - pair(0).getLong(2))
+    assert(jaccard < 0.1, "the same pair is invisible to a Jaccard threshold")
+    // the posting-df dial prunes hot shingles (candidates can only shrink)
+    spark.conf.set("graft.dedup.maxPostingDf", "1")
+    try {
+      val pruned = graft.queries.CurationQueries.q121(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(pruned.subsetOf(got))
+    } finally spark.conf.unset("graft.dedup.maxPostingDf")
+  }
+
   test("bpe encodeWord: merges apply lowest-rank-first, all occurrences at once") {
     val ranks = Map(("a", "b") -> 1, ("ab", "c") -> 2, ("c", "d") -> 3)
     assert(BpeEncoder.encodeWord("abcd", ranks).toSeq === Seq("abc", "d"))
