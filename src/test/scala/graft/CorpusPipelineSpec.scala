@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{Decontaminate, Dedup}
+import graft.pipeline.CorpusPipeline
+
+class CorpusPipelineSpec extends SparkSpec {
+
+  test("curate: stage accounting, reject partition, clean-set guarantees, determinism") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_curate").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // eval set drawn from the corpus itself: guaranteed contamination
+    // hits for any eval doc that survives quality + dedup
+    val eval = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("text"))
+    val res = CorpusPipeline.curate(spark, docs, Some(eval), dir)
+
+    // stage accounting: names, arithmetic, chain continuity
+    assert(res.stages.map(_.stage) ===
+      Seq("quality", "exact_dup", "near_dup", "contaminated"))
+    res.stages.foreach(s => assert(s.rows_in - s.rows_out === s.rows_dropped))
+    assert(res.stages.head.rows_in === res.nIn)
+    assert(res.stages.sliding(2).forall {
+      case Seq(a, b) => b.rows_in == a.rows_out
+      case _         => true
+    })
+    assert(res.stages.last.rows_out === res.nClean && res.nClean > 0)
+
+    // clean + rejects partition the input id set exactly
+    val clean = spark.read.parquet(s"$dir/clean").cache()
+    val rejects = spark.read.parquet(s"$dir/rejects")
+    assert(clean.count() === res.nClean)
+    val cleanIds = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    val rejIds = rejects.select("doc_id").collect().map(_.getLong(0)).toSet
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleanIds.intersect(rejIds).isEmpty, "a doc is both clean and rejected")
+    assert(cleanIds ++ rejIds === allIds, "every input doc is accounted for")
+    assert(rejects.count().toInt === rejIds.size, "one reject row per dropped doc")
+
+    // the clean set honors every stage's guarantee
+    assert(clean.filter(TF.qualityScore(col("text")) < 0.5).isEmpty,
+      "a low-quality doc survived")
+    assert(clean.select(col("text")).distinct().count() === res.nClean,
+      "an exact duplicate survived")
+    assert(Dedup.lshVerifiedPairs(clean, "doc_id", "text", 3, 0.6, 16, 16).isEmpty,
+      "a near-dup pair survived canonicalization")
+    assert(Decontaminate.overlapFlags(clean, eval, "doc_id", "text", 5).isEmpty,
+      "a contaminated doc survived")
+
+    // shards: within-shard positions are dense from 1
+    clean.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("mn"), max("pos").as("mx"))
+      .collect().foreach { r =>
+        assert(r.getAs[Int]("mn") === 1 && r.getAs[Int]("mx").toLong === r.getAs[Long]("n"))
+      }
+
+    // dataset card totals match the clean set
+    val card = spark.read.parquet(s"$dir/card")
+    assert(card.agg(sum("n_docs")).collect()(0).getLong(0) === res.nClean)
+
+    // determinism: a second run is row-identical
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_curate2").toString
+    val res2 = CorpusPipeline.curate(spark, docs, Some(eval), dir2)
+    assert(res2.stages === res.stages)
+    val clean2 = spark.read.parquet(s"$dir2/clean")
+    assert(clean.exceptAll(clean2).isEmpty && clean2.exceptAll(clean).isEmpty,
+      "curation must be a pure function of the input")
+    clean.unpersist(blocking = false)
+  }
+
+  test("curate without an eval set skips the contamination stage") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_curate3").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val res = CorpusPipeline.curate(spark, docs, None, dir)
+    assert(res.stages.map(_.stage) === Seq("quality", "exact_dup", "near_dup"))
+    assert(spark.read.parquet(s"$dir/clean").count() === res.nClean)
+  }
+}
