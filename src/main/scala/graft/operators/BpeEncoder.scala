@@ -57,6 +57,38 @@ object BpeEncoder {
     syms
   }
 
+  case class TokenRow(doc_id: Long, pos: Int, token: String)
+
+  /** The full encoded token STREAM — what a training pipeline actually
+    * materializes: one row per (doc, position, subword token), in
+    * document order. Same single map pass and broadcast rank map as
+    * [[encode]]; positions are dense from 0 within each document, so
+    * downstream packing (q64's shape) and vocab-id assignment (a join
+    * against the q96-style vocab frame) are plain relational steps.
+    * CurationSpec cross-checks this stream's per-doc aggregate against
+    * [[encode]]'s summary row for row.
+    */
+  def encodeTokens(df: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+    val bRanks = spark.sparkContext.broadcast(ranks)
+    val pairs = df.select(col(idCol).cast("long"),
+      graft.functions.TextFunctions.wsTokens(lower(col(textCol))))
+      .as[(Long, Seq[String])]
+    pairs.mapPartitions { it =>
+      val rk = bRanks.value
+      it.flatMap { case (id, words) =>
+        var pos = -1
+        words.iterator.flatMap { w =>
+          encodeWord(w, rk).iterator.map { t => pos += 1; TokenRow(id, pos, t) }
+        }
+      }
+    }(Encoders.product[TokenRow]).toDF()
+  }
+
   /** Per-document encoding summary: word count, BPE token count, and
     * how many emitted tokens are fused (length > 1 — the vocabulary
     * actually paying off). Words are lowercased whitespace tokens,

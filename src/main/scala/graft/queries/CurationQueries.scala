@@ -337,7 +337,88 @@ object CurationQueries {
       |JOIN sizes sb ON sb.doc_id = id_b
       |WHERE CAST(n_common AS DOUBLE) >= 0.8 * LEAST(sa.sz, sb.sz)""".stripMargin
 
+  // --- q122: IVF ANN recall eval — q68's harness pointed at the IVF
+  // index instead of hyperplane LSH, so BOTH approximate ANN paths ship
+  // with a measured quality number (an index without a recall figure is
+  // an unevaluated model, the round-5 q78 lesson). Rows-only; the spec
+  // asserts a recall floor. Plan shape inherits q25/q49's allowlisted
+  // probe-broadcast joins.
+  def q122(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val probes = e.filter(col("vec_id") < 50)
+    val bf = graft.operators.Similarity
+      .bruteForceTopK(e, probes, "vec_id", "embedding", k = 10)
+    val ivf = graft.operators.Similarity
+      .ivfTopK(e, probes, "vec_id", "embedding", k = 10, nCells = 16, nProbe = 4)
+      .withColumnRenamed("rank", "ivf_rank")
+    bf.join(ivf, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy("probe_id")
+      .agg((sum(when(col("ivf_rank").isNotNull, 1).otherwise(0)) / 10.0)
+        .as("recall_at_10"))
+  }
+
+  // --- q123: funnel conversion latency — the TIME dimension q65's
+  // funnel counts lack: per converting user, first view → first
+  // subsequent purchase, with exact weekly p50/p90 latency (the house
+  // type-1 rank convention, q107Sql). The rank window partitions by
+  // cohort week over the per-USER latency frame — user-cardinality
+  // rows split across weeks, never the event stream (q43's shape on an
+  // already-aggregated frame).
+  def q123(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("view_ts"))
+    val lat = ev.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts") >= col("view_ts"))
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("purchase_ts"), min(col("view_ts")).as("view_ts"))
+      .select(col("user_id"),
+        // DATE, not timestamp: DuckDB's DATE_TRUNC('week') yields a
+        // date and the driver compares schemas
+        to_date(date_trunc("week", col("view_ts"))).as("week"),
+        ((unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))) /
+          lit(1000000.0)).as("latency_s"))
+    val n = lat.groupBy("week").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("week")
+      .orderBy(col("latency_s").asc, col("user_id").asc)
+    lat.withColumn("rk", row_number().over(w))
+      .join(n, Seq("week"))
+      .groupBy("week")
+      .agg(max(col("n")).as("n_conversions"),
+        max(when(col("rk") === expr("(50*n + 99) div 100"), col("latency_s")))
+          .as("p50_s"),
+        max(when(col("rk") === expr("(90*n + 99) div 100"), col("latency_s")))
+          .as("p90_s"))
+  }
+
+  val q123Sql: String =
+    """WITH fv AS (
+      | SELECT user_id, MIN(ts) AS view_ts FROM events
+      | WHERE event_type = 'view' GROUP BY 1),
+      |conv AS (
+      | SELECT e.user_id, MIN(e.ts) AS purchase_ts, MIN(fv.view_ts) AS view_ts
+      | FROM events e JOIN fv USING (user_id)
+      | WHERE e.event_type = 'purchase' AND e.ts >= fv.view_ts
+      | GROUP BY 1),
+      |lat AS (
+      | SELECT user_id, CAST(DATE_TRUNC('week', view_ts) AS DATE) AS week,
+      |  (EPOCH_US(purchase_ts) - EPOCH_US(view_ts)) / 1000000.0 AS latency_s
+      | FROM conv),
+      |n AS (SELECT week, COUNT(*) AS n FROM lat GROUP BY 1),
+      |r AS (
+      | SELECT lat.week, latency_s, n.n,
+      |  ROW_NUMBER() OVER (PARTITION BY lat.week
+      |    ORDER BY latency_s ASC, user_id ASC) AS rk
+      | FROM lat JOIN n USING (week))
+      |SELECT week, CAST(MAX(n) AS BIGINT) AS n_conversions,
+      | MAX(CASE WHEN rk = (50*n + 99)//100 THEN latency_s END) AS p50_s,
+      | MAX(CASE WHEN rk = (90*n + 99)//100 THEN latency_s END) AS p90_s
+      |FROM r GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_ivf_recall"     -> (q122 _),
+    "q123_funnel_latency" -> (q123 _),
     "q114_bm25"           -> (q114 _),
     "q115_contains_all"   -> (q115 _),
     "q116_compress_ratio" -> (q116 _),
@@ -348,6 +429,7 @@ object CurationQueries {
     "q121_containment"    -> (q121 _))
 
   val oracle: Map[String, String] = Map(
+    "q123_funnel_latency" -> q123Sql,
     "q114_bm25"          -> q114Sql,
     "q115_contains_all"  -> q115Sql,
     "q117_rolling_folds" -> q117Sql,

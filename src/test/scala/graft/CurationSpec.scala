@@ -198,6 +198,50 @@ class CurationSpec extends SparkSpec {
     } finally spark.conf.unset("graft.dedup.maxPostingDf")
   }
 
+  test("q122 IVF recall: complete probe coverage with a measured floor") {
+    val out = graft.queries.CurationQueries.q122(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size === 50, "one recall row per probe")
+    out.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    val mean = out.values.sum / out.size
+    assert(mean >= 0.5,
+      f"IVF nProbe=4/16 must find at least half the true neighbors (got $mean%.3f)")
+  }
+
+  test("q123 funnel latency: driver-recomputed weekly exact percentiles") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val firstView = ev.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, rs) => u -> rs.map(_._3).min }
+    val lats = ev.filter(_._2 == "purchase")
+      .flatMap { case (u, _, us) =>
+        firstView.get(u).filter(us >= _).map(v => (u, v, us))
+      }
+      .groupBy(_._1)
+      .map { case (u, rs) =>
+        val v = rs.head._2
+        (u, v, (rs.map(_._3).min - v) / 1e6)
+      }.toSeq
+    assert(lats.nonEmpty)
+    def weekOf(us: Long): Long = {
+      // ISO-Monday truncation in µs, mirroring date_trunc('week')
+      val day = 86400000000L
+      val d = Math.floorDiv(us, day)
+      (d - Math.floorMod(d + 3, 7L)) * day // epoch day 0 = Thursday → +3
+    }
+    val expect = lats.groupBy(t => weekOf(t._2)).map { case (wk, rs) =>
+      val sorted = rs.map(_._3).sorted
+      def pct(p: Int) = sorted(((p * rs.size + 99) / 100 - 1).max(0))
+      (wk, rs.size.toLong, pct(50), pct(90))
+    }.toSet
+    val got = graft.queries.CurationQueries.q123(spark, sf)
+      .select(unix_micros(col("week").cast("timestamp")), col("n_conversions"),
+        col("p50_s"), col("p90_s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got === expect)
+  }
+
   test("bpe encodeWord: merges apply lowest-rank-first, all occurrences at once") {
     val ranks = Map(("a", "b") -> 1, ("ab", "c") -> 2, ("c", "d") -> 3)
     assert(BpeEncoder.encodeWord("abcd", ranks).toSeq === Seq("abc", "d"))
@@ -245,6 +289,21 @@ class CurationSpec extends SparkSpec {
     plain.foreach { r =>
       val chars = toks(r.getLong(0)).map(_.length).sum.toLong
       assert(r.getLong(2) === chars && r.getLong(3) === 0L)
+    }
+    // the token STREAM aggregates back to the summary, with dense positions
+    val stream = BpeEncoder.encodeTokens(docs, "doc_id", "text", merges)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), min("pos").as("mn"), max("pos").as("mx"),
+        sum(when(length(col("token")) > 1, 1L).otherwise(0L)).as("n_fused"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[Int]("mn"), r.getAs[Int]("mx"), r.getLong(4))).toMap
+    out.foreach { r =>
+      if (r.getLong(2) > 0) {
+        val (nt, mn, mx, nf) = stream(r.getLong(0))
+        assert(nt === r.getLong(2) && nf === r.getLong(3),
+          "token stream must aggregate to the summary")
+        assert(mn === 0 && mx.toLong === nt - 1, "positions must be dense from 0")
+      }
     }
   }
 }

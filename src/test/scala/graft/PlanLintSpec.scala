@@ -27,6 +27,8 @@ class PlanLintSpec extends SparkSpec {
     *    top-K frame (the q47 pattern).
     *  - q114_bm25: scalar (N, total-token) corpus stats broadcast to the
     *    term-pruned scored rows (the q47 pattern).
+    *  - q122_ivf_recall: q25's broadcast probe set + q49's probes ×
+    *    nCells centroid table (both allowlisted shapes composed).
     *  - q117_rolling_folds: scalar MIN(ts) origin broadcast to every
     *    event (the q47 pattern).
     */
@@ -34,7 +36,7 @@ class PlanLintSpec extends SparkSpec {
     "q21_dedup_ngram", "q24_dedup_embedding", "q25_ann_bruteforce",
     "q46_gap_fill", "q47_tfidf", "q49_ann_ivf", "q68_ann_recall",
     "q80_lm_score", "q82_char_coverage", "q93_skew_profile",
-    "q114_bm25", "q117_rolling_folds")
+    "q114_bm25", "q117_rolling_folds", "q122_ivf_recall")
 
   test("no cartesian products; nested-loop joins only where bounded by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
