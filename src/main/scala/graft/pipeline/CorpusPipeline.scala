@@ -159,4 +159,193 @@ object CorpusPipeline {
     Dedup.releaseCaches()
     CurationResult(nIn, nClean, stages.result())
   }
+
+  /** The STEADY-STATE curation loop — [[curate]] is the one-time
+    * backfill; this is what runs on each ingest batch at 100 TB,
+    * mirroring [[EtlPipeline.runFromTables]]'s incremental posture: the
+    * existing corpus participates ONLY through its stored metadata
+    * tables (the seen-content hash registry for exact dedup, the q85
+    * LSH index of the CLEAN docs for near-dup), never by re-reading
+    * its text.
+    *
+    * State lives under `stateDir` as batch-partitioned parquet
+    * (`clean/ index_bands/ index_sets/ text_hashes/ rejects/
+    * stage_log/`, each with a `batch=<id>` subdirectory per call); the
+    * first call bootstraps empty state, so the backfill is just the
+    * first increment. A crashed batch leaves at most a partial
+    * `batch=` directory for an id that never completed — re-running
+    * that id is refused (the EtlPipeline duplicate-business-date
+    * precedent), so delete the partial directory and re-run.
+    *
+    * Dedup policy is FIRST-SEEN-WINS (the q67/dedupStream semantics):
+    * a batch doc that matches the stored corpus drops, whatever its
+    * length — unlike the backfill's global longest-text canonical,
+    * which cannot be honored without rewriting history. Batch-internal
+    * clusters still pick the longest-text representative. Consequence:
+    * re-delivering the same CONTENT under fresh ids yields zero new
+    * documents (spec-asserted idempotence).
+    *
+    * New ids must be new — stored ids colliding with the batch fail
+    * loudly (the [[Dedup.dedupIncrement]] precondition).
+    */
+  def curateIncrement(spark: SparkSession, newDocs: DataFrame,
+                      evalDocs: Option[DataFrame], stateDir: String,
+                      batchId: String,
+                      cfg: CurationConfig = CurationConfig(),
+                      idCol: String = "doc_id", textCol: String = "text"): CurationResult = {
+    require(batchId.nonEmpty && !batchId.contains('/') && !batchId.contains('='),
+      s"batchId must be a plain directory-safe token, got '$batchId'")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    def part(table: String) = s"$stateDir/$table/batch=$batchId"
+    // `clean/batch=<id>` is the COMMIT MARKER: it is written last, so a
+    // crashed batch leaves metadata partials but no clean dir — the
+    // retry below ignores and overwrites them (stateTable filters out
+    // the current batch id), while a COMPLETED batch id is refused.
+    require(!fs.exists(new org.apache.hadoop.fs.Path(part("clean"))),
+      s"batch '$batchId' already ingested into $stateDir — re-running a batch id " +
+        "would double-count; pick a new id (or delete the batch= directories to redo)")
+    def stateTable(table: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(s"$stateDir/$table")
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+        Some(spark.read.parquet(s"$stateDir/$table")
+          .filter(col("batch").cast("string") =!= batchId)
+          .drop("batch"))
+      else None
+    }
+
+    val stages = Seq.newBuilder[StageCount]
+    val rejects = Seq.newBuilder[DataFrame]
+    def stage(name: String, kept: DataFrame, dropped: DataFrame,
+              nIn: Long): Long = {
+      val nOut = kept.count()
+      stages += StageCount(name, nIn, nOut, nIn - nOut)
+      rejects += dropped.select(col(idCol), lit(name).as("reason"))
+      nOut
+    }
+
+    val input = newDocs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nIn = input.count()
+    val storedHashes = stateTable("text_hashes")
+    storedHashes.foreach { h =>
+      val clash = input.select(col(idCol)).join(h.select(col(idCol)), Seq(idCol), "left_semi").count()
+      require(clash == 0,
+        s"$clash batch ids already exist in the corpus state — ingest ids must be new")
+    }
+
+    // 1. quality gate
+    val scored = input.withColumn("__q",
+      TF.qualityScore(coalesce(col(textCol), lit(""))))
+    val qKept = scored.filter(col("__q") >= cfg.minQuality).drop("__q")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n1 = stage("quality", qKept,
+      scored.filter(col("__q") < cfg.minQuality), nIn)
+
+    // 2. exact dedup — within the batch, then against the stored corpus
+    //    hash table (an 8-byte-key anti join; the corpus text never loads)
+    val hashed = qKept.withColumn("__h", xxhash64(col(textCol)))
+    val keep = Dedup.exact(hashed, Seq(col("__h")), col(idCol))
+      .select(col("keep_id").as(idCol))
+    val batchKept = hashed.join(keep, Seq(idCol), "left_semi")
+    val eKept = storedHashes match {
+      case Some(h) => batchKept.join(h.select(col("__h")), Seq("__h"), "left_anti")
+      case None    => batchKept
+    }
+    val eKeptP = eKept.drop("__h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n2 = stage("exact_dup", eKeptP,
+      qKept.join(eKeptP.select(col(idCol)), Seq(idCol), "left_anti"), n1)
+
+    // 3. near-dup vs the stored LSH index + within the batch. Corpus
+    //    matches drop the batch side (first-seen wins); batch-internal
+    //    clusters keep the longest text.
+    val pairs = (stateTable("index_bands"), stateTable("index_sets")) match {
+      case (Some(bands), Some(sets)) =>
+        Dedup.dedupIncrement(bands, sets, eKeptP, idCol, textCol,
+          cfg.shingleK, cfg.jaccardThreshold, cfg.numPerm, cfg.bands)
+      case _ =>
+        Dedup.lshVerifiedPairs(eKeptP, idCol, textCol,
+          cfg.shingleK, cfg.jaccardThreshold, cfg.numPerm, cfg.bands)
+    }
+    val batchIds = eKeptP.select(col(idCol))
+    val aInBatch = pairs.select(col("id_a").as(idCol))
+      .join(batchIds, Seq(idCol), "left_semi").select(col(idCol).as("id_a"))
+    val bInBatch = pairs.select(col("id_b").as(idCol))
+      .join(batchIds, Seq(idCol), "left_semi").select(col(idCol).as("id_b"))
+    val tagged = pairs
+      .join(aInBatch.distinct().withColumn("__a_new", lit(1)), Seq("id_a"), "left")
+      .join(bInBatch.distinct().withColumn("__b_new", lit(1)), Seq("id_b"), "left")
+    // any batch doc paired with a corpus doc drops immediately
+    val vsCorpusDrop = tagged
+      .filter(col("__a_new").isNull || col("__b_new").isNull)
+      .select(when(col("__a_new").isNotNull, col("id_a"))
+        .otherwise(col("id_b")).as(idCol)).distinct()
+    // batch-internal pairs among the remaining docs cluster as in curate()
+    val innerPairs = tagged
+      .filter(col("__a_new").isNotNull && col("__b_new").isNotNull)
+      .join(vsCorpusDrop.select(col(idCol).as("id_a")), Seq("id_a"), "left_anti")
+      .join(vsCorpusDrop.select(col(idCol).as("id_b")), Seq("id_b"), "left_anti")
+      .select("id_a", "id_b")
+    val clusters = Dedup.dedupClusters(innerPairs, "id_a", "id_b")
+    val canon = clusters
+      .join(eKeptP.select(col(idCol).as("node"),
+        length(col(textCol)).as("__len")), Seq("node"))
+      .groupBy("cluster")
+      .agg(max_by(col("node"), struct(col("__len"), -col("node"))).as("node"))
+      .select(col("node"))
+    val nearDropped = clusters.select("node")
+      .join(canon, Seq("node"), "left_anti")
+      .select(col("node").as(idCol))
+      .unionByName(vsCorpusDrop)
+    val nKept = eKeptP.join(nearDropped, Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n3 = stage("near_dup", nKept,
+      eKeptP.join(nearDropped, Seq(idCol), "left_semi"), n2)
+
+    // 4. decontamination
+    val (cKept, nClean) = evalDocs match {
+      case Some(ev) =>
+        val flagged = Decontaminate
+          .overlapFlags(nKept, ev, idCol, textCol, cfg.decontamNgram)
+          .select(col(idCol))
+        val kept = nKept.join(flagged, Seq(idCol), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n4 = stage("contaminated", kept,
+          nKept.join(flagged, Seq(idCol), "left_semi"), n3)
+        (kept, n4)
+      case None => (nKept, n3)
+    }
+
+    // 5. commit the batch: metadata the NEXT batch will dedup against
+    //    (bands / sets / text hashes) first, the clean shards LAST —
+    //    clean's existence is the batch's commit marker
+    val (nbRaw, nsRaw) = Dedup.nearDupIndex(cKept, idCol, textCol,
+      cfg.shingleK, cfg.numPerm, cfg.bands)
+    nbRaw.write.mode("overwrite").parquet(part("index_bands"))
+    nsRaw.write.mode("overwrite").parquet(part("index_sets"))
+    // text_hashes is the SEEN-CONTENT registry, not the clean set: every
+    // doc admitted past the quality gate registers, kept OR dropped.
+    // Re-delivered content then always exact-drops against it — without
+    // this, a transitive-cluster member whose only above-threshold
+    // partners were themselves dropped would re-enter on re-delivery
+    // (its canonical is below threshold from it; only its dropped twin
+    // matched). 16 bytes per seen doc — linear, tiny state.
+    qKept.select(col(idCol), xxhash64(col(textCol)).as("__h"))
+      .write.mode("overwrite").parquet(part("text_hashes"))
+    rejects.result().reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(part("rejects"))
+    val sp = spark
+    import sp.implicits._
+    stages.result().toDF().coalesce(1)
+      .write.mode("overwrite").parquet(part("stage_log"))
+    graft.queries.PipelineQueries
+      .epochShuffle(cKept, idCol, cfg.nShards, cfg.epoch)
+      .join(cKept, Seq(idCol))
+      .write.mode("overwrite").parquet(part("clean"))
+
+    Seq(input, qKept, eKeptP, nKept).foreach(_.unpersist(blocking = false))
+    if (cKept ne nKept) cKept.unpersist(blocking = false)
+    Dedup.releaseCaches()
+    CurationResult(nIn, nClean, stages.result())
+  }
 }

@@ -70,6 +70,54 @@ class CorpusPipelineSpec extends SparkSpec {
     clean.unpersist(blocking = false)
   }
 
+  test("curateIncrement: batches accumulate a dedup-clean corpus; re-delivered content drops") {
+    val state = java.nio.file.Files.createTempDirectory("graft_state").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val b0 = docs.filter(col("doc_id") < 250)
+    val b1 = docs.filter(col("doc_id") >= 250)
+
+    // bootstrap: the backfill is just the first increment
+    val r0 = CorpusPipeline.curateIncrement(spark, b0, None, state, "b0")
+    assert(r0.nClean > 0 && r0.stages.map(_.stage) ===
+      Seq("quality", "exact_dup", "near_dup"))
+    // second batch dedups against the stored index, never b0's text
+    val r1 = CorpusPipeline.curateIncrement(spark, b1, None, state, "b1")
+    assert(r1.nClean > 0)
+
+    // accumulated clean corpus: batch partition column present, ids unique
+    val clean = spark.read.parquet(s"$state/clean").cache()
+    assert(clean.select("batch").distinct().count() === 2)
+    assert(clean.count() === r0.nClean + r1.nClean)
+    assert(clean.select("doc_id").distinct().count() === clean.count())
+    // the ACCUMULATED corpus is near-dup free at the threshold — the
+    // incremental path must leave exactly what a clean corpus looks like
+    assert(graft.operators.Dedup
+      .lshVerifiedPairs(clean, "doc_id", "text", 3, 0.6, 16, 16).isEmpty,
+      "a near-dup pair survived across batches")
+    assert(clean.select("text").distinct().count() === clean.count(),
+      "an exact duplicate survived across batches")
+
+    // content re-delivery under FRESH ids: everything drops (first-seen wins)
+    val redelivered = b1.withColumn("doc_id", col("doc_id") + 1000000L)
+    val r2 = CorpusPipeline.curateIncrement(spark, redelivered, None, state, "b2")
+    assert(r2.nClean === 0,
+      s"re-delivered content must contribute zero new docs, got ${r2.nClean}")
+    // and each of its post-quality survivors was rejected as a duplicate
+    val rej2 = spark.read.parquet(s"$state/rejects")
+      .filter(col("batch").cast("string") === "b2")
+    assert(rej2.filter(col("reason").isin("exact_dup", "near_dup")).count() > 0)
+
+    // same batch id refused; same ids refused
+    assertThrows[IllegalArgumentException] {
+      CorpusPipeline.curateIncrement(spark, b1, None, state, "b1")
+    }
+    val clash = intercept[IllegalArgumentException] {
+      CorpusPipeline.curateIncrement(spark, b1, None, state, "b3")
+    }
+    assert(clash.getMessage.contains("ids must be new"))
+    clean.unpersist(blocking = false)
+  }
+
   test("curate without an eval set skips the contamination stage") {
     val dir = java.nio.file.Files.createTempDirectory("graft_curate3").toString
     val docs = graft.sources.Tables.documents(spark, sf)
