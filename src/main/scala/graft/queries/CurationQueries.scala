@@ -273,11 +273,13 @@ object CurationQueries {
         .filter(col("rk") === expr("(50*n + 99) div 100"))
         .select(col("event_type"), col(c).as(out))
     }
+    // med/mad are types-sized — broadcast explicitly rather than leaving
+    // a statistics-blind SortMergeJoin for AQE to convert at runtime
     val med = medianOf(ev, "value", "med")
-    val dev = ev.join(med, Seq("event_type"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
       .withColumn("d", abs(col("value") - col("med")))
     val mad = medianOf(dev.select(col("event_type"), col("d")), "d", "mad")
-    dev.join(mad, Seq("event_type"))
+    dev.join(broadcast(mad), Seq("event_type"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         max(col("med")).as("med"),
