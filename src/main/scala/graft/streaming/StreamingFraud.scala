@@ -463,6 +463,56 @@ object StreamingFraud {
       .toDF()
   }
 
+  private case class ConvState(viewUs: Long, converted: Boolean)
+  private case class Conversion(user_id: Long, view_us: Long,
+                                purchase_us: Long, latency_s: Double)
+
+  /** Stateful first-conversion detection — q123's per-user latency rows
+    * as a stream: one tiny (earliest-view, converted?) record per user,
+    * a conversion emitted exactly once at the user's FIRST purchase at
+    * or after their FIRST view. Same contract as the other stateful
+    * twins (velocity/guessing/transitions): events sort by (ts,
+    * event_id) inside each group so the stateful path and q123's
+    * min-aggregate formulation cannot diverge on ties, and the spec
+    * asserts row equality of the emitted latencies with the batch
+    * definition on closed history.
+    *
+    * Caveat shared with every NoTimeout stateful twin here: an
+    * already-converted user's record stays in state (one small row per
+    * user); the watermark-timeout variant is the sessionStream
+    * precedent if eviction matters.
+    */
+  def conversionStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, String, Long)](
+        Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.STRING,
+          Encoders.scalaLong))
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, String, Long)],
+         state: GroupState[ConvState]) => {
+          val sorted = rows.toSeq.sortBy(r => (micros(r._2), r._4))
+          var st = state.getOption.getOrElse(ConvState(Long.MaxValue, converted = false))
+          val out = scala.collection.mutable.ArrayBuffer[Conversion]()
+          sorted.foreach { case (_, ts, tpe, _) =>
+            val us = micros(ts)
+            if (tpe == "view" && us < st.viewUs && !st.converted)
+              st = ConvState(us, st.converted)
+            else if (tpe == "purchase" && !st.converted && us >= st.viewUs) {
+              out += Conversion(user, st.viewUs, us, (us - st.viewUs) / 1e6)
+              st = ConvState(st.viewUs, converted = true)
+            }
+          }
+          state.update(st)
+          out.iterator
+        })(Encoders.product[ConvState], Encoders.product[Conversion])
+      .toDF()
+  }
+
   def velocityStream(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

@@ -239,6 +239,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("stateful conversion stream matches q123's per-user latencies") {
+    val batchEvents = graft.sources.Tables.events(spark, sf)
+    val streamed = StreamingFraud.conversionStream(batchEvents)
+      .select(col("user_id"), col("latency_s")).cache()
+    try {
+      val fv = batchEvents.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("view_ts"))
+      val batch = batchEvents.filter(col("event_type") === "purchase")
+        .join(fv, Seq("user_id")).filter(col("ts") >= col("view_ts"))
+        .groupBy("user_id")
+        .agg(((unix_micros(min(col("ts"))) - unix_micros(min(col("view_ts")))) /
+          lit(1e6)).as("latency_s"))
+      assert(streamed.count() > 0 && streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stateful conversions must equal the batch min-aggregate definition")
+    } finally streamed.unpersist(blocking = false)
+  }
+
   test("stateful transitions stream reproduces the q104 matrix count-for-count") {
     val batchEvents = graft.sources.Tables.events(spark, sf)
     val streamed = StreamingFraud.transitionsStream(batchEvents)
