@@ -111,6 +111,54 @@ class SinksSpec extends SparkSpec {
     assert(pruned.select("event_id").exceptAll(full.select("event_id")).isEmpty)
   }
 
+  test("per-file bloom index: point reads skip files, results stay exact") {
+    import graft.operators.FileBloomIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomidx").toString
+    // cluster by user so a single user lands in few files — the layout
+    // bloom skipping exploits (hash-scattered users would bloom-hit
+    // every file, correctly but uselessly)
+    graft.sources.Tables.events(spark, sf)
+      .repartitionByRange(8, col("user_id"))
+      .write.parquet(s"$dir/events")
+    val idx = FileBloomIndex
+      .bloomIndex(spark, s"$dir/events", "user_id",
+        expectedItemsPerFile = 10000L).cache()
+    val nFiles = idx.count()
+    assert(nFiles >= 8, s"expected >= 8 files, got $nFiles")
+    assert(idx.agg(sum("n_rows")).head().getLong(0) ===
+      graft.sources.Tables.events(spark, sf).count())
+
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().orderBy("user_id")
+      .limit(5).collect().map(_.getLong(0))
+    users.foreach { u =>
+      val pruned = FileBloomIndex
+        .prunedPointRead(spark, s"$dir/events", idx, "user_id", u)
+      val full = spark.read.parquet(s"$dir/events").filter(col("user_id") === u)
+      assert(pruned.count() === full.count(),
+        s"user $u: pruned read must be exact (no false negatives)")
+      assert(pruned.select("event_id").exceptAll(full.select("event_id")).isEmpty)
+    }
+    // skipping actually happens for a clustered key: a single user's
+    // files are a strict subset of the layout
+    val hk = spark.range(1).select(xxhash64(lit(users.head))).head().getLong(0)
+    val sp2 = spark
+    import sp2.implicits._
+    val kept = idx.select(col("file"), col("bloom"))
+      .as[(String, Array[Byte])]
+      .filter { case (_, b) =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(b)).mightContainLong(hk)
+      }.count()
+    assert(kept < nFiles, s"bloom kept all $nFiles files — no skipping")
+    // a key that was never written prunes every file (modulo fpp) and
+    // still returns an exact empty result
+    val ghost = FileBloomIndex
+      .prunedPointRead(spark, s"$dir/events", idx, "user_id", -987654321L)
+    assert(ghost.isEmpty)
+    idx.unpersist(blocking = false)
+  }
+
   test("matching bucketed tables join with no shuffle exchange") {
     // idempotence across JVMs: the in-memory catalog forgets managed
     // tables but their spark-warehouse locations survive — drop both
