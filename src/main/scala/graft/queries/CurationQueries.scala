@@ -418,7 +418,62 @@ object CurationQueries {
       | MAX(CASE WHEN rk = (90*n + 99)//100 THEN latency_s END) AS p90_s
       |FROM r GROUP BY 1""".stripMargin
 
+  // --- q124: top session journey paths — which ordered event-type
+  // sequences do sessions actually follow? (the open-vocabulary
+  // complement of q65's prescribed funnel and q104's one-step matrix).
+  // Shape: q37's sessionization window (one user_id exchange), one
+  // session-key aggregation building the path via sort_array over
+  // (ts, event_id, type) structs — deterministic total order inside a
+  // codegen'd HOF, no second window — then a path-count agg and
+  // TakeOrdered top-20 (never a global sort of the path inventory).
+  def q124(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val paths = Tables.events(s, dir)
+      .withColumn("prv_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prv_ts").isNull ||
+          col("ts") > col("prv_ts") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(wCum))
+      .groupBy("user_id", "session_seq")
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          e => e.getField("event_type")), ">").as("path"))
+    paths.groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(20)
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("n_sessions").desc, col("path").asc)).cast("int"))
+  }
+
+  val q124Sql: String =
+    """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      |  event_type FROM events),
+      |b AS (
+      | SELECT user_id, ts, event_id, event_type,
+      |  CASE WHEN LAG(ts) OVER w IS NULL
+      |        OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |c AS (
+      | SELECT user_id, ts, event_id, event_type,
+      |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      | FROM b),
+      |p AS (
+      | SELECT user_id, session_seq,
+      |  STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+      | FROM c GROUP BY 1, 2),
+      |n AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM p GROUP BY 1),
+      |r AS (SELECT path, n_sessions,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path ASC) AS INT) AS rnk
+      | FROM n)
+      |SELECT path, n_sessions, rnk FROM r WHERE rnk <= 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_session_paths"  -> (q124 _),
     "q122_ivf_recall"     -> (q122 _),
     "q123_funnel_latency" -> (q123 _),
     "q114_bm25"           -> (q114 _),
@@ -431,6 +486,7 @@ object CurationQueries {
     "q121_containment"    -> (q121 _))
 
   val oracle: Map[String, String] = Map(
+    "q124_session_paths"  -> q124Sql,
     "q123_funnel_latency" -> q123Sql,
     "q114_bm25"          -> q114Sql,
     "q115_contains_all"  -> q115Sql,

@@ -242,6 +242,33 @@ class CurationSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q124 session paths: top-20 equals a driver sessionization recomputation") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gap = 30L * 60 * 1000000
+    val paths = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[String])
+      var prev = Long.MinValue
+      sorted.foreach { case (_, us, _, tpe) =>
+        if (prev != Long.MinValue && us > prev + gap)
+          sessions += scala.collection.mutable.ArrayBuffer.empty[String]
+        sessions.last += tpe
+        prev = us
+      }
+      sessions.map(_.mkString(">"))
+    }.toSeq
+    val counts = paths.groupBy(identity).map { case (p, ps) => (p, ps.size.toLong) }
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+      .zipWithIndex.map { case ((p, n), i) => (p, n, i + 1) }.toSet
+    val got = graft.queries.CurationQueries.q124(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expect)
+  }
+
   test("bpe encodeWord: merges apply lowest-rank-first, all occurrences at once") {
     val ranks = Map(("a", "b") -> 1, ("ab", "c") -> 2, ("c", "d") -> 3)
     assert(BpeEncoder.encodeWord("abcd", ranks).toSeq === Seq("abc", "d"))
