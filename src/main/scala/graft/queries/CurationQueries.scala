@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.sources.Tables
 
-/** Round-7 widening: corpus curation as RETRIEVAL — the query-time side
-  * of the training-data pipeline. Everything before this round filters
-  * or transforms the corpus wholesale; these operators answer targeted
-  * questions against it: score documents for a query (BM25), find the
-  * documents covering a full concept set (relational division), carve
-  * leakage-free rolling backtest folds, and run the learned BPE
-  * vocabulary end-to-end (q113 learns → q118 encodes). Plus the
-  * deflate-ratio quality signal (Gopher's compressibility heuristic).
+/** Round-7 widening: retrieval, audits, and curation end-caps.
+  * Everything before this round filters or transforms the corpus
+  * wholesale; these operators answer targeted questions against it —
+  * score documents for a query (q114 BM25), find the documents
+  * covering a full concept set (q115 relational division), carve
+  * leakage-free rolling backtest folds (q117), run the learned BPE
+  * vocabulary end-to-end (q113 learns → q118 encodes) — and audit it:
+  * deflate-ratio quality (q116, Gopher's compressibility heuristic),
+  * whale-concentration (q119), MAD robust outliers (q120), asymmetric
+  * containment dedup (q121), ANN recall (q122), conversion latency
+  * (q123), and session journey paths (q124).
   *
   * Scale notes per query at the definition site; shared shape: query
   * terms are LITERALS (map-side `isin` prune — the corpus shuffle only
