@@ -475,7 +475,44 @@ object CurationQueries {
       | FROM n)
       |SELECT path, n_sessions, rnk FROM r WHERE rnk <= 20""".stripMargin
 
+  /** Candidate functional dependencies q125 audits: does the left
+    * column determine the right one? Literal pairs, like q114's terms.
+    */
+  val FdCandidates: Seq[(String, String)] = Seq(
+    ("doc_id", "lang"), ("doc_id", "source"),
+    ("source", "lang"), ("lang", "source"))
+
+  // --- q125: functional-dependency profiling — the RELATIONSHIP
+  // complement of q58's single-column profile (does A determine B, and
+  // if not, how broken is the dependency?). One groupBy-on-determinant
+  // shuffle per candidate pair, then a metadata-sized fold: per pair,
+  // the key count, the violating-key count (keys mapping to >1
+  // dependent value), and the worst fan-out. An exact-FD row shows
+  // 0 violations — the schema-inference / data-contract check a
+  // warehouse runs before trusting a "unique key".
+  def q125(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    FdCandidates.map { case (det, dep) =>
+      docs.groupBy(col(det))
+        .agg(countDistinct(col(dep)).as("n_images"))
+        .agg(lit(det).as("determinant"), lit(dep).as("dependent"),
+          count(lit(1)).as("n_keys"),
+          sum(when(col("n_images") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("n_images")).as("max_fanout"))
+    }.reduce(_ unionByName _)
+  }
+
+  val q125Sql: String = FdCandidates.map { case (det, dep) =>
+    s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+       | CAST(COUNT(*) AS BIGINT) AS n_keys,
+       | CAST(SUM(CASE WHEN n_images > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       | CAST(MAX(n_images) AS BIGINT) AS max_fanout
+       |FROM (SELECT $det, COUNT(DISTINCT $dep) AS n_images
+       |      FROM documents GROUP BY 1)""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_fd_profile"     -> (q125 _),
     "q124_session_paths"  -> (q124 _),
     "q122_ivf_recall"     -> (q122 _),
     "q123_funnel_latency" -> (q123 _),
@@ -489,6 +526,7 @@ object CurationQueries {
     "q121_containment"    -> (q121 _))
 
   val oracle: Map[String, String] = Map(
+    "q125_fd_profile"     -> q125Sql,
     "q124_session_paths"  -> q124Sql,
     "q123_funnel_latency" -> q123Sql,
     "q114_bm25"          -> q114Sql,

@@ -269,6 +269,30 @@ class CurationSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q125 FD profile: exact keys show zero violations, driver-recomputed") {
+    val rows = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source")).collect()
+      .map(r => (r.getLong(0).toString, r.getString(1), r.getString(2)))
+    def profile(det: (String, String, String) => String,
+                dep: (String, String, String) => String): (Long, Long, Long) = {
+      val images = rows.groupBy(r => det(r._1, r._2, r._3))
+        .map { case (_, rs) => rs.map(r => dep(r._1, r._2, r._3)).distinct.size }
+      (images.size.toLong, images.count(_ > 1).toLong, images.max.toLong)
+    }
+    val expect = Map(
+      ("doc_id", "lang")   -> profile((id, _, _) => id, (_, l, _) => l),
+      ("doc_id", "source") -> profile((id, _, _) => id, (_, _, s) => s),
+      ("source", "lang")   -> profile((_, _, s) => s, (_, l, _) => l),
+      ("lang", "source")   -> profile((_, l, _) => l, (_, _, s) => s))
+    val got = graft.queries.CurationQueries.q125(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === expect)
+    // the id key is exact; the source→lang dependency is genuinely broken
+    assert(got(("doc_id", "lang"))._2 === 0L)
+    assert(got(("source", "lang"))._2 > 0L)
+  }
+
   test("bpe encodeWord: merges apply lowest-rank-first, all occurrences at once") {
     val ranks = Map(("a", "b") -> 1, ("ab", "c") -> 2, ("c", "d") -> 3)
     assert(BpeEncoder.encodeWord("abcd", ranks).toSeq === Seq("abc", "d"))
