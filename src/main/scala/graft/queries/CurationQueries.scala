@@ -511,7 +511,84 @@ object CurationQueries {
        |      FROM documents GROUP BY 1)""".stripMargin
   }.mkString("", "\nUNION ALL\n", "")
 
+  // --- q126: exact Gini coefficient of the value distribution per
+  // type — the inequality summary behind q119's top-10 share (one
+  // number instead of one cut point). Values become exact integer
+  // cents; the classic rank formula G = (2·Σrk·c − (n+1)·Σc)/(n·Σc)
+  // then runs on integers cross-engine-exactly (the q112 posture —
+  // exact while n·Σc < 2^63, ANSI overflow is loud past that, cast the
+  // accumulators to double for the approximate regime beyond). Ties on
+  // value can permute ranks freely: equal values make rk·c invariant
+  // under the permutation, and the (value, event_id) order pins the
+  // window deterministically anyway. One (type)-partitioned sort —
+  // q43's exact-percentile shape.
+  def q126(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull && col("value") >= 0)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("bigint").as("c"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("c").asc, col("event_id").asc)
+    ev.withColumn("rk", row_number().over(w).cast("bigint"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("total_cents"),
+        sum(col("rk") * col("c")).as("rank_mass"))
+      .select(col("event_type"), col("n"), col("total_cents"),
+        (lit(2) * col("rank_mass") - (col("n") + 1) * col("total_cents"))
+          .as("gini_num"),
+        (col("n") * col("total_cents")).as("gini_den"),
+        round((lit(2) * col("rank_mass") - (col("n") + 1) * col("total_cents"))
+          .cast("double") / (col("n") * col("total_cents")).cast("double"), 6)
+          .as("gini"))
+  }
+
+  val q126Sql: String =
+    """WITH e AS (
+      | SELECT event_type, event_id, CAST(ROUND(value * 100) AS BIGINT) AS c
+      | FROM events WHERE value IS NOT NULL AND value >= 0),
+      |r AS (
+      | SELECT event_type, c,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY c ASC, event_id ASC) AS BIGINT) AS rk
+      | FROM e),
+      |a AS (
+      | SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(c) AS BIGINT) AS total_cents,
+      |  CAST(SUM(rk * c) AS BIGINT) AS rank_mass
+      | FROM r GROUP BY 1)
+      |SELECT event_type, n, total_cents,
+      | CAST(2*rank_mass - (n + 1)*total_cents AS BIGINT) AS gini_num,
+      | CAST(n*total_cents AS BIGINT) AS gini_den,
+      | ROUND(CAST(2*rank_mass - (n + 1)*total_cents AS DOUBLE)
+      |   / CAST(n*total_cents AS DOUBLE), 6) AS gini
+      |FROM a""".stripMargin
+
+  // --- q127: day-of-week × hour activity heatmap per type — the ops
+  // dashboard staple (when does fraud traffic actually arrive?). Pure
+  // partial-aggregable counts on derived calendar keys: one shuffle of
+  // ≤ types·7·24 groups. DuckDB's DAYOFWEEK is 0=Sunday; Spark's is
+  // 1=Sunday — the oracle adds 1.
+  def q127(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        dayofweek(col("ts")).as("dow"),
+        hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("sum_value"))
+
+  val q127Sql: String =
+    """SELECT event_type,
+      | CAST(DAYOFWEEK(ts) + 1 AS INT) AS dow,
+      | CAST(HOUR(ts) AS INT) AS hr,
+      | CAST(COUNT(*) AS BIGINT) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_gini"           -> (q126 _),
+    "q127_heatmap"        -> (q127 _),
     "q125_fd_profile"     -> (q125 _),
     "q124_session_paths"  -> (q124 _),
     "q122_ivf_recall"     -> (q122 _),
@@ -526,6 +603,8 @@ object CurationQueries {
     "q121_containment"    -> (q121 _))
 
   val oracle: Map[String, String] = Map(
+    "q126_gini"           -> q126Sql,
+    "q127_heatmap"        -> q127Sql,
     "q125_fd_profile"     -> q125Sql,
     "q124_session_paths"  -> q124Sql,
     "q123_funnel_latency" -> q123Sql,

@@ -293,6 +293,39 @@ class CurationSpec extends SparkSpec {
     assert(got(("source", "lang"))._2 > 0L)
   }
 
+  test("q126 gini: exact integers match a driver recomputation; bounds hold") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter(col("value").isNotNull && col("value") >= 0)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+    val expect = ev.groupBy(_._1).map { case (t, rows) =>
+      val cs = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val n = cs.length.toLong
+      val tot = cs.sum
+      val rankMass = cs.zipWithIndex.map { case (c, i) => (i + 1L) * c }.sum
+      (t, n, tot, 2 * rankMass - (n + 1) * tot, n * tot)
+    }.toSet
+    val got = graft.queries.CurationQueries.q126(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === expect)
+    // Gini lives in [0, 1); a constant distribution would be exactly 0
+    graft.queries.CurationQueries.q126(spark, sf).collect().foreach { r =>
+      val g = r.getDouble(5)
+      assert(g >= 0.0 && g < 1.0, s"gini out of range: $g")
+    }
+  }
+
+  test("q127 heatmap: calendar cells cover every event exactly once") {
+    val out = graft.queries.CurationQueries.q127(spark, sf).collect()
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(out.map(_.getLong(3)).sum === total)
+    out.foreach { r =>
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= 7)
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 23)
+    }
+  }
+
   test("bpe encodeWord: merges apply lowest-rank-first, all occurrences at once") {
     val ranks = Map(("a", "b") -> 1, ("ab", "c") -> 2, ("c", "d") -> 3)
     assert(BpeEncoder.encodeWord("abcd", ranks).toSeq === Seq("abc", "d"))
