@@ -586,7 +586,61 @@ object CurationQueries {
       | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  // --- q128: CUSUM changepoint detection on daily volume per type —
+  // WHEN did behavior shift? (q112 answers "did the distribution
+  // drift"; this finds the day the level broke). Classic CUSUM against
+  // the period mean, exact integers via cross-multiplication: with D
+  // days and N total events, S_d = Σ_{i≤d} (n_i·D − N) is an integer
+  // (the float formulation Σ(n_i − N/D) times D), and the changepoint
+  // is argmax |S_d| with the earliest-day tie-break. Corpus-scale work
+  // is ONE (type, day) count shuffle; the cumulative window and argmax
+  // run on the types·days frame — metadata next to the fact stream.
+  def q128(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wTot = Window.partitionBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.partitionBy("event_type").orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wPick = Window.partitionBy("event_type")
+      .orderBy(abs(col("s")).desc, col("day").asc)
+    daily
+      .withColumn("n_days", count(lit(1)).over(wTot))
+      .withColumn("n_total", sum(col("n")).over(wTot))
+      .withColumn("s", sum(col("n") * col("n_days") - col("n_total")).over(wCum))
+      .withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        col("s").as("cusum_s"), abs(col("s")).as("cusum_abs"),
+        col("n_days").cast("bigint").as("n_days"), col("n_total").as("n_total"))
+  }
+
+  val q128Sql: String =
+    """WITH daily AS (
+      | SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      | FROM events GROUP BY 1, 2),
+      |t AS (
+      | SELECT event_type, day, n,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+      |  SUM(n) OVER (PARTITION BY event_type) AS n_total
+      | FROM daily),
+      |c AS (
+      | SELECT event_type, day, n_days, n_total,
+      |  SUM(n*n_days - n_total) OVER (PARTITION BY event_type ORDER BY day ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      | FROM t),
+      |r AS (
+      | SELECT event_type, day, s, n_days, n_total,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(s) DESC, day ASC) AS rk
+      | FROM c)
+      |SELECT event_type, day AS change_day, CAST(s AS BIGINT) AS cusum_s,
+      | CAST(ABS(s) AS BIGINT) AS cusum_abs,
+      | CAST(n_days AS BIGINT) AS n_days, CAST(n_total AS BIGINT) AS n_total
+      |FROM r WHERE rk = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_changepoint"    -> (q128 _),
     "q126_gini"           -> (q126 _),
     "q127_heatmap"        -> (q127 _),
     "q125_fd_profile"     -> (q125 _),
@@ -603,6 +657,7 @@ object CurationQueries {
     "q121_containment"    -> (q121 _))
 
   val oracle: Map[String, String] = Map(
+    "q128_changepoint"    -> q128Sql,
     "q126_gini"           -> q126Sql,
     "q127_heatmap"        -> q127Sql,
     "q125_fd_profile"     -> q125Sql,

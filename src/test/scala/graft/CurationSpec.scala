@@ -326,6 +326,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q128 changepoint: CUSUM argmax equals a driver recomputation") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).cast("string")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = ev.groupBy(_._1).map { case (t, rows) =>
+      val daily = rows.groupBy(_._2).map { case (d, rs) => (d, rs.size.toLong) }
+        .toSeq.sortBy(_._1)
+      val nDays = daily.size.toLong
+      val nTotal = daily.map(_._2).sum
+      var s = 0L
+      val cusum = daily.map { case (d, n) => s += n * nDays - nTotal; (d, s) }
+      val (day, sAt) = cusum.minBy { case (d, v) => (-math.abs(v), d) }
+      (t, day, sAt, math.abs(sAt), nDays, nTotal)
+    }.toSet
+    val got = graft.queries.CurationQueries.q128(spark, sf)
+      .select(col("event_type"), col("change_day").cast("string"),
+        col("cusum_s"), col("cusum_abs"), col("n_days"), col("n_total"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === expect)
+    // S over the full period telescopes to zero by construction, so a
+    // nonzero argmax means a genuine mid-period level shift
+    expect.foreach { case (t, _, _, sAbs, nDays, _) =>
+      assert(nDays > 1 && sAbs >= 0, s"degenerate period for $t")
+    }
+  }
+
   test("bpe encodeWord: merges apply lowest-rank-first, all occurrences at once") {
     val ranks = Map(("a", "b") -> 1, ("ab", "c") -> 2, ("c", "d") -> 3)
     assert(BpeEncoder.encodeWord("abcd", ranks).toSeq === Seq("abc", "d"))
