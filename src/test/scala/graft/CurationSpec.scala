@@ -354,6 +354,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs equals brute force on random corpora (seeded)") {
+    val s3 = spark
+    import s3.implicits._
+    val rnd = new scala.util.Random(7L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    (1 to 5).foreach { round =>
+      val docs = (1L to 12L).map { id =>
+        val n = 4 + rnd.nextInt(10)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val sets = docs.map { case (id, t) =>
+        id -> t.split(" ").toSeq.sliding(3).filter(_.size == 3)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+      val expect = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        ni = sets(a).intersect(sets(b)).size
+        if ni >= 0.7 * math.min(sets(a).size, sets(b).size) && ni > 0
+      } yield (a, b, ni.toLong)).toSet
+      val got = graft.operators.Dedup
+        .containmentPairs(docs.toDF("doc_id", "text"), "doc_id", "text", 3, 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expect, s"random corpus #$round diverged from brute force")
+    }
+  }
+
   test("bpe encodeWord: merges apply lowest-rank-first, all occurrences at once") {
     val ranks = Map(("a", "b") -> 1, ("ab", "c") -> 2, ("c", "d") -> 3)
     assert(BpeEncoder.encodeWord("abcd", ranks).toSeq === Seq("abc", "d"))
