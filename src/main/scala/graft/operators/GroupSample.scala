@@ -67,6 +67,13 @@ object GroupSample {
     lo
   }
 
+  /** Top-k result carrying BOTH halves of each kept pair, ascending by
+    * (key, id). [[Sample]] drops the keys because a sample only needs
+    * ids; a top-k-by-measure consumer (q119's whale audit) needs the
+    * measure back to aggregate it.
+    */
+  case class Pairs(keys: Seq[Long], ids: Seq[Long])
+
   /** Keep the k smallest (key, id) pairs seen. Input is the pre-computed
     * (scrambleKey, id) tuple so the key arithmetic runs codegen'd in the
     * scan projection, not per-row in the aggregator.
@@ -129,5 +136,26 @@ object GroupSample {
 
     def bufferEncoder: Encoder[SampleBuf] = Encoders.kryo[SampleBuf]
     def outputEncoder: Encoder[Sample] = Encoders.product[Sample]
+  }
+
+  /** k smallest (key, id) pairs, keys included in the output — the
+    * bounded replacement for `row_number() OVER (PARTITION BY g ORDER BY
+    * measure DESC, id ASC) <= k` when the ranked frame itself is
+    * corpus-sized (q119: per-user aggregates at 100 TB are ~10⁸-10⁹
+    * rows landing in a handful of type partitions; this folds each
+    * input partition to ≤ k pairs and ships |groups|·k rows). For a
+    * DESCENDING measure feed `key = -measure`: the k smallest negated
+    * keys are the k largest measures, ties broken by id ascending —
+    * byte-identical to the window formulation (CurationSpec asserts it).
+    */
+  class TopPairsAgg(k: Int) extends Aggregator[(Long, Long), SampleBuf, Pairs] {
+    private val inner = new GroupSampleAgg(k)
+    def zero: SampleBuf = inner.zero
+    def reduce(b: SampleBuf, in: (Long, Long)): SampleBuf = inner.reduce(b, in)
+    def merge(a: SampleBuf, b: SampleBuf): SampleBuf = inner.merge(a, b)
+    def finish(r: SampleBuf): Pairs =
+      Pairs(r.keys.take(r.size).toVector, r.ids.take(r.size).toVector)
+    def bufferEncoder: Encoder[SampleBuf] = Encoders.kryo[SampleBuf]
+    def outputEncoder: Encoder[Pairs] = Encoders.product[Pairs]
   }
 }

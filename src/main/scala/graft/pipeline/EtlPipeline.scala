@@ -157,6 +157,25 @@ object EtlPipeline {
                    marts: Seq[(String, MartRefresh)]): Unit =
     marts.foreach { case (name, how) => refreshMart(spark, warehouseDir, name, how) }
 
+  /** Optional RDBMS publish step after [[refreshMarts]] — the
+    * reference's consumers read the fraud report out of Postgres, not
+    * parquet (`database.py:44-66`, `etl.py:96-125`), so a migration
+    * keeps that contract by pushing each refreshed mart to its
+    * [[graft.sources.JdbcSink.Target]] (idempotent truncate+insert) and
+    * the run log insert-only past the remote MAX(run_id). In order,
+    * like refreshMarts; returns rows landed per mart.
+    */
+  def publishMarts(spark: SparkSession, warehouseDir: String,
+                   targets: Seq[(String, graft.sources.JdbcSink.Target)],
+                   runLog: Option[graft.sources.JdbcSink.Target] = None
+                  ): Map[String, Long] = {
+    val counts = targets.map { case (name, t) =>
+      name -> graft.sources.JdbcSink.publishMart(spark, warehouseDir, name, t)
+    }.toMap
+    runLog.foreach(t => graft.sources.JdbcSink.publishRunLog(spark, warehouseDir, t))
+    counts
+  }
+
   private def refreshMart(spark: SparkSession, warehouseDir: String,
                           name: String, how: MartRefresh): Unit = how match {
     case MartRebuild(build) =>

@@ -172,16 +172,45 @@ object AnalyticsQueries {
 
   // --- q89: equal-frequency feature binning — decile buckets of event
   // value per event type (the standard numeric-feature quantization
-  // before model training). ntile is a per-type window (bounded
-  // partitions); ties broken by event_id so bin membership is
-  // deterministic across engines and partitionings.
+  // before model training). The output (per-bin count/min/max) is
+  // invariant to how ntile's event_id tie-break permutes EQUAL values
+  // across a bin boundary, so it needs no per-row ranks: the corpus
+  // folds once into a (type, distinct-value) count histogram — bounded
+  // for 2-decimal money — and ntile's bucket arithmetic (n = 10·base +
+  // r rows → buckets 1..r hold base+1, the rest base) maps each
+  // value's rank interval [C+1, C+cnt] onto the ≤ 10 bins it overlaps.
+  // The r7 shape (ntile over partitionBy(event_type) on the raw
+  // stream) was exact but sorted ~1/|types| of the corpus in a single
+  // task per type at scale; the cumulative window here runs over the
+  // bounded histogram. The oracle stays the literal NTILE formulation.
   def q89(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type")
-      .orderBy(col("value").asc, col("event_id").asc)
-    Tables.events(s, dir)
-      .withColumn("bin", ntile(10).over(w))
-      .groupBy("event_type", "bin")
-      .agg(count(lit(1)).as("n_rows"),
+    val hist = Tables.events(s, dir)
+      .groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
+    val n = hist.groupBy("event_type").agg(sum(col("cnt")).as("n"))
+    // ntile(10) bucket of rank rk, with n = 10·base + r: buckets 1..r
+    // hold base+1 rows, buckets r+1..10 hold base — the CASE arms below
+    // are that arithmetic for a rank interval's two endpoints
+    val w = Window.partitionBy("event_type").orderBy(col("value").asc)
+    hist.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("lo_rk", col("cum") - col("cnt") + 1)
+      .join(broadcast(n), Seq("event_type"))
+      .withColumn("base", expr("n div 10"))
+      .withColumn("r", expr("n % 10"))
+      .withColumn("b_lo", expr(
+        "CASE WHEN lo_rk <= r * (base + 1) THEN (lo_rk - 1) div (base + 1) + 1" +
+          " ELSE r + (lo_rk - r * (base + 1) - 1) div base + 1 END"))
+      .withColumn("b_hi", expr(
+        "CASE WHEN cum <= r * (base + 1) THEN (cum - 1) div (base + 1) + 1" +
+          " ELSE r + (cum - r * (base + 1) - 1) div base + 1 END"))
+      .withColumn("bin", explode(sequence(col("b_lo"), col("b_hi"))))
+      .withColumn("bin_start", expr(
+        "CASE WHEN bin <= r THEN (bin - 1) * (base + 1) + 1" +
+          " ELSE r * (base + 1) + (bin - 1 - r) * base + 1 END"))
+      .withColumn("bin_end", expr(
+        "bin_start + CASE WHEN bin <= r THEN base + 1 ELSE base END - 1"))
+      .groupBy(col("event_type"), col("bin").cast("int").as("bin"))
+      .agg(sum(least(col("cum"), col("bin_end")) -
+        greatest(col("lo_rk"), col("bin_start")) + 1).as("n_rows"),
         min("value").as("min_value"), max("value").as("max_value"))
   }
 

@@ -44,11 +44,19 @@ object CurationQueries {
   // |terms|·n_docs rows at most, never the corpus token stream. Corpus
   // stats (N, total token count) are one scalar aggregate broadcast to
   // the scored rows (q47 pattern — BNLJ on a 1-row side, allowlisted).
-  // Per-term scores round to 6 places THEN cast to DECIMAL(18,6) so the
-  // per-doc sum is exact and order-independent — double summation order
-  // across engines could otherwise flip a rounded digit. Top-50 is
-  // orderBy+limit (TakeOrderedAndProject — distributed top-k, no global
-  // window over the corpus); rank is computed on the bounded result.
+  // Per-term scores FLOOR to fixed-point micro-units (×1e6, BIGINT) so
+  // the per-doc sum is exact integer arithmetic — order-independent AND
+  // engine-version-proof. ROUND(double, 6) is NOT: Spark rounds the
+  // shortest-decimal repr HALF_UP via BigDecimal while DuckDB rounds the
+  // binary value, and DuckDB's tie behavior has shifted across versions
+  // (the r7 driver hash-fail); FLOOR of identical IEEE doubles never
+  // tie-breaks. Everything upstream of the floor is +,·,/ on doubles —
+  // IEEE-exact-rounded, bit-identical cross-engine (LN is the one libm
+  // call; a last-ulp difference flips the floor only within ~1e-10 of a
+  // micro-unit boundary). The rank tie-break keys on the fixed-point
+  // score, never a double. Top-50 is orderBy+limit
+  // (TakeOrderedAndProject — distributed top-k, no global window over
+  // the corpus); rank is computed on the bounded result.
   def q114(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val stats = docs.agg(
@@ -70,18 +78,18 @@ object CurationQueries {
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("score_t",
-        round(col("idf") * col("tf") * lit(Bm25K1 + 1) /
+        floor(lit(1e6) * col("idf") * col("tf") * lit(Bm25K1 + 1) /
           (col("tf") + lit(Bm25K1) *
-            (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))), 6)
-          .cast("decimal(18,6)"))
+            (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+          .cast("bigint"))
     val perDoc = scored.groupBy("doc_id")
-      .agg(sum(col("score_t")).cast("decimal(18,6)").as("score"),
+      .agg(sum(col("score_t")).as("score_fp"),
         count(lit(1)).as("n_terms_hit"))
-      .orderBy(col("score").desc, col("doc_id").asc)
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
       .limit(50)
-    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val w = Window.orderBy(col("score_fp").desc, col("doc_id").asc)
     perDoc.withColumn("rnk", row_number().over(w).cast("int"))
-      .select(col("doc_id"), col("n_terms_hit"), col("score"), col("rnk"))
+      .select(col("doc_id"), col("n_terms_hit"), col("score_fp"), col("rnk"))
   }
 
   val q114Sql: String = {
@@ -105,22 +113,22 @@ object CurationQueries {
        |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
        |scored AS (
        | SELECT tf.doc_id,
-       |  CAST(ROUND(LN(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+       |  CAST(FLOOR(1000000.0 * LN(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
        |    * tf.tf * ${Bm25K1 + 1} /
        |    (tf.tf + ${Bm25K1} *
        |      (${1 - Bm25B} + ${Bm25B} * dl.dl /
-       |        (CAST(stats.total_tokens AS DOUBLE) / stats.n_docs))), 6)
-       |   AS DECIMAL(18,6)) AS score_t
+       |        (CAST(stats.total_tokens AS DOUBLE) / stats.n_docs))))
+       |   AS BIGINT) AS score_t
        | FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
        |per_doc AS (
-       | SELECT doc_id, CAST(SUM(score_t) AS DECIMAL(18,6)) AS score,
+       | SELECT doc_id, CAST(SUM(score_t) AS BIGINT) AS score_fp,
        |  CAST(COUNT(*) AS BIGINT) AS n_terms_hit
        | FROM scored GROUP BY 1),
        |ranked AS (
-       | SELECT doc_id, n_terms_hit, score,
-       |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
+       | SELECT doc_id, n_terms_hit, score_fp,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id ASC) AS INT) AS rnk
        | FROM per_doc)
-       |SELECT doc_id, n_terms_hit, score, rnk FROM ranked WHERE rnk <= 50""".stripMargin
+       |SELECT doc_id, n_terms_hit, score_fp, rnk FROM ranked WHERE rnk <= 50""".stripMargin
   }
 
   // --- q115: relational division — documents containing ALL probe
@@ -217,77 +225,99 @@ object CurationQueries {
   // --- q119: per-type value concentration — do a handful of users
   // dominate the volume? (the single-source-dominance audit a dataset
   // card wants, and the fraud analog of "whale" accounts). One
-  // (type, user) decimal aggregation shuffle; the rank window runs over
-  // the per-user AGGREGATE frame (bounded by distinct users — the q04
-  // top-k pattern), never the event stream; every sum is decimal so
-  // partition order can't move a cent.
+  // (type, user) integer-cents aggregation shuffle; the per-type top-10
+  // then comes from GroupSample.TopPairsAgg — a bounded O(k) heap that
+  // folds each partition to ≤ 10 (−cents, user) pairs and merges
+  // associatively, so only |types|·10 pairs ever ship. The r7 shape (a
+  // rank window over the per-user frame partitioned by event_type) was
+  // exact but scale-weak: at 100 TB distinct users are ~10⁸-10⁹ rows
+  // sorted inside ~5 type partitions. The share is FLOOR fixed-point
+  // ppm — IEEE division of identical integers is bit-identical
+  // cross-engine and FLOOR never tie-breaks (ROUND(double, 6) was the
+  // r7 driver hash-fail); all sums are exact integer cents.
   def q119(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val top = udaf(new graft.operators.GroupSample.TopPairsAgg(10),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
     val perUser = Tables.events(s, dir)
       .filter(col("value").isNotNull)
       .groupBy("event_type", "user_id")
-      .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
-    val w = Window.partitionBy("event_type")
-      .orderBy(col("v").desc, col("user_id").asc)
-    perUser.withColumn("rn", row_number().over(w))
-      .groupBy("event_type")
+      .agg(sum(round(col("value") * 100).cast("bigint")).as("cents"))
+    perUser.groupBy("event_type")
       .agg(count(lit(1)).as("n_users"),
-        sum(col("v")).cast("decimal(18,2)").as("total_value"),
-        sum(when(col("rn") <= 10, col("v"))
-          .otherwise(lit(0).cast("decimal(18,2)")))
-          .cast("decimal(18,2)").as("top10_value"))
-      .withColumn("top10_share",
-        when(col("total_value") === 0, lit(null).cast("double"))
-          .otherwise(round(col("top10_value").cast("double") /
-            col("total_value").cast("double"), 6)))
+        sum(col("cents")).as("total_cents"),
+        top(-col("cents"), col("user_id")).as("s"))
+      // kept keys are −cents of the top-10: negate-and-sum them back
+      .withColumn("top10_cents",
+        aggregate(col("s.keys"), lit(0L), (acc, x) => acc - x))
+      .withColumn("top10_share_ppm",
+        when(col("total_cents") === 0, lit(null).cast("bigint"))
+          .otherwise(floor(lit(1e6) * col("top10_cents").cast("double") /
+            col("total_cents").cast("double")).cast("bigint")))
+      .select(col("event_type"), col("n_users"), col("total_cents"),
+        col("top10_cents"), col("top10_share_ppm"))
   }
 
   val q119Sql: String =
     """WITH pu AS (
-      | SELECT event_type, user_id, SUM(CAST(value AS DECIMAL(18,2))) AS v
+      | SELECT event_type, user_id,
+      |  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
       | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
       |r AS (
-      | SELECT event_type, v,
+      | SELECT event_type, cents,
       |  ROW_NUMBER() OVER (PARTITION BY event_type
-      |    ORDER BY v DESC, user_id ASC) AS rn
+      |    ORDER BY cents DESC, user_id ASC) AS rn
       | FROM pu)
       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
-      | CAST(SUM(v) AS DECIMAL(18,2)) AS total_value,
-      | CAST(SUM(CASE WHEN rn <= 10 THEN v ELSE 0 END) AS DECIMAL(18,2)) AS top10_value,
-      | CASE WHEN SUM(v) = 0 THEN NULL
-      |  ELSE ROUND(CAST(SUM(CASE WHEN rn <= 10 THEN v ELSE 0 END) AS DOUBLE)
-      |    / CAST(SUM(v) AS DOUBLE), 6) END AS top10_share
+      | CAST(SUM(cents) AS BIGINT) AS total_cents,
+      | CAST(SUM(CASE WHEN rn <= 10 THEN cents ELSE 0 END) AS BIGINT) AS top10_cents,
+      | CASE WHEN SUM(cents) = 0 THEN NULL
+      |  ELSE CAST(FLOOR(1000000.0 * CAST(SUM(CASE WHEN rn <= 10 THEN cents ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(cents) AS DOUBLE)) AS BIGINT) END AS top10_share_ppm
       |FROM r GROUP BY 1""".stripMargin
 
   // --- q120: median-absolute-deviation robust outliers per type — the
   // robust twin of q60's 3σ rule (a single whale account drags a mean
   // and σ; it cannot drag a median). Exact type-1 order statistics via
-  // the house rank convention (q97/q107): two (type)-partitioned
-  // corpus sorts — q43's exact-percentile shape twice — with the
-  // types-sized med/mad frames joined back broadcast. The approximate
-  // scale path for the same question is q107's mergeable summary.
+  // the house rank convention (q97/q107) WITHOUT a corpus sort: the
+  // corpus folds once into a (type, distinct-value) count histogram —
+  // bounded for 2-decimal money values regardless of row count — and
+  // the k-th order statistic falls out of a cumulative-count window
+  // over that bounded frame (value v covering ranks C+1..C+cnt holds
+  // rank k iff C < k ≤ C+cnt). The r7 shape (row_number over
+  // partitionBy(event_type) on the raw stream, twice) was exact but
+  // sorted ~1/|types| of the corpus in a single task per type at scale.
+  // The deviation pass reuses the SAME histogram (weights ride along),
+  // so the corpus is scanned exactly once; med/mad are types-sized and
+  // broadcast. The approximate scale path for unbounded-cardinality
+  // values remains q107's mergeable summary.
   def q120(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
-      .select(col("event_type"), col("value"))
-    val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-    def medianOf(df: DataFrame, c: String, out: String): DataFrame = {
+    val hist = Tables.events(s, dir).filter(col("value").isNotNull)
+      .groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
+    val n = hist.groupBy("event_type").agg(sum(col("cnt")).as("n"))
+    // exact k-th order statistic (k = (50n+99) div 100) from a
+    // (type, value, cnt) histogram: cumulative counts over the bounded
+    // distinct-value frame, pick the covering value
+    def kth(h: DataFrame, c: String, out: String): DataFrame = {
       val w = Window.partitionBy("event_type").orderBy(col(c).asc)
-      df.withColumn("rk", row_number().over(w))
-        .join(n, Seq("event_type"))
-        .filter(col("rk") === expr("(50*n + 99) div 100"))
+      h.withColumn("cum", sum(col("cnt")).over(w))
+        .join(broadcast(n), Seq("event_type"))
+        .withColumn("k", expr("(50*n + 99) div 100"))
+        .filter(col("cum") - col("cnt") < col("k") && col("k") <= col("cum"))
         .select(col("event_type"), col(c).as(out))
     }
-    // med/mad are types-sized — broadcast explicitly rather than leaving
-    // a statistics-blind SortMergeJoin for AQE to convert at runtime
-    val med = medianOf(ev, "value", "med")
-    val dev = ev.join(broadcast(med), Seq("event_type"))
+    val med = kth(hist, "value", "med")
+    val dev = hist.join(broadcast(med), Seq("event_type"))
       .withColumn("d", abs(col("value") - col("med")))
-    val mad = medianOf(dev.select(col("event_type"), col("d")), "d", "mad")
+    val devHist = dev.groupBy("event_type", "d")
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = kth(devHist, "d", "mad")
     dev.join(broadcast(mad), Seq("event_type"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"),
+      .agg(sum(col("cnt")).as("n_events"),
         max(col("med")).as("med"),
         max(col("mad")).as("mad"),
-        sum(when(col("d") > lit(3) * col("mad"), 1L).otherwise(0L))
+        sum(when(col("d") > lit(3) * col("mad"), col("cnt")).otherwise(0L))
           .as("n_outliers"))
   }
 
@@ -379,9 +409,18 @@ object CurationQueries {
       .groupBy("user_id")
       .agg(min(col("ts")).as("purchase_ts"), min(col("view_ts")).as("view_ts"))
       .select(col("user_id"),
-        // DATE, not timestamp: DuckDB's DATE_TRUNC('week') yields a
-        // date and the driver compares schemas
-        to_date(date_trunc("week", col("view_ts"))).as("week"),
+        // ISO-Monday week start computed ARITHMETICALLY from epoch days
+        // (epoch day 0 = Thursday → Monday = d − (d+3) mod 7): engine
+        // calendar builtins are the r7 hash-fail class (q127's DAYOFWEEK
+        // flipped conventions across DuckDB versions; DATE_TRUNC('week')
+        // is the same risk). Identical result to
+        // to_date(date_trunc("week", ts)) — both are Monday starts —
+        // but no calendar library on either side. DATE, not timestamp:
+        // the driver compares schemas.
+        date_add(lit("1970-01-01").cast("date"),
+          expr("CAST(unix_micros(view_ts) div 86400000000 - " +
+            "(unix_micros(view_ts) div 86400000000 + 3) % 7 AS INT)"))
+          .as("week"),
         ((unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))) /
           lit(1000000.0)).as("latency_s"))
     val n = lat.groupBy("week").agg(count(lit(1)).as("n"))
@@ -407,7 +446,9 @@ object CurationQueries {
       | WHERE e.event_type = 'purchase' AND e.ts >= fv.view_ts
       | GROUP BY 1),
       |lat AS (
-      | SELECT user_id, CAST(DATE_TRUNC('week', view_ts) AS DATE) AS week,
+      | SELECT user_id,
+      |  DATE '1970-01-01' + CAST(EPOCH_US(view_ts) // 86400000000
+      |    - (EPOCH_US(view_ts) // 86400000000 + 3) % 7 AS INT) AS week,
       |  (EPOCH_US(purchase_ts) - EPOCH_US(view_ts)) / 1000000.0 AS latency_s
       | FROM conv),
       |n AS (SELECT week, COUNT(*) AS n FROM lat GROUP BY 1),
@@ -518,29 +559,41 @@ object CurationQueries {
   // then runs on integers cross-engine-exactly (the q112 posture —
   // exact while n·Σc < 2^63, ANSI overflow is loud past that, cast the
   // accumulators to double for the approximate regime beyond). Ties on
-  // value can permute ranks freely: equal values make rk·c invariant
-  // under the permutation, and the (value, event_id) order pins the
-  // window deterministically anyway. One (type)-partitioned sort —
-  // q43's exact-percentile shape.
+  // value permute ranks freely (equal values make Σrk·c invariant), so
+  // rank mass needs no per-row ranks at all: the corpus folds once into
+  // a (type, cents) count histogram — bounded for 2-decimal money —
+  // and a value c with count m and exclusive-cumulative count C covers
+  // ranks C+1..C+m, contributing c·(m·C + m(m+1)/2). The r7 shape (a
+  // row_number window over partitionBy(event_type) on the raw stream)
+  // was exact but sorted ~1/|types| of the corpus in one task per type
+  // at scale; the cumulative window here runs over the bounded
+  // histogram. The ratio is FLOOR fixed-point ppm of the exact integer
+  // pair — IEEE division is bit-identical cross-engine, FLOOR never
+  // tie-breaks (ROUND(double, 6) is the r7 hash-fail class).
   def q126(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    val hist = Tables.events(s, dir)
       .filter(col("value").isNotNull && col("value") >= 0)
-      .select(col("event_type"), col("event_id"),
+      .select(col("event_type"),
         round(col("value") * 100).cast("bigint").as("c"))
-    val w = Window.partitionBy("event_type")
-      .orderBy(col("c").asc, col("event_id").asc)
-    ev.withColumn("rk", row_number().over(w).cast("bigint"))
+      .groupBy("event_type", "c").agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy("event_type").orderBy(col("c").asc)
+    hist.withColumn("cum", sum(col("m")).over(w))
+      .withColumn("cb", col("cum") - col("m"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"),
-        sum(col("c")).as("total_cents"),
-        sum(col("rk") * col("c")).as("rank_mass"))
+      .agg(sum(col("m")).as("n"),
+        sum(col("c") * col("m")).as("total_cents"),
+        sum(col("c") * (col("m") * col("cb") + expr("m * (m + 1) div 2")))
+          .as("rank_mass"))
       .select(col("event_type"), col("n"), col("total_cents"),
         (lit(2) * col("rank_mass") - (col("n") + 1) * col("total_cents"))
           .as("gini_num"),
         (col("n") * col("total_cents")).as("gini_den"),
-        round((lit(2) * col("rank_mass") - (col("n") + 1) * col("total_cents"))
-          .cast("double") / (col("n") * col("total_cents")).cast("double"), 6)
-          .as("gini"))
+        when(col("n") * col("total_cents") === 0, lit(null).cast("bigint"))
+          .otherwise(floor(lit(1e6) *
+            (lit(2) * col("rank_mass") - (col("n") + 1) * col("total_cents"))
+              .cast("double") /
+            (col("n") * col("total_cents")).cast("double")).cast("bigint"))
+          .as("gini_ppm"))
   }
 
   val q126Sql: String =
@@ -560,28 +613,37 @@ object CurationQueries {
       |SELECT event_type, n, total_cents,
       | CAST(2*rank_mass - (n + 1)*total_cents AS BIGINT) AS gini_num,
       | CAST(n*total_cents AS BIGINT) AS gini_den,
-      | ROUND(CAST(2*rank_mass - (n + 1)*total_cents AS DOUBLE)
-      |   / CAST(n*total_cents AS DOUBLE), 6) AS gini
+      | CASE WHEN n*total_cents = 0 THEN NULL
+      |  ELSE CAST(FLOOR(1000000.0 * CAST(2*rank_mass - (n + 1)*total_cents AS DOUBLE)
+      |   / CAST(n*total_cents AS DOUBLE)) AS BIGINT) END AS gini_ppm
       |FROM a""".stripMargin
 
   // --- q127: day-of-week × hour activity heatmap per type — the ops
   // dashboard staple (when does fraud traffic actually arrive?). Pure
   // partial-aggregable counts on derived calendar keys: one shuffle of
-  // ≤ types·7·24 groups. DuckDB's DAYOFWEEK is 0=Sunday; Spark's is
-  // 1=Sunday — the oracle adds 1.
+  // ≤ types·7·24 groups. BOTH keys are computed arithmetically from
+  // epoch microseconds — no DAYOFWEEK/HOUR builtins anywhere: the r7
+  // driver hash-fail was exactly a calendar-builtin convention shift
+  // across DuckDB versions (0=Sunday vs 1=Sunday), invisible to the
+  // local v1.0.0 gate. Epoch day 0 (1970-01-01) is a Thursday, so
+  // dow = (day + 4) mod 7 + 1 lands on the 1=Sunday..7=Saturday
+  // convention Spark's dayofweek uses (CurationSpec pins Thursday);
+  // hr = (µs div 3600e6) mod 24. Timestamps are post-1970 so integer
+  // div/mod agree across engines without floor-mod care.
   def q127(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("event_type"),
-        dayofweek(col("ts")).as("dow"),
-        hour(col("ts")).as("hr"))
+        expr("CAST((unix_micros(ts) div 86400000000 + 4) % 7 + 1 AS INT)")
+          .as("dow"),
+        expr("CAST(unix_micros(ts) div 3600000000 % 24 AS INT)").as("hr"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
           .as("sum_value"))
 
   val q127Sql: String =
     """SELECT event_type,
-      | CAST(DAYOFWEEK(ts) + 1 AS INT) AS dow,
-      | CAST(HOUR(ts) AS INT) AS hr,
+      | CAST((EPOCH_US(ts) // 86400000000 + 4) % 7 + 1 AS INT) AS dow,
+      | CAST((EPOCH_US(ts) // 3600000000) % 24 AS INT) AS hr,
       | CAST(COUNT(*) AS BIGINT) AS n_events,
       | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
       |FROM events GROUP BY 1, 2, 3""".stripMargin

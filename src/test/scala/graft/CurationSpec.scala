@@ -25,28 +25,30 @@ class CurationSpec extends SparkSpec {
       assert(hit.nonEmpty && hit.size === r.getLong(1))
     }
     // scores are non-increasing in rank order
-    val byRank = out.sortBy(_.getInt(3)).map(_.getDecimal(2).doubleValue())
+    val byRank = out.sortBy(_.getInt(3)).map(_.getLong(2))
     assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
-    // independent BM25 recomputation for the top doc
+    // independent BM25 recomputation for the top doc, in the query's
+    // exact fixed-point form: floor(1e6·score_t) per term, summed as
+    // integers (same double op order as the Spark expression; ±1
+    // micro-unit slack covers a possible libm-vs-StrictMath ln ulp)
     val n = toks.size.toDouble
     val avgdl = toks.values.map(_.length).sum / n
     val dfreq = terms.map(t => t -> toks.values.count(_.contains(t)).toDouble).toMap
-    def bm25(id: Long): Double = {
+    def bm25fp(id: Long): Long = {
       val ws = toks(id)
       terms.toSeq.map { t =>
         val tf = ws.count(_ == t).toDouble
-        if (tf == 0) BigDecimal(0)
+        if (tf == 0) 0L
         else {
-          val idf = math.log(1.0 + (n - dfreq(t) + 0.5) / (dfreq(t) + 0.5))
-          BigDecimal(idf * tf * (CurationQueries.Bm25K1 + 1) /
+          val idf = StrictMath.log(1.0 + (n - dfreq(t) + 0.5) / (dfreq(t) + 0.5))
+          math.floor(1e6 * idf * tf * (CurationQueries.Bm25K1 + 1) /
             (tf + CurationQueries.Bm25K1 * (1 - CurationQueries.Bm25B +
-              CurationQueries.Bm25B * ws.length / avgdl)))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              CurationQueries.Bm25B * ws.length / avgdl))).toLong
         }
-      }.sum.toDouble
+      }.sum
     }
     val top = out.minBy(_.getInt(3))
-    assert(math.abs(bm25(top.getLong(0)) - top.getDecimal(2).doubleValue()) < 1e-9)
+    assert(math.abs(bm25fp(top.getLong(0)) - top.getLong(2)) <= 1L)
   }
 
   test("q115 relational division: complete characterization vs driver token sets") {
@@ -107,28 +109,25 @@ class CurationSpec extends SparkSpec {
     assert(trains.zip(trains.tail).forall { case (a, b) => a <= b })
   }
 
-  test("q119 concentration: top-10 share equals a driver recomputation") {
+  test("q119 concentration: bounded top-k aggregator equals the window formulation") {
+    // driver recomputation IS the rank-window formulation: per-user
+    // cents sorted by (cents desc, user asc), take 10 — the TopPairsAgg
+    // plan must reproduce it exactly, plus the floor-ppm share
     val ev = graft.sources.Tables.events(spark, sf)
       .filter(col("value").isNotNull)
       .select(col("event_type"), col("user_id"), col("value")).collect()
-      .map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDouble(2))
-        .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
     val expect = ev.groupBy(_._1).map { case (t, rows) =>
       val perUser = rows.groupBy(_._2).map { case (u, rs) => (u, rs.map(_._3).sum) }.toSeq
       val top10 = perUser.sortBy { case (u, v) => (-v, u) }.take(10).map(_._2).sum
       val total = perUser.map(_._2).sum
       (t, perUser.size.toLong, total, top10,
-        (top10.toDouble / total.toDouble * 1e6).round / 1e6)
+        if (total == 0) null else math.floor(1e6 * top10.toDouble / total.toDouble).toLong)
     }.toSet
     val got = graft.queries.CurationQueries.q119(spark, sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2)),
-        BigDecimal(r.getDecimal(3)), r.getDouble(4))).toSet
-    assert(got.map(t => (t._1, t._2, t._3, t._4)) === expect.map(t => (t._1, t._2, t._3, t._4)))
-    // share within a rounding ulp of the driver-side double
-    val shares = got.map(t => t._1 -> t._5).toMap
-    expect.foreach { case (t, _, _, _, s) =>
-      assert(math.abs(shares(t) - s) < 1e-9, s"share mismatch for $t")
-    }
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4))).toSet
+    assert(got === expect)
   }
 
   test("q120 MAD outliers: medians and outlier counts equal a driver recomputation") {
@@ -309,10 +308,12 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet
     assert(got === expect)
-    // Gini lives in [0, 1); a constant distribution would be exactly 0
+    // Gini lives in [0, 1) — in fixed-point ppm, [0, 1e6); and the ppm
+    // column is exactly floor(1e6·num/den) of the exact integer pair
     graft.queries.CurationQueries.q126(spark, sf).collect().foreach { r =>
-      val g = r.getDouble(5)
-      assert(g >= 0.0 && g < 1.0, s"gini out of range: $g")
+      val g = r.getLong(5)
+      assert(g >= 0L && g < 1000000L, s"gini_ppm out of range: $g")
+      assert(g === math.floor(1e6 * r.getLong(3).toDouble / r.getLong(4).toDouble).toLong)
     }
   }
 
@@ -324,6 +325,18 @@ class CurationSpec extends SparkSpec {
       assert(r.getInt(1) >= 1 && r.getInt(1) <= 7)
       assert(r.getInt(2) >= 0 && r.getInt(2) <= 23)
     }
+    // the engine-proof arithmetic keys must agree with the calendar
+    // builtins under the UTC session (epoch day 0 = Thursday → dow 5
+    // on the 1=Sunday convention) — pins the (day+4)%7+1 derivation
+    val mism = graft.sources.Tables.events(spark, sf)
+      .select(
+        expr("CAST((unix_micros(ts) div 86400000000 + 4) % 7 + 1 AS INT)").as("adow"),
+        dayofweek(col("ts")).as("cdow"),
+        expr("CAST(unix_micros(ts) div 3600000000 % 24 AS INT)").as("ahr"),
+        hour(col("ts")).as("chr"))
+      .filter(col("adow") =!= col("cdow") || col("ahr") =!= col("chr"))
+      .count()
+    assert(mism === 0L, "arithmetic dow/hr diverged from the calendar builtins")
   }
 
   test("q128 changepoint: CUSUM argmax equals a driver recomputation") {

@@ -50,6 +50,29 @@ class PlanLintSpec extends SparkSpec {
     assert(offenders.isEmpty, s"scale-contract violations:\n${offenders.mkString("\n")}")
   }
 
+  test("no window partitioned only by event_type over an un-aggregated corpus") {
+    // The round-7 scale audit: event_type has cardinality ~5, so a
+    // window partitioned solely by it over the raw fact stream sorts
+    // ~1/5 of the corpus in ONE task at 100 TB (q89's ntile, q120's
+    // medians, q126's rank mass — all since rewritten onto bounded
+    // distinct-value histograms). Enforce the rewrite: such a window is
+    // legal only above an Aggregate, i.e. over a frame already reduced
+    // to bounded cardinality (distinct values / users / days), never
+    // the event stream itself.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      plan.collect {
+        case w: LWindow
+          if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall(_.references.map(_.name).toSet == Set("event_type")) &&
+            w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+          s"$name: event_type-only window over an un-aggregated input"
+      }
+    }
+    assert(offenders.isEmpty, s"corpus-sort windows:\n${offenders.mkString("\n")}")
+  }
+
   test("fused plans stay fused: branch filters must not re-specialize shared joins") {
     // Regression guard for the two flag-explode fusions. The
     // union-of-filtered-branches formulation lets each branch's nullity
