@@ -61,13 +61,21 @@ object FileBloomIndex {
 
   /** Point read through the index: open only files whose bloom may
     * contain `key`. The probe hash uses the SAME Spark `xxhash64` as
-    * the build (evaluated on a literal), the membership test runs
-    * distributed over the index, and only matching file NAMES reach
-    * the driver.
+    * the build — evaluated on the literal CAST TO THE STORED COLUMN'S
+    * TYPE, because Spark hash functions are type-sensitive: an Int
+    * probe against a Long column would hash differently and produce
+    * silent bloom false negatives, breaking the no-false-negatives
+    * contract. The membership test runs distributed over the index,
+    * and only matching file NAMES reach the driver. `key` must be
+    * non-null: NULL never equals the residual predicate and has no
+    * meaningful bloom membership.
     */
   def prunedPointRead(spark: SparkSession, path: String, index: DataFrame,
                       keyCol: String, key: Any): DataFrame = {
-    val hk = spark.range(1).select(xxhash64(lit(key))).head().getLong(0)
+    require(key != null, "prunedPointRead needs a non-null key")
+    val keyType = spark.read.parquet(path).schema(keyCol).dataType
+    val probe = lit(key).cast(keyType)
+    val hk = spark.range(1).select(xxhash64(probe)).head().getLong(0)
     import spark.implicits._
     val keep = index.select(col("file"), col("bloom"))
       .as[(String, Array[Byte])]
@@ -78,6 +86,6 @@ object FileBloomIndex {
     val base =
       if (keep.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.parquet(keep.toIndexedSeq: _*)
-    base.filter(col(keyCol) === lit(key))
+    base.filter(col(keyCol) === probe)
   }
 }

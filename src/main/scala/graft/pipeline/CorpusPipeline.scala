@@ -172,10 +172,12 @@ object CorpusPipeline {
     * (`clean/ index_bands/ index_sets/ text_hashes/ rejects/
     * stage_log/`, each with a `batch=<id>` subdirectory per call); the
     * first call bootstraps empty state, so the backfill is just the
-    * first increment. A crashed batch leaves at most a partial
-    * `batch=` directory for an id that never completed — re-running
-    * that id is refused (the EtlPipeline duplicate-business-date
-    * precedent), so delete the partial directory and re-run.
+    * first increment. `clean/batch=<id>` doubles as the COMMIT MARKER
+    * (written last): a COMPLETED id is refused on re-run (the
+    * EtlPipeline duplicate-business-date precedent), while a CRASHED
+    * batch leaves metadata partials but no marker — retrying the SAME
+    * id is safe, because every state read excludes the in-flight id's
+    * partials and the final writes overwrite them.
     *
     * Dedup policy is FIRST-SEEN-WINS (the q67/dedupStream semantics):
     * a batch doc that matches the stored corpus drops, whatever its
@@ -193,8 +195,16 @@ object CorpusPipeline {
                       batchId: String,
                       cfg: CurationConfig = CurationConfig(),
                       idCol: String = "doc_id", textCol: String = "text"): CurationResult = {
-    require(batchId.nonEmpty && !batchId.contains('/') && !batchId.contains('='),
-      s"batchId must be a plain directory-safe token, got '$batchId'")
+    // Leading letter/underscore: the id round-trips partition-value
+    // type inference. A numeric-looking id ("001") comes back from the
+    // `batch=001` directory as integer 1, so the crash-retry
+    // self-exclusion filter below (`cast("string") =!= batchId`
+    // comparing "1" to "001") would silently keep the partial rows and
+    // fail the ids-must-be-new check with a misleading error.
+    require(batchId.matches("[A-Za-z_][A-Za-z0-9_.-]*"),
+      s"batchId must start with a letter/underscore and use only " +
+        s"[A-Za-z0-9_.-] (a numeric-looking id does not survive partition " +
+        s"type inference), got '$batchId'")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
     def part(table: String) = s"$stateDir/$table/batch=$batchId"

@@ -657,26 +657,13 @@ object CurationQueries {
   // is argmax |S_d| with the earliest-day tie-break. Corpus-scale work
   // is ONE (type, day) count shuffle; the cumulative window and argmax
   // run on the types·days frame — metadata next to the fact stream.
-  def q128(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
-    val wTot = Window.partitionBy("event_type")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val wCum = Window.partitionBy("event_type").orderBy(col("day").asc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wPick = Window.partitionBy("event_type")
-      .orderBy(abs(col("s")).desc, col("day").asc)
-    daily
-      .withColumn("n_days", count(lit(1)).over(wTot))
-      .withColumn("n_total", sum(col("n")).over(wTot))
-      .withColumn("s", sum(col("n") * col("n_days") - col("n_total")).over(wCum))
-      .withColumn("rk", row_number().over(wPick))
-      .filter(col("rk") === 1)
-      .select(col("event_type"), col("day").as("change_day"),
-        col("s").as("cusum_s"), abs(col("s")).as("cusum_abs"),
-        col("n_days").cast("bigint").as("n_days"), col("n_total").as("n_total"))
-  }
+  // The CUSUM finisher is StreamingFraud.changepointOf, SHARED with the
+  // streaming twin changepointStream so stream = batch by construction.
+  def q128(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingFraud.changepointOf(
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")))
 
   val q128Sql: String =
     """WITH daily AS (

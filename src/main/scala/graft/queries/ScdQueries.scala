@@ -200,13 +200,90 @@ object ScdQueries {
       |   OR o.n_events IS DISTINCT FROM n.n_events
       |   OR o.max_value IS DISTINCT FROM n.max_value""".stripMargin
 
+  // --- q129: 3-hop SCD2 dimension-chain PIT join — the reference's
+  // actual mart join shape: every fraud rule reads the fact through
+  // THREE chained validity dims, each `BETWEEN effective_from AND
+  // effective_to` (trsh_rep_fraud_sync.sql:114-121 — transaction →
+  // cards_hist → accounts_hist → clients_hist). The repo's remapped
+  // data model collapses that to one dim per rule (FraudMart), so this
+  // query exercises the chain explicitly: three versioned dims derived
+  // from disjoint event slices (card→account, account→client,
+  // client→segment), the fact PIT-joined through all three.
+  //
+  // Scale shape (the part the chain stresses): each hop is an
+  // EQUI-join on the dim key with the validity range as a post-join
+  // filter — hash-partitionable and, with dimension-sized dims,
+  // broadcastable (all three hinted here; a pure range join would be
+  // a per-key cross product). Join order follows the key chain, so no
+  // hop ever joins on a column produced by a later hop; the fact
+  // stream is scanned once and never shuffled — three stacked
+  // BroadcastHashJoins (ScdSpec pins the plan).
+  def q129(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cards = Scd.buildHistory(
+      ev.filter(col("event_id") % 3 === 0)
+        .withColumn("account_num", expr("(user_id * 7 + length(event_type)) % 50")),
+      "user_id", "ts", "event_id", Seq("account_num"))
+      .select(col("user_id").as("card_id"), col("account_num"),
+        col("effective_from").as("c_from"), col("effective_to").as("c_to"))
+    val accounts = Scd.buildHistory(
+      ev.filter(col("event_id") % 3 === 1)
+        .withColumn("account_num", expr("user_id % 50"))
+        .withColumn("client_id", expr("(user_id * 13 + event_id) % 20")),
+      "account_num", "ts", "event_id", Seq("client_id"))
+      .select(col("account_num").as("a_account"), col("client_id"),
+        col("effective_from").as("a_from"), col("effective_to").as("a_to"))
+    val clients = Scd.buildHistory(
+      ev.filter(col("event_id") % 3 === 2)
+        .withColumn("client_id", expr("user_id % 20")),
+      "client_id", "ts", "event_id", Seq("event_type"))
+      .select(col("client_id").as("l_client"), col("event_type").as("segment"),
+        col("effective_from").as("l_from"), col("effective_to").as("l_to"))
+    ev.select(col("event_id"), col("ts"), col("user_id").as("card_id"))
+      .join(broadcast(cards), Seq("card_id"))
+      .filter(col("ts") >= col("c_from") && col("ts") <= col("c_to"))
+      .join(broadcast(accounts), col("account_num") === col("a_account"))
+      .filter(col("ts") >= col("a_from") && col("ts") <= col("a_to"))
+      .join(broadcast(clients), col("client_id") === col("l_client"))
+      .filter(col("ts") >= col("l_from") && col("ts") <= col("l_to"))
+      .select(col("event_id"), col("card_id"), col("account_num"),
+        col("client_id"), col("segment"))
+  }
+
+  val q129Sql: String =
+    s"""$EvCte,
+       |cards AS (
+       | SELECT user_id AS card_id, (user_id * 7 + LENGTH(event_type)) % 50 AS account_num,
+       |  ts AS c_from,
+       |  COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) - INTERVAL 1 MICROSECOND,
+       |           TIMESTAMP '9999-12-31 00:00:00') AS c_to
+       | FROM ev WHERE event_id % 3 = 0),
+       |accounts AS (
+       | SELECT user_id % 50 AS account_num, (user_id * 13 + event_id) % 20 AS client_id,
+       |  ts AS a_from,
+       |  COALESCE(LEAD(ts) OVER (PARTITION BY user_id % 50 ORDER BY ts, event_id) - INTERVAL 1 MICROSECOND,
+       |           TIMESTAMP '9999-12-31 00:00:00') AS a_to
+       | FROM ev WHERE event_id % 3 = 1),
+       |clients AS (
+       | SELECT user_id % 20 AS client_id, event_type AS segment,
+       |  ts AS l_from,
+       |  COALESCE(LEAD(ts) OVER (PARTITION BY user_id % 20 ORDER BY ts, event_id) - INTERVAL 1 MICROSECOND,
+       |           TIMESTAMP '9999-12-31 00:00:00') AS l_to
+       | FROM ev WHERE event_id % 3 = 2)
+       |SELECT f.event_id, f.user_id AS card_id, c.account_num, a.client_id, l.segment
+       |FROM ev f
+       |JOIN cards c ON f.user_id = c.card_id AND f.ts BETWEEN c.c_from AND c.c_to
+       |JOIN accounts a ON c.account_num = a.account_num AND f.ts BETWEEN a.a_from AND a.a_to
+       |JOIN clients l ON a.client_id = l.client_id AND f.ts BETWEEN l.l_from AND l.l_to""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_cdc_diff"   -> (q84 _),
     "q11_scd2_build" -> (q11 _),
     "q12_asof_join"  -> (q12 _),
     "q13_scd1_merge" -> (q13 _),
     "q14_scd2_merge" -> (q14 _),
-    "q15_run_log"    -> (q15 _))
+    "q15_run_log"    -> (q15 _),
+    "q129_dim_chain" -> (q129 _))
 
   val oracle: Map[String, String] = Map(
     "q84_cdc_diff"   -> q84Sql,
@@ -214,5 +291,6 @@ object ScdQueries {
     "q12_asof_join"  -> q12Sql,
     "q13_scd1_merge" -> q13Sql,
     "q14_scd2_merge" -> q14Sql,
-    "q15_run_log"    -> q15Sql)
+    "q15_run_log"    -> q15Sql,
+    "q129_dim_chain" -> q129Sql)
 }

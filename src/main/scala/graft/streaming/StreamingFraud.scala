@@ -173,6 +173,51 @@ object StreamingFraud {
           lit(0L), _ + _).as("drift_num"))
   }
 
+  /** Streaming twin of q128's CUSUM changepoint detector — the natural
+    * companion of [[driftStream]] for the fraud-ops story (drift says
+    * "the distribution moved"; CUSUM says "the level broke, on this
+    * day"). The corpus-scale stateful work is this one streaming
+    * aggregation: tumbling 1-day windows × type → counts, state one
+    * long per open (day, type). The CUSUM fold and argmax belong in
+    * [[changepointOf]], run each trigger over the materialized daily
+    * frame — types×days rows, metadata next to the stream — because a
+    * rank-over-window on top of a streaming aggregation is unsupported,
+    * and at that size shouldn't be streamed anyway.
+    */
+  def changepointStream(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("day_start"), col("event_type"), col("n"))
+
+  /** CUSUM argmax over a (event_type, day, n) daily-count frame — the
+    * SHARED finisher: CurationQueries.q128 applies it to batch daily
+    * counts, a deployed monitor applies it to [[changepointStream]]'s
+    * output table each trigger, so stream = batch holds by construction
+    * (StreamingSpec asserts it). Exact integers throughout: with D days
+    * and N total events per type, S_d = Σ_{i≤d}(n_i·D − N); the
+    * changepoint is argmax |S_d|, earliest-day tie-break. All windows
+    * run over the types×days frame, never an event stream.
+    */
+  def changepointOf(daily: DataFrame, dayCol: String = "day"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wTot = Window.partitionBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.partitionBy("event_type").orderBy(col(dayCol).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wPick = Window.partitionBy("event_type")
+      .orderBy(abs(col("s")).desc, col(dayCol).asc)
+    daily
+      .withColumn("n_days", count(lit(1)).over(wTot))
+      .withColumn("n_total", sum(col("n")).over(wTot))
+      .withColumn("s", sum(col("n") * col("n_days") - col("n_total")).over(wCum))
+      .withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col(dayCol).as("change_day"),
+        col("s").as("cusum_s"), abs(col("s")).as("cusum_abs"),
+        col("n_days").cast("bigint").as("n_days"), col("n_total").as("n_total"))
+  }
+
   /** Batch helper for [[driftStream]]: the per-type reference histogram
     * over a training window, collected to a driver map (types×bins —
     * metadata next to the corpus, the q55 union-find precedent).

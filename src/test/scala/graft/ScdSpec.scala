@@ -63,6 +63,55 @@ class ScdSpec extends SparkSpec {
     assert(d == Map(2L -> "U", 3L -> "U", 4L -> "D", 5L -> "I"))
   }
 
+  test("q129 dim chain: PIT assignments equal a driver recomputation; plan broadcasts") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val OpenEnd = Long.MaxValue
+    // versioned lookup: key → sorted (from_us, payload); resolve ts to
+    // the version whose [from, next_from) half-open window contains it
+    // (effective_to = next_from − 1µs ⇒ identical membership)
+    def hist[P](rows: Seq[(Long, Long, Long, P)]): Map[Long, IndexedSeq[(Long, P)]] =
+      rows.groupBy(_._3).map { case (k, rs) =>
+        k -> rs.sortBy(r => (r._2, r._1)).map(r => (r._2, r._4)).toIndexedSeq
+      }
+    def resolve[P](h: Map[Long, IndexedSeq[(Long, P)]], k: Long, us: Long): Option[P] =
+      h.get(k).flatMap { vs =>
+        val i = vs.lastIndexWhere(_._1 <= us)
+        if (i < 0) None
+        else {
+          val next = if (i + 1 < vs.size) vs(i + 1)._1 else OpenEnd
+          if (us < next) Some(vs(i)._2) else None // degenerate same-µs version
+        }
+      }
+    val cards = hist(ev.filter(_._1 % 3 == 0)
+      .map(e => (e._1, e._2, e._3, (e._3 * 7 + e._4.length) % 50)))
+    val accounts = hist(ev.filter(_._1 % 3 == 1)
+      .map(e => (e._1, e._2, e._3 % 50, (e._3 * 13 + e._1) % 20)))
+    val clients = hist(ev.filter(_._1 % 3 == 2)
+      .map(e => (e._1, e._2, e._3 % 20, e._4)))
+    val expect = ev.flatMap { case (eid, us, uid, _) =>
+      for {
+        acct <- resolve(cards, uid, us)
+        cli  <- resolve(accounts, acct, us)
+        seg  <- resolve(clients, cli, us)
+      } yield (eid, uid, acct, cli, seg)
+    }.toSet
+    val df = ScdQueries.q129(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "the chain must resolve at least one fact")
+    // the scale contract: three broadcast equi-joins, no shuffle joins
+    // (AQE's toString prints final + initial plans; count the final only)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 3, plan.take(800))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q84 diff agrees with independently recomputed snapshots") {
     val d = ScdQueries.q84(spark, sf).cache()
     // D rows carry no new-state, I rows no old-state

@@ -156,6 +156,19 @@ class SinksSpec extends SparkSpec {
     val ghost = FileBloomIndex
       .prunedPointRead(spark, s"$dir/events", idx, "user_id", -987654321L)
     assert(ghost.isEmpty)
+    // type-mismatched probe: an Int key against the Long column must
+    // cast before hashing — Spark hash functions are type-sensitive,
+    // so the un-cast literal would bloom-miss every file (silent false
+    // negatives, the r7 ADVICE finding)
+    val intProbe = FileBloomIndex
+      .prunedPointRead(spark, s"$dir/events", idx, "user_id", users.head.toInt)
+    assert(intProbe.count() ===
+      spark.read.parquet(s"$dir/events").filter(col("user_id") === users.head).count(),
+      "Int probe against Long column must still find every row")
+    // null probes are refused loudly, not silently empty
+    intercept[IllegalArgumentException] {
+      FileBloomIndex.prunedPointRead(spark, s"$dir/events", idx, "user_id", null)
+    }
     idx.unpersist(blocking = false)
   }
 

@@ -322,6 +322,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUSUM changepoint equals the q128 batch detector on closed windows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusum").toString
+    val batchEvents = graft.sources.Tables.events(spark, sf).cache()
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val q = StreamingFraud.changepointStream(
+        StreamingFraud.readEventStream(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cusum_out").start()
+    try {
+      q.processAllAvailable()
+      // the deployed monitor's per-trigger step: the shared CUSUM
+      // finisher over the materialized daily frame (1-day tumbling
+      // windows start at UTC midnight, so day_start IS the civil day)
+      val streamed = StreamingFraud.changepointOf(
+        spark.table("cusum_out")
+          .select(col("event_type"), to_date(col("day_start")).as("day"),
+            col("n")))
+      val batch = graft.queries.CurationQueries.q128(spark, sf)
+      assert(streamed.count() > 0 && streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0,
+        "stream-fed CUSUM must equal the batch detector exactly")
+    } finally q.stop()
+  }
+
   test("full fraud report runs as one continuous stream, matching batch rules") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rep_stream").toString
     val batchEvents = graft.sources.Tables.events(spark, sf).cache()

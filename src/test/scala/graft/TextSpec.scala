@@ -113,4 +113,20 @@ class TextSpec extends SparkSpec {
     // every char is a single character (split artifact guard)
     assert(rows.forall(_.getAs[String]("ch").length == 1))
   }
+
+  test("wordNgrams honors the zero-tokens convention for blank text at every n") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "a b"))
+      .toDF("doc_id", "text")
+    // n=1: blank docs must yield NO shingles (split of "" is [""],
+    // which used to leak through as a single empty-string shingle)
+    val uni = graft.functions.TextFunctions.wordNgrams(docs, "doc_id", "text", 1)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(uni.toSet === Set((3L, "one"), (4L, "a"), (4L, "b")))
+    assert(uni.forall(_._2.nonEmpty))
+    val bi = graft.functions.TextFunctions.wordNgrams(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(bi.toSet === Set((4L, "a b")))
+  }
 }
