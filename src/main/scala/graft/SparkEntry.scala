@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.CorpusQueries.queries ++
       graft.queries.PrivacyQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.SignalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.queries.AnalyticsQueries.oracle ++
       graft.queries.CorpusQueries.oracle ++
       graft.queries.PrivacyQueries.oracle ++
-      graft.queries.CurationQueries.oracle
+      graft.queries.CurationQueries.oracle ++
+      graft.queries.SignalQueries.oracle
 }

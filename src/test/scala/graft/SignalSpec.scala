@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.queries.SignalQueries
+import graft.sources.Tables
+
+/** Round-8 signal queries: rank fusion, burst detection, vocabulary
+  * coverage, A/B lift, template clustering.
+  */
+class SignalSpec extends SparkSpec {
+
+  test("q130: RRF fusion — contiguous ranks, exact integer fusion of both lists") {
+    val rows = SignalQueries.q130(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val ranks = rows.map(_.getAs[Int]("rnk")).sorted
+    assert(ranks.sameElements(1 to rows.length), "ranks must be contiguous from 1")
+    rows.foreach { r =>
+      val lex = Option(r.getAs[Integer]("lex_rnk")).map(_.intValue)
+      val sem = Option(r.getAs[Integer]("sem_rnk")).map(_.intValue)
+      val expected =
+        lex.map(x => 1000000000L / (SignalQueries.RrfK + x)).getOrElse(0L) +
+          sem.map(x => 1000000000L / (SignalQueries.RrfK + x)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_fp") === expected,
+        s"doc ${r.getAs[Long]("doc_id")}: rrf must be the exact integer sum")
+      assert(lex.isDefined || sem.isDefined, "fused docs come from at least one list")
+    }
+    // descending by (rrf, doc_id): the rank order is the sort order
+    val sortedRows = rows.sortBy(r => (-r.getAs[Long]("rrf_fp"), r.getAs[Long]("doc_id")))
+    assert(sortedRows.map(_.getAs[Int]("rnk")).sameElements(1 to rows.length))
+  }
+
+  test("q131: burst baseline equals the recomputed trailing 7-day sum") {
+    val out = SignalQueries.q131(spark, sf).collect()
+    assert(out.nonEmpty)
+    // independent recomputation from the raw (type, day) counts
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate) -> r.getLong(2))
+      .toMap
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val d = r.getAs[java.sql.Date]("day").toLocalDate
+      val prior = (1 to 7).flatMap(i => daily.get((t, d.minusDays(i))))
+      assert(prior.size === 7, s"($t,$d) emitted without a full baseline")
+      assert(r.getAs[Long]("base7") === prior.sum)
+      assert(r.getAs[Long]("ratio_ppm") ===
+        7L * r.getAs[Long]("n") * 1000000L / prior.sum)
+    }
+  }
+
+  test("q132: coverage curve is monotone and equals the naive rank-window answer") {
+    val out = SignalQueries.q132(spark, sf).collect()
+      .map(r => r.getAs[Int]("p") ->
+        (r.getAs[Long]("need"), r.getAs[Long]("vocab_size"), r.getAs[Long]("covered")))
+      .toMap
+    assert(out.keySet === Set(50, 90, 95, 99))
+    val sizes = Seq(50, 90, 95, 99).map(out(_)._2)
+    assert(sizes === sizes.sorted, "vocab_size must be monotone in p")
+    out.foreach { case (p, (need, _, covered)) =>
+      assert(covered >= need, s"p=$p: covered mass must reach the target")
+    }
+    // naive formulation: literal token ranks (count desc, token asc)
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(TextFunctions.wsTokens(lower(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("token").asc)
+    val ranked = vocab
+      .withColumn("r", row_number().over(w))
+      .withColumn("cum", sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .collect().map(r => (r.getAs[Int]("r").toLong, r.getAs[Long]("cum"))).sorted
+    val total = ranked.last._2
+    Seq(50, 90, 95, 99).foreach { p =>
+      val need = (p.toLong * total + 99) / 100
+      val (rk, cum) = ranked.find(_._2 >= need).get
+      assert(out(p) === ((need, rk, cum)), s"p=$p disagrees with the naive window answer")
+    }
+  }
+
+  test("q133: arm partition is exhaustive and rates are floor fixed-point") {
+    val r = SignalQueries.q133(spark, sf).collect().head
+    val totalUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    val ua = r.getAs[Long]("users_a"); val ub = r.getAs[Long]("users_b")
+    val ca = r.getAs[Long]("conv_a"); val cb = r.getAs[Long]("conv_b")
+    assert(ua + ub === totalUsers, "every user lands in exactly one arm")
+    assert(ca <= ua && cb <= ub)
+    assert(r.getAs[Long]("rate_a_ppm") === ca * 1000000L / ua)
+    assert(r.getAs[Long]("rate_b_ppm") === cb * 1000000L / ub)
+    if (cb > 0) {
+      val expected = r.getAs[Long]("rate_a_ppm") * 1000000L /
+        r.getAs[Long]("rate_b_ppm") - 1000000L
+      assert(r.getAs[Long]("lift_ppm") === expected)
+    }
+  }
+
+  test("q134: every template cluster recounts to its membership") {
+    val out = SignalQueries.q134(spark, sf).collect()
+    assert(out.forall(_.getAs[Long]("n_docs") >= 3))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.wsTokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("prefix", concat_ws(" ", slice(col("toks"), 1, 2)))
+      .select("doc_id", "lang", "prefix")
+      .collect()
+    out.foreach { r =>
+      val members = docs.filter(_.getAs[String]("prefix") == r.getAs[String]("prefix"))
+      assert(members.length === r.getAs[Long]("n_docs"))
+      assert(members.map(_.getAs[String]("lang")).distinct.length === r.getAs[Long]("n_langs"))
+      assert(members.map(_.getAs[Long]("doc_id")).min === r.getAs[Long]("first_doc"))
+    }
+    // and no qualifying cluster is missed
+    val expected = docs.groupBy(_.getAs[String]("prefix"))
+      .filter(_._2.length >= 3).keySet
+    assert(out.map(_.getAs[String]("prefix")).toSet === expected)
+  }
+}
