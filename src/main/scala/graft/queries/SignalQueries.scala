@@ -101,21 +101,15 @@ object SignalQueries {
   // self-excluding instead of silently shifting the window. Scale: the
   // corpus collapses to the (type, day) frame in ONE partial-aggregable
   // shuffle; the window runs over that metadata-sized frame (|types|
-  // partitions × |days| rows), never the event stream.
-  def q131(s: SparkSession, dir: String): DataFrame = {
-    val days = Tables.events(s, dir)
-      .select(col("event_type"), col("ts").cast("date").as("day"))
-      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
-      .withColumn("ed", datediff(col("day"), lit("1970-01-01").cast("date")))
-    val w = Window.partitionBy("event_type").orderBy(col("ed")).rangeBetween(-7, -1)
-    days
-      .withColumn("base7", sum("n").over(w))
-      .withColumn("days7", count(lit(1)).over(w))
-      .filter(col("days7") === 7)
-      .withColumn("ratio_ppm", expr("(7 * n * 1000000) DIV base7"))
-      .withColumn("is_burst", col("ratio_ppm") >= lit(1250000L))
-      .select("event_type", "day", "n", "base7", "ratio_ppm", "is_burst")
-  }
+  // partitions × |days| rows), never the event stream. The scoring
+  // finisher is StreamingFraud.burstsOf, SHARED with the streaming
+  // daily-count monitor (changepointStream's output table feeds both
+  // the changepoint and burst alarms) so stream = batch by construction.
+  def q131(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingFraud.burstsOf(
+      Tables.events(s, dir)
+        .select(col("event_type"), col("ts").cast("date").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n")))
 
   val q131Sql: String =
     """WITH d AS (

@@ -218,6 +218,31 @@ object StreamingFraud {
         col("n_days").cast("bigint").as("n_days"), col("n_total").as("n_total"))
   }
 
+  /** Trailing-7-day burst scores over a (event_type, day, n) daily-count
+    * frame — the SHARED finisher behind SignalQueries.q131 (batch) and
+    * the deployed alarm: ONE daily-count stream ([[changepointStream]]'s
+    * output table — tumbling 1-day windows × type) feeds BOTH monitors,
+    * changepoint (WHEN did the level break) and burst (is TODAY
+    * anomalous), each re-run per trigger over the materialized
+    * types×days frame. Stream = batch by construction (StreamingSpec
+    * asserts it against q131). RANGE frames on epoch-day so missing
+    * days self-exclude; emitted only with a full 7-day baseline; ratio
+    * is exact integer cross-multiplication (7·n·1e6 DIV base7).
+    */
+  def burstsOf(daily: DataFrame, dayCol: String = "day"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = daily.withColumn("ed",
+      datediff(col(dayCol), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy("event_type").orderBy(col("ed")).rangeBetween(-7, -1)
+    d.withColumn("base7", sum("n").over(w))
+      .withColumn("days7", count(lit(1)).over(w))
+      .filter(col("days7") === 7)
+      .withColumn("ratio_ppm", expr("(7 * n * 1000000) DIV base7"))
+      .withColumn("is_burst", col("ratio_ppm") >= lit(1250000L))
+      .select(col("event_type"), col(dayCol).as("day"), col("n"),
+        col("base7"), col("ratio_ppm"), col("is_burst"))
+  }
+
   /** Batch helper for [[driftStream]]: the per-type reference histogram
     * over a training window, collected to a driver map (types×bins —
     * metadata next to the corpus, the q55 union-find precedent).

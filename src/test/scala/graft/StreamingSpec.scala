@@ -347,6 +347,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming burst alarm equals the q131 batch scorer on closed windows") {
+    // ONE daily-count stream feeds BOTH monitors: the changepointStream
+    // output table re-finished per trigger by burstsOf is the deployed
+    // burst alarm, and must equal the batch q131 row-for-row.
+    val dir = java.nio.file.Files.createTempDirectory("graft_burst").toString
+    val batchEvents = graft.sources.Tables.events(spark, sf).cache()
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val q = StreamingFraud.changepointStream(
+        StreamingFraud.readEventStream(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("burst_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = StreamingFraud.burstsOf(
+        spark.table("burst_out")
+          .select(col("event_type"), to_date(col("day_start")).as("day"),
+            col("n")))
+      val batch = graft.queries.SignalQueries.q131(spark, sf)
+      assert(streamed.count() > 0 && streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0,
+        "stream-fed burst scores must equal the batch scorer exactly")
+    } finally q.stop()
+  }
+
   test("full fraud report runs as one continuous stream, matching batch rules") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rep_stream").toString
     val batchEvents = graft.sources.Tables.events(spark, sf).cache()
