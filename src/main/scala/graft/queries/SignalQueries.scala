@@ -22,6 +22,13 @@ import graft.sources.Tables
   * machine-generated near-template docs that near-dup LSH under-catches
   * because their BODIES differ).
   *
+  * Second batch: empirical-CDF feature encoding (q135 — quantile
+  * normalization as a bounded mapping table), winsorization audit (q136
+  * — exact p01/p99 clip bounds + effect), last-touch revenue attribution
+  * (q137 — carry-forward IGNORE-NULLS window per user), and a daily
+  * forecaster backtest (q138 — seasonal-naive vs trailing-mean, the
+  * model-selection readout q131's alarm threshold anchors to).
+  *
   * Shared compare-surface posture (the round-7 lesson, VERDICT r7 §wrong):
   * every cross-engine column is integer arithmetic — ranks, counts,
   * FLOOR fixed-point ppm via integer DIV — never ROUND(double) and never
@@ -273,17 +280,235 @@ object SignalQueries {
       | CAST(MIN(doc_id) AS BIGINT) AS first_doc
       |FROM p GROUP BY 1 HAVING COUNT(*) >= 3""".stripMargin
 
+  // --- q135: empirical-CDF feature encoding (quantile normalization) —
+  // the rank-based transform that maps each raw value to its percentile
+  // within its type, the standard monotone-robust feature encode (and
+  // the lookup table a map-side broadcast join applies corpus-wide).
+  // Exactly the q120/q126 posture: the corpus folds ONCE into the
+  // (type, distinct-cents) count histogram — bounded for 2-decimal money
+  // regardless of row count — and the CDF is a cumulative-count window
+  // over that bounded frame (cents is a groupBy key, so the frame is
+  // tie-free and ROWS UNBOUNDED PRECEDING is deterministic). cdf_ppm is
+  // FLOOR fixed-point via integer DIV — no double anywhere. The output
+  // IS the bounded mapping table, not a per-row transform: applying it
+  // is one broadcast join, so the encode itself never shuffles the
+  // corpus.
+  def q135(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 100).cast("bigint").as("cents"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+    val n = hist.groupBy("event_type").agg(sum("cnt").as("n"))
+    val w = Window.partitionBy("event_type").orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum", sum("cnt").over(w))
+      .join(broadcast(n), Seq("event_type"))
+      .withColumn("cdf_ppm", expr("(cum * 1000000) DIV n"))
+      .select(col("event_type"), col("cents"), col("cnt").cast("bigint").as("cnt"),
+        col("cdf_ppm").cast("bigint").as("cdf_ppm"))
+  }
+
+  val q135Sql: String =
+    """WITH h AS (
+      | SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt
+      | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |n AS (SELECT event_type, SUM(cnt) AS n FROM h GROUP BY 1)
+      |SELECT h.event_type, cents, cnt,
+      | CAST((SUM(cnt) OVER (PARTITION BY h.event_type ORDER BY cents ASC
+      |   ROWS UNBOUNDED PRECEDING) * 1000000) // n.n AS BIGINT) AS cdf_ppm
+      |FROM h JOIN n ON h.event_type = n.event_type""".stripMargin
+
+  // --- q136: winsorization audit — exact p01/p99 clipping bounds per
+  // type plus the before/after effect of applying them (clip counts and
+  // integer-cents sums). The feature-prep step q120 flags outliers FOR;
+  // this one quantifies the repair. Both order statistics come from the
+  // SAME single (type, distinct-cents) histogram via the house rank
+  // convention (value v covering cumulative ranks (C-cnt, C] holds rank
+  // k iff C-cnt < k ≤ C; k_p = ceil(p·n/100) as (p·n+99) DIV 100) — one
+  // corpus scan, cumulative windows only over the bounded frame, and
+  // the clipped sums are Σ cnt·clamp(cents, lo, hi) over that same
+  // frame. No per-type corpus sort anywhere (the oracle stays the
+  // literal rank window). All-integer output.
+  def q136(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 100).cast("bigint").as("cents"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+    val n = hist.groupBy("event_type").agg(sum("cnt").as("n"))
+    val w = Window.partitionBy("event_type").orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounds = hist.withColumn("cum", sum("cnt").over(w))
+      .join(broadcast(n), Seq("event_type"))
+      .withColumn("k1", expr("(n + 99) DIV 100"))
+      .withColumn("k99", expr("(99 * n + 99) DIV 100"))
+      .groupBy("event_type")
+      .agg(
+        max(when(col("cum") - col("cnt") < col("k1") && col("k1") <= col("cum"),
+          col("cents"))).as("lo_cents"),
+        max(when(col("cum") - col("cnt") < col("k99") && col("k99") <= col("cum"),
+          col("cents"))).as("hi_cents"))
+    hist.join(broadcast(bounds), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        sum(col("cnt")).as("n_events"),
+        max(col("lo_cents")).as("lo_cents"),
+        max(col("hi_cents")).as("hi_cents"),
+        sum(when(col("cents") < col("lo_cents"), col("cnt")).otherwise(0L))
+          .as("n_clip_lo"),
+        sum(when(col("cents") > col("hi_cents"), col("cnt")).otherwise(0L))
+          .as("n_clip_hi"),
+        sum(col("cents") * col("cnt")).as("sum_cents"),
+        sum(greatest(least(col("cents"), col("hi_cents")), col("lo_cents")) * col("cnt"))
+          .as("sum_winsor"))
+      .select(col("event_type"), col("n_events").cast("bigint").as("n_events"),
+        col("lo_cents"), col("hi_cents"),
+        col("n_clip_lo").cast("bigint").as("n_clip_lo"),
+        col("n_clip_hi").cast("bigint").as("n_clip_hi"),
+        col("sum_cents").cast("bigint").as("sum_cents"),
+        col("sum_winsor").cast("bigint").as("sum_winsor"))
+  }
+
+  val q136Sql: String =
+    """WITH e AS (
+      | SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      | FROM events WHERE value IS NOT NULL),
+      |n AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1),
+      |r AS (
+      | SELECT e.event_type, cents,
+      |  ROW_NUMBER() OVER (PARTITION BY e.event_type ORDER BY cents ASC) AS rk, n.n
+      | FROM e JOIN n USING (event_type)),
+      |b AS (
+      | SELECT event_type,
+      |  MAX(CASE WHEN rk = (n + 99) // 100 THEN cents END) AS lo_cents,
+      |  MAX(CASE WHEN rk = (99 * n + 99) // 100 THEN cents END) AS hi_cents
+      | FROM r GROUP BY 1)
+      |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      | CAST(MAX(lo_cents) AS BIGINT) AS lo_cents,
+      | CAST(MAX(hi_cents) AS BIGINT) AS hi_cents,
+      | CAST(SUM(CASE WHEN cents < lo_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+      | CAST(SUM(CASE WHEN cents > hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+      | CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      | CAST(SUM(GREATEST(LEAST(cents, hi_cents), lo_cents)) AS BIGINT) AS sum_winsor
+      |FROM e JOIN b USING (event_type) GROUP BY 1""".stripMargin
+
+  // --- q137: last-touch revenue attribution — each purchase's cents
+  // credited to the most recent strictly-preceding NON-purchase event
+  // type in the same user's stream ('direct' when none), rolled up per
+  // channel. The marketing-attribution staple, and the operator shape is
+  // the carry-forward window (last IGNORE NULLS over an unbounded
+  // preceding frame) that also powers gap-filling sensor reads. ONE
+  // shuffle on user_id — a high-cardinality partition key, so per-task
+  // sort stays per-user-sized at any corpus scale (the q37/q61 family);
+  // the channel rollup is partial-aggregable over ≤|types|+1 groups.
+  // Tie-safe ordering (ts, event_id); integer cents only.
+  def q137(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .withColumn("channel",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("cents_total"))
+      .select(col("channel"), col("n_purchases").cast("bigint").as("n_purchases"),
+        col("cents_total").cast("bigint").as("cents_total"))
+  }
+
+  val q137Sql: String =
+    """WITH a AS (
+      | SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+      |  LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |    IGNORE NULLS)
+      |   OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+      | FROM events)
+      |SELECT COALESCE(channel, 'direct') AS channel,
+      | CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      | CAST(SUM(cents) AS BIGINT) AS cents_total
+      |FROM a WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
+
+  // --- q138: forecaster backtest on daily volume — seasonal-naive
+  // (ŷ_d = y_{d-7}) vs trailing-7-day-mean, scored per type over every
+  // day where BOTH are defined (full 7-day baseline AND a d-7
+  // observation; q131's RANGE-on-epoch-day frames make missing days
+  // self-excluding rather than silently shifting). This answers the
+  // capacity-planning question behind q131's alarm: which baseline
+  // model should the burst threshold be anchored to. Errors are kept
+  // 7×-scaled so the mean forecast needs no division: sae_mean_x7 =
+  // Σ|7·y_d − Σbase7| and sae_naive_x7 = 7·Σ|y_d − y_{d−7}| are exact
+  // integers, directly comparable. Scale: the corpus collapses to the
+  // (type, day) frame in ONE partial-aggregable shuffle; every window
+  // runs over that metadata-sized frame.
+  def q138(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .withColumn("ed", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val base = Window.partitionBy("event_type").orderBy(col("ed")).rangeBetween(-7, -1)
+    val lag7w = Window.partitionBy("event_type").orderBy(col("ed")).rangeBetween(-7, -7)
+    daily
+      .withColumn("base7", sum("n").over(base))
+      .withColumn("days7", count(lit(1)).over(base))
+      .withColumn("lag7", sum("n").over(lag7w))
+      .withColumn("has7", count(lit(1)).over(lag7w))
+      .filter(col("days7") === 7 && col("has7") === 1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(lit(7) * col("n") - lit(7) * col("lag7"))).as("sae_naive_x7"),
+        sum(abs(lit(7) * col("n") - col("base7"))).as("sae_mean_x7"))
+      .withColumn("better",
+        when(col("sae_naive_x7") <= col("sae_mean_x7"), "naive").otherwise("mean7"))
+      .select(col("event_type"), col("n_scored").cast("bigint").as("n_scored"),
+        col("sae_naive_x7").cast("bigint").as("sae_naive_x7"),
+        col("sae_mean_x7").cast("bigint").as("sae_mean_x7"), col("better"))
+  }
+
+  val q138Sql: String =
+    """WITH d AS (
+      | SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      | FROM events GROUP BY 1, 2),
+      |e AS (SELECT *, DATE_DIFF('day', DATE '1970-01-01', day) AS ed FROM d),
+      |w AS (
+      | SELECT event_type, day, n,
+      |  SUM(n) OVER (PARTITION BY event_type ORDER BY ed
+      |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS base7,
+      |  COUNT(*) OVER (PARTITION BY event_type ORDER BY ed
+      |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS days7,
+      |  SUM(n) OVER (PARTITION BY event_type ORDER BY ed
+      |    RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS lag7,
+      |  COUNT(*) OVER (PARTITION BY event_type ORDER BY ed
+      |    RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS has7
+      | FROM e)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+      | CAST(SUM(ABS(7*n - 7*lag7)) AS BIGINT) AS sae_naive_x7,
+      | CAST(SUM(ABS(7*n - base7)) AS BIGINT) AS sae_mean_x7,
+      | CASE WHEN SUM(ABS(7*n - 7*lag7)) <= SUM(ABS(7*n - base7))
+      |   THEN 'naive' ELSE 'mean7' END AS better
+      |FROM w WHERE days7 = 7 AND has7 = 1 GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_rrf_fusion"     -> (q130 _),
     "q131_burst_days"     -> (q131 _),
     "q132_vocab_coverage" -> (q132 _),
     "q133_ab_lift"        -> (q133 _),
-    "q134_template_prefix" -> (q134 _))
+    "q134_template_prefix" -> (q134 _),
+    "q135_cdf_encode"     -> (q135 _),
+    "q136_winsorize"      -> (q136 _),
+    "q137_attribution"    -> (q137 _),
+    "q138_forecast_eval"  -> (q138 _))
 
   val oracle: Map[String, String] = Map(
     "q130_rrf_fusion"     -> q130Sql,
     "q131_burst_days"     -> q131Sql,
     "q132_vocab_coverage" -> q132Sql,
     "q133_ab_lift"        -> q133Sql,
-    "q134_template_prefix" -> q134Sql)
+    "q134_template_prefix" -> q134Sql,
+    "q135_cdf_encode"     -> q135Sql,
+    "q136_winsorize"      -> q136Sql,
+    "q137_attribution"    -> q137Sql,
+    "q138_forecast_eval"  -> q138Sql)
 }

@@ -118,4 +118,103 @@ class SignalSpec extends SparkSpec {
       .filter(_._2.length >= 3).keySet
     assert(out.map(_.getAs[String]("prefix")).toSet === expected)
   }
+
+  test("q135: cdf_ppm equals the naive rank recount and ends at 1e6") {
+    val out = SignalQueries.q135(spark, sf).collect()
+    assert(out.nonEmpty)
+    val cents = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 100).cast("bigint").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = cents.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type"); val v = r.getAs[Long]("cents")
+      val vals = byType(t)
+      assert(r.getAs[Long]("cnt") === vals.count(_ == v))
+      assert(r.getAs[Long]("cdf_ppm") ===
+        vals.count(_ <= v).toLong * 1000000L / vals.length)
+    }
+    // the largest value of every type closes the CDF at exactly 1e6
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (_, rows) =>
+      assert(rows.maxBy(_.getAs[Long]("cents")).getAs[Long]("cdf_ppm") === 1000000L)
+    }
+  }
+
+  test("q136: histogram bounds equal literal rank-window order statistics") {
+    val out = SignalQueries.q136(spark, sf).collect()
+    assert(out.nonEmpty)
+    val cents = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 100).cast("bigint").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    out.foreach { r =>
+      val vals = cents(r.getAs[String]("event_type"))
+      val n = vals.length
+      val lo = vals(((n + 99) / 100 - 1).toInt)
+      val hi = vals(((99 * n + 99) / 100 - 1).toInt)
+      assert(r.getAs[Long]("n_events") === n.toLong)
+      assert(r.getAs[Long]("lo_cents") === lo && r.getAs[Long]("hi_cents") === hi)
+      assert(r.getAs[Long]("n_clip_lo") === vals.count(_ < lo))
+      assert(r.getAs[Long]("n_clip_hi") === vals.count(_ > hi))
+      assert(r.getAs[Long]("sum_cents") === vals.sum)
+      assert(r.getAs[Long]("sum_winsor") ===
+        vals.map(v => math.max(math.min(v, hi), lo)).sum)
+      assert(r.getAs[Long]("sum_winsor") <= r.getAs[Long]("sum_cents") ||
+        r.getAs[Long]("n_clip_lo") > 0)
+    }
+  }
+
+  test("q137: attribution conserves purchases and matches a replay") {
+    val out = SignalQueries.q137(spark, sf).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("cents_total"))).toMap
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    // driver replay: walk each user's stream in (ts, event_id) order
+    val replay = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    events.groupBy(_._1).foreach { case (_, es) =>
+      var lastNp: String = null
+      es.sortBy(e => (e._2.getTime, e._2.getNanos, e._3)).foreach { e =>
+        if (e._4 == "purchase") {
+          val ch = if (lastNp == null) "direct" else lastNp
+          val (c, s0) = replay.getOrElse(ch, (0L, 0L))
+          replay(ch) = (c + 1, s0 + e._5)
+        } else lastNp = e._4
+      }
+    }
+    assert(out === replay.toMap)
+    assert(out.values.map(_._1).sum === events.count(_._4 == "purchase").toLong,
+      "every purchase is attributed exactly once")
+  }
+
+  test("q138: scaled errors recount from the daily frame; winner is argmin") {
+    val out = SignalQueries.q138(spark, sf).collect()
+    assert(out.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate) -> r.getLong(2)).toMap
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val days = daily.keys.filter(_._1 == t).map(_._2)
+      val scored = days.toSeq.sortBy(_.toEpochDay).flatMap { d =>
+        val base = (1 to 7).flatMap(i => daily.get((t, d.minusDays(i))))
+        val l7 = daily.get((t, d.minusDays(7)))
+        if (base.size == 7 && l7.isDefined)
+          Some((daily((t, d)), base.sum, l7.get))
+        else None
+      }
+      assert(r.getAs[Long]("n_scored") === scored.size.toLong)
+      val naive = scored.map { case (y, _, l) => math.abs(7 * y - 7 * l) }.sum
+      val mean7 = scored.map { case (y, b, _) => math.abs(7 * y - b) }.sum
+      assert(r.getAs[Long]("sae_naive_x7") === naive)
+      assert(r.getAs[Long]("sae_mean_x7") === mean7)
+      assert(r.getAs[String]("better") === (if (naive <= mean7) "naive" else "mean7"))
+    }
+  }
 }
