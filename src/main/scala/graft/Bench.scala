@@ -97,7 +97,12 @@ object Bench {
     // it — but NEVER let a stop() failure swallow the line itself.
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: $e") }
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+    // 2-decimal per-query values on the contract line (10 ms resolution;
+    // full precision lives in BENCH_DETAIL.json) — at 141 queries the
+    // 3-decimal line left <120 chars of tail-window headroom.
+    def fmt2(v: Double): String =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v) }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     if (line.length > 1800)

@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.CorpusQueries.queries ++
       graft.queries.PrivacyQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.SignalQueries.queries
+      graft.queries.SignalQueries.queries ++
+      graft.queries.ValidationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.queries.CorpusQueries.oracle ++
       graft.queries.PrivacyQueries.oracle ++
       graft.queries.CurationQueries.oracle ++
-      graft.queries.SignalQueries.oracle
+      graft.queries.SignalQueries.oracle ++
+      graft.queries.ValidationQueries.oracle
 }

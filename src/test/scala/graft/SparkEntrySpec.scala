@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Registry integrity: SparkEntry merges thirteen per-module maps with
+/** Registry integrity: SparkEntry merges fourteen per-module maps with
   * `++`, where a duplicate key silently OVERWRITES an earlier module's
   * query — this spec turns that into a test failure, at `sbt test`
   * time rather than Bench's runtime require.
@@ -16,7 +16,7 @@ class SparkEntrySpec extends AnyFunSuite {
     graft.queries.ExtendedQueries.queries, graft.queries.PipelineQueries.queries,
     graft.queries.AnalyticsQueries.queries, graft.queries.CorpusQueries.queries,
     graft.queries.PrivacyQueries.queries, graft.queries.CurationQueries.queries,
-    graft.queries.SignalQueries.queries)
+    graft.queries.SignalQueries.queries, graft.queries.ValidationQueries.queries)
 
   test("no module's query name collides with another's") {
     val all = moduleQueryMaps.flatMap(_.keys)
