@@ -27,7 +27,9 @@ object SparkEntry {
       graft.queries.PrivacyQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.SignalQueries.queries ++
-      graft.queries.ValidationQueries.queries
+      graft.queries.ValidationQueries.queries ++
+      graft.queries.AuditQueries.queries ++
+      graft.queries.NoveltyQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -46,5 +48,7 @@ object SparkEntry {
       graft.queries.PrivacyQueries.oracle ++
       graft.queries.CurationQueries.oracle ++
       graft.queries.SignalQueries.oracle ++
-      graft.queries.ValidationQueries.oracle
+      graft.queries.ValidationQueries.oracle ++
+      graft.queries.AuditQueries.oracle ++
+      graft.queries.NoveltyQueries.oracle
 }

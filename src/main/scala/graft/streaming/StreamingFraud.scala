@@ -625,4 +625,64 @@ object StreamingFraud {
         })(stEnc, flagEnc)
       .toDF()
   }
+
+  /** Streaming twin of q141's double-charge pair finder: a stateful
+    * per-user buffer of the last 24 h of purchases; each arriving
+    * purchase pairs against every buffered one within ±tolCents and
+    * the window, then evicts entries too old to ever match again
+    * (in-order delivery per user — the same watermarked-ingest
+    * contract as [[transitionsStream]] — means future events only move
+    * forward in time). State is O(purchases per user per day); the
+    * batch twin's canonical (event_a < event_b BY ID) pair order is
+    * reproduced by orienting each emitted pair by event_id, so the
+    * stream is SET-equal to the batch band join by construction —
+    * StreamingSpec asserts it.
+    */
+  case class ChargePair(user_id: Long, event_a: Long, event_b: Long,
+                        gap_us: Long, cents_a: Long, cents_b: Long)
+  private case class Purch(us: Long, eid: Long, cents: Long)
+  private case class PairBuf(evs: List[Purch])
+
+  def pairChargesStream(events: DataFrame, tolCents: Long = 500L,
+                        windowUs: Long = 86400000000L): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("bigint"))
+      .as[(Long, java.sql.Timestamp, Long, Long)](
+        Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaLong,
+          Encoders.scalaLong))
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long)],
+         state: GroupState[PairBuf]) => {
+          // the batch band join has no window order, but per-user
+          // in-order processing needs a total order within the batch:
+          // (ts, event_id), as every other twin
+          val sorted = rows.toSeq.sortBy(r => (micros(r._2), r._3))
+          val out = scala.collection.mutable.ArrayBuffer[ChargePair]()
+          var buf = state.getOption.map(_.evs).getOrElse(Nil)
+          sorted.foreach { case (_, ts, eid, cents) =>
+            val us = micros(ts)
+            // evict first: too-old entries cannot match this or any
+            // later event (us only grows)
+            buf = buf.filter(p => us - p.us <= windowUs)
+            buf.foreach { p =>
+              if (math.abs(p.cents - cents) <= tolCents && p.eid != eid) {
+                // canonical orientation: event_a = smaller event_id
+                if (p.eid < eid)
+                  out += ChargePair(user, p.eid, eid, us - p.us, p.cents, cents)
+                else
+                  out += ChargePair(user, eid, p.eid, p.us - us, cents, p.cents)
+              }
+            }
+            buf = Purch(us, eid, cents) :: buf
+          }
+          state.update(PairBuf(buf))
+          out.iterator
+        })(Encoders.product[PairBuf], Encoders.product[ChargePair])
+      .toDF()
+  }
 }

@@ -37,13 +37,15 @@ class PlanLintSpec extends SparkSpec {
     *  - q132_vocab_coverage: the 4-row literal percentile spine and the
     *    1-row total-mass scalar broadcast to the bounded count-class
     *    histogram (the q47 pattern twice).
+    *  - q148_rfm: scalar corpus-max-timestamp anchor broadcast to the
+    *    per-user RFM frame (the q47 pattern).
     */
   private val boundedNestedLoop = Set(
     "q21_dedup_ngram", "q24_dedup_embedding", "q25_ann_bruteforce",
     "q46_gap_fill", "q47_tfidf", "q49_ann_ivf", "q68_ann_recall",
     "q80_lm_score", "q82_char_coverage", "q93_skew_profile",
     "q114_bm25", "q117_rolling_folds", "q122_ivf_recall",
-    "q130_rrf_fusion", "q132_vocab_coverage")
+    "q130_rrf_fusion", "q132_vocab_coverage", "q148_rfm")
 
   test("no cartesian products; nested-loop joins only where bounded by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

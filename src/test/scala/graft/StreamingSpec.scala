@@ -239,6 +239,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("stateful pair-charge stream is set-equal to the q141 band join") {
+    val batchEvents = graft.sources.Tables.events(spark, sf)
+    val streamed = StreamingFraud.pairChargesStream(batchEvents)
+      .select("user_id", "event_a", "event_b", "gap_us", "cents_a", "cents_b")
+      .cache()
+    try {
+      val batch = graft.queries.ValidationQueries.q141(spark, sf)
+        .select("user_id", "event_a", "event_b", "gap_us", "cents_a", "cents_b")
+      assert(streamed.count() > 0, "test data must exercise the pair finder")
+      assert(streamed.count() == batch.count(),
+        s"stateful ${streamed.count()} vs band join ${batch.count()}")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stateful pairs must equal the batch band join pair set")
+    } finally streamed.unpersist(blocking = false)
+  }
+
   test("stateful conversion stream matches q123's per-user latencies") {
     val batchEvents = graft.sources.Tables.events(spark, sf)
     val streamed = StreamingFraud.conversionStream(batchEvents)
