@@ -100,11 +100,18 @@ object Bench {
     // 2-decimal per-query values on the contract line (10 ms resolution;
     // full precision lives in BENCH_DETAIL.json) — at 141 queries the
     // 3-decimal line left <120 chars of tail-window headroom.
-    def fmt2(v: Double): String =
-      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v) }
-      .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def fmtN(v: Double, dec: Int): String =
+      BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP).toString
+    // Adaptive precision: 2 decimals while the line fits, else 1 — the
+    // query surface keeps growing and the driver's tail window doesn't.
+    // Full-name full-precision timings always live in BENCH_DETAIL.json.
+    def lineAt(dec: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmtN(v, dec) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val l2 = lineAt(2)
+    val line = if (l2.length <= 1800) l2 else lineAt(1)
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING: json line ${line.length} chars — nearing driver 2000-char tail window")
     println(line)

@@ -29,7 +29,9 @@ object SparkEntry {
       graft.queries.SignalQueries.queries ++
       graft.queries.ValidationQueries.queries ++
       graft.queries.AuditQueries.queries ++
-      graft.queries.NoveltyQueries.queries
+      graft.queries.NoveltyQueries.queries ++
+      graft.queries.PqQueries.queries ++
+      graft.queries.RiskQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -50,5 +52,6 @@ object SparkEntry {
       graft.queries.SignalQueries.oracle ++
       graft.queries.ValidationQueries.oracle ++
       graft.queries.AuditQueries.oracle ++
-      graft.queries.NoveltyQueries.oracle
+      graft.queries.NoveltyQueries.oracle ++
+      graft.queries.RiskQueries.oracle
 }

@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.ProductQuant
+import graft.sources.Tables
+
+/** Round-8 widening, sixth batch: product-quantized ANN.
+  *
+  * q149 evaluates the PQ-ADC index (operators/ProductQuant — the 32×
+  * memory-scale ANN path beyond q108's int8) the same way q68 grades
+  * LSH and q122 grades IVF: recall@10 against the exact ground truth,
+  * here L2 since ADC approximates L2 distance. Rows-only: KMeans
+  * codebooks and float LUTs aren't SQL-reproducible; PqSpec pins the
+  * determinism, code-range, and recall-floor contracts.
+  */
+object PqQueries {
+
+  /** PQ geometry for the 64-dim test embeddings: 16 subspaces × 16
+    * centroids = 16 small codes per vector (16× vs float32); ADC
+    * shortlist depth for the exact re-rank stage.
+    */
+  val PqM = 16
+  val PqK = 16
+  val PqShortlist = 50
+
+  def q149(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val probes = e.filter(col("vec_id") < 50)
+    val cb = ProductQuant.fit(e, "embedding", m = PqM, k = PqK)
+    val exact = ProductQuant.bruteForceL2TopK(e, probes, "vec_id", "embedding", k = 10)
+    val adc = ProductQuant.pqTopK(e, probes, "vec_id", "embedding", k = 10, cb)
+      .withColumnRenamed("rank", "adc_rank")
+    val refined = ProductQuant.pqTopKRefined(e, probes, "vec_id", "embedding",
+        k = 10, shortlist = PqShortlist, cb)
+      .withColumnRenamed("rank", "ref_rank")
+    exact
+      .join(adc, Seq("probe_id", "neighbor_id"), "left")
+      .join(refined, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy("probe_id")
+      .agg((sum(when(col("adc_rank").isNotNull, 1).otherwise(0)) / 10.0)
+        .as("recall_adc_at_10"),
+        (sum(when(col("ref_rank").isNotNull, 1).otherwise(0)) / 10.0)
+          .as("recall_refined_at_10"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_pq_recall" -> (q149 _))
+
+  val oracle: Map[String, String] = Map.empty
+}

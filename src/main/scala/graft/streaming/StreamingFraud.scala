@@ -533,8 +533,11 @@ object StreamingFraud {
       .toDF()
   }
 
-  private case class ConvState(viewUs: Long, converted: Boolean)
-  private case class Conversion(user_id: Long, view_us: Long,
+  // NOT private: Janino-generated encoder projections cannot call
+  // private case-class accessors — codegen fails and every row falls
+  // back to interpreter mode (visible as "Expr codegen error" warns)
+  case class ConvState(viewUs: Long, converted: Boolean)
+  case class Conversion(user_id: Long, view_us: Long,
                                 purchase_us: Long, latency_s: Double)
 
   /** Stateful first-conversion detection — q123's per-user latency rows
@@ -640,8 +643,8 @@ object StreamingFraud {
     */
   case class ChargePair(user_id: Long, event_a: Long, event_b: Long,
                         gap_us: Long, cents_a: Long, cents_b: Long)
-  private case class Purch(us: Long, eid: Long, cents: Long)
-  private case class PairBuf(evs: List[Purch])
+  case class Purch(us: Long, eid: Long, cents: Long)
+  case class PairBuf(evs: List[Purch])
 
   def pairChargesStream(events: DataFrame, tolCents: Long = 500L,
                         windowUs: Long = 86400000000L): DataFrame = {
