@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.AuditQueries.queries ++
       graft.queries.NoveltyQueries.queries ++
       graft.queries.PqQueries.queries ++
-      graft.queries.RiskQueries.queries
+      graft.queries.RiskQueries.queries ++
+      graft.queries.MarketQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -53,5 +54,6 @@ object SparkEntry {
       graft.queries.ValidationQueries.oracle ++
       graft.queries.AuditQueries.oracle ++
       graft.queries.NoveltyQueries.oracle ++
-      graft.queries.RiskQueries.oracle
+      graft.queries.RiskQueries.oracle ++
+      graft.queries.MarketQueries.oracle
 }

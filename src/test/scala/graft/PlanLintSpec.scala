@@ -41,13 +41,16 @@ class PlanLintSpec extends SparkSpec {
     *    per-user RFM frame (the q47 pattern).
     *  - q149_pq_recall: q25's broadcast probe-batch join (the exact-L2
     *    ground-truth side; the PQ side itself is join-free literal LUTs).
+    *  - q154_basket_pairs: scalar total-order count broadcast to the
+    *    pair-support frame for lift (the q47 pattern).
     */
   private val boundedNestedLoop = Set(
     "q21_dedup_ngram", "q24_dedup_embedding", "q25_ann_bruteforce",
     "q46_gap_fill", "q47_tfidf", "q49_ann_ivf", "q68_ann_recall",
     "q80_lm_score", "q82_char_coverage", "q93_skew_profile",
     "q114_bm25", "q117_rolling_folds", "q122_ivf_recall",
-    "q130_rrf_fusion", "q132_vocab_coverage", "q148_rfm", "q149_pq_recall")
+    "q130_rrf_fusion", "q132_vocab_coverage", "q148_rfm", "q149_pq_recall",
+    "q154_basket_pairs")
 
   test("no cartesian products; nested-loop joins only where bounded by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

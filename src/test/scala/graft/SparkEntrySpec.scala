@@ -2,10 +2,14 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Registry integrity: SparkEntry merges fourteen per-module maps with
+/** Registry integrity: SparkEntry merges the per-module maps with
   * `++`, where a duplicate key silently OVERWRITES an earlier module's
   * query — this spec turns that into a test failure, at `sbt test`
   * time rather than Bench's runtime require.
+  *
+  * NOTE: keep this list in sync with SparkEntry.queries — a module
+  * missing HERE hides exactly the collision this spec exists to catch
+  * (the total-size assert below fails loudly when the lists drift).
   */
 class SparkEntrySpec extends AnyFunSuite {
 
@@ -16,7 +20,10 @@ class SparkEntrySpec extends AnyFunSuite {
     graft.queries.ExtendedQueries.queries, graft.queries.PipelineQueries.queries,
     graft.queries.AnalyticsQueries.queries, graft.queries.CorpusQueries.queries,
     graft.queries.PrivacyQueries.queries, graft.queries.CurationQueries.queries,
-    graft.queries.SignalQueries.queries, graft.queries.ValidationQueries.queries)
+    graft.queries.SignalQueries.queries, graft.queries.ValidationQueries.queries,
+    graft.queries.AuditQueries.queries, graft.queries.NoveltyQueries.queries,
+    graft.queries.PqQueries.queries, graft.queries.RiskQueries.queries,
+    graft.queries.MarketQueries.queries)
 
   test("no module's query name collides with another's") {
     val all = moduleQueryMaps.flatMap(_.keys)
