@@ -32,40 +32,97 @@ object ProductQuant {
   case class Codebook(m: Int, k: Int, subDim: Int,
                       centroids: Array[Array[Array[Double]]])
 
-  /** Fit one KMeans per subspace on a seeded capped sample (the
-    * [[Similarity.ivfTopK]] fit contract: centroids need a
-    * representative sample, not the corpus — fit passes scan
-    * ~fitSampleCap rows; encoding below still covers every vector).
-    * The m fits share ONE cached slice projection of the sample.
+  /** Fit one codebook per subspace on a seeded capped sample (the
+    * [[Similarity.ivfTopK]] sample contract: centroids need a
+    * representative sample, not the corpus). The sample is COLLECTED -
+    * a bounded driver contract of <= fitSampleCap rows - and all m
+    * Lloyd's iterations run locally: m distributed KMeans fits cost
+    * m*iters scheduler round-trips over the same tiny sample (measured
+    * 13 s of the original q149's 13.5 s at sf0.1), while the local
+    * loop is pure arithmetic on data already in hand. The collected
+    * rows are sorted lexicographically first, so the codebook is
+    * deterministic regardless of partition layout. Encoding below
+    * still covers every corpus vector, distributed.
     */
   def fit(corpus: DataFrame, vecCol: String, m: Int, k: Int,
           fitSampleCap: Long = 100000L): Codebook = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     require(m >= 1 && k >= 2 && k <= 256,
       s"need 1 <= m, 2 <= k <= 256 (codes must stay byte-sized), got m=$m k=$k")
+    require(fitSampleCap <= 1000000L,
+      s"fit sample is a bounded driver collect, cap $fitSampleCap too large")
     val c = corpus.select(col(vecCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
-    val dim = c.select(size(col("v"))).first().getInt(0)
-    require(dim % m == 0, s"vector dim $dim not divisible into $m subspaces")
-    val subDim = dim / m
     val n = c.count()
     val sample = if (n <= fitSampleCap) c
                  else c.sample(withReplacement = false,
                    fitSampleCap.toDouble / n, seed = 42L)
-    val sliced = sample.select((0 until m).map(j =>
-      array_to_vector(slice(col("v"), j * subDim + 1, subDim)).as(s"s$j")): _*)
-      .cache()
-    try {
-      val centroids = (0 until m).map { j =>
-        // random init for the same reason as the IVF quantizer: k-means||
-        // costs extra distributed passes a codebook doesn't need
-        val km = new KMeans().setK(k).setSeed(42L + j).setMaxIter(5)
-          .setInitMode("random").setFeaturesCol(s"s$j").setPredictionCol("c")
-        km.fit(sliced).clusterCenters.map(_.toArray)
-      }.toArray
-      Codebook(m, k, subDim, centroids)
-    } finally sliced.unpersist(blocking = false)
+    val rows: Array[Array[Double]] =
+      sample.collect().map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "cannot fit a codebook on an empty corpus")
+    val dim = rows.head.length
+    require(dim % m == 0, s"vector dim $dim not divisible into $m subspaces")
+    require(rows.forall(_.length == dim), "ragged embedding lengths")
+    val subDim = dim / m
+    // partition-order independence: sort the sample lexicographically
+    java.util.Arrays.sort(rows, new java.util.Comparator[Array[Double]] {
+      def compare(a: Array[Double], b: Array[Double]): Int = {
+        var i = 0
+        while (i < a.length) {
+          val cc = java.lang.Double.compare(a(i), b(i))
+          if (cc != 0) return cc
+          i += 1
+        }
+        0
+      }
+    })
+    val centroids = (0 until m).map { j =>
+      val sub = rows.map(_.slice(j * subDim, (j + 1) * subDim))
+      localKMeans(sub, k, seed = 42L + j, iters = 5)
+    }.toArray
+    Codebook(m, k, subDim, centroids)
+  }
+
+  /** Seeded Lloyd's with random-row init (the same budget the MLlib
+    * IVF quantizer uses: evenly-spread centroids, not an optimal
+    * clustering). Empty clusters keep their previous centroid;
+    * assignment ties break to the smallest centroid index, mirroring
+    * [[encodeCol]]'s struct-min tie-break.
+    */
+  private[operators] def localKMeans(xs: Array[Array[Double]], k: Int,
+                                     seed: Long, iters: Int): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    val d = xs.head.length
+    val init = rng.shuffle(xs.indices.toVector).take(math.min(k, xs.length))
+    val cents = Array.tabulate(k)(i => xs(init(i % init.length)).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val cnts = new Array[Long](k)
+      xs.foreach { x =>
+        var best = 0; var bd = Double.MaxValue
+        var cIdx = 0
+        while (cIdx < k) {
+          val ce = cents(cIdx)
+          var acc = 0.0; var i = 0
+          while (i < d) { val df = x(i) - ce(i); acc += df * df; i += 1 }
+          if (acc < bd) { bd = acc; best = cIdx }
+          cIdx += 1
+        }
+        var i = 0
+        while (i < d) { sums(best)(i) += x(i); i += 1 }
+        cnts(best) += 1
+      }
+      var cIdx = 0
+      while (cIdx < k) {
+        if (cnts(cIdx) > 0) {
+          var i = 0
+          while (i < d) { cents(cIdx)(i) = sums(cIdx)(i) / cnts(cIdx); i += 1 }
+        }
+        cIdx += 1
+      }
+      it += 1
+    }
+    cents
   }
 
   /** The m-code array for a vector column: per subspace, argmin-L2 over
@@ -156,14 +213,25 @@ object ProductQuant {
                     vecCol: String, k: Int, shortlist: Int,
                     cb: Codebook): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
-    val cand = pqTopK(corpus, probes, idCol, vecCol, shortlist, cb)
-      .select(col("probe_id"), col("neighbor_id"))
+    refine(pqTopK(corpus, probes, idCol, vecCol, shortlist, cb),
+      corpus, probes, idCol, vecCol, k)
+  }
+
+  /** The exact re-rank stage alone: take any (probe_id, neighbor_id)
+    * candidate frame (an ADC shortlist, an LSH bucket, …), fetch the
+    * candidates' full vectors, rank by exact L2 per probe, keep top-k.
+    * Exposed so a caller computing MULTIPLE metrics from one shortlist
+    * (q149 grades ADC and refined recall) builds the shortlist once.
+    */
+  def refine(cand: DataFrame, corpus: DataFrame, probes: DataFrame,
+             idCol: String, vecCol: String, k: Int): DataFrame = {
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
     val pvecs = probes.select(col(idCol).as("probe_id"),
       col(vecCol).cast("array<double>").as("pv"))
     val w = Window.partitionBy("probe_id").orderBy(col("d").asc, col("neighbor_id").asc)
-    cand.join(vecs, Seq("neighbor_id"))
+    cand.select("probe_id", "neighbor_id")
+      .join(vecs, Seq("neighbor_id"))
       .join(broadcast(pvecs), Seq("probe_id"))
       .withColumn("d", graft.functions.VectorFunctions.l2sq(col("pv"), col("cv")))
       .withColumn("rank", row_number().over(w))

@@ -30,10 +30,14 @@ object PqQueries {
     val probes = e.filter(col("vec_id") < 50)
     val cb = ProductQuant.fit(e, "embedding", m = PqM, k = PqK)
     val exact = ProductQuant.bruteForceL2TopK(e, probes, "vec_id", "embedding", k = 10)
-    val adc = ProductQuant.pqTopK(e, probes, "vec_id", "embedding", k = 10, cb)
+    // ONE shortlist feeds both metrics: ADC top-10 is its rank <= 10
+    // prefix (same ordering), the refined ranking re-ranks all of it —
+    // the corpus is never coarse-scored twice
+    val sl = ProductQuant.pqTopK(e, probes, "vec_id", "embedding",
+      k = PqShortlist, cb)
+    val adc = sl.filter(col("rank") <= 10)
       .withColumnRenamed("rank", "adc_rank")
-    val refined = ProductQuant.pqTopKRefined(e, probes, "vec_id", "embedding",
-        k = 10, shortlist = PqShortlist, cb)
+    val refined = ProductQuant.refine(sl, e, probes, "vec_id", "embedding", k = 10)
       .withColumnRenamed("rank", "ref_rank")
     exact
       .join(adc, Seq("probe_id", "neighbor_id"), "left")

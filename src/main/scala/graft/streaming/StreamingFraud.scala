@@ -629,6 +629,44 @@ object StreamingFraud {
       .toDF()
   }
 
+  /** Reactivation alert — q144's dormancy profile as a live alarm: an
+    * event arriving more than `gapUs` after the same user's previous
+    * event fires immediately (the account-takeover precursor moment,
+    * not the nightly rollup). State is ONE (ts µs) per user — O(users),
+    * watermark-independent; within a micro-batch events process in the
+    * batch twin's (ts, event_id) lag order, so stream flags equal the
+    * batch window's gap > threshold rows exactly (StreamingSpec).
+    */
+  case class ReactFlag(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                       gap_us: Long)
+
+  def reactivationStream(events: DataFrame,
+                         gapUs: Long = 604800000000L): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long)](
+        Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaLong))
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[Long]) => {
+          val sorted = rows.toSeq.sortBy(r => (micros(r._2), r._3))
+          val out = scala.collection.mutable.ArrayBuffer[ReactFlag]()
+          var prev = state.getOption
+          sorted.foreach { case (_, ts, eid) =>
+            val us = micros(ts)
+            prev.foreach { p =>
+              if (us - p > gapUs) out += ReactFlag(user, ts, eid, us - p)
+            }
+            prev = Some(us)
+          }
+          prev.foreach(state.update)
+          out.iterator
+        })(Encoders.scalaLong, Encoders.product[ReactFlag])
+      .toDF()
+  }
+
   /** Streaming twin of q141's double-charge pair finder: a stateful
     * per-user buffer of the last 24 h of purchases; each arriving
     * purchase pairs against every buffered one within ±tolCents and

@@ -239,6 +239,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("reactivation stream flags exactly the batch lag-gap rows") {
+    val batchEvents = graft.sources.Tables.events(spark, sf)
+    // 2-day threshold: sf0.001's 30-day span has no 7-day gaps — the
+    // default threshold is the production dial, the tighter one is
+    // what makes this data exercise the alert (16 flags)
+    val gapUs = 172800000000L
+    val streamed = StreamingFraud.reactivationStream(batchEvents, gapUs)
+      .select("user_id", "event_id", "gap_us").cache()
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val batch = batchEvents
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+        .filter(col("gap_us") > gapUs)
+        .select("user_id", "event_id", "gap_us")
+      assert(streamed.count() > 0, "test data must exercise the alert")
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream alerts must equal the batch lag-window gaps")
+    } finally streamed.unpersist(blocking = false)
+  }
+
   test("stateful pair-charge stream is set-equal to the q141 band join") {
     val batchEvents = graft.sources.Tables.events(spark, sf)
     val streamed = StreamingFraud.pairChargesStream(batchEvents)
