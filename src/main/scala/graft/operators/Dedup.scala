@@ -352,10 +352,13 @@ object Dedup {
         graft.functions.BitmapFunctions.sortedAndCount(col("bm_a"), col("bm_b")))
       .filter(col("n_common").cast("double") >=
         lit(threshold) * least(col("size_a"), col("size_b")).cast("double"))
+      // containment as exact-integer ppm DIV — counts and set sizes are
+      // integers, so no double (and no engine-version-sensitive
+      // ROUND(double, 6) — the r7 hash-fail class) reaches the output
       .select(col("id_a"), col("id_b"), col("n_common"),
         col("size_a"), col("size_b"),
-        round(col("n_common").cast("double") /
-          least(col("size_a"), col("size_b")).cast("double"), 6).as("containment"))
+        expr("(n_common * 1000000) DIV least(size_a, size_b)")
+          .as("containment_ppm"))
   }
 
   /** The persistable near-dup index of a corpus: the two tables a

@@ -146,7 +146,11 @@ object AnalyticsQueries {
         .select(nodes("tok"),
           (lit(0.15 / nN) + lit(0.85) * coalesce(col("m"), lit(0.0))).as("r"))
     }
-    r.select(col("tok"), round(col("r"), 6).as("pr"))
+    // FLOOR fixed-point micro-units, not ROUND(double, 6): identical
+    // doubles floor identically on every engine version, while decimal
+    // rounding tie-breaks shifted across DuckDB versions (the r7
+    // hash-fail class)
+    r.select(col("tok"), floor(lit(1e6) * col("r")).cast("long").as("pr_micro"))
   }
 
   private def q88IterSql(k: Int): String =
@@ -168,7 +172,7 @@ object AnalyticsQueries {
        |${q88IterSql(1)},
        |${q88IterSql(2)},
        |${q88IterSql(3)}
-       |SELECT tok, ROUND(r, 6) AS pr FROM r3""".stripMargin
+       |SELECT tok, CAST(FLOOR(1000000.0 * r) AS BIGINT) AS pr_micro FROM r3""".stripMargin
 
   // --- q89: equal-frequency feature binning — decile buckets of event
   // value per event type (the standard numeric-feature quantization
@@ -227,21 +231,43 @@ object AnalyticsQueries {
   // stats frame is one row per event type — broadcast back onto the
   // fact, so the normalization pass is map-side: at 100 TB this is one
   // aggregation plus one streaming projection, no second shuffle.
+  // Moments come from exact decimal sums (q60's posture) rather than
+  // avg/stddev_samp builtins, whose accumulation algorithms differ
+  // between engines; downstream both engines then hold bit-identical
+  // doubles, and the z publishes as FLOOR fixed-point — no
+  // ROUND(double, 6) tie-break surface (the r7 hash-fail class).
   def q90(s: SparkSession, dir: String): DataFrame = {
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val d4 = org.apache.spark.sql.types.DecimalType(28, 4)
     val ev = Tables.events(s, dir)
-    val stats = ev.groupBy("event_type")
-      .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
-    ev.join(broadcast(stats), Seq("event_type"))
+    val stats = ev.groupBy(col("event_type").as("et"))
+      .agg(
+        sum(col("value").cast(d2)).cast("double").as("sx"),
+        sum((col("value") * col("value")).cast(d4)).cast("double").as("sxx"),
+        count(col("value")).as("n"))
+      .filter(col("n") > 1)
+      .select(col("et"), (col("sx") / col("n")).as("mu"),
+        sqrt(greatest(
+          (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1),
+          lit(0.0))).as("sd"))
+    ev.join(broadcast(stats), col("event_type") === col("et"))
       .filter(col("sd") > 0)
       .select(col("event_id"), col("event_type"),
-        round((col("value") - col("mu")) / col("sd"), 6).as("z"))
+        floor(lit(1e6) * (col("value") - col("mu")) / col("sd"))
+          .cast("long").as("z_micro"))
   }
 
   val q90Sql: String =
-    """WITH s AS (SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
-      |  FROM events GROUP BY 1)
-      |SELECT event_id, e.event_type, ROUND((value - mu) / sd, 6) AS z
-      |FROM events e JOIN s ON s.event_type = e.event_type WHERE sd > 0""".stripMargin
+    """WITH st AS (SELECT event_type AS et,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |  CAST(SUM(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+      |  COUNT(value) AS n
+      | FROM events GROUP BY 1 HAVING COUNT(value) > 1),
+      |m AS (SELECT et, sx / n AS mu,
+      |       SQRT(GREATEST((sxx - sx * sx / n) / (n - 1), 0.0)) AS sd FROM st)
+      |SELECT event_id, event_type,
+      | CAST(FLOOR(1000000.0 * (value - mu) / sd) AS BIGINT) AS z_micro
+      |FROM events JOIN m ON event_type = et WHERE sd > 0""".stripMargin
 
   // --- q91: incremental aggregate maintenance — the mart-refresh
   // algebra made explicit. Per-user (count, sum) partials are computed
@@ -292,23 +318,28 @@ object AnalyticsQueries {
     Tables.events(s, dir)
       .withColumn("prev", lag("ts", 1).over(w))
       .filter(col("prev").isNotNull)
-      .withColumn("gap",
-        (unix_micros(col("ts")) - unix_micros(col("prev"))) / lit(1000000.0))
+      // gaps stay exact epoch-microsecond integers end to end; the mean
+      // publishes by integer DIV — no double and no ROUND anywhere on
+      // the compare surface (the r7 engine-version hash-fail class)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(col("prev")))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_gaps"),
-        round(avg("gap"), 6).as("avg_gap_s"),
-        min("gap").as("min_gap_s"), max("gap").as("max_gap_s"))
+        sum("gap_us").as("sum_us"),
+        min("gap_us").as("min_gap_us"), max("gap_us").as("max_gap_us"))
+      .withColumn("avg_gap_us", expr("sum_us DIV n_gaps"))
+      .drop("sum_us")
   }
 
   val q92Sql: String =
     """WITH g AS (SELECT user_id,
       |  (epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(LAG(CAST(ts AS TIMESTAMP), 1)
-      |    OVER (PARTITION BY user_id ORDER BY ts, event_id))) / 1000000.0 AS gap
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS gap_us
       | FROM events)
       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
-      | ROUND(AVG(gap), 6) AS avg_gap_s,
-      | MIN(gap) AS min_gap_s, MAX(gap) AS max_gap_s
-      |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin
+      | MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
+      | CAST(SUM(gap_us) // COUNT(*) AS BIGINT) AS avg_gap_us
+      |FROM g WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin
 
   // --- q93: key-skew diagnostics — the profile a join/agg planner (or
   // an engineer deciding whether q39's salting is needed) reads first:
@@ -324,8 +355,10 @@ object AnalyticsQueries {
     val w = Window.orderBy(col("n_events").desc, col("user_id").asc)
     top.crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(w))
+      // share as exact-integer ppm DIV — no ROUND(double) on the
+      // compare surface (the r7 engine-version hash-fail class)
       .select(col("rank"), col("user_id"), col("n_events"),
-        round(col("n_events") / col("total"), 6).as("share"))
+        expr("(n_events * 1000000) DIV total").as("share_ppm"))
   }
 
   val q93Sql: String =
@@ -333,7 +366,7 @@ object AnalyticsQueries {
       |  FROM events GROUP BY 1),
       |t AS (SELECT SUM(n_events) AS total FROM c)
       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS INT) AS rank,
-      | user_id, n_events, ROUND(n_events / t.total, 6) AS share
+      | user_id, n_events, CAST((n_events * 1000000) // t.total AS BIGINT) AS share_ppm
       |FROM c CROSS JOIN t ORDER BY n_events DESC, user_id LIMIT 5""".stripMargin
 
   // --- q104: first-order event-transition (Markov) matrix — for each
@@ -359,8 +392,12 @@ object AnalyticsQueries {
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(count(lit(1)).as("n_trans"))
-      .select(col("prev_type"), col("next_type"), col("n_trans"),
-        round(col("n_trans") / sum("n_trans").over(wTot), 6).as("p_trans"))
+      // conditional probability as exact-integer ppm DIV over the
+      // row total — no ROUND(double) on the compare surface (the r7
+      // engine-version hash-fail class)
+      .withColumn("n_from", sum("n_trans").over(wTot))
+      .withColumn("p_trans_ppm", expr("(n_trans * 1000000) DIV n_from"))
+      .select("prev_type", "next_type", "n_trans", "p_trans_ppm")
   }
 
   val q104Sql: String =
@@ -372,7 +409,7 @@ object AnalyticsQueries {
       | FROM e WHERE prev_type IS NOT NULL GROUP BY 1, 2),
       |t AS (SELECT prev_type, SUM(n_trans) AS n_from FROM p GROUP BY 1)
       |SELECT p.prev_type, p.next_type, p.n_trans,
-      | ROUND(p.n_trans / t.n_from, 6) AS p_trans
+      | CAST((p.n_trans * 1000000) // t.n_from AS BIGINT) AS p_trans_ppm
       |FROM p JOIN t USING (prev_type)""".stripMargin
 
   // --- q111: pareto frontier (skyline) per language on (length,

@@ -120,8 +120,10 @@ object CorpusQueries {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      // OOV rate as exact-integer ppm DIV — no ROUND(double) on the
+      // compare surface (the r7 engine-version hash-fail class)
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
-        round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"))
+        expr("(n_oov * 1000000) DIV n_tokens").as("oov_ppm"))
   }
 
   val q96Sql: String =
@@ -133,7 +135,8 @@ object CorpusQueries {
        |  FROM tt GROUP BY tok) WHERE rn <= $VocabSize)
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        | CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-       | ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) / COUNT(*), 6) AS oov_rate
+       | CAST((SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT)
+       |   AS oov_ppm
        |FROM tt LEFT JOIN v ON v.tok = tt.tok
        |GROUP BY doc_id""".stripMargin
 
@@ -141,30 +144,36 @@ object CorpusQueries {
   // — the outlier-insensitive sibling of q90's z-score, the scaling a
   // heavy-tailed `value` column actually needs. Stats are one exact-
   // percentile aggregation (one row per type — broadcast), the scaling
-  // pass is map-side; stats round to 4 decimals BEFORE the division so
-  // both engines divide bit-identical doubles (q43 established that
-  // Spark `percentile` and DuckDB PERCENTILE_CONT agree at 4 decimals;
-  // their raw low-order bits differ).
+  // pass is map-side. Values live on a cents grid and the quartile
+  // interpolation fraction is in {0, .25, .5, .75}, so med and IQR lie
+  // EXACTLY on a quarter-cent grid: snapping them to that integer
+  // (tie-free near-integer ROUND — the q43 contract) gives both engines
+  // bit-identical stats regardless of their percentile low-order bits,
+  // and the z publishes as FLOOR fixed-point — no ROUND(double, 6)
+  // tie-break surface (the r7 hash-fail class).
   def q97(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val stats = ev.groupBy("event_type").agg(
-      round(expr("percentile(value, 0.5)"), 4).as("med"),
-      round(expr("percentile(value, 0.75) - percentile(value, 0.25)"), 4).as("iqr"))
+      round(expr("percentile(value, 0.5)") * 400).cast("long").as("med_qc"),
+      round((expr("percentile(value, 0.75)") - expr("percentile(value, 0.25)")) * 400)
+        .cast("long").as("iqr_qc"))
     ev.join(broadcast(stats), Seq("event_type"))
-      .filter(col("iqr") > 0)
+      .filter(col("iqr_qc") > 0)
       .select(col("event_id"), col("event_type"),
-        round((col("value") - col("med")) / col("iqr"), 6).as("robust_z"))
+        floor(lit(1e6) * (col("value") * 400 - col("med_qc")) / col("iqr_qc"))
+          .cast("long").as("robust_z_micro"))
   }
 
   val q97Sql: String =
     """WITH s AS (SELECT event_type,
-      |  ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value), 4) AS med,
-      |  ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY value)
-      |    - PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY value), 4) AS iqr
+      |  CAST(ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value) * 400) AS BIGINT) AS med_qc,
+      |  CAST(ROUND((PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY value)
+      |    - PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY value)) * 400) AS BIGINT) AS iqr_qc
       | FROM events GROUP BY 1)
-      |SELECT event_id, e.event_type, ROUND((value - med) / iqr, 6) AS robust_z
+      |SELECT event_id, e.event_type,
+      | CAST(FLOOR(1000000.0 * (value * 400 - med_qc) / iqr_qc) AS BIGINT) AS robust_z_micro
       |FROM events e JOIN s ON s.event_type = e.event_type
-      |WHERE iqr > 0""".stripMargin
+      |WHERE iqr_qc > 0""".stripMargin
 
   // --- q98: exact distinct-user cardinality per overlapping sliding
   // window (1 h window, 15 min slide — q52's sliding frame with the op
@@ -282,8 +291,13 @@ object CorpusQueries {
       (sa, sb, math.rint(ka.distinct).toLong, math.rint(kb.distinct).toLong,
         math.rint(u).toLong, math.rint(o).toLong, o / u)
     }
-    rows.toDF("source_a", "source_b", "n_a", "n_b", "n_union", "n_overlap", "jaccard")
-      .withColumn("jaccard", round(col("jaccard"), 6))
+    // jaccard as exact-integer ppm DIV over the rint'd sketch counts —
+    // below sketch capacity these are the exact distinct counts, so no
+    // double (and no ROUND(double, 6), the r7 engine-version hash-fail
+    // class) reaches the compare surface
+    rows.map { case (sa, sb, na, nb, u, o, _) => (sa, sb, na, nb, u, o) }
+      .toDF("source_a", "source_b", "n_a", "n_b", "n_union", "n_overlap")
+      .withColumn("jaccard_ppm", expr("(n_overlap * 1000000) DIV n_union"))
   }
 
   val q101Sql: String =
@@ -299,7 +313,8 @@ object CorpusQueries {
       | CAST(p.na AS BIGINT) AS n_a, CAST(p.nb AS BIGINT) AS n_b,
       | CAST(p.na + p.nb - COALESCE(o.nov, 0) AS BIGINT) AS n_union,
       | CAST(COALESCE(o.nov, 0) AS BIGINT) AS n_overlap,
-      | ROUND(COALESCE(o.nov, 0) / (p.na + p.nb - COALESCE(o.nov, 0)), 6) AS jaccard
+      | CAST((COALESCE(o.nov, 0) * 1000000) // (p.na + p.nb - COALESCE(o.nov, 0)) AS BIGINT)
+      |   AS jaccard_ppm
       |FROM p LEFT JOIN o ON p.sa = o.sa AND p.sb = o.sb""".stripMargin
 
   // --- q103: length-bucketed batch packing with padding-waste

@@ -366,7 +366,7 @@ object CurationQueries {
       | SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
       | FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
       |SELECT id_a, id_b, n_common, sa.sz AS size_a, sb.sz AS size_b,
-      | ROUND(CAST(n_common AS DOUBLE) / LEAST(sa.sz, sb.sz), 6) AS containment
+      | CAST((n_common * 1000000) // LEAST(sa.sz, sb.sz) AS BIGINT) AS containment_ppm
       |FROM common
       |JOIN sizes sa ON sa.doc_id = id_a
       |JOIN sizes sb ON sb.doc_id = id_b

@@ -47,48 +47,68 @@ object ExtendedQueries {
       |GROUP BY o_orderpriority""".stripMargin
 
   // --- q42: analytic window-function suite over per-customer orders ---
+  // The (o_orderdate, o_orderkey) order is UNIQUE per partition, so
+  // percent_rank = (rn-1)/(n-1) and cume_dist = rn/n exactly; both are
+  // emitted as exact-integer ppm via DIV — no double anywhere on the
+  // compare surface (ROUND(double, 6) is the r7 engine-version hash-fail
+  // class; the rank/count identities make this one fully rational).
   def q42(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wp = Window.partitionBy("o_custkey")
     Tables.orders(s, dir).select(
       col("o_orderkey"), col("o_custkey"),
       row_number().over(w).as("rn"),
       ntile(4).over(w).as("quartile"),
-      round(percent_rank().over(w), 6).as("pct_rank"),
-      round(cume_dist().over(w), 6).as("cdist"),
+      count(lit(1)).over(wp).as("n"),
       lag(col("o_totalprice"), 1).over(w).as("prev_price"),
       lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .withColumn("pct_rank_ppm",
+        expr("CASE WHEN n = 1 THEN CAST(0 AS BIGINT) " +
+          "ELSE ((rn - 1) * 1000000) DIV (n - 1) END"))
+      .withColumn("cdist_ppm", expr("(rn * 1000000) DIV n"))
+      .drop("n")
   }
 
   val q42Sql: String =
     """SELECT o_orderkey, o_custkey,
       | CAST(ROW_NUMBER() OVER w AS INT) AS rn,
       | CAST(NTILE(4) OVER w AS INT) AS quartile,
-      | ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-      | ROUND(CUME_DIST() OVER w, 6) AS cdist,
       | LAG(o_totalprice, 1) OVER w AS prev_price,
-      | LEAD(o_totalprice, 1) OVER w AS next_price
+      | LEAD(o_totalprice, 1) OVER w AS next_price,
+      | CAST(CASE WHEN COUNT(*) OVER p = 1 THEN 0
+      |   ELSE ((ROW_NUMBER() OVER w - 1) * 1000000) // (COUNT(*) OVER p - 1)
+      |   END AS BIGINT) AS pct_rank_ppm,
+      | CAST((ROW_NUMBER() OVER w * 1000000) // COUNT(*) OVER p AS BIGINT) AS cdist_ppm
       |FROM orders
-      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |       p AS (PARTITION BY o_custkey)""".stripMargin
 
   // --- q43: exact percentiles per group (linear interpolation) ---
+  // Prices live on a cents grid and the quartile interpolation fraction
+  // is in {0, .25, .5, .75}, so every true percentile lies EXACTLY on a
+  // quarter-cent grid. The compare surface is that integer (value*400
+  // rounded): a near-integer double rounds tie-free — engines can differ
+  // only in the last ulps, never across the .5 midpoint — where a
+  // ROUND(double, 4) decimal-places surface depends on each engine's
+  // decimal-rounding implementation (the r7 hash-fail class).
   def q43(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-        round(min(col("l_extendedprice")), 4).as("lo"),
-        round(max(col("l_extendedprice")), 4).as("hi"))
+        round(expr("percentile(l_extendedprice, 0.25)") * 400).cast("long").as("p25_qc"),
+        round(expr("percentile(l_extendedprice, 0.5)") * 400).cast("long").as("p50_qc"),
+        round(expr("percentile(l_extendedprice, 0.75)") * 400).cast("long").as("p75_qc"),
+        round(min(col("l_extendedprice")) * 100).cast("long").as("lo_cents"),
+        round(max(col("l_extendedprice")) * 100).cast("long").as("hi_cents"))
 
   val q43Sql: String =
     """SELECT l_returnflag,
-      | ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p25,
-      | ROUND(PERCENTILE_CONT(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50,
-      | ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p75,
-      | ROUND(MIN(l_extendedprice), 4) AS lo,
-      | ROUND(MAX(l_extendedprice), 4) AS hi
+      | CAST(ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_extendedprice) * 400) AS BIGINT) AS p25_qc,
+      | CAST(ROUND(PERCENTILE_CONT(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) * 400) AS BIGINT) AS p50_qc,
+      | CAST(ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_extendedprice) * 400) AS BIGINT) AS p75_qc,
+      | CAST(ROUND(MIN(l_extendedprice) * 100) AS BIGINT) AS lo_cents,
+      | CAST(ROUND(MAX(l_extendedprice) * 100) AS BIGINT) AS hi_cents
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   // --- q44: set operations (INTERSECT / EXCEPT, set semantics) ---
@@ -110,32 +130,36 @@ object ExtendedQueries {
 
   // --- q45: correlated-subquery semantics (above-nation-average) ---
   // DuckDB states it as a correlated scalar subquery; the scalable Spark
-  // plan is a broadcast join against the per-nation aggregate.
-  // The average is decimal-sum / count, ONE double division on values
-  // both engines computed identically — a raw double avg() accumulates
-  // in partition order and the unrounded filter could flip membership
-  // for a balance within ulps of its nation average.
+  // plan is a broadcast join against the per-nation aggregate. Balances
+  // live on a cents grid, so BOTH the membership test and the compare
+  // surface are exact integers: cents·n > sum_cents replaces the double
+  // comparison (no ulp-flip possible) and the published average is
+  // micro-dollars by integer DIV — no ROUND(double) anywhere (the r7
+  // engine-version hash-fail class). sum_cents·10⁴ fits int64 up to
+  // ~9·10¹⁴ cents per nation; past that lift to DECIMAL(38,0) (ANSI
+  // mode fails loudly rather than wrapping — the q126 contract).
   def q45(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
+      .withColumn("cents", round(col("c_acctbal") * 100).cast("long"))
     // divisor counts NON-NULL balances, matching AVG's null-exclusion
     val natAvg = c.groupBy("c_nationkey")
-      .agg((sum(col("c_acctbal").cast(D)).cast("double") /
-        count(col("c_acctbal"))).as("nat_avg"))
+      .agg(sum(col("cents")).as("sc"), count(col("cents")).as("n"))
     c.join(broadcast(natAvg), Seq("c_nationkey"))
-      .filter(col("c_acctbal") > col("nat_avg"))
+      .filter(col("cents") * col("n") > col("sc"))
       .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
-        round(col("nat_avg"), 6).as("nation_avg"))
+        expr("(sc * 10000) DIV n").as("nation_avg_micro"))
   }
 
   val q45Sql: String =
-    """WITH na AS (
-      | SELECT c_nationkey,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS nat_avg
-      | FROM customer GROUP BY c_nationkey)
+    """WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal,
+      |  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+      |na AS (
+      | SELECT c_nationkey, SUM(cents) AS sc, COUNT(cents) AS n
+      | FROM c GROUP BY c_nationkey)
       |SELECT c_custkey, c1.c_nationkey, c_acctbal,
-      | ROUND(nat_avg, 6) AS nation_avg
-      |FROM customer c1 JOIN na ON c1.c_nationkey = na.c_nationkey
-      |WHERE c_acctbal > nat_avg""".stripMargin
+      | CAST((sc * 10000) // n AS BIGINT) AS nation_avg_micro
+      |FROM c c1 JOIN na ON c1.c_nationkey = na.c_nationkey
+      |WHERE cents * n > sc""".stripMargin
 
   // --- q46: time-series gap fill (dense daily grid, zero-filled) ---
   def q46(s: SparkSession, dir: String): DataFrame = {
@@ -181,12 +205,19 @@ object ExtendedQueries {
       .orderBy(col("tf").desc, col("df").asc, col("token").asc)
     tf.join(df, Seq("token"))
       .crossJoin(broadcast(nDocs))
-      .withColumn("tfidf",
-        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      // FLOOR fixed-point micro-units, not ROUND(double, 6): FLOOR of
+      // bit-identical doubles never tie-breaks across engines, while
+      // decimal rounding semantics shifted across DuckDB versions (the
+      // r7 hash-fail class). LN is the one libm call; a last-ulp
+      // difference flips the floor only within ~1e-10 of a grid point
+      // (the q114 contract).
+      .withColumn("tfidf_micro",
+        floor(lit(1e6) * col("tf") * log(col("n_docs").cast("double") / col("df")))
+          .cast("long"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
-        col("tfidf"), col("rnk"))
+        col("tfidf_micro"), col("rnk"))
   }
 
   val q47Sql: String =
@@ -200,11 +231,11 @@ object ExtendedQueries {
       |scored AS (
       | SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
       |  CAST(df.df AS BIGINT) AS df,
-      |  ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf,
+      |  CAST(FLOOR(1000000.0 * tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df)) AS BIGINT) AS tfidf_micro,
       |  CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
       |       ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS INT) AS rnk
       | FROM tf JOIN df USING (token) CROSS JOIN n)
-      |SELECT doc_id, token, tf, df, tfidf, rnk FROM scored WHERE rnk <= 5""".stripMargin
+      |SELECT doc_id, token, tf, df, tfidf_micro, rnk FROM scored WHERE rnk <= 5""".stripMargin
 
   // --- q48: semi-structured JSON extraction + aggregation ---
   def q48(s: SparkSession, dir: String): DataFrame =
@@ -212,17 +243,22 @@ object ExtendedQueries {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy("k")
       .agg(count(lit(1)).as("n_events"),
-        // decimal sum / non-null count: deterministic across partition
-        // orders, and NULL values excluded from the divisor like AVG
-        round(sum(col("value").cast(D)).cast("double") / count(col("value")), 6)
-          .as("avg_value"),
+        // exact integer average: cents sum / non-null count via DIV —
+        // order-independent AND engine-version-proof (ROUND(double, 6)
+        // is the r7 hash-fail class); NULLs excluded from the divisor
+        // like AVG. int64-safe to ~9·10¹⁴ summed cents per key.
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+        count(col("value")).as("n_vals"),
         countDistinct(col("user_id")).as("n_users"))
+      .withColumn("avg_value_micro", expr("(sum_cents * 10000) DIV n_vals"))
+      .drop("sum_cents", "n_vals")
 
   val q48Sql: String =
     """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
       | CAST(COUNT(*) AS BIGINT) AS n_events,
-      | ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value), 6) AS avg_value,
-      | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      | CAST((SUM(CAST(ROUND(value * 100) AS BIGINT)) * 10000) // COUNT(value) AS BIGINT)
+      |   AS avg_value_micro
       |FROM events GROUP BY 1""".stripMargin
 
   // --- q49: IVF ANN (KMeans coarse quantizer; rows-only — not SQL) ---
@@ -271,9 +307,14 @@ object ExtendedQueries {
     e.join(broadcast(cent), Seq("label"))
       .withColumn("cos", graft.functions.VectorFunctions.cosine(col("v"), col("centroid")))
       .groupBy("label")
+      // FLOOR fixed-point, not ROUND(double, 6): identical doubles floor
+      // identically on every engine version, while decimal rounding
+      // tie-breaks differ (the r7 hash-fail class). The boundary risk of
+      // the documented ~1e-15 accumulation noise is the same measure as
+      // ROUND's tie risk — this trades no robustness for version-proofness.
       .agg(count(lit(1)).as("n_vectors"),
-        round(avg(col("cos")), 6).as("avg_cos_to_centroid"),
-        round(min(col("cos")), 6).as("min_cos_to_centroid"))
+        floor(lit(1e6) * avg(col("cos"))).cast("long").as("avg_cos_micro"),
+        floor(lit(1e6) * min(col("cos"))).cast("long").as("min_cos_micro"))
   }
 
   val q51Sql: String =
@@ -288,8 +329,8 @@ object ExtendedQueries {
       |         (SQRT(LIST_DOT_PRODUCT(v, v)) * SQRT(LIST_DOT_PRODUCT(centroid, centroid))) AS cos
       |       FROM e JOIN cent ON e.label = cent.label)
       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
-      | ROUND(AVG(cos), 6) AS avg_cos_to_centroid,
-      | ROUND(MIN(cos), 6) AS min_cos_to_centroid
+      | CAST(FLOOR(1000000.0 * AVG(cos)) AS BIGINT) AS avg_cos_micro,
+      | CAST(FLOOR(1000000.0 * MIN(cos)) AS BIGINT) AS min_cos_micro
       |FROM sc GROUP BY label""".stripMargin
 
   // --- q52: sliding-window aggregation (1h window, 15min slide) ---
@@ -503,8 +544,13 @@ object ExtendedQueries {
     ev.join(broadcast(stats), col("event_type") === col("et"))
       .filter(col("sd") > 0.0 &&
         abs(col("value") - col("mean")) > lit(3.0) * col("sd"))
+      // mean/sd derive from exact decimal sums, so both engines hold
+      // bit-identical doubles here; FLOOR fixed-point publishes them
+      // without the decimal-rounding tie-break that ROUND(double, 6)
+      // exposes across engine versions (the r7 hash-fail class)
       .select(col("event_id"), col("event_type"), col("value"),
-        round(col("mean"), 6).as("mean"), round(col("sd"), 6).as("sd"))
+        floor(lit(1e6) * col("mean")).cast("long").as("mean_micro"),
+        floor(lit(1e6) * col("sd")).cast("long").as("sd_micro"))
   }
 
   val q60Sql: String =
@@ -517,7 +563,8 @@ object ExtendedQueries {
       |m AS (SELECT et, sx / n AS mean,
       |       SQRT(GREATEST((sxx - sx * sx / n) / (n - 1), 0.0)) AS sd FROM st)
       |SELECT event_id, event_type, value,
-      | ROUND(mean, 6) AS mean, ROUND(sd, 6) AS sd
+      | CAST(FLOOR(1000000.0 * mean) AS BIGINT) AS mean_micro,
+      | CAST(FLOOR(1000000.0 * sd) AS BIGINT) AS sd_micro
       |FROM events JOIN m ON event_type = et
       |WHERE sd > 0.0 AND ABS(value - mean) > 3.0 * sd""".stripMargin
 

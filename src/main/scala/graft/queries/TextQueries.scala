@@ -182,9 +182,13 @@ object TextQueries {
       .join(c1, Seq("tok_a"))
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
+      // FLOOR fixed-point, not ROUND(double, 6): identical doubles floor
+      // identically on every engine version, while decimal rounding
+      // tie-breaks differ (the r7 hash-fail class); LN last-ulp noise
+      // flips a floor only within ~1e-10 of a grid point (q114 contract)
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(log((col("n12") + 1).cast("double") /
-          (col("n1") + col("v")).cast("double"))), 6).as("lm_score"))
+        floor(lit(1e6) * avg(log((col("n12") + 1).cast("double") /
+          (col("n1") + col("v")).cast("double")))).cast("long").as("lm_score_micro"))
   }
 
   val q80Sql: String =
@@ -198,7 +202,8 @@ object TextQueries {
       |v AS (SELECT COUNT(DISTINCT tok) AS v
       |      FROM (SELECT UNNEST(toks) AS tok FROM t) WHERE LEN(tok) > 0)
       |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-      | ROUND(AVG(LN((c12.n12 + 1) / (c1.n1 + v.v))), 6) AS lm_score
+      | CAST(FLOOR(1000000.0 * AVG(LN((c12.n12 + 1) / (c1.n1 + v.v)))) AS BIGINT)
+      |   AS lm_score_micro
       |FROM b JOIN c12 USING (tok_a, tok_b) JOIN c1 USING (tok_a) CROSS JOIN v
       |GROUP BY 1""".stripMargin
 

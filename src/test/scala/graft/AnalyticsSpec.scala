@@ -124,11 +124,13 @@ class AnalyticsSpec extends SparkSpec {
     val n = out.count()
     assert(n > 0)
     // every rank >= teleport floor (1-d)/N, and total mass <= 1
-    val floor = 0.15 / n - 1e-9
-    assert(out.filter(col("pr") < floor).isEmpty)
-    val mass = out.agg(sum("pr")).head().getDouble(0)
-    assert(mass <= 1.0 + 1e-6 && mass > 0.5,
-      s"3-iteration rank mass $mass should be in (0.5, 1]")
+    // (pr_micro = floor(1e6 * pr), so compare in micro-units with a
+    // 1-unit truncation allowance per row)
+    val floorMicro = math.floor(1e6 * 0.15 / n).toLong - 1
+    assert(out.filter(col("pr_micro") < floorMicro).isEmpty)
+    val mass = out.agg(sum("pr_micro")).head().getLong(0)
+    assert(mass <= 1000000L && mass > 500000L - n,
+      s"3-iteration rank mass $mass micro should be in (0.5e6, 1e6]")
   }
 
   test("q89 binning: deciles near-equal within type, ranges ordered and disjoint") {
@@ -149,8 +151,12 @@ class AnalyticsSpec extends SparkSpec {
   test("q90 zscore: per-type mean ~0, sample stddev ~1, all rows kept") {
     val out = AnalyticsQueries.q90(spark, sf).cache()
     assert(out.count() === graft.sources.Tables.events(spark, sf).count())
+    // z_micro = floor(1e6 * z): truncation biases the mean by at most
+    // 1 micro-unit (plus the floor's half-unit spread), sd unaffected
+    // beyond that scale
     val stats = out.groupBy("event_type")
-      .agg(avg("z").as("m"), stddev_samp("z").as("s"))
+      .agg(avg(col("z_micro") / 1e6).as("m"),
+        stddev_samp(col("z_micro") / 1e6).as("s"))
     assert(stats.filter(abs(col("m")) > 1e-4).isEmpty, "standardized mean ~ 0")
     assert(stats.filter(abs(col("s") - 1.0) > 1e-4).isEmpty, "standardized sd ~ 1")
   }
@@ -170,8 +176,8 @@ class AnalyticsSpec extends SparkSpec {
 
   test("q92 interarrival: gaps non-negative, count = events - users") {
     val out = AnalyticsQueries.q92(spark, sf).cache()
-    assert(out.filter(col("min_gap_s") < 0).isEmpty)
-    assert(out.filter(col("max_gap_s") < col("min_gap_s")).isEmpty)
+    assert(out.filter(col("min_gap_us") < 0).isEmpty)
+    assert(out.filter(col("max_gap_us") < col("min_gap_us")).isEmpty)
     val ev = graft.sources.Tables.events(spark, sf)
     val expected = ev.count() - ev.select("user_id").distinct().count()
     assert(out.agg(sum("n_gaps")).head().getLong(0) === expected,
@@ -200,13 +206,16 @@ class AnalyticsSpec extends SparkSpec {
       // each user with k events contributes exactly k-1 transitions
       val expected = ev.count() - ev.select("user_id").distinct().count()
       assert(out.agg(sum("n_trans")).head().getLong(0) === expected)
-      // per prev_type the conditional probabilities sum to ~1 (rounding
-      // leaves at most |types| * 5e-7 of mass unaccounted)
-      val sums = out.groupBy("prev_type").agg(sum("p_trans").as("p")).collect()
+      // per prev_type the conditional ppm probabilities sum to 1e6 minus
+      // at most one truncated unit per matrix row (integer DIV floors)
+      val sums = out.groupBy("prev_type")
+        .agg(sum("p_trans_ppm").as("p"), count(lit(1)).as("k")).collect()
       assert(sums.nonEmpty)
-      sums.foreach(r =>
-        assert(math.abs(r.getAs[Double]("p") - 1.0) < 1e-4,
-          s"prev=${r.get(0)} sums to ${r.get(1)}"))
+      sums.foreach { r =>
+        val p = r.getAs[Long]("p"); val k = r.getAs[Long]("k")
+        assert(p <= 1000000L && p > 1000000L - k,
+          s"prev=${r.get(0)} sums to $p over $k rows")
+      }
       // matrix is at most |types|^2
       val nTypes = ev.select("event_type").distinct().count()
       assert(out.count() <= nTypes * nTypes)

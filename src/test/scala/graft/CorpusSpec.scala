@@ -140,7 +140,7 @@ class CorpusSpec extends SparkSpec {
   test("q96 vocab/OOV: rates bounded, vocab covers the head of the distribution") {
     val out = CorpusQueries.q96(spark, sf)
     withCached(out) {
-      assert(out.filter(col("oov_rate") < 0 || col("oov_rate") > 1).isEmpty)
+      assert(out.filter(col("oov_ppm") < 0 || col("oov_ppm") > 1000000).isEmpty)
       assert(out.filter(col("n_oov") > col("n_tokens")).isEmpty)
       // with a 12-token vocab over a ~31-token vocabulary corpus, both
       // in-vocab and OOV mass must be present
@@ -162,10 +162,10 @@ class CorpusSpec extends SparkSpec {
       val ev = graft.sources.Tables.events(spark, sf)
       assert(out.count() === ev.count(), "all events scaled (IQR > 0 per type)")
       // per type: the median-valued event lands at |z| ~ 0 and quartile
-      // events at ~ +-0.5 (exact to the 4-decimal stat rounding)
+      // events at ~ +-0.5 (micro fixed-point; quarter-cent stat snap)
       val med = out.groupBy("event_type")
-        .agg(expr("percentile(robust_z, 0.5)").as("m"),
-          expr("percentile(robust_z, 0.75) - percentile(robust_z, 0.25)").as("spread"))
+        .agg(expr("percentile(robust_z_micro / 1e6, 0.5)").as("m"),
+          expr("percentile(robust_z_micro / 1e6, 0.75) - percentile(robust_z_micro / 1e6, 0.25)").as("spread"))
       assert(med.filter(abs(col("m")) > 0.01).isEmpty,
         "scaled median must be ~0 per type")
       assert(med.filter(abs(col("spread") - 1.0) > 0.01).isEmpty,

@@ -183,8 +183,8 @@ class CurationSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val pair = graft.operators.Dedup.containmentPairs(synth, "doc_id", "text", 4, 0.8)
       .collect()
-    assert(pair.length == 1 && pair(0).getDouble(5) == 1.0,
-      "full quote inclusion must score containment 1.0")
+    assert(pair.length == 1 && pair(0).getLong(5) == 1000000L,
+      "full quote inclusion must score containment 1.0 (1e6 ppm)")
     val (szA, szB) = (pair(0).getLong(3), pair(0).getLong(4))
     val jaccard = pair(0).getLong(2).toDouble / (szA + szB - pair(0).getLong(2))
     assert(jaccard < 0.1, "the same pair is invisible to a Jaccard threshold")

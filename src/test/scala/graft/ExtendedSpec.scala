@@ -26,8 +26,10 @@ class ExtendedSpec extends SparkSpec {
 
   test("q43 percentiles are ordered lo <= p25 <= p50 <= p75 <= hi") {
     ExtendedQueries.q43(spark, sf).collect().foreach { r =>
-      val Seq(lo, p25, p50, p75, hi) =
-        Seq("lo", "p25", "p50", "p75", "hi").map(r.getAs[Double])
+      // lo/hi are cents, quartiles quarter-cents — compare in quarter-cents
+      val lo = 4 * r.getAs[Long]("lo_cents"); val hi = 4 * r.getAs[Long]("hi_cents")
+      val Seq(p25, p50, p75) =
+        Seq("p25_qc", "p50_qc", "p75_qc").map(r.getAs[Long])
       assert(lo <= p25 && p25 <= p50 && p50 <= p75 && p75 <= hi)
     }
   }
@@ -42,8 +44,10 @@ class ExtendedSpec extends SparkSpec {
   }
 
   test("q45 correlated subquery: every row above its nation average") {
+    // nation_avg_micro floors the exact average: above-average rows can
+    // sit within one micro-dollar of the published value, never below it
     val bad = ExtendedQueries.q45(spark, sf)
-      .filter(col("c_acctbal") <= col("nation_avg") - 1e-6)
+      .filter(col("c_acctbal") * 1e6 < col("nation_avg_micro"))
     assert(bad.isEmpty)
   }
 
@@ -82,9 +86,9 @@ class ExtendedSpec extends SparkSpec {
     val out = ExtendedQueries.q51(spark, sf).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      val avg = r.getAs[Double]("avg_cos_to_centroid")
-      val mn = r.getAs[Double]("min_cos_to_centroid")
-      assert(mn <= avg && avg <= 1.0 && mn >= -1.0)
+      val avg = r.getAs[Long]("avg_cos_micro")
+      val mn = r.getAs[Long]("min_cos_micro")
+      assert(mn <= avg && avg <= 1000000L && mn >= -1000000L)
     }
   }
 
