@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.NoveltyQueries.queries ++
       graft.queries.PqQueries.queries ++
       graft.queries.RiskQueries.queries ++
-      graft.queries.MarketQueries.queries
+      graft.queries.MarketQueries.queries ++
+      graft.queries.ServingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -55,5 +56,6 @@ object SparkEntry {
       graft.queries.AuditQueries.oracle ++
       graft.queries.NoveltyQueries.oracle ++
       graft.queries.RiskQueries.oracle ++
-      graft.queries.MarketQueries.oracle
+      graft.queries.MarketQueries.oracle ++
+      graft.queries.ServingQueries.oracle
 }
