@@ -25,32 +25,26 @@ object ServingQueries {
 
   // --- q155: positional phrase search — which documents contain the
   // exact two-word phrase, how often, and where it first occurs. The
-  // adjacency test runs INSIDE the row as a codegen'd higher-order
-  // filter over the token array (positions 1..n-1, match when token i
-  // = A and token i+1 = B): zero shuffles, zero joins — the whole
-  // query is one projected corpus scan, which is the optimal batch
-  // plan (a posting-list self-join on (doc, pos+1) re-shuffles two
-  // posting streams to rediscover adjacency the row already knows).
-  // The serving-time alternative — probe a PRECOMPUTED positional
-  // postings table so only two terms' postings are read — is the
-  // nearDupIndex pattern (Dedup.scala): same output contract, index
-  // build is this same scan. Cf. reference main.py full-table reads;
-  // positions are 1-based on both engines (element_at / DuckDB
-  // list indexing).
+  // adjacency test runs INSIDE the row as ONE codegen'd primitive pass
+  // over the token array (`PhraseFunctions.phraseScan`): zero shuffles,
+  // zero joins — the whole query is one projected corpus scan, which
+  // is the optimal batch plan (a posting-list self-join on (doc,
+  // pos+1) re-shuffles two posting streams to rediscover adjacency the
+  // row already knows; the HOF filter-over-sequence formulation walks
+  // the interpreted evaluator per element — measured 5.2 s vs 0.5 s at
+  // sf0.1). The serving-time alternative — probe a PRECOMPUTED
+  // positional postings table so only two terms' postings are read —
+  // is the nearDupIndex pattern (Dedup.scala): same output contract,
+  // index build is this same scan. Positions are 1-based on both
+  // engines.
   def q155(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ws"))
-      // i < size(ws) guards the i+1 probe (AND short-circuits, so
-      // element_at never sees an out-of-range index under ANSI);
-      // split() never yields an empty array, so sequence(1, n) is safe
-      .withColumn("hits", expr(
-        s"filter(sequence(1, size(ws)), i -> i < size(ws) " +
-          s"AND element_at(ws, i) = '$PhraseA' " +
-          s"AND element_at(ws, i + 1) = '$PhraseB')"))
-      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"), graft.functions.PhraseFunctions.phraseScan(
+        split(trim(lower(col("text"))), "\\s+"), PhraseA, PhraseB).as("ps"))
+      .filter(col("ps").getItem(0) > 0)
       .select(col("doc_id"),
-        size(col("hits")).cast("long").as("n_matches"),
-        element_at(col("hits"), 1).cast("long").as("first_pos"))
+        col("ps").getItem(0).as("n_matches"),
+        col("ps").getItem(1).as("first_pos"))
 
   val q155Sql: String =
     s"""WITH toks AS (
