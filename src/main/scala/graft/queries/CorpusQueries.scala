@@ -446,7 +446,74 @@ object CorpusQueries {
   def q113(s: SparkSession, dir: String): DataFrame =
     graft.operators.BpeTrainer.learn(Tables.documents(s, dir), "text", 12)
 
+  /** q158's feature-space bound: the importance model scores over the
+    * top-`DsirVocab` corpus bigrams (ties broken lexicographically — a
+    * total order, so the cut is deterministic on both engines);
+    * out-of-vocabulary bigrams carry no evidence and are ignored, the
+    * standard hashed/bounded feature space of importance resampling.
+    */
+  val DsirVocab = 2048
+  val DsirTarget = "src0"
+
+  // --- q158: DSIR-style importance scoring for data selection — score
+  // every document by how much more likely its bigram features are
+  // under a TARGET domain (the src0 docs) than under the raw corpus:
+  // Σ_feat [ln p_target(f) − ln p_corpus(f)], add-1 smoothed over the
+  // bounded vocab (Xie et al. 2023's importance-resampling selection
+  // signal; q80 scores fluency against ONE corpus LM, this scores
+  // domain match BETWEEN two). Shape: the (feat, ct, cr) model is a
+  // ≤ DsirVocab frame built from one bigram-count shuffle (vocab cut
+  // is TakeOrdered, target counts join the vocab frame), broadcast
+  // with its scalar totals back over the bigram stream — scoring is
+  // map-side, one per-doc aggregation, corpus scanned twice (model +
+  // score) and never joined to itself. Compare surface: FLOOR micro
+  // (LN pipeline, the q114 contract); docs containing no vocab bigram
+  // carry no evidence and are excluded (inner join), documented.
+  def q158(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bg = graft.functions.TextFunctions.wordBigrams(docs, "doc_id", "text")
+      .withColumn("feat", concat_ws(" ", col("tok_a"), col("tok_b")))
+      .select("doc_id", "feat")
+    val cr = bg.groupBy("feat").agg(count(lit(1)).as("cr"))
+    val vocab = cr.orderBy(col("cr").desc, col("feat").asc).limit(DsirVocab)
+    val tgtIds = docs.filter(col("source") === DsirTarget).select("doc_id")
+    val ct = bg.join(tgtIds, "doc_id").groupBy("feat").agg(count(lit(1)).as("ct"))
+    val model = vocab.join(ct, Seq("feat"), "left")
+      .select(col("feat"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val totals = model.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    bg.join(broadcast(model), "feat")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        floor(lit(1e6) * sum(
+          expr(s"LN((ct + 1) / (nt + $DsirVocab)) - LN((cr + 1) / (nr + $DsirVocab))")))
+          .cast("long").as("score_micro"))
+  }
+
+  val q158Sql: String =
+    s"""WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS toks
+       |  FROM documents),
+       |b AS (SELECT doc_id, tok_a || ' ' || tok_b AS feat FROM (
+       |  SELECT doc_id, UNNEST(toks[1:LEN(toks)-1]) AS tok_a,
+       |         UNNEST(toks[2:LEN(toks)]) AS tok_b
+       |  FROM t WHERE LEN(toks) > 1)),
+       |cr AS (SELECT feat, CAST(COUNT(*) AS BIGINT) AS cr FROM b GROUP BY 1),
+       |v AS (SELECT feat, cr FROM (
+       |  SELECT feat, cr, ROW_NUMBER() OVER (ORDER BY cr DESC, feat ASC) AS rn
+       |  FROM cr) WHERE rn <= $DsirVocab),
+       |ct AS (SELECT feat, CAST(COUNT(*) AS BIGINT) AS ct
+       |  FROM b JOIN (SELECT doc_id FROM documents WHERE source = '$DsirTarget')
+       |    USING (doc_id) GROUP BY 1),
+       |m AS (SELECT v.feat, v.cr, COALESCE(ct.ct, 0) AS ct FROM v LEFT JOIN ct USING (feat)),
+       |tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM m)
+       |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       | CAST(FLOOR(1000000.0 * SUM(LN((m.ct + 1) / (tot.nt + $DsirVocab))
+       |   - LN((m.cr + 1) / (tot.nr + $DsirVocab)))) AS BIGINT) AS score_micro
+       |FROM b JOIN m USING (feat) CROSS JOIN tot
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_dsir_score"      -> (q158 _),
     "q113_bpe_learn"       -> (q113 _),
     "q108_quantize_embed"  -> (q108 _),
     "q107_quantile_sketch" -> (q107 _),
@@ -461,6 +528,7 @@ object CorpusQueries {
     "q99_dataset_card"     -> (q99 _))
 
   val oracle: Map[String, String] = Map(
+    "q158_dsir_score"      -> q158Sql,
     "q108_quantize_embed"  -> q108Sql,
     "q107_quantile_sketch" -> q107Sql,
     "q100_heavy_hitters"   -> q100Sql,

@@ -276,7 +276,70 @@ object ScdQueries {
        |JOIN accounts a ON c.account_num = a.account_num AND f.ts BETWEEN a.a_from AND a.a_to
        |JOIN clients l ON a.client_id = l.client_id AND f.ts BETWEEN l.l_from AND l.l_to""".stripMargin
 
+  /** q159's two clocks: VALID time V (what state was in effect then)
+    * and TRANSACTION time T (what the warehouse knew by then). Arrival
+    * lateness is the deterministic `(event_id % 3)` days, modeling the
+    * reference's late-arriving snapshots (create_dt lagging the
+    * business date it describes, etl.py:297-370).
+    */
+  private val BtV = "2024-01-20 00:00:00"
+  private val BtT = "2024-01-21 00:00:00"
+
+  // --- q159: bitemporal as-of — for every user, the state the
+  // warehouse BELIEVED (versions that had ARRIVED by transaction time
+  // T) was in effect at valid time V, against the state FULL knowledge
+  // assigns to V, with a `revised` flag marking the late-arriving
+  // corrections (the audit a regulator asks for: "what did you know
+  // and when"). Shape: a literal-V as-of needs no interval build —
+  // latest version with ts ≤ V is one max(struct(ts, event_id, state))
+  // per user, so BOTH beliefs fold in the same high-cardinality
+  // user_id shuffle (tie-safe: (ts, event_id) is a total order), then
+  // join co-keyed. No window over the corpus, no dim materialization.
+  // Day arithmetic is fixed 24h in the UTC session on both engines —
+  // no calendar builtin (the r7 q127 contract).
+  def q159(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("ts") <= lit(BtV).cast("timestamp"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        expr("timestampadd(DAY, CAST(event_id % 3 AS INT), ts)").as("arr"))
+    val actual = ev.groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("a"))
+      .select(col("user_id"), col("a.event_type").as("actual_state"))
+    val believed = ev.filter(col("arr") <= lit(BtT).cast("timestamp"))
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("b"))
+      .select(col("user_id"), col("b.event_type").as("believed_state"))
+    actual.join(believed, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("believed_state"), lit("<none>")).as("believed_state"),
+        col("actual_state"),
+        (coalesce(col("believed_state"), lit("<none>")) =!= col("actual_state"))
+          .cast("int").as("revised"))
+  }
+
+  val q159Sql: String =
+    s"""WITH ev AS (
+       | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+       |  CAST(ts AS TIMESTAMP) + (event_id % 3) * INTERVAL 1 DAY AS arr
+       | FROM events
+       | WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '$BtV'),
+       |a AS (SELECT user_id, event_type FROM (
+       |  SELECT user_id, event_type,
+       |   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM ev) WHERE rn = 1),
+       |b AS (SELECT user_id, event_type FROM (
+       |  SELECT user_id, event_type,
+       |   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM ev WHERE arr <= TIMESTAMP '$BtT') WHERE rn = 1)
+       |SELECT a.user_id,
+       | COALESCE(b.event_type, '<none>') AS believed_state,
+       | a.event_type AS actual_state,
+       | CAST(CASE WHEN COALESCE(b.event_type, '<none>') <> a.event_type
+       |   THEN 1 ELSE 0 END AS INT) AS revised
+       |FROM a LEFT JOIN b USING (user_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_bitemporal" -> (q159 _),
     "q84_cdc_diff"   -> (q84 _),
     "q11_scd2_build" -> (q11 _),
     "q12_asof_join"  -> (q12 _),
@@ -286,6 +349,7 @@ object ScdQueries {
     "q129_dim_chain" -> (q129 _))
 
   val oracle: Map[String, String] = Map(
+    "q159_bitemporal" -> q159Sql,
     "q84_cdc_diff"   -> q84Sql,
     "q11_scd2_build" -> q11Sql,
     "q12_asof_join"  -> q12Sql,

@@ -329,4 +329,32 @@ class CorpusSpec extends SparkSpec {
     // n counts only the 4 non-null tokens; a (3) clears ceil-threshold 2
     assert(out === Map("a" -> 3L))
   }
+
+  test("q158 DSIR: target-domain docs outscore the rest; separation on a planted corpus") {
+    // on the fixture corpus the target source's own bigram mass must
+    // lift its docs' mean importance above the non-target mean
+    val out = graft.queries.CorpusQueries.q158(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "source")
+    val means = out.join(docs, "doc_id")
+      .groupBy(col("source") === graft.queries.CorpusQueries.DsirTarget)
+      .agg(avg("score_micro").as("m")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"target mean ${means(true)} must exceed non-target ${means(false)}")
+    // planted corpus: target docs speak vocab A, the rest vocab B —
+    // every A-doc must outscore every B-doc
+    val s2 = spark
+    import s2.implicits._
+    val synth = ((1L to 5L).map(i => (i, s"alpha beta gamma delta alpha beta", "src0")) ++
+      (6L to 20L).map(i => (i, s"one two three four one two three", "other")))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    synth.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val scored = graft.queries.CorpusQueries.q158(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val aMin = (1L to 5L).map(scored).min
+    val bMax = (6L to 20L).map(scored).max
+    assert(aMin > bMax,
+      s"every target-vocab doc ($aMin) must outscore every other ($bMax)")
+  }
 }

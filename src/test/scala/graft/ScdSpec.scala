@@ -123,4 +123,27 @@ class ScdSpec extends SparkSpec {
       col("old_max_value") === col("new_max_value")).count() == 0)
     assert(d.count() > 0)
   }
+
+  test("q159 bitemporal: beliefs equal a driver recompute, revisions exist") {
+    val out = graft.queries.ScdQueries.q159(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getInt(3)))).toMap
+    val vTs = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    val tTs = java.sql.Timestamp.valueOf("2024-01-21 00:00:00")
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .filter(_._2.getTime <= vTs.getTime)
+    val expect = ev.groupBy(_._1).map { case (u, rows) =>
+      val actual = rows.maxBy(r => (r._2.getTime, r._3))._4
+      val known = rows.filter(r =>
+        r._2.getTime + (r._3 % 3) * 86400000L <= tTs.getTime)
+      val believed =
+        if (known.isEmpty) "<none>" else known.maxBy(r => (r._2.getTime, r._3))._4
+      u -> ((believed, actual, if (believed != actual) 1 else 0))
+    }
+    assert(out === expect, "bitemporal beliefs must match the driver recompute")
+    assert(out.values.exists(_._3 == 1),
+      "the lateness model must produce at least one revision")
+    assert(out.values.exists(_._3 == 0), "and at least one stable belief")
+  }
 }
