@@ -1,0 +1,184 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Native point-in-time (as-of) join: for every fact row, the LATEST
+  * version row of the same key whose timestamp is ≤ the fact's, in one
+  * streaming merge pass per co-partition.
+  *
+  * This is the whole-operator rung of the Catalyst ladder (custom
+  * `LogicalPlan` + `SparkStrategy` + `SparkPlan`), used where operator
+  * composition genuinely leaves work on the table. The composed as-of
+  * (`Scd.asOfJoin`, the reference's trsh_rep_fraud_sync.sql:11-16
+  * shape) needs the dimension's validity INTERVALS first — a lead
+  * window over every version partition — and then an equi-join whose
+  * matches are filtered by `BETWEEN`. The native operator needs
+  * neither: both sides hash-cluster by key and sort (key, ts) — which
+  * Catalyst's EnsureRequirements plans as ordinary shuffle+sort,
+  * reusable and AQE-visible — and each output row falls out of an O(1)
+  * pointer advance. No interval materialization, no candidate
+  * expansion, no post-filter; at 100 TB the dimension is read once,
+  * window-free.
+  *
+  * Contracts (enforced in [[AsOfNative.join]]):
+  *  - key and ts are LongType/TimestampType (compared as primitive
+  *    longs in the merge loop — no per-row ordering allocation);
+  *  - `tie` breaks equal version timestamps deterministically (the
+  *    (ts, tie) pair must be unique per key);
+  *  - inner semantics: facts with no version at-or-before drop;
+  *  - rows with a NULL key or ts on either side drop (a NULL never
+  *    matches in the composed form either).
+  */
+case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
+                        leftKey: Expression, leftTs: Expression,
+                        rightKey: Expression, rightTs: Expression,
+                        rightTie: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      l: LogicalPlan, r: LogicalPlan): AsOfJoinNode = copy(left = l, right = r)
+}
+
+class AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, lt, rk, rt, tie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: Expression, leftTs: Expression,
+                        rightKey: Expression, rightTs: Expression,
+                        rightTie: Expression) extends BinaryExecNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  // both children cluster by key; EnsureRequirements co-partitions the
+  // two shuffles exactly as it does for a shuffled equi-join
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val out = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lExtract = UnsafeProjection.create(Seq(leftKey, leftTs), left.output)
+      val rExtract = UnsafeProjection.create(Seq(rightKey, rightTs), right.output)
+      val resultProj = UnsafeProjection.create(out, out)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // right cursor (the not-yet-consumed head version)
+        private var rRow: InternalRow = _
+        private var rKey = 0L
+        private var rTs = 0L
+        private var rValid = false
+        // the latest consumed version (a private copy — sort iterators
+        // reuse their row buffer) and the key it belongs to
+        private var bufRow: InternalRow = _
+        private var bufKey = 0L
+        private var bufValid = false
+        // next result, staged by hasNext
+        private var pending: InternalRow = _
+
+        advanceRight()
+
+        private def advanceRight(): Unit = {
+          rValid = false
+          while (!rValid && rIter.hasNext) {
+            val r = rIter.next()
+            val k = rExtract(r)
+            if (!k.isNullAt(0) && !k.isNullAt(1)) {
+              rRow = r; rKey = k.getLong(0); rTs = k.getLong(1); rValid = true
+            }
+          }
+        }
+
+        override def hasNext: Boolean = {
+          if (pending != null) return true
+          while (lIter.hasNext) {
+            val l = lIter.next()
+            val k = lExtract(l)
+            if (!k.isNullAt(0) && !k.isNullAt(1)) {
+              val lk = k.getLong(0)
+              val lt = k.getLong(1)
+              // consume every version at-or-before this fact, key-major
+              while (rValid && (rKey < lk || (rKey == lk && rTs <= lt))) {
+                bufKey = rKey
+                bufRow = rRow.copy()
+                bufValid = true
+                advanceRight()
+              }
+              if (bufValid && bufKey == lk) {
+                pending = resultProj(joined(l, bufRow))
+                return true
+              } // else: no version at-or-before this fact — inner drop
+            }
+          }
+          false
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = pending
+          pending = null
+          r
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      l: SparkPlan, r: SparkPlan): AsOfJoinExec = copy(left = l, right = r)
+}
+
+/** Public API for the native as-of join. */
+object AsOfNative {
+  private def attrOf(plan: LogicalPlan, name: String): Attribute =
+    plan.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"column '$name' not found in ${plan.output.map(_.name).mkString(", ")}"))
+
+  private def requireOrderable(a: Attribute): Attribute = {
+    require(a.dataType == LongType || a.dataType == TimestampType,
+      s"as-of key/ts columns must be bigint or timestamp, '${a.name}' is ${a.dataType.simpleString}")
+    a
+  }
+
+  /** `facts` ⋈ latest `versions` row per key with versionTs ≤ factTs.
+    * Output: all fact columns then all version columns (rename upstream
+    * if names collide). `versionTie` must make (versionTs, versionTie)
+    * unique per key — it pins which of two same-timestamp versions
+    * wins, on every engine and every partitioning.
+    */
+  def join(facts: DataFrame, versions: DataFrame,
+           factKey: String, factTs: String,
+           versionKey: String, versionTs: String, versionTie: String): DataFrame = {
+    // re-alias the version side so a self-join (facts and versions
+    // carved from the same source) cannot share attribute ids
+    val fresh = versions.select(versions.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
+    val lPlan = facts.queryExecution.analyzed
+    val rPlan = fresh.queryExecution.analyzed
+    val node = AsOfJoinNode(lPlan, rPlan,
+      requireOrderable(attrOf(lPlan, factKey)),
+      requireOrderable(attrOf(lPlan, factTs)),
+      requireOrderable(attrOf(rPlan, versionKey)),
+      requireOrderable(attrOf(rPlan, versionTs)),
+      requireOrderable(attrOf(rPlan, versionTie)))
+    org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(facts.sparkSession, node)
+  }
+}

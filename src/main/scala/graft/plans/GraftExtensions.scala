@@ -40,5 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     binary("vec_l2sq", classOf[L2SqExpr], L2SqExpr.apply)
     // keyless interval joins → bucketed equi-join (no cartesian/BNL)
     e.injectOptimizerRule(_ => RangeJoinRewrite)
+    // native point-in-time join: AsOfJoinNode → AsOfJoinExec
+    e.injectPlannerStrategy(_ => new AsOfJoinStrategy)
   }
 }

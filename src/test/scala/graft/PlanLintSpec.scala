@@ -43,6 +43,8 @@ class PlanLintSpec extends SparkSpec {
     *    ground-truth side; the PQ side itself is join-free literal LUTs).
     *  - q154_basket_pairs: scalar total-order count broadcast to the
     *    pair-support frame for lift (the q47 pattern).
+    *  - q158_dsir_score: scalar (nt, nr) model totals broadcast to the
+    *    bigram stream for smoothing (the q47 pattern).
     */
   private val boundedNestedLoop = Set(
     "q21_dedup_ngram", "q24_dedup_embedding", "q25_ann_bruteforce",
@@ -50,7 +52,7 @@ class PlanLintSpec extends SparkSpec {
     "q80_lm_score", "q82_char_coverage", "q93_skew_profile",
     "q114_bm25", "q117_rolling_folds", "q122_ivf_recall",
     "q130_rrf_fusion", "q132_vocab_coverage", "q148_rfm", "q149_pq_recall",
-    "q154_basket_pairs")
+    "q154_basket_pairs", "q158_dsir_score")
 
   test("no cartesian products; nested-loop joins only where bounded by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
