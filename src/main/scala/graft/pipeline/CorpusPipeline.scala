@@ -13,7 +13,8 @@ import graft.operators.{Decontaminate, Dedup}
   * reference user runs instead of wiring the individual operators.
   *
   * Stage order follows the standard curation recipe (quality gate →
-  * exact dedup → near-dup canonicalization → decontamination → shard):
+  * exact dedup → [optional DSIR importance gate] → near-dup
+  * canonicalization → decontamination → shard):
   * cheap map-only filters run first so every later shuffle sees a
   * smaller corpus, and decontamination runs after dedup so eval-overlap
   * work isn't spent on documents a dedup stage would drop anyway.
@@ -50,6 +51,16 @@ object CorpusPipeline {
       nShards: Int = 16,
       epoch: Long = 0L)
 
+  /** Optional DSIR importance gate (q158's operator as a curation
+    * stage): keep documents whose domain-match score against the
+    * `isTarget` rows reaches `minScoreMicro`. Documents with no vocab
+    * bigram carry no domain evidence and DROP (logged like any reject
+    * — selection refuses to pass what it cannot score).
+    */
+  case class ImportanceConfig(isTarget: org.apache.spark.sql.Column,
+                              minScoreMicro: Long,
+                              vocabSize: Int = 2048)
+
   /** One row per stage: input size, survivors, drops. */
   case class StageCount(stage: String, rows_in: Long, rows_out: Long,
                         rows_dropped: Long)
@@ -64,7 +75,8 @@ object CorpusPipeline {
   def curate(spark: SparkSession, docs: DataFrame, evalDocs: Option[DataFrame],
              outDir: String,
              cfg: CurationConfig = CurationConfig(),
-             idCol: String = "doc_id", textCol: String = "text"): CurationResult = {
+             idCol: String = "doc_id", textCol: String = "text",
+             importance: Option[ImportanceConfig] = None): CurationResult = {
     require(cfg.minQuality >= 0 && cfg.minQuality <= 1,
       s"minQuality must be in [0,1], got ${cfg.minQuality}")
     val stages = Seq.newBuilder[StageCount]
@@ -98,13 +110,32 @@ object CorpusPipeline {
     val n2 = stage("exact_dup", eKept,
       qKept.join(keep, Seq(idCol), "left_anti"), n1)
 
+    // 2.5 (optional) importance gate — DSIR domain-match selection
+    //     (operators.Importance, q158). Runs on the exact-deduped
+    //     corpus so duplicated texts cannot skew the feature model,
+    //     and before the LSH stage so near-dup shuffles see only
+    //     selected documents.
+    val (iKept, n2b) = importance match {
+      case Some(ic) =>
+        val keepIds = graft.operators.Importance
+          .dsirScore(eKept, idCol, textCol, ic.isTarget, ic.vocabSize)
+          .filter(col("score_micro") >= ic.minScoreMicro)
+          .select(col(idCol))
+        val kept = eKept.join(keepIds, Seq(idCol), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = stage("importance", kept,
+          eKept.join(keepIds, Seq(idCol), "left_anti"), n2)
+        (kept, n)
+      case None => (eKept, n2)
+    }
+
     // 3. near-dup canonicalization — LSH-verified pairs, connected
     //    components, longest-text representative per cluster (q95)
-    val pairs = Dedup.lshVerifiedPairs(eKept, idCol, textCol,
+    val pairs = Dedup.lshVerifiedPairs(iKept, idCol, textCol,
       cfg.shingleK, cfg.jaccardThreshold, cfg.numPerm, cfg.bands)
     val clusters = Dedup.dedupClusters(pairs, "id_a", "id_b")
     val canon = clusters
-      .join(eKept.select(col(idCol).as("node"),
+      .join(iKept.select(col(idCol).as("node"),
         length(col(textCol)).as("__len")), Seq("node"))
       .groupBy("cluster")
       .agg(max_by(col("node"), struct(col("__len"), -col("node"))).as("node"))
@@ -112,10 +143,10 @@ object CorpusPipeline {
     val nearDropped = clusters.select("node")
       .join(canon, Seq("node"), "left_anti")
       .select(col("node").as(idCol))
-    val nKept = eKept.join(nearDropped, Seq(idCol), "left_anti")
+    val nKept = iKept.join(nearDropped, Seq(idCol), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n3 = stage("near_dup", nKept,
-      eKept.join(nearDropped, Seq(idCol), "left_semi"), n2)
+      iKept.join(nearDropped, Seq(idCol), "left_semi"), n2b)
 
     // 4. decontamination — any shared eval word-n-gram disqualifies
     val (cKept, nClean) = evalDocs match {
@@ -155,6 +186,7 @@ object CorpusPipeline {
     }
 
     Seq(input, qKept, eKept, nKept).foreach(_.unpersist(blocking = false))
+    if (iKept ne eKept) iKept.unpersist(blocking = false)
     if (cKept ne nKept) cKept.unpersist(blocking = false)
     Dedup.releaseCaches()
     CurationResult(nIn, nClean, stages.result())

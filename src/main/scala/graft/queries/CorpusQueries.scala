@@ -469,26 +469,9 @@ object CorpusQueries {
   // score) and never joined to itself. Compare surface: FLOOR micro
   // (LN pipeline, the q114 contract); docs containing no vocab bigram
   // carry no evidence and are excluded (inner join), documented.
-  def q158(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val bg = graft.functions.TextFunctions.wordBigrams(docs, "doc_id", "text")
-      .withColumn("feat", concat_ws(" ", col("tok_a"), col("tok_b")))
-      .select("doc_id", "feat")
-    val cr = bg.groupBy("feat").agg(count(lit(1)).as("cr"))
-    val vocab = cr.orderBy(col("cr").desc, col("feat").asc).limit(DsirVocab)
-    val tgtIds = docs.filter(col("source") === DsirTarget).select("doc_id")
-    val ct = bg.join(tgtIds, "doc_id").groupBy("feat").agg(count(lit(1)).as("ct"))
-    val model = vocab.join(ct, Seq("feat"), "left")
-      .select(col("feat"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
-    val totals = model.agg(sum("cr").as("nr"), sum("ct").as("nt"))
-    bg.join(broadcast(model), "feat")
-      .crossJoin(broadcast(totals))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"),
-        floor(lit(1e6) * sum(
-          expr(s"LN((ct + 1) / (nt + $DsirVocab)) - LN((cr + 1) / (nr + $DsirVocab))")))
-          .cast("long").as("score_micro"))
-  }
+  def q158(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Importance.dsirScore(Tables.documents(s, dir),
+      "doc_id", "text", col("source") === DsirTarget, DsirVocab)
 
   val q158Sql: String =
     s"""WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS toks

@@ -125,4 +125,34 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(res.stages.map(_.stage) === Seq("quality", "exact_dup", "near_dup"))
     assert(spark.read.parquet(s"$dir/clean").count() === res.nClean)
   }
+
+  test("curate with an importance gate: DSIR selection drops off-domain docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_curate_imp").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val gate = CorpusPipeline.ImportanceConfig(
+      isTarget = col("source") === "src0", minScoreMicro = -15000000L)
+    val res = CorpusPipeline.curate(spark, docs, None, dir, importance = Some(gate))
+    assert(res.stages.map(_.stage) ===
+      Seq("quality", "exact_dup", "importance", "near_dup"),
+      "the gate must slot between exact dedup and near-dup")
+    val imp = res.stages.find(_.stage == "importance").get
+    assert(imp.rows_dropped > 0, "the threshold must reject some documents")
+    assert(imp.rows_out > 0, "and keep some")
+    res.stages.foreach(s => assert(s.rows_in - s.rows_out === s.rows_dropped))
+    // every rejected-by-importance doc really scores below the cut (or
+    // carries no vocab evidence at all) — recompute on the SAME gate
+    // input (post quality + exact dedup), since the model is built
+    // from the surviving corpus
+    val allRejects = spark.read.parquet(s"$dir/rejects")
+    val rejected = allRejects
+      .filter(col("reason") === "importance").select("doc_id")
+    val gateInput = docs.join(
+      allRejects.filter(col("reason").isin("quality", "exact_dup"))
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+    val scores = graft.operators.Importance
+      .dsirScore(gateInput, "doc_id", "text", col("source") === "src0", 2048)
+    val tooGood = rejected.join(scores, "doc_id")
+      .filter(col("score_micro") >= gate.minScoreMicro)
+    assert(tooGood.isEmpty, "no doc at/above the threshold may be rejected")
+  }
 }
