@@ -38,6 +38,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     binary("vec_dot", classOf[DotProductExpr], DotProductExpr.apply)
     binary("vec_cosine", classOf[CosineSimExpr], CosineSimExpr.apply)
     binary("vec_l2sq", classOf[L2SqExpr], L2SqExpr.apply)
+    // phrase_scan(tokens, 'a', 'b') → [n_matches, first_pos]; the two
+    // phrase terms must be string literals (they compile into the
+    // codegen'd matcher as constants)
+    e.injectFunction((
+      new FunctionIdentifier("phrase_scan"),
+      new ExpressionInfo(classOf[graft.functions.PhraseScanExpr].getName, "phrase_scan"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "phrase_scan takes (tokens, termA, termB)")
+        def lit(c: Expression, which: String): String = c match {
+          case l if l.foldable && l.dataType == org.apache.spark.sql.types.StringType =>
+            Option(l.eval(null)).map(_.toString).getOrElse(
+              throw new IllegalArgumentException(s"phrase_scan $which term must not be NULL"))
+          case other => throw new IllegalArgumentException(
+            s"phrase_scan $which term must be a string literal, got $other")
+        }
+        graft.functions.PhraseScanExpr(children.head,
+          lit(children(1), "second"), lit(children(2), "third"))
+      }))
     // keyless interval joins → bucketed equi-join (no cartesian/BNL)
     e.injectOptimizerRule(_ => RangeJoinRewrite)
     // native point-in-time join: AsOfJoinNode → AsOfJoinExec

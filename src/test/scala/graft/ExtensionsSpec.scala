@@ -23,4 +23,14 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT rolling_hash(42)").collect())
     assert(err.getMessage.contains("string"))
   }
+
+  test("phrase_scan is callable from SQL; non-literal terms fail cleanly") {
+    val row = spark.sql(
+      "SELECT phrase_scan(split('x a b y a b', ' '), 'a', 'b') AS ps")
+      .collect()(0).getSeq[Long](0)
+    assert(row === Seq(2L, 2L), "two matches, first phrase starts at token 2")
+    val err = intercept[Exception](
+      spark.sql("SELECT phrase_scan(split('a b', ' '), lower(rand()), 'b')").collect())
+    assert(err.getMessage.contains("literal"))
+  }
 }
