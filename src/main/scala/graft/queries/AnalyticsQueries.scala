@@ -512,7 +512,85 @@ object AnalyticsQueries {
       | CAST(SUM(ABS(n1*t.tot2 - n2*t.tot1)) AS BIGINT) AS drift_num
       |FROM c JOIN t ON t.event_type = c.event_type GROUP BY 1""".stripMargin
 
+  // --- q161: latest-error-before-purchase enrichment through the
+  // NATIVE as-of operator (plans/AsOfJoin.scala) on a fact-to-fact
+  // shape: every purchase annotated with the user's most recent error
+  // at-or-before it and the exact gap — the root-cause companion to
+  // q74, which pairs ALL errors in a window (this keeps exactly one,
+  // the freshest). One pass: both event-type slices cluster by user
+  // and sort (user, ts); no window, no interval dim, no candidate
+  // expansion. Purchases with no prior error drop (inner as-of).
+  def q161(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("error_id"))
+    graft.plans.AsOfNative.join(purchases, errors,
+        "p_user", "p_ts", "e_user", "e_ts", "error_id")
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("p_ts"),
+        col("error_id"), col("e_ts"),
+        (unix_micros(col("p_ts")) - unix_micros(col("e_ts"))).as("gap_us"))
+  }
+
+  val q161Sql: String =
+    """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      |  event_type FROM events)
+      |SELECT purchase_id, user_id, p_ts, error_id, e_ts,
+      | EPOCH_US(p_ts) - EPOCH_US(e_ts) AS gap_us FROM (
+      | SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+      |  e.event_id AS error_id, e.ts AS e_ts,
+      |  ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |    ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      | FROM ev p JOIN ev e
+      |  ON p.user_id = e.user_id AND p.event_type = 'purchase'
+      |  AND e.event_type = 'error' AND e.ts <= p.ts) WHERE rn = 1""".stripMargin
+
+  // --- q162: out-of-order depth audit — the number every
+  // `withWatermark` delay is chosen from. Under q159's deterministic
+  // lateness model (an event with timestamp ts ARRIVES at
+  // ts + (event_id % 3) days), replay each user's stream in arrival
+  // order and measure how far each event's timestamp falls behind the
+  // event-time high-water mark at its arrival; the per-day-class
+  // histogram is the watermark designer's readout (a delay of
+  // max(late_days)+1 days loses nothing). Scale: ONE lag-style window
+  // on the high-cardinality user key (arrival order is a total order
+  // per user), then a ≤ |day classes| aggregate — exact epoch-µs
+  // integers end to end, day arithmetic fixed-24h UTC (q127 contract).
+  def q162(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("arr").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        expr("timestampadd(DAY, CAST(event_id % 3 AS INT), ts)").as("arr"))
+      .withColumn("hwm", max(col("ts_us")).over(w))
+      .filter(col("hwm").isNotNull)
+      .withColumn("late_us", greatest(lit(0L), col("hwm") - col("ts_us")))
+      .withColumn("late_days", expr("late_us DIV 86400000000"))
+      .groupBy("late_days")
+      .agg(count(lit(1)).as("n_events"), max("late_us").as("max_late_us"))
+  }
+
+  val q162Sql: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |  EPOCH_US(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |  CAST(ts AS TIMESTAMP) + (event_id % 3) * INTERVAL 1 DAY AS arr
+      | FROM events),
+      |w AS (SELECT user_id, event_id, ts_us,
+      |  MAX(ts_us) OVER (PARTITION BY user_id ORDER BY arr, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      | FROM e),
+      |l AS (SELECT GREATEST(0, hwm - ts_us) AS late_us FROM w WHERE hwm IS NOT NULL)
+      |SELECT CAST(late_us // 86400000000 AS BIGINT) AS late_days,
+      | CAST(COUNT(*) AS BIGINT) AS n_events, MAX(late_us) AS max_late_us
+      |FROM l GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_last_error"      -> (q161 _),
+    "q162_disorder_audit"  -> (q162 _),
     "q112_drift"           -> (q112 _),
     "q111_pareto_frontier" -> (q111 _),
     "q104_transitions"  -> (q104 _),
@@ -526,6 +604,8 @@ object AnalyticsQueries {
     "q93_skew_profile"  -> (q93 _))
 
   val oracle: Map[String, String] = Map(
+    "q161_last_error"      -> q161Sql,
+    "q162_disorder_audit"  -> q162Sql,
     "q111_pareto_frontier" -> q111Sql,
     "q112_drift"           -> q112Sql,
     "q104_transitions"  -> q104Sql,

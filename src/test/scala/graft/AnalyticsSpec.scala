@@ -221,4 +221,39 @@ class AnalyticsSpec extends SparkSpec {
       assert(out.count() <= nTypes * nTypes)
     } finally out.unpersist()
   }
+
+  test("q161 last-error enrichment equals a driver recompute") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val errors = ev.filter(_._4 == "error").groupBy(_._1)
+    val expect = ev.filter(_._4 == "purchase").flatMap { p =>
+      errors.getOrElse(p._1, Array.empty[(Long, java.sql.Timestamp, Long, String)])
+        .filter(e => e._2.getTime < p._2.getTime ||
+          (e._2.getTime == p._2.getTime))
+        .sortBy(e => (e._2.getTime, e._3)).lastOption
+        .map(e => (p._3, e._3))
+    }.toSet
+    val got = AnalyticsQueries.q161(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(got === expect, "each purchase must carry its freshest prior error")
+    assert(got.nonEmpty)
+  }
+
+  test("q162 disorder audit: conservation and a watermark bound that holds") {
+    val out = AnalyticsQueries.q162(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ev = graft.sources.Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(out.map(_._2).sum === expected,
+      "every event after a user's first arrival is audited exactly once")
+    // day class must bracket its own max lateness
+    out.foreach { case (d, _, mx) =>
+      assert(mx / 86400000000L === d, s"class $d holds max $mx")
+    }
+    // the model adds at most 2 days of lateness, so the audit can
+    // never report a deeper disorder than that
+    assert(out.map(_._3).max < 2L * 86400000000L)
+    assert(out.exists(_._1 > 0), "the lateness model must produce real disorder")
+  }
 }
