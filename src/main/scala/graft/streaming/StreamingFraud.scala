@@ -726,4 +726,50 @@ object StreamingFraud {
         })(Encoders.product[PairBuf], Encoders.product[ChargePair])
       .toDF()
   }
+
+  /** Live root-cause enrichment — q161's latest-error-before-purchase
+    * as a stream: every purchase emits immediately with the user's
+    * freshest error so far and the exact µs gap. State is ONE error
+    * (ts, id) per user — O(users), watermark-independent. Within a
+    * micro-batch rows process in (ts, errors-before-purchases,
+    * event_id) order: the batch oracle admits a same-timestamp error
+    * (`e.ts <= p.ts`) regardless of event id, so errors at a purchase's
+    * exact timestamp must update state BEFORE the purchase fires —
+    * with that tie rule, stream output equals q161 exactly on in-order
+    * arrival (StreamingSpec).
+    */
+  case class ErrState(e_ts: java.sql.Timestamp, e_us: Long, error_id: Long)
+  case class ErrFlag(purchase_id: Long, user_id: Long,
+                     p_ts: java.sql.Timestamp, error_id: Long,
+                     e_ts: java.sql.Timestamp, gap_us: Long)
+
+  def lastErrorStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.filter(col("event_type").isin("error", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("event_type") === "purchase").as("is_p"))
+      .as[(Long, java.sql.Timestamp, Long, Boolean)](
+        Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+          Encoders.scalaLong, Encoders.scalaBoolean))
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Boolean)],
+         state: GroupState[ErrState]) => {
+          // false < true: errors sort before purchases at equal ts
+          val sorted = rows.toSeq.sortBy(r => (micros(r._2), r._4, r._3))
+          val out = scala.collection.mutable.ArrayBuffer[ErrFlag]()
+          var last = state.getOption
+          sorted.foreach { case (_, ts, eid, isP) =>
+            if (!isP) last = Some(ErrState(ts, micros(ts), eid))
+            else last.foreach { e =>
+              out += ErrFlag(eid, user, ts, e.error_id, e.e_ts,
+                micros(ts) - e.e_us)
+            }
+          }
+          last.foreach(state.update)
+          out.iterator
+        })(Encoders.product[ErrState], Encoders.product[ErrFlag])
+      .toDF()
+  }
 }

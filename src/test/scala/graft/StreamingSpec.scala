@@ -435,4 +435,17 @@ class StreamingSpec extends SparkSpec {
       assert(missing == 0, s"$missing batch flags missing from the stream")
     } finally q.stop()
   }
+
+  test("last-error stream equals q161's native as-of enrichment") {
+    val batchEvents = graft.sources.Tables.events(spark, sf)
+    val streamed = StreamingFraud.lastErrorStream(batchEvents)
+      .select("purchase_id", "user_id", "error_id", "gap_us").cache()
+    try {
+      val batch = graft.queries.AnalyticsQueries.q161(spark, sf)
+        .select("purchase_id", "user_id", "error_id", "gap_us")
+      assert(streamed.count() > 0, "test data must exercise the enrichment")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream enrichment must equal the native as-of batch result")
+    } finally streamed.unpersist(blocking = false)
+  }
 }
