@@ -205,4 +205,43 @@ class SinksSpec extends SparkSpec {
       XlsxSource.read(spark, "/tmp/nope_*.xlsx"))
     assert(e.getMessage.contains("no files match"))
   }
+
+  test("DelimitedSink round-trips through DelimitedSource, refuses oversize") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = Files.createTempDirectory("graft_dsink").toString
+    val mart = Seq(
+      (1L, "alpha", Option(12.5), Option("x")),
+      (2L, "beta;semicolon", Option(0.07), None),
+      (3L, "gamma", Option.empty[Double], Option("z"))
+    ).toDF("id", "label", "rate", "note")
+    val date = java.time.LocalDate.of(2026, 8, 14)
+    val path = graft.sources.DelimitedSink.write(
+      mart, dir, "rates", date, decimalCols = Seq("rate"))
+    assert(path.endsWith("rates_14082026.txt"), s"legacy naming, got $path")
+    // the file really uses decimal commas
+    val raw = scala.io.Source.fromFile(new java.io.File(new java.net.URI(
+      if (path.startsWith("file:")) path else s"file:$path")))
+    val lines = try raw.getLines().toList finally raw.close()
+    assert(lines.head === "id;label;rate;note")
+    assert(lines.exists(_.contains("12,5")), s"decimal comma expected in $lines")
+    // round-trip: read back with the source, normalize, compare
+    val back = graft.sources.DelimitedSource.normalizeDecimalColumns(
+      graft.sources.DelimitedSource.read(spark, path), Seq("rate"))
+    assert(back.select(to_date(col("create_dt")) === lit("2026-08-14").cast("date"))
+      .collect().forall(_.getBoolean(0)), "filename date must round-trip")
+    val got = back.select(col("id").cast("long"), col("label"),
+        col("rate"), col("note")).collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)), Option(r.getString(3))))
+      .toSet
+    val expect = Set(
+      (1L, "alpha", Some(12.5), Some("x")),
+      (2L, "beta;semicolon", Some(0.07), None),
+      (3L, "gamma", None, Some("z")))
+    assert(got === expect, s"round-trip mismatch: $got")
+    // the single-file guard refuses a frame past the bound
+    val err = intercept[IllegalArgumentException](
+      graft.sources.DelimitedSink.write(mart, dir, "big", date, maxRows = 2))
+    assert(err.getMessage.contains("single-file export bound"))
+  }
 }
