@@ -176,6 +176,24 @@ object EtlPipeline {
     counts
   }
 
+  /** Optional flat-file publish step — the outbound mirror of the
+    * inbound `name_DDMMYYYY.txt` loop: each refreshed mart exported
+    * once per business date in the legacy format
+    * ([[graft.sources.DelimitedSink]]), for downstream consumers that
+    * never migrated off file handoff. Returns the written path per
+    * mart; the sink's single-file bound applies (marts, not corpora).
+    */
+  def exportMarts(spark: SparkSession, warehouseDir: String,
+                  outDir: String, marts: Seq[String],
+                  businessDate: java.time.LocalDate,
+                  decimalCols: Map[String, Seq[String]] = Map.empty
+                 ): Map[String, String] =
+    marts.map { name =>
+      name -> graft.sources.DelimitedSink.write(
+        spark.read.parquet(s"$warehouseDir/$name"), outDir, name,
+        businessDate, decimalCols.getOrElse(name, Nil))
+    }.toMap
+
   private def refreshMart(spark: SparkSession, warehouseDir: String,
                           name: String, how: MartRefresh): Unit = how match {
     case MartRebuild(build) =>

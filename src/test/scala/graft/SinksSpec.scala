@@ -244,4 +244,22 @@ class SinksSpec extends SparkSpec {
       graft.sources.DelimitedSink.write(mart, dir, "big", date, maxRows = 2))
     assert(err.getMessage.contains("single-file export bound"))
   }
+
+  test("EtlPipeline.exportMarts hands refreshed marts back as legacy files") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = Files.createTempDirectory("graft_wh_export").toString
+    val out = Files.createTempDirectory("graft_out_export").toString
+    Seq((1L, "x", 10.25), (2L, "y", 3.5)).toDF("id", "k", "amount")
+      .write.parquet(s"$wh/rep_daily")
+    val paths = graft.pipeline.EtlPipeline.exportMarts(
+      spark, wh, out, Seq("rep_daily"), java.time.LocalDate.of(2026, 8, 14),
+      decimalCols = Map("rep_daily" -> Seq("amount")))
+    assert(paths("rep_daily").endsWith("rep_daily_14082026.txt"))
+    val back = graft.sources.DelimitedSource.normalizeDecimalColumns(
+      graft.sources.DelimitedSource.read(spark, paths("rep_daily")), Seq("amount"))
+    assert(back.count() === 2)
+    assert(back.agg(org.apache.spark.sql.functions.sum("amount"))
+      .head().getDouble(0) === 13.75)
+  }
 }
