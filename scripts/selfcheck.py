@@ -33,8 +33,20 @@ def bench_gate(path):
     if bad:
         print(f"BENCH GATE FAIL: failed/invalid query timings: {bad}")
         sys.exit(1)
+    # headroom: the driver tail-keeps 2000 chars and sbt appends ~90; at
+    # ~12 chars per '"qNNN":SS.S,' entry the registry can only grow so
+    # far before the line no longer fits (the round-3 failure) — surface
+    # the remaining budget so a future round widens DELIBERATELY (e.g.
+    # by shortening keys) instead of silently zeroing its bench
+    line_len = max(len(ln.strip()) for ln in tail.splitlines()
+                   if ln.strip().startswith("{"))
+    headroom = 2000 - 90 - line_len
     print(f"BENCH GATE OK: {len(parsed['queries'])} queries, total {parsed['value']}s, "
-          f"line fits tail window")
+          f"line fits tail window ({headroom} chars / ~{headroom // 12} more "
+          f"queries of headroom)")
+    if headroom < 200:
+        print("BENCH GATE WARNING: under ~16 queries of headroom — plan a "
+              "key-shortening or value-trimming change before the registry grows")
     sys.exit(0)
 
 if len(sys.argv) > 1 and sys.argv[1] == "bench":
