@@ -19,11 +19,13 @@ def bench_gate(path):
     out += "\n[success] Total time: 999 s (16:39), completed Aug 12, 2026, 11:59:59 PM\n"
     tail = out[-2000:]
     parsed = None
+    parsed_len = 0
     for ln in tail.splitlines():
         ln = ln.strip()
         if ln.startswith("{") and ln.endswith("}"):
             try:
                 parsed = json.loads(ln)
+                parsed_len = len(ln)
             except Exception:
                 pass
     if parsed is None or "queries" not in parsed or "value" not in parsed:
@@ -37,10 +39,9 @@ def bench_gate(path):
     # ~12 chars per '"qNNN":SS.S,' entry the registry can only grow so
     # far before the line no longer fits (the round-3 failure) — surface
     # the remaining budget so a future round widens DELIBERATELY (e.g.
-    # by shortening keys) instead of silently zeroing its bench
-    line_len = max(len(ln.strip()) for ln in tail.splitlines()
-                   if ln.strip().startswith("{"))
-    headroom = 2000 - 90 - line_len
+    # by shortening keys) instead of silently zeroing its bench.
+    # Measure the line that actually parsed, not any brace-prefixed line.
+    headroom = 2000 - 90 - parsed_len
     print(f"BENCH GATE OK: {len(parsed['queries'])} queries, total {parsed['value']}s, "
           f"line fits tail window ({headroom} chars / ~{headroom // 12} more "
           f"queries of headroom)")

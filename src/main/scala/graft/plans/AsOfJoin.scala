@@ -173,11 +173,20 @@ object AsOfNative {
     val fresh = versions.select(versions.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
     val lPlan = facts.queryExecution.analyzed
     val rPlan = fresh.queryExecution.analyzed
-    val node = AsOfJoinNode(lPlan, rPlan,
-      requireOrderable(attrOf(lPlan, factKey)),
-      requireOrderable(attrOf(lPlan, factTs)),
-      requireOrderable(attrOf(rPlan, versionKey)),
-      requireOrderable(attrOf(rPlan, versionTs)),
+    val (lk, lt) = (requireOrderable(attrOf(lPlan, factKey)),
+      requireOrderable(attrOf(lPlan, factTs)))
+    val (rk, rt) = (requireOrderable(attrOf(rPlan, versionKey)),
+      requireOrderable(attrOf(rPlan, versionTs)))
+    // the merge loop compares raw longs — a long key against a
+    // timestamp key (or epoch-nanos against micros) would pass the
+    // per-column check and silently mis-join
+    require(lk.dataType == rk.dataType,
+      s"as-of key types must match: '$factKey' is ${lk.dataType.simpleString}, " +
+        s"'$versionKey' is ${rk.dataType.simpleString}")
+    require(lt.dataType == rt.dataType,
+      s"as-of ts types must match: '$factTs' is ${lt.dataType.simpleString}, " +
+        s"'$versionTs' is ${rt.dataType.simpleString}")
+    val node = AsOfJoinNode(lPlan, rPlan, lk, lt, rk, rt,
       requireOrderable(attrOf(rPlan, versionTie)))
     org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(facts.sparkSession, node)
   }

@@ -283,20 +283,19 @@ object CorpusQueries {
       .as[(String, graft.operators.KmvSketch.KmvSummary)]
       .collect()
       .sortBy(_._1)
+    // jaccard as exact-integer ppm DIV over the rint'd sketch counts —
+    // below sketch capacity these are the exact distinct counts, so no
+    // double (and no ROUND(double, 6), the r7 engine-version hash-fail
+    // class) reaches the compare surface
     val rows = for {
       (sa, ka) <- sketches.toSeq
       (sb, kb) <- sketches.toSeq if sa < sb
     } yield {
       val (u, o) = ka.setOps(kb)
       (sa, sb, math.rint(ka.distinct).toLong, math.rint(kb.distinct).toLong,
-        math.rint(u).toLong, math.rint(o).toLong, o / u)
+        math.rint(u).toLong, math.rint(o).toLong)
     }
-    // jaccard as exact-integer ppm DIV over the rint'd sketch counts —
-    // below sketch capacity these are the exact distinct counts, so no
-    // double (and no ROUND(double, 6), the r7 engine-version hash-fail
-    // class) reaches the compare surface
-    rows.map { case (sa, sb, na, nb, u, o, _) => (sa, sb, na, nb, u, o) }
-      .toDF("source_a", "source_b", "n_a", "n_b", "n_union", "n_overlap")
+    rows.toDF("source_a", "source_b", "n_a", "n_b", "n_union", "n_overlap")
       .withColumn("jaccard_ppm", expr("(n_overlap * 1000000) DIV n_union"))
   }
 

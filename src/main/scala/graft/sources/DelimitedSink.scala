@@ -33,14 +33,33 @@ object DelimitedSink {
     require(name.matches("[A-Za-z0-9_.-]+"), s"unsafe file name: $name")
     val missing = decimalCols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"decimalCols not in frame: ${missing.mkString(", ")}")
-    val n = df.count()
-    require(n <= maxRows,
-      s"$n rows exceed the single-file export bound $maxRows — " +
-        "legacy flat files are for mart-sized extracts; raise maxRows " +
-        "deliberately or export parquet")
+    // one evaluation for both the bound check and the write: mart
+    // frames can sit on non-trivial upstream plans
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = cached.count()
+    if (n > maxRows) {
+      cached.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"$n rows exceed the single-file export bound $maxRows — " +
+          "legacy flat files are for mart-sized extracts; raise maxRows " +
+          "deliberately or export parquet")
+    }
 
-    val rendered = decimalCols.foldLeft(df) { (d, c) =>
-      d.withColumn(c, regexp_replace(col(c).cast("string"), "[.]", ","))
+    // decimal rendering goes through DECIMAL, never the native double
+    // toString: a DoubleType |value| >= 1e7 would serialize as '1.0E7'
+    // and the legacy consumer gets '1,0E7'; the decimal cast is always
+    // plain notation. Trailing fractional zeros (and a bare trailing
+    // comma) strip so 12.50 round-trips as '12,5', 10.0 as '10'.
+    val rendered = decimalCols.foldLeft(cached.toDF()) { (d, c) =>
+      d.withColumn(c,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              col(c).cast(org.apache.spark.sql.types.DecimalType(38, 6))
+                .cast("string"),
+              "[.]", ","),
+            "(,\\d*?)0+$", "$1"),
+          ",$", ""))
     }
     val spark = df.sparkSession
     val dateTag = businessDate.format(
@@ -59,6 +78,7 @@ object DelimitedSink {
     if (fs.exists(finalPath)) fs.delete(finalPath, false)
     require(fs.rename(part, finalPath), s"rename $part -> $finalPath failed")
     fs.delete(tmp, true)
+    cached.unpersist(blocking = false)
     finalPath.toString
   }
 }

@@ -223,15 +223,19 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("q161 last-error enrichment equals a driver recompute") {
+    // µs-precision comparisons: Timestamp.getTime truncates to ms, and
+    // the operator under test orders by microseconds — a same-ms pair
+    // differing in µs would make a ms-precision oracle wrong
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     val ev = graft.sources.Tables.events(spark, sf)
       .select("user_id", "ts", "event_id", "event_type").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
     val errors = ev.filter(_._4 == "error").groupBy(_._1)
     val expect = ev.filter(_._4 == "purchase").flatMap { p =>
       errors.getOrElse(p._1, Array.empty[(Long, java.sql.Timestamp, Long, String)])
-        .filter(e => e._2.getTime < p._2.getTime ||
-          (e._2.getTime == p._2.getTime))
-        .sortBy(e => (e._2.getTime, e._3)).lastOption
+        .filter(e => us(e._2) <= us(p._2))
+        .sortBy(e => (us(e._2), e._3)).lastOption
         .map(e => (p._3, e._3))
     }.toSet
     val got = AnalyticsQueries.q161(spark, sf).collect()

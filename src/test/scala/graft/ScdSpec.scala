@@ -127,18 +127,23 @@ class ScdSpec extends SparkSpec {
   test("q159 bitemporal: beliefs equal a driver recompute, revisions exist") {
     val out = graft.queries.ScdQueries.q159(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getInt(3)))).toMap
-    val vTs = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
-    val tTs = java.sql.Timestamp.valueOf("2024-01-21 00:00:00")
+    // µs-precision arithmetic: Timestamp.getTime truncates to ms while
+    // the query compares full microseconds — a version within 1 ms of
+    // the cut (or of another version) would make a ms oracle wrong
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val vUs = us(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+    val tUs = us(java.sql.Timestamp.valueOf("2024-01-21 00:00:00"))
     val ev = graft.sources.Tables.events(spark, sf)
       .select("user_id", "ts", "event_id", "event_type").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
-      .filter(_._2.getTime <= vTs.getTime)
+      .filter(r => us(r._2) <= vUs)
     val expect = ev.groupBy(_._1).map { case (u, rows) =>
-      val actual = rows.maxBy(r => (r._2.getTime, r._3))._4
+      val actual = rows.maxBy(r => (us(r._2), r._3))._4
       val known = rows.filter(r =>
-        r._2.getTime + (r._3 % 3) * 86400000L <= tTs.getTime)
+        us(r._2) + (r._3 % 3) * 86400000000L <= tUs)
       val believed =
-        if (known.isEmpty) "<none>" else known.maxBy(r => (r._2.getTime, r._3))._4
+        if (known.isEmpty) "<none>" else known.maxBy(r => (us(r._2), r._3))._4
       u -> ((believed, actual, if (believed != actual) 1 else 0))
     }
     assert(out === expect, "bitemporal beliefs must match the driver recompute")

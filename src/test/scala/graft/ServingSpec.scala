@@ -22,13 +22,19 @@ class ServingSpec extends SparkSpec {
     assert(expect.nonEmpty, "the fixture phrase must occur in the corpus")
   }
 
-  test("q155 plan: no shuffle — the phrase scan is a single map stage") {
-    val plan = ServingQueries.q155(spark, sf).queryExecution.executedPlan
-    val exchanges = plan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
-    assert(exchanges.isEmpty,
-      s"phrase search must not shuffle, found: $exchanges")
+  test("q155 plan: no join/agg shuffle — matching happens in the scan stage") {
+    // executedPlan is AQE-wrapped (AdaptiveSparkPlanExec is a leaf to
+    // collect), so assert on the rendered tree. ONE Exchange is
+    // expected and deliberate: Tables.parallelized round-robin-spreads
+    // the small single-split fixture scan (a no-op at corpus scale);
+    // what the phrase scan must never introduce is a HASH/RANGE
+    // exchange — the signature of a posting self-join or aggregation.
+    val s = ServingQueries.q155(spark, sf).queryExecution.executedPlan.toString
+    assert(s.contains("phrase_scan"), s"codegen'd matcher missing from:\n$s")
+    assert(!s.contains("hashpartitioning") && !s.contains("rangepartitioning"),
+      s"phrase search must not hash/range shuffle:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastHashJoin"),
+      s"phrase search must not join:\n$s")
   }
 
   test("q156 delta-join algebra equals the full recompute") {

@@ -213,7 +213,10 @@ class SinksSpec extends SparkSpec {
     val mart = Seq(
       (1L, "alpha", Option(12.5), Option("x")),
       (2L, "beta;semicolon", Option(0.07), None),
-      (3L, "gamma", Option.empty[Double], Option("z"))
+      (3L, "gamma", Option.empty[Double], Option("z")),
+      // a double whose native toString is scientific notation — the
+      // sink must render plain '12500000' digits, never '1,25E7'
+      (4L, "delta", Option(1.25e7), Option("w"))
     ).toDF("id", "label", "rate", "note")
     val date = java.time.LocalDate.of(2026, 8, 14)
     val path = graft.sources.DelimitedSink.write(
@@ -225,6 +228,10 @@ class SinksSpec extends SparkSpec {
     val lines = try raw.getLines().toList finally raw.close()
     assert(lines.head === "id;label;rate;note")
     assert(lines.exists(_.contains("12,5")), s"decimal comma expected in $lines")
+    assert(lines.exists(_.contains(";12500000;")),
+      s"large double must render plain, not scientific, in $lines")
+    assert(!lines.exists(l => l.contains("E7") || l.contains("e7")),
+      s"no scientific notation may reach the legacy file: $lines")
     // round-trip: read back with the source, normalize, compare
     val back = graft.sources.DelimitedSource.normalizeDecimalColumns(
       graft.sources.DelimitedSource.read(spark, path), Seq("rate"))
@@ -237,7 +244,8 @@ class SinksSpec extends SparkSpec {
     val expect = Set(
       (1L, "alpha", Some(12.5), Some("x")),
       (2L, "beta;semicolon", Some(0.07), None),
-      (3L, "gamma", None, Some("z")))
+      (3L, "gamma", None, Some("z")),
+      (4L, "delta", Some(1.25e7), Some("w")))
     assert(got === expect, s"round-trip mismatch: $got")
     // the single-file guard refuses a frame past the bound
     val err = intercept[IllegalArgumentException](
