@@ -58,11 +58,11 @@ object TextFunctions {
   def wordNgrams(df: org.apache.spark.sql.DataFrame, idCol: String,
                  textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
     require(n >= 1, s"shingle width must be >= 1, got $n")
-    // drop empty tokens like wsTokens: split of "" returns [""], which
-    // at n=1 would pass the size >= n gate and emit an empty-string
-    // shingle for a blank document, breaking the zero-tokens convention
-    val toks = filter(split(trim(lower(col(textCol))), "\\s+"),
-      t => t =!= "")
+    // the shared tokenizer (empty tokens dropped): split of "" returns
+    // [""], which at n=1 would pass the size >= n gate and emit an
+    // empty-string shingle for a blank document, breaking the
+    // zero-tokens convention — and an inline copy would drift
+    val toks = wsTokens(lower(col(textCol)))
     df.select(col(idCol), toks.as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col(idCol), col("toks"),

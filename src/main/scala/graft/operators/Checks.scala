@@ -32,7 +32,12 @@ object Checks {
     val name = s"not_null_$col"
   }
 
-  /** `col` must be unique across the table (violations = surplus rows). */
+  /** Non-null `col` must be unique across the table (violations =
+    * surplus non-null rows). NULLs are ignored, the SQL-standard UNIQUE
+    * semantics — completeness is [[NotNull]]'s job, and counting NULL
+    * rows as duplicates would fail a clean-but-sparse column with a
+    * misleading verdict.
+    */
   final case class Unique(col: String) extends Check {
     val name = s"unique_$col"
   }
@@ -72,7 +77,7 @@ object Checks {
       case (NotNull(c), i) =>
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__v_$i")
       case (Unique(c), i) =>
-        (count(lit(1)) - countDistinct(col(c))).as(s"__v_$i")
+        (count(col(c)) - countDistinct(col(c))).as(s"__v_$i")
       case (NonNegative(c), i) =>
         sum(when(col(c).isNotNull && col(c) < 0, 1L).otherwise(0L)).as(s"__v_$i")
       case (InSet(c, vs), i) =>

@@ -44,19 +44,23 @@ object FileBloomIndex {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  /** Build the index: (file, n_rows, bloom) — one aggregation pass over
-    * the table, partial blooms merged map-side like any Aggregator.
-    * Size `expectedItemsPerFile` to the layout's rows-per-file;
-    * overshooting wastes bytes, undershooting raises fpp, never
-    * correctness.
+  /** Build the index: (file, n_rows, bloom, key_type) — one aggregation
+    * pass over the table, partial blooms merged map-side like any
+    * Aggregator. `key_type` records the key column's data type so
+    * point reads can cast their probe literal without re-listing the
+    * data directory. Size `expectedItemsPerFile` to the layout's
+    * rows-per-file; overshooting wastes bytes, undershooting raises
+    * fpp, never correctness.
     */
   def bloomIndex(spark: SparkSession, path: String, keyCol: String,
                  expectedItemsPerFile: Long = 1000000L,
                  fpp: Double = 0.01): DataFrame = {
     val agg = udaf(new BloomAgg(expectedItemsPerFile, fpp), Encoders.scalaLong)
-    spark.read.parquet(path)
+    val data = spark.read.parquet(path)
+    data
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"), agg(xxhash64(col(keyCol))).as("bloom"))
+      .withColumn("key_type", lit(data.schema(keyCol).dataType.catalogString))
   }
 
   /** Point read through the index: open only files whose bloom may
@@ -73,7 +77,15 @@ object FileBloomIndex {
   def prunedPointRead(spark: SparkSession, path: String, index: DataFrame,
                       keyCol: String, key: Any): DataFrame = {
     require(key != null, "prunedPointRead needs a non-null key")
-    val keyType = spark.read.parquet(path).schema(keyCol).dataType
+    // resolve the stored column type from the index itself (one tiny
+    // read) — re-opening the data path would pay a full file listing +
+    // footer pass per point lookup just to learn a constant; fall back
+    // to the data path for indexes built before key_type existed
+    val keyType =
+      if (index.columns.contains("key_type"))
+        org.apache.spark.sql.types.DataType.fromDDL(
+          index.select("key_type").head().getString(0))
+      else spark.read.parquet(path).schema(keyCol).dataType
     val probe = lit(key).cast(keyType)
     val hk = spark.range(1).select(xxhash64(probe)).head().getLong(0)
     import spark.implicits._

@@ -53,9 +53,16 @@ object ProductQuant {
     val c = corpus.select(col(vecCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
     val n = c.count()
+    // content-hash Bernoulli past the cap: the selected row set depends
+    // only on the vector VALUES — df.sample's per-partition RNG would
+    // pick different rows under a different partition layout, breaking
+    // the cross-run determinism this codebook promises
     val sample = if (n <= fitSampleCap) c
-                 else c.sample(withReplacement = false,
-                   fitSampleCap.toDouble / n, seed = 42L)
+                 else {
+                   val denom = 1000000L
+                   val keep = math.max(1L, denom * fitSampleCap / n)
+                   c.filter(pmod(xxhash64(col("v")), lit(denom)) < keep)
+                 }
     val rows: Array[Array[Double]] =
       sample.collect().map(_.getSeq[Double](0).toArray)
     require(rows.nonEmpty, "cannot fit a codebook on an empty corpus")
@@ -179,12 +186,15 @@ object ProductQuant {
     */
   def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
              vecCol: String, k: Int, cb: Codebook): DataFrame = {
+    // bound BEFORE the collect: limit(1025) keeps an oversized probe
+    // frame from materializing on the driver just to fail the require
     val ps = probes
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .limit(1025)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(ps.nonEmpty && ps.length <= 1024,
-      s"probe set is a bounded query batch, got ${ps.length}")
+      s"probe set is a bounded query batch (<= 1024), got more")
     val codes = encode(corpus, idCol, vecCol, cb)
       .withColumnRenamed(idCol, "neighbor_id")
     val perProbe = array(ps.map { case (pid, pv) =>

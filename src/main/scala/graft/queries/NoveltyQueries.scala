@@ -70,9 +70,11 @@ object NoveltyQueries {
   // on the count-class frame (q132's posture — O(√corpus-ish) distinct
   // counts, never a vocabulary sort).
   def q147(s: SparkSession, dir: String): DataFrame = {
+    // the shared tokenizer expression — an inline copy would silently
+    // desynchronize from the oracle if wsTokens ever changes
     val toks = Tables.documents(s, dir)
-      .select(col("lang"), explode(filter(
-        split(trim(lower(col("text"))), "\\s+"), t => t =!= "")).as("token"))
+      .select(col("lang"), explode(
+        graft.functions.TextFunctions.wsTokens(lower(col("text")))).as("token"))
     toks.groupBy("lang", "token").agg(count(lit(1)).as("c"))
       .groupBy("lang", "c").agg(count(lit(1)).as("n_types"))
       .withColumn("mass", col("c") * col("n_types"))

@@ -43,10 +43,13 @@ object PqQueries {
       .join(adc, Seq("probe_id", "neighbor_id"), "left")
       .join(refined, Seq("probe_id", "neighbor_id"), "left")
       .groupBy("probe_id")
-      .agg((sum(when(col("adc_rank").isNotNull, 1).otherwise(0)) / 10.0)
-        .as("recall_adc_at_10"),
-        (sum(when(col("ref_rank").isNotNull, 1).otherwise(0)) / 10.0)
-          .as("recall_refined_at_10"))
+      // denominator = the probe's ACTUAL exact-neighbor count, not the
+      // literal 10: against a corpus slice with < 10 non-self vectors
+      // a perfect index would otherwise read recall < 1
+      .agg((sum(when(col("adc_rank").isNotNull, 1).otherwise(0)) /
+        count(lit(1))).as("recall_adc_at_10"),
+        (sum(when(col("ref_rank").isNotNull, 1).otherwise(0)) /
+          count(lit(1))).as("recall_refined_at_10"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

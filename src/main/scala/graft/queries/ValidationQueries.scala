@@ -52,7 +52,7 @@ object ValidationQueries {
       |m AS (
       | SELECT CAST(COUNT(*) AS BIGINT) AS total,
       |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
-      |  CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS v_uq,
+      |  CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS BIGINT) AS v_uq,
       |  CAST(SUM(CASE WHEN value IS NOT NULL AND value < 0 THEN 1 ELSE 0 END)
       |    AS BIGINT) AS v_neg,
       |  CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN

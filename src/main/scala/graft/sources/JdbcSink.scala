@@ -100,7 +100,25 @@ object JdbcSink {
     n
   }
 
-  private def tableExists(spark: SparkSession, t: Target): Boolean =
-    try { JdbcSource.read(spark, t.url, t.table, t.connProps).schema; true }
-    catch { case _: Exception => false }
+  /** Existence probe that distinguishes "table absent" from transient
+    * failure: a swallowed connection error here would make
+    * [[publishRunLog]] skip the MAX(run_id) dedup gate and re-append
+    * the whole local log once connectivity returns. A zero-row probe
+    * runs over a raw connection; SQLSTATE class 42 (syntax or access
+    * rule violation — '42P01' undefined_table on Postgres, '42X05' on
+    * Derby) means absent, anything else (connection refused, timeout,
+    * auth) PROPAGATES so the publish fails loudly instead of
+    * double-counting.
+    */
+  private def tableExists(spark: SparkSession, t: Target): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(t.url, t.connProps)
+    try {
+      val st = conn.createStatement()
+      try { st.executeQuery(s"SELECT 1 FROM ${t.table} WHERE 1=0"); true }
+      finally st.close()
+    } catch {
+      case e: java.sql.SQLException
+        if Option(e.getSQLState).exists(_.startsWith("42")) => false
+    } finally conn.close()
+  }
 }
