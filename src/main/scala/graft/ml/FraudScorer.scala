@@ -51,13 +51,21 @@ object FraudScorer {
       .setMaxIter(10).setRegParam(0.01).setStandardization(true)
       .fit(train)
 
-  /** Seeded uniform cap: lr's maxIter passes need a representative
-    * sample, not 100 TB of facts. `n` is the (footer-cheap) cardinality
-    * of `df` — below the cap the frame passes through unchanged.
+  /** Deterministic uniform cap: lr's maxIter passes need a
+    * representative sample, not 100 TB of facts. `n` is the
+    * (footer-cheap) cardinality of `df` — below the cap the frame
+    * passes through unchanged. The cap is a content-hash Bernoulli on
+    * event_id, not df.sample, whose per-partition RNG would select a
+    * different training set under a different partition layout and
+    * make the scorer vary run to run on identical data.
     */
   private def capped(df: DataFrame, n: Long, cap: Long): DataFrame =
     if (n <= cap) df
-    else df.sample(withReplacement = false, cap.toDouble / n, seed = 42L)
+    else df.filter(
+      // salted (second arg) so the cap draws from a hash stream
+      // independent of evaluate()'s train/test split on the same column
+      pmod(xxhash64(col("event_id"), lit(7L)), lit(1000000L)) <
+        math.max(1L, 1000000L * cap / n))
 
   /** Train on rule-labeled events, emit per-event fraud probability.
     *

@@ -80,8 +80,14 @@ object Similarity {
     // instead of 100 TB. The count is one columnar-metadata-cheap scan;
     // ASSIGNMENT below still covers every corpus vector.
     val n = c.count()
+    // content-hash Bernoulli, not df.sample: the per-partition RNG
+    // would pick a different fit set under a different partition
+    // layout, making the quantizer (and every cell assignment) vary
+    // run to run on identical data (the ProductQuant.fit contract)
     val fit = if (n <= fitSampleCap) c
-              else c.sample(withReplacement = false, fitSampleCap.toDouble / n, seed = 42L)
+              else c.filter(
+                pmod(xxhash64(col("neighbor_id")), lit(1000000L)) <
+                  math.max(1L, 1000000L * fitSampleCap / n))
     val model = km.fit(fit)
     val assigned = model.transform(c).select(col("neighbor_id"), col("cv"), col("cell"))
     // centroid table is nCells rows — broadcast; each probe ranks cells
