@@ -91,4 +91,22 @@ class ServingSpec extends SparkSpec {
       p.unpersist()
     } finally out.unpersist()
   }
+
+  test("q163 retraction algebra equals the direct recompute, and retracts something") {
+    val out = ServingQueries.q163(spark, sf)
+    val cut = lit(ServingQueries.DeltaCut).cast("date")
+    val l = graft.sources.Tables.lineitem(spark, sf)
+    val retracted = l.filter(col("l_returnflag") === "R" &&
+      col("l_shipdate").cast("date") >= cut)
+    assert(retracted.count() > 0, "the fixture must contain late returns")
+    val direct = graft.sources.Tables.orders(spark, sf)
+      .join(l.filter(!(col("l_returnflag") === "R" &&
+          col("l_shipdate").cast("date") >= cut)),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("net_cents"),
+        count(lit(1)).as("n_live"))
+    assert(out.exceptAll(direct).isEmpty && direct.exceptAll(out).isEmpty,
+      "state merged with negated retraction partials must equal exclusion")
+  }
 }
