@@ -59,13 +59,19 @@ object FraudScorer {
     * different training set under a different partition layout and
     * make the scorer vary run to run on identical data.
     */
-  private def capped(df: DataFrame, n: Long, cap: Long): DataFrame =
+  private def capped(df: DataFrame, n: Long, cap: Long): DataFrame = {
+    require(cap >= 1 && cap <= 1000000L,
+      s"training cap $cap out of the bounded-fit range")
     if (n <= cap) df
     else df.filter(
       // salted (second arg) so the cap draws from a hash stream
-      // independent of evaluate()'s train/test split on the same column
-      pmod(xxhash64(col("event_id"), lit(7L)), lit(1000000L)) <
-        math.max(1L, 1000000L * cap / n))
+      // independent of evaluate()'s train/test split on the same
+      // column; denom = 2^40 keeps the floor()'d fraction faithful to
+      // cap/n at any n (a 10^6 denom clamps to 1 past n > 10^6·cap and
+      // stops bounding the train set); (2^40)·cap < 2^63 by the require
+      pmod(xxhash64(col("event_id"), lit(7L)), lit(1L << 40)) <
+        math.max(1L, (1L << 40) * cap / n))
+  }
 
   /** Train on rule-labeled events, emit per-event fraud probability.
     *

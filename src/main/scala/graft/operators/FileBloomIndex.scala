@@ -78,14 +78,21 @@ object FileBloomIndex {
                       keyCol: String, key: Any): DataFrame = {
     require(key != null, "prunedPointRead needs a non-null key")
     // resolve the stored column type from the index itself (one tiny
-    // read) — re-opening the data path would pay a full file listing +
-    // footer pass per point lookup just to learn a constant; fall back
-    // to the data path for indexes built before key_type existed
-    val keyType =
-      if (index.columns.contains("key_type"))
-        org.apache.spark.sql.types.DataType.fromDDL(
-          index.select("key_type").head().getString(0))
-      else spark.read.parquet(path).schema(keyCol).dataType
+    // read of the stored index table) — re-opening the data path would
+    // pay a full file listing + footer pass per point lookup just to
+    // learn a constant. Fall back to the data path for pre-key_type
+    // indexes AND for an empty index (zero files → zero index rows →
+    // take(1) empty; the read must still return an empty typed frame,
+    // not throw). Note the probe evaluates the index plan — pass the
+    // STORED index table, not an unmaterialized build pipeline.
+    val keyType = {
+      val stored =
+        if (index.columns.contains("key_type"))
+          index.select("key_type").take(1).headOption.map(r =>
+            org.apache.spark.sql.types.DataType.fromDDL(r.getString(0)))
+        else None
+      stored.getOrElse(spark.read.parquet(path).schema(keyCol).dataType)
+    }
     val probe = lit(key).cast(keyType)
     val hk = spark.range(1).select(xxhash64(probe)).head().getLong(0)
     import spark.implicits._

@@ -56,12 +56,20 @@ object ProductQuant {
     // content-hash Bernoulli past the cap: the selected row set depends
     // only on the vector VALUES — df.sample's per-partition RNG would
     // pick different rows under a different partition layout, breaking
-    // the cross-run determinism this codebook promises
+    // the cross-run determinism this codebook promises. denom = 2^40
+    // keeps the floor()'d keep fraction within one part in ~10^7 of
+    // cap/n for any n the require above admits (a 10^6 denom would stop
+    // bounding the collect once n > 10^6·cap). Identical vectors share
+    // a hash and survive or drop together; the limit() backstop keeps a
+    // pathologically duplicate-heavy corpus from flooding the driver —
+    // it truncates (deterministically only per layout) instead of OOMing.
     val sample = if (n <= fitSampleCap) c
                  else {
-                   val denom = 1000000L
+                   val denom = 1L << 40
+                   // denom·cap <= 2^40 · 10^6 < 2^63 (cap bounded above)
                    val keep = math.max(1L, denom * fitSampleCap / n)
                    c.filter(pmod(xxhash64(col("v")), lit(denom)) < keep)
+                     .limit((4L * fitSampleCap).toInt)
                  }
     val rows: Array[Array[Double]] =
       sample.collect().map(_.getSeq[Double](0).toArray)
@@ -193,8 +201,9 @@ object ProductQuant {
       .limit(1025)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    require(ps.nonEmpty && ps.length <= 1024,
-      s"probe set is a bounded query batch (<= 1024), got more")
+    require(ps.nonEmpty, "probe set is empty")
+    require(ps.length <= 1024,
+      "probe set is a bounded query batch — more than 1024 probes supplied")
     val codes = encode(corpus, idCol, vecCol, cb)
       .withColumnRenamed(idCol, "neighbor_id")
     val perProbe = array(ps.map { case (pid, pv) =>

@@ -80,14 +80,19 @@ object Similarity {
     // instead of 100 TB. The count is one columnar-metadata-cheap scan;
     // ASSIGNMENT below still covers every corpus vector.
     val n = c.count()
-    // content-hash Bernoulli, not df.sample: the per-partition RNG
-    // would pick a different fit set under a different partition
-    // layout, making the quantizer (and every cell assignment) vary
-    // run to run on identical data (the ProductQuant.fit contract)
+    // content-hash Bernoulli on the unique id, not df.sample: the
+    // per-partition RNG would pick a different fit set under a
+    // different partition layout, making the quantizer (and every cell
+    // assignment) vary run to run on identical data (the
+    // ProductQuant.fit contract). denom = 2^40: a 10^6 denom would
+    // stop bounding the fit set once n > 10^6·cap (floor clamps to 1).
+    require(fitSampleCap >= 1 && fitSampleCap <= 1000000L,
+      s"fit sample is a bounded driver-side KMeans set, cap $fitSampleCap out of range")
     val fit = if (n <= fitSampleCap) c
               else c.filter(
-                pmod(xxhash64(col("neighbor_id")), lit(1000000L)) <
-                  math.max(1L, 1000000L * fitSampleCap / n))
+                pmod(xxhash64(col("neighbor_id")), lit(1L << 40)) <
+                  // (2^40)·cap <= 2^40 · 10^6 < 2^63 by the require
+                  math.max(1L, (1L << 40) * fitSampleCap / n))
     val model = km.fit(fit)
     val assigned = model.transform(c).select(col("neighbor_id"), col("cv"), col("cell"))
     // centroid table is nCells rows — broadcast; each probe ranks cells

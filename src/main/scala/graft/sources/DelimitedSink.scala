@@ -33,52 +33,65 @@ object DelimitedSink {
     require(name.matches("[A-Za-z0-9_.-]+"), s"unsafe file name: $name")
     val missing = decimalCols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"decimalCols not in frame: ${missing.mkString(", ")}")
-    // one evaluation for both the bound check and the write: mart
-    // frames can sit on non-trivial upstream plans
+    // one evaluation for both the checks and the write: mart frames
+    // can sit on non-trivial upstream plans. try/finally so a failed
+    // write (rename, part-count) never leaks the cached frame.
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = cached.count()
-    if (n > maxRows) {
-      cached.unpersist(blocking = false)
-      throw new IllegalArgumentException(
+    try {
+      val n = cached.count()
+      require(n <= maxRows,
         s"$n rows exceed the single-file export bound $maxRows — " +
           "legacy flat files are for mart-sized extracts; raise maxRows " +
           "deliberately or export parquet")
-    }
+      // the legacy format holds plain decimal digits: values the
+      // DECIMAL(38,6) rendering below cannot represent faithfully
+      // (|v| >= 1e32 overflows to NULL, 0 < |v| < 1e-6 rounds to 0)
+      // must REFUSE, not silently corrupt
+      if (decimalCols.nonEmpty) {
+        val outOfRange = decimalCols.map(c =>
+          col(c).isNotNull &&
+            (abs(col(c)) >= 1e32 || (col(c) =!= 0.0 && abs(col(c)) < 1e-6)))
+          .reduce(_ || _)
+        val bad = cached.filter(outOfRange).count()
+        require(bad == 0L,
+          s"$bad rows carry decimal values outside the legacy format's " +
+            "representable range [1e-6, 1e32) — export parquet instead")
+      }
 
-    // decimal rendering goes through DECIMAL, never the native double
-    // toString: a DoubleType |value| >= 1e7 would serialize as '1.0E7'
-    // and the legacy consumer gets '1,0E7'; the decimal cast is always
-    // plain notation. Trailing fractional zeros (and a bare trailing
-    // comma) strip so 12.50 round-trips as '12,5', 10.0 as '10'.
-    val rendered = decimalCols.foldLeft(cached.toDF()) { (d, c) =>
-      d.withColumn(c,
-        regexp_replace(
+      // decimal rendering goes through DECIMAL, never the native double
+      // toString: a DoubleType |value| >= 1e7 would serialize as '1.0E7'
+      // and the legacy consumer gets '1,0E7'; the decimal cast is always
+      // plain notation. Trailing fractional zeros (and a bare trailing
+      // comma) strip so 12.50 round-trips as '12,5', 10.0 as '10'.
+      val rendered = decimalCols.foldLeft(cached.toDF()) { (d, c) =>
+        d.withColumn(c,
           regexp_replace(
             regexp_replace(
-              col(c).cast(org.apache.spark.sql.types.DecimalType(38, 6))
-                .cast("string"),
-              "[.]", ","),
-            "(,\\d*?)0+$", "$1"),
-          ",$", ""))
-    }
-    val spark = df.sparkSession
-    val dateTag = businessDate.format(
-      java.time.format.DateTimeFormatter.ofPattern("ddMMyyyy"))
-    val finalPath = new Path(s"$outDir/${name}_$dateTag.$ext")
-    val tmp = new Path(s"$outDir/.tmp_${name}_$dateTag")
-    val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
-    rendered.coalesce(1).write.mode("overwrite")
-      .option("sep", ";").option("header", "true").option("encoding", "UTF-8")
-      .csv(tmp.toString)
-    val part = fs.globStatus(new Path(tmp, "part-*")) match {
-      case Array(one) => one.getPath
-      case other => throw new IllegalStateException(
-        s"expected exactly one part file under $tmp, found ${other.length}")
-    }
-    if (fs.exists(finalPath)) fs.delete(finalPath, false)
-    require(fs.rename(part, finalPath), s"rename $part -> $finalPath failed")
-    fs.delete(tmp, true)
-    cached.unpersist(blocking = false)
-    finalPath.toString
+              regexp_replace(
+                col(c).cast(org.apache.spark.sql.types.DecimalType(38, 6))
+                  .cast("string"),
+                "[.]", ","),
+              "(,\\d*?)0+$", "$1"),
+            ",$", ""))
+      }
+      val spark = df.sparkSession
+      val dateTag = businessDate.format(
+        java.time.format.DateTimeFormatter.ofPattern("ddMMyyyy"))
+      val finalPath = new Path(s"$outDir/${name}_$dateTag.$ext")
+      val tmp = new Path(s"$outDir/.tmp_${name}_$dateTag")
+      val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
+      rendered.coalesce(1).write.mode("overwrite")
+        .option("sep", ";").option("header", "true").option("encoding", "UTF-8")
+        .csv(tmp.toString)
+      val part = fs.globStatus(new Path(tmp, "part-*")) match {
+        case Array(one) => one.getPath
+        case other => throw new IllegalStateException(
+          s"expected exactly one part file under $tmp, found ${other.length}")
+      }
+      if (fs.exists(finalPath)) fs.delete(finalPath, false)
+      require(fs.rename(part, finalPath), s"rename $part -> $finalPath failed")
+      fs.delete(tmp, true)
+      finalPath.toString
+    } finally cached.unpersist(blocking = false)
   }
 }

@@ -100,17 +100,30 @@ object JdbcSink {
     n
   }
 
-  /** Existence probe that distinguishes "table absent" from transient
-    * failure: a swallowed connection error here would make
+  /** SQLSTATEs that specifically mean "relation does not exist":
+    * '42P01' (Postgres undefined_table), '42X05' (Derby), '42S02'
+    * (SQL/CLI base table not found — MySQL/ODBC family). Class-42
+    * codes OUTSIDE this list (e.g. Postgres '42501'
+    * insufficient_privilege) are NOT absence: a permission failure on
+    * an existing run-log table must fail the publish, not silently
+    * skip the dedup gate and double-append.
+    */
+  private val AbsentStates = Set("42P01", "42X05", "42S02")
+
+  /** Existence probe that distinguishes "table absent" from every
+    * other failure: a swallowed connection error here would make
     * [[publishRunLog]] skip the MAX(run_id) dedup gate and re-append
     * the whole local log once connectivity returns. A zero-row probe
-    * runs over a raw connection; SQLSTATE class 42 (syntax or access
-    * rule violation — '42P01' undefined_table on Postgres, '42X05' on
-    * Derby) means absent, anything else (connection refused, timeout,
-    * auth) PROPAGATES so the publish fails loudly instead of
+    * runs over a raw connection (honoring a `driver` property in
+    * connProps, like Spark's JDBC source, for pre-JDBC-4 drivers that
+    * ServiceLoader cannot discover); only [[AbsentStates]] means
+    * absent — anything else (connection refused, timeout, auth,
+    * privileges) PROPAGATES so the publish fails loudly instead of
     * double-counting.
     */
   private def tableExists(spark: SparkSession, t: Target): Boolean = {
+    Option(t.connProps.getProperty("driver"))
+      .foreach(cls => java.lang.Class.forName(cls))
     val conn = java.sql.DriverManager.getConnection(t.url, t.connProps)
     try {
       val st = conn.createStatement()
@@ -118,7 +131,7 @@ object JdbcSink {
       finally st.close()
     } catch {
       case e: java.sql.SQLException
-        if Option(e.getSQLState).exists(_.startsWith("42")) => false
+        if Option(e.getSQLState).exists(AbsentStates.contains) => false
     } finally conn.close()
   }
 }
