@@ -270,4 +270,25 @@ class SinksSpec extends SparkSpec {
     assert(back.agg(org.apache.spark.sql.functions.sum("amount"))
       .head().getDouble(0) === 13.75)
   }
+
+  test("DelimitedSink refuses decimal values the legacy format cannot represent") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = Files.createTempDirectory("graft_dsink_range").toString
+    val date = java.time.LocalDate.of(2026, 8, 14)
+    // 2.5e-7 would silently round to 0 through DECIMAL(38,6)
+    val tiny = Seq((1L, Option(2.5e-7))).toDF("id", "rate")
+    val e1 = intercept[IllegalArgumentException](
+      graft.sources.DelimitedSink.write(tiny, dir, "t", date, Seq("rate")))
+    assert(e1.getMessage.contains("representable range"))
+    // 1.2e33 would overflow the cast to NULL
+    val huge = Seq((1L, Option(1.2e33))).toDF("id", "rate")
+    val e2 = intercept[IllegalArgumentException](
+      graft.sources.DelimitedSink.write(huge, dir, "t", date, Seq("rate")))
+    assert(e2.getMessage.contains("representable range"))
+    // exact zero and nulls remain fine
+    val ok = Seq((1L, Option(0.0)), (2L, Option.empty[Double])).toDF("id", "rate")
+    val path = graft.sources.DelimitedSink.write(ok, dir, "ok", date, Seq("rate"))
+    assert(path.endsWith("ok_14082026.txt"))
+  }
 }
