@@ -448,4 +448,47 @@ class StreamingSpec extends SparkSpec {
         "stream enrichment must equal the native as-of batch result")
     } finally streamed.unpersist(blocking = false)
   }
+
+  test("last-error stream carries its state across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lasterr").toString
+    val sp = spark
+    import sp.implicits._
+    def write(rows: Seq[(Long, String, Long, String)]): Unit =
+      rows.toDF("event_id", "ts_s", "user_id", "event_type")
+        .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    // batch 1: only an error — nothing may emit yet
+    write(Seq((1L, "2024-01-01 10:00:00", 1L, "error")))
+    val q = StreamingFraud.lastErrorStream(
+        StreamingFraud.readEventStream(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lerr_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("lerr_out").isEmpty, "an error alone emits nothing")
+      // batch 2: the purchase must flag the PRIOR micro-batch's error
+      // (state survival), the later error updates state, and user 2's
+      // error-free purchase stays silent
+      write(Seq((2L, "2024-01-01 10:30:00", 1L, "purchase"),
+        (3L, "2024-01-01 10:40:00", 1L, "error"),
+        (4L, "2024-01-01 10:35:00", 2L, "purchase")))
+      q.processAllAvailable()
+      val out1 = spark.table("lerr_out").collect()
+      assert(out1.length == 1 &&
+        out1(0).getAs[Long]("purchase_id") == 2L &&
+        out1(0).getAs[Long]("error_id") == 1L &&
+        out1(0).getAs[Long]("gap_us") == 1800L * 1000000L,
+        s"expected purchase 2 flagging error 1: ${out1.mkString(",")}")
+      // batch 3: the refreshed state (error 3) wins for the next purchase
+      write(Seq((5L, "2024-01-01 10:50:00", 1L, "purchase")))
+      q.processAllAvailable()
+      val out2 = spark.table("lerr_out").collect()
+      assert(out2.length == 2 && out2.exists(r =>
+        r.getAs[Long]("purchase_id") == 5L && r.getAs[Long]("error_id") == 3L),
+        s"expected purchase 5 flagging error 3: ${out2.mkString(",")}")
+    } finally q.stop()
+  }
 }
