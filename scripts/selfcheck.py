@@ -35,19 +35,30 @@ def bench_gate(path):
     if bad:
         print(f"BENCH GATE FAIL: failed/invalid query timings: {bad}")
         sys.exit(1)
-    # headroom: the driver tail-keeps 2000 chars and sbt appends ~90; at
-    # ~12 chars per '"qNNN":SS.S,' entry the registry can only grow so
-    # far before the line no longer fits (the round-3 failure) — surface
-    # the remaining budget so a future round widens DELIBERATELY (e.g.
-    # by shortening keys) instead of silently zeroing its bench.
-    # Measure the line that actually parsed, not any brace-prefixed line.
+    # The line may carry a top-K-by-time SUBSET (Bench's tiered
+    # compaction); then it must say so explicitly — an "omitted" count
+    # plus the pointer to the full per-query artifact — so a reader of
+    # BENCH_r{N}.json can never mistake the subset for the suite.
+    omitted = parsed.get("omitted", 0)
+    if omitted and parsed.get("detail") != "BENCH_DETAIL.json":
+        print("BENCH GATE FAIL: omitted queries without a detail pointer")
+        sys.exit(1)
+    # headroom: the driver tail-keeps 2000 chars and sbt appends ~90.
+    # Estimate "more queries" from the MEASURED average entry width of
+    # the parsed line (not a hardcoded 12), so the number stays honest
+    # as key/precision choices change. Bench tiers down automatically
+    # at a 1500-char budget, so the gate can only fail if that logic
+    # breaks — the warning tracks distance to the tier boundary.
     headroom = 2000 - 90 - parsed_len
-    print(f"BENCH GATE OK: {len(parsed['queries'])} queries, total {parsed['value']}s, "
-          f"line fits tail window ({headroom} chars / ~{headroom // 12} more "
-          f"queries of headroom)")
+    nq = len(parsed["queries"])
+    entry_w = max(1, round(parsed_len / max(nq, 1)))
+    print(f"BENCH GATE OK: {nq} queries on the line"
+          + (f" ({omitted} omitted, full set in BENCH_DETAIL.json)" if omitted else "")
+          + f", total {parsed['value']}s, line {parsed_len} chars "
+          f"({headroom} chars / ~{headroom // entry_w} more queries of tail headroom)")
     if headroom < 200:
-        print("BENCH GATE WARNING: under ~16 queries of headroom — plan a "
-              "key-shortening or value-trimming change before the registry grows")
+        print("BENCH GATE WARNING: under 200 chars of tail headroom — Bench's "
+              "tiered compaction should have engaged; check its Budget")
     sys.exit(0)
 
 if len(sys.argv) > 1 and sys.argv[1] == "bench":
@@ -105,15 +116,37 @@ for name, sql in sorted(oracle.items()):
         fail += 1
         continue
     try:
-        orel = con.execute(sql)
-        ocols = [d[0] for d in orel.description]
-        orows = orel.fetchall()
+        # Fetch the oracle THROUGH ARROW, not fetchall(): fetchall
+        # coerces DuckDB HUGEINT/DECIMAL to Python int, which is
+        # exactly how the naked-SUM type-drift class (5 of round 8's 6
+        # driver hash-fails) passed this gate silently two rounds in a
+        # row. The driver compares arrow-level representations.
+        otbl = con.execute(sql).arrow()
+        ocols = otbl.column_names
+        orows = [tuple(d[c] for c in ocols) for d in otbl.to_pylist()]
     except Exception as e:
         print(f"FAIL {name}: oracle sql error: {e}")
         fail += 1
         continue
     if sorted(scols) != sorted(ocols):
         print(f"FAIL {name}: schema mismatch spark={sorted(scols)} oracle={sorted(ocols)}")
+        fail += 1
+        continue
+    # Arrow-TYPE strictness: any column whose oracle arrow type differs
+    # from the Spark parquet arrow type is a fail, mirroring the driver
+    # (decimal128(38,0) vs int64 hashes differently even when every
+    # value is numerically equal). Only provably-hash-equivalent
+    # spellings are normalized.
+    def canon_type(t):
+        s = str(t)
+        return "string" if s in ("large_string", "large_utf8", "utf8") else s
+    stypes = {f.name: canon_type(f.type) for f in tbl.schema}
+    otypes = {f.name: canon_type(f.type) for f in otbl.schema}
+    tbad = [(c, stypes[c], otypes[c]) for c in sorted(stypes)
+            if stypes[c] != otypes[c]]
+    if tbad:
+        for c, st, ot in tbad:
+            print(f"FAIL {name}: arrow type mismatch on '{c}': spark={st} oracle={ot}")
         fail += 1
         continue
     # The driver compares dtypes strictly: a tz-aware spark timestamp vs

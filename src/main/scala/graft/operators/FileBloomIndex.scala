@@ -61,6 +61,7 @@ object FileBloomIndex {
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"), agg(xxhash64(col(keyCol))).as("bloom"))
       .withColumn("key_type", lit(data.schema(keyCol).dataType.catalogString))
+      .withColumn("key_col", lit(keyCol))
   }
 
   /** Point read through the index: open only files whose bloom may
@@ -87,10 +88,24 @@ object FileBloomIndex {
     // STORED index table, not an unmaterialized build pipeline.
     val keyType = {
       val stored =
-        if (index.columns.contains("key_type"))
-          index.select("key_type").take(1).headOption.map(r =>
-            org.apache.spark.sql.types.DataType.fromDDL(r.getString(0)))
-        else None
+        if (index.columns.contains("key_type")) {
+          val head =
+            if (index.columns.contains("key_col"))
+              index.select("key_type", "key_col").take(1).headOption
+            else index.select("key_type").take(1).headOption
+          head.map { r =>
+            // the stored type is only meaningful for the column the
+            // index was BUILT on — probing a different column with it
+            // would silently prune on the wrong key semantics
+            if (r.length > 1) {
+              val built = r.getString(1)
+              require(built == keyCol,
+                s"index was built on '$built' but probed with '$keyCol' — " +
+                  "rebuild the index on the probe column")
+            }
+            org.apache.spark.sql.types.DataType.fromDDL(r.getString(0))
+          }
+        } else None
       stored.getOrElse(spark.read.parquet(path).schema(keyCol).dataType)
     }
     val probe = lit(key).cast(keyType)

@@ -637,15 +637,15 @@ object CurationQueries {
           .as("dow"),
         expr("CAST(unix_micros(ts) div 3600000000 % 24 AS INT)").as("hr"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
-          .as("sum_value"))
+        sum(round(col("value") * 100).cast("long")).cast("long")
+          .as("sum_cents"))
 
   val q127Sql: String =
     """SELECT event_type,
       | CAST((EPOCH_US(ts) // 86400000000 + 4) % 7 + 1 AS INT) AS dow,
       | CAST((EPOCH_US(ts) // 3600000000) % 24 AS INT) AS hr,
       | CAST(COUNT(*) AS BIGINT) AS n_events,
-      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+      | CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
   // --- q128: CUSUM changepoint detection on daily volume per type —

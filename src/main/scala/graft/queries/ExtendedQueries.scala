@@ -63,10 +63,13 @@ object ExtendedQueries {
       count(lit(1)).over(wp).as("n"),
       lag(col("o_totalprice"), 1).over(w).as("prev_price"),
       lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      // rn is IntegerType: promote BEFORE the ×1e6 or the product wraps
+      // silently past rn ≈ 2147 in non-ANSI mode while the BIGINT-native
+      // oracle doesn't — a silent cross-engine divergence at scale
       .withColumn("pct_rank_ppm",
         expr("CASE WHEN n = 1 THEN CAST(0 AS BIGINT) " +
-          "ELSE ((rn - 1) * 1000000) DIV (n - 1) END"))
-      .withColumn("cdist_ppm", expr("(rn * 1000000) DIV n"))
+          "ELSE ((CAST(rn AS BIGINT) - 1) * 1000000) DIV (n - 1) END"))
+      .withColumn("cdist_ppm", expr("(CAST(rn AS BIGINT) * 1000000) DIV n"))
       .drop("n")
   }
 

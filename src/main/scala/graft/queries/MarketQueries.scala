@@ -58,7 +58,7 @@ object MarketQueries {
       | FROM lineitem GROUP BY 1)
       |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
       | MIN(rp_cents) AS min_cents, MAX(rp_cents) AS max_cents,
-      | SUM(rp_cents) AS sum_cents,
+      | CAST(SUM(rp_cents) AS BIGINT) AS sum_cents,
       | CAST(SUM(COALESCE(r.rev_cents, 0)) AS BIGINT) AS rev_cents,
       | CAST(SUM(COALESCE(r.n_lines, 0)) AS BIGINT) AS n_lines,
       | CAST(((MAX(rp_cents) - MIN(rp_cents)) * 1000000) // MIN(rp_cents)

@@ -136,7 +136,7 @@ object NoveltyQueries {
        |p AS (
        | SELECT user_id, MAX(EPOCH_US(ts)) AS last_us,
        |  CAST(COUNT(*) AS BIGINT) AS f,
-       |  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS m_cents
+       |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS m_cents
        | FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
        | GROUP BY 1),
        |r AS (SELECT p.*, (a.max_us - p.last_us) // 86400000000 AS r_days

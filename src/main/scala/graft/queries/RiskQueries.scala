@@ -57,8 +57,9 @@ object RiskQueries {
        | SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
        | FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
        |st AS (
-       | SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, SUM(cents) AS sum_c,
-       |  SUM(cents * cents) AS ssq
+       | SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(cents) AS BIGINT) AS sum_c,
+       |  CAST(SUM(cents * cents) AS BIGINT) AS ssq
        | FROM p GROUP BY 1 HAVING COUNT(*) >= $MinHistory)
        |SELECT p.user_id, p.event_id, p.cents, st.n, st.sum_c
        |FROM p JOIN st USING (user_id)

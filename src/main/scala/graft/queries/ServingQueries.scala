@@ -103,7 +103,8 @@ object ServingQueries {
 
   val q156Sql: String =
     """SELECT o_orderpriority,
-      | SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS total_cents,
+      | CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |   AS total_cents,
       | CAST(COUNT(*) AS BIGINT) AS n_lines
       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
@@ -199,7 +200,7 @@ object ServingQueries {
        |  (l.l_returnflag = 'R' AND CAST(l.l_shipdate AS DATE) >= DATE '$DeltaCut') AS retr
        | FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
        |SELECT o_orderpriority,
-       | SUM(CASE WHEN retr THEN 0 ELSE cents END) AS net_cents,
+       | CAST(SUM(CASE WHEN retr THEN 0 ELSE cents END) AS BIGINT) AS net_cents,
        | CAST(SUM(CASE WHEN retr THEN 0 ELSE 1 END) AS BIGINT) AS n_live
        |FROM j GROUP BY 1""".stripMargin
 

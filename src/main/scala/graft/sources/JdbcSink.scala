@@ -82,6 +82,17 @@ object JdbcSink {
     * `trsh_meta_etl_run_log`) for runs the RDBMS copy hasn't seen.
     * Reads the remote MAX(run_id) first so replays are idempotent
     * without requiring a unique constraint remotely.
+    *
+    * Supported databases: the absence probe recognizes Postgres,
+    * Derby, and the MySQL/ODBC SQLSTATE family (see [[AbsentStates]]).
+    * Databases that signal a missing table differently (Oracle's
+    * generic '42000', SQLite's null SQLState) propagate from the
+    * probe, so the FIRST publish against such a target fails loudly
+    * instead of creating the table — create the run-log table
+    * out-of-band there (or extend AbsentStates after verifying the
+    * driver's code is absence-specific). Fail-loud is deliberate: a
+    * state we can't classify must not silently skip the MAX(run_id)
+    * dedup gate and double-append.
     */
   def publishRunLog(spark: SparkSession, warehouseDir: String,
                     t: Target): Long = {
