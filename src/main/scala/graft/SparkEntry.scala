@@ -33,7 +33,8 @@ object SparkEntry {
       graft.queries.PqQueries.queries ++
       graft.queries.RiskQueries.queries ++
       graft.queries.MarketQueries.queries ++
-      graft.queries.ServingQueries.queries
+      graft.queries.ServingQueries.queries ++
+      graft.queries.OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -57,5 +58,6 @@ object SparkEntry {
       graft.queries.NoveltyQueries.oracle ++
       graft.queries.RiskQueries.oracle ++
       graft.queries.MarketQueries.oracle ++
-      graft.queries.ServingQueries.oracle
+      graft.queries.ServingQueries.oracle ++
+      graft.queries.OpsQueries.oracle
 }

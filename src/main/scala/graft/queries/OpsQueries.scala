@@ -1,0 +1,337 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Round-9 widening: pipeline-operations queries — the update-correct
+  * streaming as-of twin, the operational ADVISORS (the plan decisions a
+  * 100 TB deployment tunes by measurement, surfaced as queries over the
+  * data's own profile), and temperature-scaled training-mixture
+  * weights.
+  *
+  * q164 runs [[graft.streaming.StreamingFraud.asOfUpdateStream]] in its
+  * batch mode (the same flatMapGroupsWithState operator the stream
+  * executes — the correctness gate exercises the operator itself, not a
+  * separate twin), q165 runs [[graft.pipeline.MartAdvisor]] over the
+  * fact stream's per-day ingest profile, q166 computes per-source
+  * sampling weights for a training-data mixture, q167 advises
+  * broadcast-vs-shuffle per dimension table, q168 picks the
+  * `withWatermark` delay from the arrival profile, q169 sizes the
+  * streaming state that delay implies, and q170 tracks duplicate
+  * pressure per ingest day (when to re-run dedup).
+  *
+  * Compare surface: exact integers (epoch days, counts, cents, ppm via
+  * integer DIV); q166's single SQRT is IEEE-correctly-rounded on both
+  * engines and feeds a x1000 FLOOR whose integer output re-enters exact
+  * arithmetic (posture 3), with the cross-source denominator summed
+  * over INTEGERS so no double accumulation order can differ.
+  */
+object OpsQueries {
+
+  // --- q164: as-of join under late dimension updates — click facts
+  // resolved to the user's latest signup version at-or-before each
+  // click, through the streaming operator's batch mode. The streaming
+  // semantics (facts buffer until the watermark passes them; late
+  // version arrivals within the delay still win) are pinned equal to
+  // this batch result by StreamingSpec; the oracle is the plain as-of
+  // rank. Shape: one shuffle by user_id, per-group linear merge — no
+  // window over the corpus, no candidate expansion.
+  def q164(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val facts = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("fact_id"), col("user_id"), col("ts"))
+    val versions = ev
+      .filter(col("event_type") === "signup" && col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id").as("version_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    graft.streaming.StreamingFraud.asOfUpdateStream(facts, versions)
+      .select(col("fact_id"), col("user_id"), col("f_ts"),
+        col("version_id"), col("v_ts"), col("v_cents"))
+  }
+
+  val q164Sql: String =
+    """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      |  event_type, value FROM events)
+      |SELECT fact_id, user_id, f_ts, version_id, v_ts, v_cents FROM (
+      | SELECT f.event_id AS fact_id, f.user_id, f.ts AS f_ts,
+      |  v.event_id AS version_id, v.ts AS v_ts,
+      |  CAST(ROUND(v.value * 100) AS BIGINT) AS v_cents,
+      |  ROW_NUMBER() OVER (PARTITION BY f.event_id
+      |    ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      | FROM ev f JOIN ev v ON f.user_id = v.user_id
+      |  AND v.event_type = 'signup' AND v.value IS NOT NULL
+      |  AND v.ts <= f.ts
+      | WHERE f.event_type = 'click') WHERE rn = 1""".stripMargin
+
+  // --- q165: rebuild-vs-accumulate advisor over the fact stream's
+  // per-day ingest profile (graft.pipeline.MartAdvisor) — for each
+  // ingest day, the modeled scan cost of accumulating the mart
+  // (writeAmp x (increment + 1-day rule lookback)) vs rebuilding it
+  // (full history), and which is cheaper. The early days say rebuild,
+  // the crossover says accumulate — the readout behind the reference's
+  // hardcoded accumulate choice. Shape: ONE corpus pass (groupBy day,
+  // map-side combined) down to <= |days| rows, then the bounded-frame
+  // running-sum window. Day arithmetic is epoch-integer (posture 4).
+  def q165(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+    graft.pipeline.MartAdvisor.advise(daily, "day", "n_new")
+      .select(col("day"), col("n_new"), col("cum_rows"), col("lookback_rows"),
+        col("acc_cost_rows"), col("rebuild_cost_rows"), col("decision"))
+  }
+
+  val q165Sql: String =
+    """WITH d AS (
+      | SELECT EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_new
+      | FROM events GROUP BY 1),
+      |w AS (
+      | SELECT day, n_new,
+      |  CAST(SUM(n_new) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rows,
+      |  CAST(COALESCE(SUM(n_new) OVER (ORDER BY day
+      |    ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS lookback_rows
+      | FROM d)
+      |SELECT day, n_new, cum_rows, lookback_rows,
+      | CAST(3 * (n_new + lookback_rows) AS BIGINT) AS acc_cost_rows,
+      | cum_rows AS rebuild_cost_rows,
+      | CASE WHEN 3 * (n_new + lookback_rows) <= cum_rows
+      |   THEN 'accumulate' ELSE 'rebuild' END AS decision
+      |FROM w""".stripMargin
+
+  // --- q166: temperature-scaled training-mixture weights per corpus
+  // source — the data-mixing step of an LLM pipeline: sampling weight
+  // proportional to (char mass)^(1/2), i.e. temperature alpha = 0.5,
+  // which up-weights small sources relative to proportional sampling
+  // without letting big sources dominate. Engine-proof fixed point:
+  // s = FLOOR(1000 * SQRT(mass)) per source is computed from an EXACT
+  // integer (one correctly-rounded sqrt + one exact x1000), and the
+  // normalizing denominator sums those INTEGERS — so no cross-engine
+  // double-accumulation order exists; weight_ppm = s*1e6 DIV sum(s).
+  // Shape: one map-side-combined groupBy(source) down to <= |sources|
+  // rows; the unpartitioned window runs on that bounded frame.
+  def q166(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .withColumn("s_scaled",
+        floor(lit(1000.0) * sqrt(col("sum_chars").cast("double"))).cast("long"))
+    bySource
+      .withColumn("denom",
+        sum(col("s_scaled")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .cast("long"))
+      .select(col("source"), col("n_docs"), col("sum_chars"), col("s_scaled"),
+        expr("(s_scaled * 1000000) DIV denom").as("weight_ppm"))
+  }
+
+  val q166Sql: String =
+    """WITH s AS (
+      | SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(FLOOR(1000.0 * SQRT(CAST(SUM(n_chars) AS DOUBLE))) AS BIGINT)
+      |    AS s_scaled
+      | FROM documents GROUP BY 1)
+      |SELECT source, n_docs, sum_chars, s_scaled,
+      | CAST(s_scaled * 1000000 // (SELECT CAST(SUM(s_scaled) AS BIGINT) FROM s)
+      |   AS BIGINT) AS weight_ppm
+      |FROM s""".stripMargin
+
+  // --- q167: broadcast-vs-shuffle join advisor over the star schema's
+  // dimension tables — MartAdvisor's sibling for the OTHER big plan
+  // decision. Per dim: row count and a modeled in-memory size
+  // (character mass of every string column + 8 bytes per non-string
+  // column per row), against Spark's 10 MiB default
+  // autoBroadcastJoinThreshold. Shape: one map-side-combined aggregate
+  // PER DIM (dims are the small tables by construction), unioned into
+  // a 5-row frame — the advisor itself costs one scan of each dim,
+  // which is what any broadcast would pay anyway.
+  def q167(s: SparkSession, dir: String): DataFrame = {
+    val Threshold = 10L * 1024 * 1024
+    def est(df: DataFrame, name: String, strCols: Seq[String], nFixed: Int) =
+      df.agg(count(lit(1)).as("n_rows"),
+          (strCols.map(c => sum(length(col(c)))).reduce(_ + _) +
+            lit(nFixed.toLong * 8) * count(lit(1))).cast("long").as("est_bytes"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("est_bytes"),
+          when(col("est_bytes") <= Threshold, lit("broadcast"))
+            .otherwise(lit("shuffle")).as("decision"))
+    est(Tables.region(s, dir), "region", Seq("r_name"), 1)
+      .unionByName(est(Tables.nation(s, dir), "nation", Seq("n_name"), 2))
+      .unionByName(est(Tables.supplier(s, dir), "supplier", Seq("s_name"), 3))
+      .unionByName(est(Tables.customer(s, dir), "customer",
+        Seq("c_name", "c_mktsegment"), 3))
+      .unionByName(est(Tables.part(s, dir), "part",
+        Seq("p_name", "p_brand", "p_type"), 3))
+  }
+
+  val q167Sql: String = {
+    def one(t: String, strs: Seq[String], nFixed: Int) =
+      s"""SELECT '$t' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         | CAST(${strs.map(c => s"SUM(LENGTH($c))").mkString(" + ")}
+         |   + $nFixed * 8 * COUNT(*) AS BIGINT) AS est_bytes,
+         | CASE WHEN ${strs.map(c => s"SUM(LENGTH($c))").mkString(" + ")}
+         |   + $nFixed * 8 * COUNT(*) <= 10485760
+         |  THEN 'broadcast' ELSE 'shuffle' END AS decision
+         |FROM $t""".stripMargin
+    Seq(one("region", Seq("r_name"), 1),
+      one("nation", Seq("n_name"), 2),
+      one("supplier", Seq("s_name"), 3),
+      one("customer", Seq("c_name", "c_mktsegment"), 3),
+      one("part", Seq("p_name", "p_brand", "p_type"), 3))
+      .mkString("\nUNION ALL\n")
+  }
+
+  // --- q168: watermark-delay advisor — the number every
+  // `withWatermark` call needs, chosen from the stream's own arrival
+  // profile instead of guessed. Under the q159/q162 lateness model an
+  // event's own arrival delay is (event_id % 3) days, which UPPER-
+  // BOUNDS its lateness behind any event-time high-water mark (the
+  // hwm at its arrival can't exceed its arrival time), so a delay
+  // covering a target fraction of arrival delays conservatively
+  // covers the same fraction of watermark lateness — and unlike
+  // q162's per-user replay this needs ZERO window: one map-side
+  // aggregate over the ≤ 3 delay classes, then the literal target
+  // spine picks the smallest sufficient delay per completeness
+  // target. Exact ppm via integer DIV.
+  def q168(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = s
+    import sp.implicits._
+    val cls = Tables.events(s, dir)
+      .groupBy((col("event_id") % 3).cast("long").as("delay_days"))
+      .agg(count(lit(1)).as("n_events"))
+    val cum = cls
+      .withColumn("cum", sum("n_events").over(Window.orderBy("delay_days")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum("n_events").over(Window
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("delay_days"),
+        expr("(cum * 1000000) DIV total").as("covered_ppm"))
+    val targets = Seq(990000L, 999000L, 1000000L).toDF("target_ppm")
+    targets.join(cum, cum("covered_ppm") >= targets("target_ppm"))
+      .groupBy("target_ppm")
+      .agg(min(struct(col("delay_days"), col("covered_ppm"))).as("pick"))
+      .select(col("target_ppm"), col("pick.delay_days").as("delay_days"),
+        col("pick.covered_ppm").as("covered_ppm"))
+  }
+
+  val q168Sql: String =
+    """WITH cls AS (
+      | SELECT CAST(event_id % 3 AS BIGINT) AS delay_days,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      | FROM events GROUP BY 1),
+      |cum AS (
+      | SELECT delay_days,
+      |  CAST(SUM(n_events) OVER (ORDER BY delay_days
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+      |   // CAST((SELECT SUM(n_events) FROM cls) AS BIGINT) AS BIGINT)
+      |   AS covered_ppm
+      | FROM cls),
+      |t AS (SELECT CAST(x AS BIGINT) AS target_ppm
+      |  FROM (VALUES (990000), (999000), (1000000)) v(x))
+      |SELECT target_ppm,
+      | MIN(delay_days) AS delay_days,
+      | MIN_BY(covered_ppm, delay_days) AS covered_ppm
+      |FROM t JOIN cum ON cum.covered_ppm >= t.target_ppm
+      |GROUP BY 1""".stripMargin
+
+  // --- q169: streaming-state sizing readout for the watermark-buffered
+  // operators (asOfUpdateStream's pending-fact buffer, the stream-
+  // stream join's row buffer): for each candidate delay D, how many
+  // rows sit inside the trailing D-day watermark window when the
+  // stream idles (= the state the store must hold), total and for the
+  // heaviest key. Shape: the corpus-max timestamp is a scalar
+  // broadcast (the q47 pattern); trailing-day classes aggregate
+  // map-side; the per-user frame explodes each class into the ≤ 3
+  // delays it counts toward (join-free), then one user-keyed shuffle.
+  def q169(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val mx = ev.agg(max(unix_micros(col("ts"))).as("max_us"))
+    val t = ev.select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .crossJoin(broadcast(mx))
+      .withColumn("cls", expr("(max_us - ts_us) DIV 86400000000"))
+      .filter(col("cls") < 3)
+    val perDelay = t
+      .select(col("user_id"),
+        explode(expr("sequence(CAST(cls AS INT) + 1, 3)")).as("delay_days"))
+    val totals = perDelay.groupBy("delay_days")
+      .agg(count(lit(1)).as("buffered_rows"))
+    val perUser = perDelay.groupBy("delay_days", "user_id")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("delay_days").agg(max("n").as("max_user_buffered"))
+    totals.join(perUser, Seq("delay_days"))
+      .select(col("delay_days").cast("long").as("delay_days"),
+        col("buffered_rows"), col("max_user_buffered"))
+  }
+
+  val q169Sql: String =
+    """WITH mx AS (SELECT MAX(EPOCH_US(CAST(ts AS TIMESTAMP))) AS max_us FROM events),
+      |t AS (
+      | SELECT user_id,
+      |  (mx.max_us - EPOCH_US(CAST(ts AS TIMESTAMP))) // 86400000000 AS cls
+      | FROM events, mx),
+      |pd AS (
+      | SELECT user_id, CAST(d.delay AS BIGINT) AS delay_days
+      | FROM t JOIN (VALUES (1), (2), (3)) d(delay) ON t.cls < d.delay),
+      |tot AS (SELECT delay_days, CAST(COUNT(*) AS BIGINT) AS buffered_rows
+      | FROM pd GROUP BY 1),
+      |pu AS (SELECT delay_days, CAST(MAX(n) AS BIGINT) AS max_user_buffered
+      | FROM (SELECT delay_days, user_id, COUNT(*) AS n FROM pd GROUP BY 1, 2)
+      | GROUP BY 1)
+      |SELECT delay_days, buffered_rows, max_user_buffered
+      |FROM tot JOIN pu USING (delay_days)""".stripMargin
+
+  // --- q170: duplicate-pressure trend — the dedup scheduler's readout:
+  // per ingest day, how much of the day's volume is redundant on the
+  // exact-dedup key (user_id, event_type). Rising dup_ppm says re-run
+  // the dedup pass more often; falling says relax it. Shape: one
+  // high-cardinality (day, user, type) groupBy (map-side combined),
+  // then the ≤ |days| rollup — both partial-aggregable, no window.
+  def q170(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("day")
+      .agg(sum("n").cast("long").as("n_events"),
+        count(lit(1)).as("n_keys"))
+      .select(col("day"), col("n_events"), col("n_keys"),
+        expr("((n_events - n_keys) * 1000000) DIV n_events").as("dup_ppm"))
+  }
+
+  val q170Sql: String =
+    """WITH g AS (
+      | SELECT EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |  user_id, event_type, COUNT(*) AS n
+      | FROM events GROUP BY 1, 2, 3),
+      |d AS (
+      | SELECT day, CAST(SUM(n) AS BIGINT) AS n_events,
+      |  CAST(COUNT(*) AS BIGINT) AS n_keys
+      | FROM g GROUP BY 1)
+      |SELECT day, n_events, n_keys,
+      | CAST((n_events - n_keys) * 1000000 // n_events AS BIGINT) AS dup_ppm
+      |FROM d""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_asof_update" -> (q164 _),
+    "q165_rebuild_advisor" -> (q165 _),
+    "q166_mixture_weights" -> (q166 _),
+    "q167_join_advisor" -> (q167 _),
+    "q168_watermark_advisor" -> (q168 _),
+    "q169_state_size" -> (q169 _),
+    "q170_dup_trend" -> (q170 _))
+
+  val oracle: Map[String, String] = Map(
+    "q164_asof_update" -> q164Sql,
+    "q165_rebuild_advisor" -> q165Sql,
+    "q166_mixture_weights" -> q166Sql,
+    "q167_join_advisor" -> q167Sql,
+    "q168_watermark_advisor" -> q168Sql,
+    "q169_state_size" -> q169Sql,
+    "q170_dup_trend" -> q170Sql)
+}

@@ -772,4 +772,108 @@ object StreamingFraud {
         })(Encoders.product[ErrState], Encoders.product[ErrFlag])
       .toDF()
   }
+
+  /** Streaming as-of join that is CORRECT UNDER LATE DIMENSION UPDATES —
+    * the update-stream twin of the native batch operator
+    * (plans/AsOfJoin.scala) and the piece [[lastErrorStream]] doesn't
+    * give you: lastErrorStream resolves each fact against the versions
+    * seen SO FAR, so a version that arrives out of order — after a fact
+    * whose event time it precedes — is silently missed. Here facts
+    * BUFFER in state until the event-time watermark passes their
+    * timestamp; only then can no version with `v.ts <= f.ts` still
+    * arrive (any later arrival is below the watermark and dropped by
+    * the engine), so the resolution each fact emits is final and equals
+    * the batch as-of exactly. This is the streaming SCD lookup: facts
+    * stream in while the dimension's version stream runs behind by up
+    * to the watermark delay.
+    *
+    * Inputs: `facts(fact_id, user_id, ts)` and
+    * `versions(user_id, ts, version_id, cents)`; output one row per
+    * fact that has a version at-or-before it (inner as-of, ties to the
+    * latest (ts, version_id) — the q160/q161 oracle rule).
+    *
+    * With the default `NoTimeout` (batch execution — timeouts never
+    * fire in batch) the group function sees each key's full history
+    * once, the watermark is treated as +infinity, and every fact
+    * resolves: batch output IS the batch as-of join, which is what the
+    * q164 oracle checks. With `EventTimeTimeout` (streaming; both
+    * inputs must carry a watermark at least as large as the real
+    * disorder), pending facts emit as the watermark passes them, and a
+    * timeout at watermark+1ms keeps an idle key draining; facts the
+    * final watermark never passes stay in state (the sessionStream
+    * "final open session" caveat).
+    *
+    * Scale: state per key is the pending-fact buffer (bounded by the
+    * watermark delay x per-key fact rate) plus the version list pruned
+    * to the latest version at-or-before the resolution frontier — O(1)
+    * per key when versions arrive at dimension-update rates. One
+    * shuffle by key; per-invocation work is a sort of the new rows plus
+    * a linear merge.
+    */
+  case class AsOfVer(v_us: Long, v_id: Long, cents: Long)
+  case class AsOfFact(f_us: Long, f_id: Long)
+  case class AsOfSt(versions: List[AsOfVer], pending: List[AsOfFact])
+  case class AsOfOut(fact_id: Long, user_id: Long, f_ts: java.sql.Timestamp,
+                     version_id: Long, v_ts: java.sql.Timestamp, v_cents: Long)
+
+  def asOfUpdateStream(facts: DataFrame, versions: DataFrame,
+                       timeout: org.apache.spark.sql.streaming.GroupStateTimeout =
+                         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val useTimeout = timeout == GroupStateTimeout.EventTimeTimeout
+    val tagged = facts
+      .select(col("user_id"), col("ts"), col("fact_id").as("id"),
+        lit(0L).as("cents"), lit(true).as("is_fact"))
+      .unionByName(versions
+        .select(col("user_id"), col("ts"), col("version_id").as("id"),
+          col("cents"), lit(false).as("is_fact")))
+    tagged
+      .as[(Long, java.sql.Timestamp, Long, Long, Boolean)](
+        Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+          Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaBoolean))
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, Boolean)],
+         state: GroupState[AsOfSt]) => {
+          var st = state.getOption.getOrElse(AsOfSt(Nil, Nil))
+          if (!(useTimeout && state.hasTimedOut)) {
+            val rs = rows.toSeq
+            val nv = rs.collect { case (_, ts, id, c, false) => AsOfVer(micros(ts), id, c) }
+            val nf = rs.collect { case (_, ts, id, _, true) => AsOfFact(micros(ts), id) }
+            st = AsOfSt((st.versions ++ nv).sortBy(v => (v.v_us, v.v_id)),
+              st.pending ++ nf)
+          }
+          // Watermark W (ms) guarantees no future row with event time
+          // < W. A fact STRICTLY below W (µs-floored) can therefore
+          // never gain another admissible version (v_us <= f_us < W·1000
+          // implies the version's event time is below W) — it is final.
+          val safeUs =
+            if (useTimeout) state.getCurrentWatermarkMs() * 1000L
+            else Long.MaxValue
+          val (ready, still) = st.pending.partition(_.f_us < safeUs)
+          val out = ready.sortBy(f => (f.f_us, f.f_id)).flatMap { f =>
+            // latest version at-or-before the fact: list is sorted by
+            // (v_us, v_id), so the last admissible element is the match
+            st.versions.takeWhile(_.v_us <= f.f_us).lastOption.map(v =>
+              AsOfOut(f.f_id, user, fromMicros(f.f_us), v.v_id,
+                fromMicros(v.v_us), v.cents))
+          }
+          // prune versions: future facts all sit at or above
+          // min(watermark, oldest still-pending fact); only the LATEST
+          // version at-or-before that frontier can ever match again
+          val frontier = (safeUs +: still.map(_.f_us)).min
+          val (below, above) = st.versions.partition(_.v_us <= frontier)
+          val kept = AsOfSt(below.takeRight(1) ++ above, still)
+          if (kept.versions.isEmpty && kept.pending.isEmpty) state.remove()
+          else {
+            state.update(kept)
+            // re-invoke as the watermark advances past pending facts
+            if (useTimeout && kept.pending.nonEmpty)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          }
+          out.iterator
+        })(Encoders.product[AsOfSt], Encoders.product[AsOfOut])
+      .toDF()
+  }
 }

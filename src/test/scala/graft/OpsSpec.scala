@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 pipeline-operations suite: the update-correct as-of batch
+  * twin (q164), the rebuild-vs-accumulate advisor (q165 +
+  * MartAdvisor), and training-mixture weights (q166).
+  */
+class OpsSpec extends SparkSpec {
+
+  test("q164: batch-mode update-stream as-of equals the composed window-rank as-of") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.sources.Tables.events(spark, sf)
+    val f = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("fact_id"), col("user_id").as("f_user"),
+        col("ts").as("f_ts"))
+    val v = ev.filter(col("event_type") === "signup" && col("value").isNotNull)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("version_id"),
+        round(col("value") * 100).cast("long").as("v_cents"))
+    val composed = f.join(v,
+        f("f_user") === v("v_user") && v("v_ts") <= f("f_ts"))
+      .withColumn("rn", row_number().over(Window.partitionBy("fact_id")
+        .orderBy(col("v_ts").desc, col("version_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("fact_id"), col("f_user").as("user_id"), col("f_ts"),
+        col("version_id"), col("v_ts"), col("v_cents"))
+    val got = graft.queries.OpsQueries.q164(spark, sf)
+    assert(got.count() > 0, "test data must exercise the as-of")
+    assert(got.exceptAll(composed).isEmpty && composed.exceptAll(got).isEmpty,
+      "batch-mode asOfUpdateStream must equal the composed as-of exactly")
+  }
+
+  test("q165: advisor costs recompute from the day profile, crossover is the model's") {
+    val rows = graft.queries.OpsQueries.q165(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.length > 5, "a month of events should span many days")
+    var cum = 0L
+    var prev = 0L
+    rows.foreach { r =>
+      val (n, lb) = (r.getAs[Long]("n_new"), r.getAs[Long]("lookback_rows"))
+      cum += n
+      assert(r.getAs[Long]("cum_rows") === cum)
+      assert(lb === prev, "lookback must be exactly the previous day's volume")
+      val acc = 3L * (n + lb)
+      assert(r.getAs[Long]("acc_cost_rows") === acc)
+      assert(r.getAs[Long]("rebuild_cost_rows") === cum)
+      assert(r.getAs[String]("decision") ===
+        (if (acc <= cum) "accumulate" else "rebuild"))
+      prev = n
+    }
+    // the economic shape: a young mart rebuilds, a grown one accumulates
+    assert(rows.head.getAs[String]("decision") === "rebuild",
+      "day 1: accumulate machinery costs 3x the history it would replace")
+    assert(rows.last.getAs[String]("decision") === "accumulate",
+      "end of month: history dwarfs the daily increment")
+  }
+
+  test("MartAdvisor.advise: uniform volume crosses over exactly at writeAmp*(1+lookback)+ lookback window") {
+    val sp = spark
+    import sp.implicits._
+    val daily = (1 to 10).map(d => (d.toLong, 10L)).toDF("run", "n")
+    val out = graft.pipeline.MartAdvisor.advise(daily, "run", "n")
+      .orderBy("run").collect()
+    // run 1: acc=3*10=30 > cum=10 -> rebuild; run d>=2: acc=3*20=60 vs
+    // cum=10d -> accumulate from d=6 (60 <= 60)
+    val decisions = out.map(r => r.getAs[Long]("run") -> r.getAs[String]("decision")).toMap
+    (1 to 5).foreach(d => assert(decisions(d.toLong) === "rebuild", s"run $d"))
+    (6 to 10).foreach(d => assert(decisions(d.toLong) === "accumulate", s"run $d"))
+  }
+
+  test("MartAdvisor.advise validates its dials") {
+    val sp = spark
+    import sp.implicits._
+    val daily = Seq((1L, 10L)).toDF("run", "n")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.MartAdvisor.advise(daily, "run", "n", writeAmp = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.MartAdvisor.advise(daily, "run", "n", lookbackRuns = -1)
+    }
+  }
+
+  test("MartAdvisor.adviseFromRunLog: per-table histories advise independently") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_advisor").toString
+    Seq(
+      // young table: two runs -> both rebuild
+      ("dim_small", 1L, 100L, 0L, 0L), ("dim_small", 2L, 100L, 50L, 0L),
+      // grown table: big history then a small increment -> accumulate
+      ("fact_big", 1L, 100000L, 0L, 0L), ("fact_big", 2L, 10L, 5L, 3L))
+      .toDF("table_name", "run_id", "rows_inserted", "rows_updated", "rows_deleted")
+      .write.mode("overwrite").parquet(s"$dir/etl_run_log")
+    // lookbackRuns = 0: with a lookback the bulk initial load would
+    // keep pricing accumulation at 3x the whole history (the model's
+    // honest answer for a rule that re-reads the previous run's
+    // volume); without one, the increment alone decides
+    val out = graft.pipeline.MartAdvisor
+      .adviseFromRunLog(spark, dir, lookbackRuns = 0).collect()
+    val byKey = out.map(r =>
+      (r.getAs[String]("table_name"), r.getAs[Long]("run_id")) -> r).toMap
+    assert(byKey(("dim_small", 1L)).getAs[String]("decision") === "rebuild")
+    assert(byKey(("dim_small", 2L)).getAs[String]("decision") === "rebuild")
+    // deletes don't count toward ingest volume: n_new = 10 + 5
+    assert(byKey(("fact_big", 2L)).getAs[Long]("n_new") === 15L)
+    assert(byKey(("fact_big", 2L)).getAs[String]("decision") === "accumulate")
+    // cumulative history never leaks across tables
+    assert(byKey(("dim_small", 2L)).getAs[Long]("cum_rows") === 250L)
+  }
+
+  test("q167: join advisor sizes every dim and broadcasts the small ones") {
+    val rows = graft.queries.OpsQueries.q167(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("table_name")).sorted ===
+      Array("customer", "nation", "part", "region", "supplier"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") > 0 && r.getAs[Long]("est_bytes") > 0)
+      assert(r.getAs[String]("decision") ===
+        (if (r.getAs[Long]("est_bytes") <= 10L * 1024 * 1024) "broadcast"
+         else "shuffle"))
+    }
+    // at test scale every dim fits a broadcast — the model must agree
+    assert(rows.forall(_.getAs[String]("decision") == "broadcast"))
+    // the estimate is at least the fixed-width floor (8 bytes/fixed col)
+    val region = rows.find(_.getAs[String]("table_name") == "region").get
+    assert(region.getAs[Long]("est_bytes") >= 8 * region.getAs[Long]("n_rows"))
+  }
+
+  test("q168: watermark advisor picks the smallest sufficient delay per target") {
+    val rows = graft.queries.OpsQueries.q168(spark, sf)
+      .orderBy("target_ppm").collect()
+    assert(rows.length === 3)
+    // exact-coverage target needs the model's full 2-day disorder bound
+    val full = rows.find(_.getAs[Long]("target_ppm") == 1000000L).get
+    assert(full.getAs[Long]("delay_days") === 2L)
+    assert(full.getAs[Long]("covered_ppm") === 1000000L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("covered_ppm") >= r.getAs[Long]("target_ppm"),
+        s"chosen delay must actually reach its target: $r")
+    }
+    // monotone: a stricter target never picks a smaller delay
+    val delays = rows.map(_.getAs[Long]("delay_days"))
+    assert(delays.sameElements(delays.sorted))
+  }
+
+  test("q169: state sizing is cumulative in the delay and consistent per user") {
+    val rows = graft.queries.OpsQueries.q169(spark, sf)
+      .orderBy("delay_days").collect()
+    assert(rows.length === 3)
+    val buf = rows.map(r => r.getAs[Long]("delay_days") -> r.getAs[Long]("buffered_rows")).toMap
+    assert(buf(1L) <= buf(2L) && buf(2L) <= buf(3L),
+      "a longer delay can only buffer more")
+    rows.foreach(r => assert(r.getAs[Long]("max_user_buffered") <=
+      r.getAs[Long]("buffered_rows")))
+    // recompute buffered(3) directly: all events within 3 days of the end
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("us"))
+    val mx = ev.agg(max("us")).collect()(0).getLong(0)
+    val expect3 = ev.filter(col("us") > mx - 3L * 86400000000L).count()
+    assert(buf(3L) === expect3)
+  }
+
+  test("q170: duplicate pressure recomputes from the raw day slices") {
+    val rows = graft.queries.OpsQueries.q170(spark, sf).collect()
+    assert(rows.length > 5)
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_events"), r.getAs[Long]("n_keys"))
+      assert(k >= 1L && k <= n)
+      assert(r.getAs[Long]("dup_ppm") === (n - k) * 1000000L / n)
+    }
+    // cross-check one day end to end against a direct recount
+    val day0 = rows.minBy(_.getAs[Long]("day"))
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter(expr(s"unix_micros(ts) div 86400000000 = ${day0.getAs[Long]("day")}"))
+    assert(day0.getAs[Long]("n_events") === ev.count())
+    assert(day0.getAs[Long]("n_keys") ===
+      ev.select("user_id", "event_type").distinct().count())
+  }
+
+  test("q166: mixture weights are sqrt-tempered, normalized, and floor-exact") {
+    val rows = graft.queries.OpsQueries.q166(spark, sf).collect()
+    assert(rows.length > 1, "documents must span multiple sources")
+    rows.foreach { r =>
+      val m = r.getAs[Long]("sum_chars")
+      assert(r.getAs[Long]("s_scaled") ===
+        math.floor(1000.0 * math.sqrt(m.toDouble)).toLong)
+    }
+    val denom = rows.map(_.getAs[Long]("s_scaled")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("weight_ppm") ===
+        r.getAs[Long]("s_scaled") * 1000000L / denom)
+    }
+    // floors lose at most 1 ppm per source
+    val total = rows.map(_.getAs[Long]("weight_ppm")).sum
+    assert(total <= 1000000L && total > 1000000L - rows.length,
+      s"weights must sum to 1e6 minus floor loss, got $total")
+    // temperature 0.5 up-weights small sources: weight ratios are
+    // SQUARE-ROOT compressed relative to mass ratios
+    val sorted = rows.sortBy(_.getAs[Long]("sum_chars"))
+    val (lo, hi) = (sorted.head, sorted.last)
+    if (lo.getAs[Long]("sum_chars") < hi.getAs[Long]("sum_chars")) {
+      val massRatio = hi.getAs[Long]("sum_chars").toDouble / lo.getAs[Long]("sum_chars")
+      val wRatio = hi.getAs[Long]("weight_ppm").toDouble / lo.getAs[Long]("weight_ppm")
+      assert(wRatio < massRatio,
+        s"sqrt temper must compress the mass ratio: w=$wRatio mass=$massRatio")
+    }
+  }
+}

@@ -45,6 +45,10 @@ class PlanLintSpec extends SparkSpec {
     *    pair-support frame for lift (the q47 pattern).
     *  - q158_dsir_score: scalar (nt, nr) model totals broadcast to the
     *    bigram stream for smoothing (the q47 pattern).
+    *  - q168_watermark_advisor: 3-row literal target spine range-joined
+    *    to the ≤ 3-row delay-class coverage frame (both literal-bounded).
+    *  - q169_state_size: scalar corpus-max timestamp broadcast to every
+    *    event (the q47 pattern).
     */
   private val boundedNestedLoop = Set(
     "q21_dedup_ngram", "q24_dedup_embedding", "q25_ann_bruteforce",
@@ -52,7 +56,8 @@ class PlanLintSpec extends SparkSpec {
     "q80_lm_score", "q82_char_coverage", "q93_skew_profile",
     "q114_bm25", "q117_rolling_folds", "q122_ivf_recall",
     "q130_rrf_fusion", "q132_vocab_coverage", "q148_rfm", "q149_pq_recall",
-    "q154_basket_pairs", "q158_dsir_score")
+    "q154_basket_pairs", "q158_dsir_score",
+    "q168_watermark_advisor", "q169_state_size")
 
   test("no cartesian products; nested-loop joins only where bounded by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -87,6 +92,40 @@ class PlanLintSpec extends SparkSpec {
       }
     }
     assert(offenders.isEmpty, s"corpus-sort windows:\n${offenders.mkString("\n")}")
+  }
+
+  test("headline plans keep their exchange budgets: no silent shuffle/broadcast growth") {
+    // The 10 most expensive queries of the r8 bench (BENCH_DETAIL), each
+    // pinned to its CURRENT exchange counts under the test session
+    // (AQE off, 4 shuffle partitions — deterministic plans). A future
+    // edit that un-broadcasts a dim, doubles a shuffle, or re-plans a
+    // co-keyed join as two exchanges fails HERE, not in the next
+    // round's bench artifact. Counts are (ShuffleExchange,
+    // BroadcastExchange) occurrences in the executed plan string; a
+    // LOWER count than pinned is also flagged — update the pin when an
+    // optimization lands, so the budget tracks the best known plan.
+    val pinned = Map(
+      "q78_score_eval" -> (0, 0), // metrics materialize via the MLlib eval: LocalTableScan
+      "q85_dedup_increment" -> (17, 4),
+      "q154_basket_pairs" -> (20, 9),
+      "q149_pq_recall" -> (13, 4),
+      "q33_fraud_score" -> (8, 5),
+      "q122_ivf_recall" -> (10, 3),
+      "q109_triangles" -> (0, 2), // K^2/2-pruned edge set is a broadcast local table
+      "q121_containment" -> (17, 5),
+      "q113_bpe_learn" -> (0, 0), // merge list is the driver loop's bounded output
+      "q114_bm25" -> (9, 3))
+    val offenders = pinned.toSeq.sortBy(_._1).flatMap { case (name, (expS, expB)) =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      // shuffle exchanges print as plain "Exchange hashpartitioning(...)"
+      // in the plan string; the lookbehind keeps BroadcastExchange out
+      val gotS = "(?<!Broadcast)Exchange ".r.findAllIn(plan).size
+      val gotB = "BroadcastExchange".r.findAllIn(plan).size
+      if ((gotS, gotB) != (expS, expB))
+        Seq(s"$name: exchanges (shuffle=$gotS, broadcast=$gotB) != pinned ($expS, $expB)")
+      else Nil
+    }
+    assert(offenders.isEmpty, s"exchange-budget drift:\n${offenders.mkString("\n")}")
   }
 
   test("fused plans stay fused: branch filters must not re-specialize shared joins") {

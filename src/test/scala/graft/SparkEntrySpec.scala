@@ -23,7 +23,8 @@ class SparkEntrySpec extends AnyFunSuite {
     graft.queries.SignalQueries.queries, graft.queries.ValidationQueries.queries,
     graft.queries.AuditQueries.queries, graft.queries.NoveltyQueries.queries,
     graft.queries.PqQueries.queries, graft.queries.RiskQueries.queries,
-    graft.queries.MarketQueries.queries, graft.queries.ServingQueries.queries)
+    graft.queries.MarketQueries.queries, graft.queries.ServingQueries.queries,
+    graft.queries.OpsQueries.queries)
 
   test("no module's query name collides with another's") {
     val all = moduleQueryMaps.flatMap(_.keys)

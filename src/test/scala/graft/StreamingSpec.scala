@@ -491,4 +491,135 @@ class StreamingSpec extends SparkSpec {
         s"expected purchase 5 flagging error 3: ${out2.mkString(",")}")
     } finally q.stop()
   }
+
+  // ---- asOfUpdateStream: the update-correct streaming as-of ----
+
+  private def asOfFactSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("fact_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.TimestampType)))
+  private def asOfVerSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("version_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cents",
+      org.apache.spark.sql.types.LongType)))
+
+  test("as-of update stream: a LATE version arrival still wins before the fact emits") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val fdir = java.nio.file.Files.createTempDirectory("graft_asof_f").toString
+    val vdir = java.nio.file.Files.createTempDirectory("graft_asof_v").toString
+    val sp = spark
+    import sp.implicits._
+    def writeF(rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("fact_id", "user_id", "ts_s")
+        .select(col("fact_id"), col("user_id"), col("ts_s").cast("timestamp").as("ts"))
+        .coalesce(1).write.mode("append").parquet(fdir)
+    def writeV(rows: Seq[(Long, String, Long, Long)]): Unit =
+      rows.toDF("user_id", "ts_s", "version_id", "cents")
+        .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"),
+          col("version_id"), col("cents"))
+        .coalesce(1).write.mode("append").parquet(vdir)
+
+    // batch 1: version A at 10:00, then the fact at 10:30 — a
+    // resolve-on-arrival operator (lastErrorStream's shape) would emit
+    // (fact, A) right here
+    writeV(Seq((1L, "2024-01-01 10:00:00", 100L, 100L)))
+    writeF(Seq((10L, 1L, "2024-01-01 10:30:00")))
+    val facts = spark.readStream.schema(asOfFactSchema).parquet(fdir)
+      .withWatermark("ts", "1 hour")
+    val vers = spark.readStream.schema(asOfVerSchema).parquet(vdir)
+      .withWatermark("ts", "1 hour")
+    val q = StreamingFraud.asOfUpdateStream(facts, vers,
+        timeout = GroupStateTimeout.EventTimeTimeout)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_upd_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("asof_upd_out").isEmpty,
+        "the fact must BUFFER until the watermark passes it, not emit eagerly")
+      // batch 2: version B arrives LATE — event time 10:20 precedes the
+      // already-received fact. Far-future rows on BOTH inputs then push
+      // the combined watermark past the fact (12:00 - 1h = 11:00).
+      writeV(Seq((1L, "2024-01-01 10:20:00", 200L, 200L),
+        (99L, "2024-01-01 12:00:00", 900L, 900L)))
+      writeF(Seq((90L, 99L, "2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("asof_upd_out").collect()
+      assert(out.length == 1, s"exactly the watermark-passed fact emits: ${out.mkString(",")}")
+      assert(out(0).getAs[Long]("fact_id") == 10L &&
+        out(0).getAs[Long]("version_id") == 200L &&
+        out(0).getAs[Long]("v_cents") == 200L,
+        s"the late version (200) must win over the early one (100): ${out(0)}")
+    } finally q.stop()
+  }
+
+  test("as-of update stream under real out-of-order arrival equals the batch as-of") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    // Feed sf events in ARRIVAL order (q159's lateness model: an event
+    // with timestamp ts arrives at ts + (event_id % 3) days — disorder
+    // bounded by 2 days, q162's audit), one arrival-chunk per
+    // micro-batch. With a 3-day watermark delay nothing is dropped, so
+    // every emitted resolution must EQUAL the batch as-of — in
+    // particular for facts whose admissible version arrived after them.
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("arr", expr("timestampadd(DAY, CAST(event_id % 3 AS INT), ts)"))
+      .cache()
+    val fdir = java.nio.file.Files.createTempDirectory("graft_asof_of").toString
+    val vdir = java.nio.file.Files.createTempDirectory("graft_asof_ov").toString
+    val cuts = Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00", "2099-01-01 00:00:00")
+    var lo = "1900-01-01 00:00:00"
+    cuts.foreach { hi =>
+      val chunk = ev.filter(col("arr") >= lit(lo).cast("timestamp") &&
+        col("arr") < lit(hi).cast("timestamp"))
+      chunk.filter(col("event_type") === "click")
+        .select(col("event_id").as("fact_id"), col("user_id"), col("ts"))
+        .coalesce(1).write.mode("append").parquet(fdir)
+      chunk.filter(col("event_type") === "signup" && col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id").as("version_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .coalesce(1).write.mode("append").parquet(vdir)
+      lo = hi
+    }
+    val facts = spark.readStream.schema(asOfFactSchema)
+      .option("maxFilesPerTrigger", 1).parquet(fdir)
+      .withWatermark("ts", "3 days")
+    val vers = spark.readStream.schema(asOfVerSchema)
+      .option("maxFilesPerTrigger", 1).parquet(vdir)
+      .withWatermark("ts", "3 days")
+    val q = StreamingFraud.asOfUpdateStream(facts, vers,
+        timeout = GroupStateTimeout.EventTimeTimeout)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_ooo_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("asof_ooo_out")
+        .select("fact_id", "user_id", "f_ts", "version_id", "v_ts", "v_cents")
+      val batch = graft.queries.OpsQueries.q164(spark, sf)
+      // every emission is FINAL and correct: a subset of the batch
+      // as-of (wrong-version emissions — the resolve-eagerly bug —
+      // would surface here), and the watermark has passed most facts
+      assert(streamed.exceptAll(batch).isEmpty,
+        "stream emitted a resolution the batch as-of does not contain")
+      val (ns, nb) = (streamed.count(), batch.count())
+      assert(ns > 0 && ns >= (nb * 8) / 10,
+        s"watermark should have released most facts: emitted $ns of $nb")
+      // and the un-emitted remainder is exactly the watermark tail:
+      // every batch row the stream is missing sits within delay+disorder
+      // (3+2 days) of the corpus end — nothing in the interior was lost
+      val cutoff = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0).toInstant
+        .minus(java.time.Duration.ofDays(5))
+      val interiorMissing = batch.exceptAll(streamed)
+        .filter(col("f_ts") < lit(java.sql.Timestamp.from(cutoff)))
+        .count()
+      assert(interiorMissing == 0,
+        s"$interiorMissing interior facts never emitted despite the watermark passing them")
+    } finally { q.stop(); ev.unpersist(blocking = false) }
+  }
 }
