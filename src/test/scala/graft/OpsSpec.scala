@@ -31,6 +31,31 @@ class OpsSpec extends SparkSpec {
       "batch-mode asOfUpdateStream must equal the composed as-of exactly")
   }
 
+  test("asOfUpdateStream batch mode: tie rules match the oracle's (ts DESC, id DESC) rank") {
+    val sp = spark
+    import sp.implicits._
+    def ts(s: String) = s
+    val facts = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")), // same instant as versions 5 and 6
+      (2L, 7L, ts("2024-01-01 09:00:00")), // before every version: must drop
+      (3L, 8L, ts("2024-01-01 12:00:00"))) // version-free user via key isolation
+      .toDF("fact_id", "user_id", "ts_s")
+      .select(col("fact_id"), col("user_id"), col("ts_s").cast("timestamp").as("ts"))
+    val versions = Seq(
+      (7L, ts("2024-01-01 10:00:00"), 5L, 500L), // tie on ts with fact 1...
+      (7L, ts("2024-01-01 10:00:00"), 6L, 600L), // ...higher id must win
+      (7L, ts("2024-01-01 11:00:00"), 9L, 900L)) // after fact 1: inadmissible
+      .toDF("user_id", "ts_s", "version_id", "cents")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("version_id"), col("cents"))
+    val out = graft.streaming.StreamingFraud.asOfUpdateStream(facts, versions)
+      .collect().map(r => r.getAs[Long]("fact_id") ->
+        (r.getAs[Long]("version_id"), r.getAs[Long]("v_cents"))).toMap
+    assert(out === Map(1L -> (6L, 600L)),
+      "a same-instant version IS admissible (v.ts <= f.ts), ties break to the " +
+        "larger version id, version-less facts drop (inner as-of)")
+  }
+
   test("q165: advisor costs recompute from the day profile, crossover is the model's") {
     val rows = graft.queries.OpsQueries.q165(spark, sf)
       .orderBy("day").collect()
