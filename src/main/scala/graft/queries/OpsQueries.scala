@@ -19,8 +19,11 @@ import graft.sources.Tables
   * sampling weights for a training-data mixture, q167 advises
   * broadcast-vs-shuffle per dimension table, q168 picks the
   * `withWatermark` delay from the arrival profile, q169 sizes the
-  * streaming state that delay implies, and q170 tracks duplicate
-  * pressure per ingest day (when to re-run dedup).
+  * streaming state that delay implies, q170 tracks duplicate
+  * pressure per ingest day (when to re-run dedup), q171 sizes
+  * shuffle partitions for the fact tables (q167's big-side sibling),
+  * and q172 allocates a training-token budget across sources under
+  * the q166 weights with a 4-epoch repetition cap.
   *
   * Compare surface: exact integers (epoch days, counts, cents, ppm via
   * integer DIV); q166's single SQRT is IEEE-correctly-rounded on both
@@ -246,9 +249,11 @@ object OpsQueries {
   // rows sit inside the trailing D-day watermark window when the
   // stream idles (= the state the store must hold), total and for the
   // heaviest key. Shape: the corpus-max timestamp is a scalar
-  // broadcast (the q47 pattern); trailing-day classes aggregate
-  // map-side; the per-user frame explodes each class into the ≤ 3
-  // delays it counts toward (join-free), then one user-keyed shuffle.
+  // broadcast (the q47 pattern); the trailing-window rows explode
+  // each class into the ≤ 3 delays it counts toward (join-free), then
+  // ONE user-keyed shuffle — the totals fold from the per-user frame
+  // (sum of per-user counts), so the corpus is scanned once, not once
+  // per output statistic.
   def q169(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val mx = ev.agg(max(unix_micros(col("ts"))).as("max_us"))
@@ -256,15 +261,12 @@ object OpsQueries {
       .crossJoin(broadcast(mx))
       .withColumn("cls", expr("(max_us - ts_us) DIV 86400000000"))
       .filter(col("cls") < 3)
-    val perDelay = t
-      .select(col("user_id"),
+    t.select(col("user_id"),
         explode(expr("sequence(CAST(cls AS INT) + 1, 3)")).as("delay_days"))
-    val totals = perDelay.groupBy("delay_days")
-      .agg(count(lit(1)).as("buffered_rows"))
-    val perUser = perDelay.groupBy("delay_days", "user_id")
-      .agg(count(lit(1)).as("n"))
-      .groupBy("delay_days").agg(max("n").as("max_user_buffered"))
-    totals.join(perUser, Seq("delay_days"))
+      .groupBy("delay_days", "user_id").agg(count(lit(1)).as("n"))
+      .groupBy("delay_days")
+      .agg(sum("n").cast("long").as("buffered_rows"),
+        max("n").as("max_user_buffered"))
       .select(col("delay_days").cast("long").as("delay_days"),
         col("buffered_rows"), col("max_user_buffered"))
   }
@@ -317,6 +319,121 @@ object OpsQueries {
       | CAST((n_events - n_keys) * 1000000 // n_events AS BIGINT) AS dup_ppm
       |FROM d""".stripMargin
 
+  // --- q171: shuffle-partition / file-sizing advisor for the FACT
+  // tables — q167's sibling for the big side of the plan. Per fact
+  // table: row count, modeled in-memory bytes (char mass + 8 B per
+  // fixed-width column per row), the 128 MiB partition count that
+  // implies (CEIL via exact integer arithmetic), and whether the
+  // default 32 shuffle partitions suffice. The number every
+  // `spark.sql.shuffle.partitions` / `maxPartitionBytes` tuning pass
+  // needs, read from the data instead of guessed. Shape: one
+  // map-side-combined aggregate per table, unioned to a 4-row frame —
+  // all partial-aggregable, no shuffle beyond the final tiny merge.
+  def q171(s: SparkSession, dir: String): DataFrame = {
+    val Part = 134217728L // 128 MiB
+    def est(df: DataFrame, name: String, strCols: Seq[String], nFixed: Int) =
+      df.agg(count(lit(1)).as("n_rows"),
+          (strCols.map(c => sum(length(col(c)))).reduce(_ + _) +
+            lit(nFixed.toLong * 8) * count(lit(1))).cast("long").as("est_bytes"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("est_bytes"),
+          greatest(lit(1L), expr(s"(est_bytes + ${Part - 1}) DIV $Part"))
+            .cast("long").as("parts_128mb"))
+        .withColumn("rows_per_part",
+          expr("n_rows DIV parts_128mb").cast("long"))
+        .withColumn("decision",
+          when(col("parts_128mb") <= 32, lit("fits_default"))
+            .otherwise(lit("raise_partitions")))
+    est(Tables.lineitem(s, dir), "lineitem",
+        Seq("l_returnflag", "l_linestatus"), 9)
+      .unionByName(est(Tables.orders(s, dir), "orders",
+        Seq("o_orderstatus", "o_orderpriority"), 4))
+      .unionByName(est(Tables.events(s, dir), "events",
+        Seq("event_type", "props"), 4))
+      .unionByName(est(Tables.documents(s, dir), "documents",
+        Seq("text", "lang", "source"), 2))
+  }
+
+  val q171Sql: String = {
+    def one(t: String, strs: Seq[String], nFixed: Int) = {
+      val mass = strs.map(c => s"SUM(LENGTH($c))").mkString(" + ")
+      s"""SELECT '$t' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         | CAST($mass + $nFixed * 8 * COUNT(*) AS BIGINT) AS est_bytes,
+         | CAST(GREATEST(1, ($mass + $nFixed * 8 * COUNT(*) + 134217727)
+         |   // 134217728) AS BIGINT) AS parts_128mb,
+         | CAST(COUNT(*) // GREATEST(1, ($mass + $nFixed * 8 * COUNT(*)
+         |   + 134217727) // 134217728) AS BIGINT) AS rows_per_part,
+         | CASE WHEN GREATEST(1, ($mass + $nFixed * 8 * COUNT(*) + 134217727)
+         |   // 134217728) <= 32
+         |  THEN 'fits_default' ELSE 'raise_partitions' END AS decision
+         |FROM $t""".stripMargin
+    }
+    Seq(one("lineitem", Seq("l_returnflag", "l_linestatus"), 9),
+      one("orders", Seq("o_orderstatus", "o_orderpriority"), 4),
+      one("events", Seq("event_type", "props"), 4),
+      one("documents", Seq("text", "lang", "source"), 2))
+      .mkString("\nUNION ALL\n")
+  }
+
+  // --- q172: token-budget allocator — the step AFTER q166's mixture
+  // weights: given a global training-token budget (1e9 here) and the
+  // temperature-scaled weights, how many tokens to draw per source,
+  // capped at 4 epochs of the source's own mass (the "don't repeat
+  // data more than a few times" rule). Tokens are the n_chars DIV 4
+  // proxy summed per source (per-doc integer DIV — deterministic on
+  // both engines); target = budget * s_scaled DIV sum(s_scaled) reuses
+  // q166's engine-proof integer-sqrt posture; alloc = LEAST(target,
+  // 4 * src_tokens); epochs_ppm = alloc * 1e6 DIV src_tokens. Shape:
+  // one map-side-combined groupBy(source) down to <= |sources| rows,
+  // then the unpartitioned window on that bounded frame. Long-range
+  // bound: budget * s_scaled stays under 2^63 up to ~25 T tokens per
+  // source (s_scaled ~ 5e9) — beyond that, drop the 1000x sqrt scale.
+  def q172(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Budget = 1000000000L
+    val bySource = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(expr("n_chars DIV 4")).cast("long").as("src_tokens"))
+      // a source of only sub-4-char docs would divide by zero — DuckDB
+      // throws where Spark NULLs, so keep the zero row off both surfaces
+      .filter(col("src_tokens") > 0)
+      .withColumn("s_scaled",
+        floor(lit(1000.0) * sqrt(col("src_tokens").cast("double"))).cast("long"))
+    bySource
+      .withColumn("denom",
+        sum(col("s_scaled")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .cast("long"))
+      .withColumn("target_tokens", expr(s"($Budget * s_scaled) DIV denom"))
+      .withColumn("alloc_tokens",
+        least(col("target_tokens"), expr("4 * src_tokens")).cast("long"))
+      .select(col("source"), col("src_tokens"), col("target_tokens"),
+        col("alloc_tokens"),
+        expr("(alloc_tokens * 1000000) DIV src_tokens").as("epochs_ppm"),
+        when(col("target_tokens") > expr("4 * src_tokens"), lit("capped"))
+          .otherwise(lit("budgeted")).as("decision"))
+  }
+
+  val q172Sql: String =
+    """WITH s AS (
+      | SELECT source,
+      |  CAST(SUM(n_chars // 4) AS BIGINT) AS src_tokens,
+      |  CAST(FLOOR(1000.0 * SQRT(CAST(SUM(n_chars // 4) AS DOUBLE))) AS BIGINT)
+      |    AS s_scaled
+      | FROM documents GROUP BY 1 HAVING SUM(n_chars // 4) > 0),
+      |a AS (
+      | SELECT source, src_tokens,
+      |  CAST(1000000000 * s_scaled
+      |    // (SELECT CAST(SUM(s_scaled) AS BIGINT) FROM s) AS BIGINT)
+      |    AS target_tokens
+      | FROM s)
+      |SELECT source, src_tokens, target_tokens,
+      | CAST(LEAST(target_tokens, 4 * src_tokens) AS BIGINT) AS alloc_tokens,
+      | CAST(LEAST(target_tokens, 4 * src_tokens) * 1000000 // src_tokens
+      |   AS BIGINT) AS epochs_ppm,
+      | CASE WHEN target_tokens > 4 * src_tokens
+      |  THEN 'capped' ELSE 'budgeted' END AS decision
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q164_asof_update" -> (q164 _),
     "q165_rebuild_advisor" -> (q165 _),
@@ -324,7 +441,9 @@ object OpsQueries {
     "q167_join_advisor" -> (q167 _),
     "q168_watermark_advisor" -> (q168 _),
     "q169_state_size" -> (q169 _),
-    "q170_dup_trend" -> (q170 _))
+    "q170_dup_trend" -> (q170 _),
+    "q171_partition_advisor" -> (q171 _),
+    "q172_token_budget" -> (q172 _))
 
   val oracle: Map[String, String] = Map(
     "q164_asof_update" -> q164Sql,
@@ -333,5 +452,7 @@ object OpsQueries {
     "q167_join_advisor" -> q167Sql,
     "q168_watermark_advisor" -> q168Sql,
     "q169_state_size" -> q169Sql,
-    "q170_dup_trend" -> q170Sql)
+    "q170_dup_trend" -> q170Sql,
+    "q171_partition_advisor" -> q171Sql,
+    "q172_token_budget" -> q172Sql)
 }

@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Round-9 pipeline-operations suite: the update-correct as-of batch
-  * twin (q164), the rebuild-vs-accumulate advisor (q165 +
-  * MartAdvisor), and training-mixture weights (q166).
+  * twin (q164), the advisor family (q165 rebuild-vs-accumulate, q167
+  * broadcast-vs-shuffle, q168 watermark delay, q169 state sizing,
+  * q170 dup pressure, q171 partition sizing), and the training-mixture
+  * pair (q166 weights, q172 token-budget allocation).
   */
 class OpsSpec extends SparkSpec {
 
@@ -229,5 +231,43 @@ class OpsSpec extends SparkSpec {
       assert(wRatio < massRatio,
         s"sqrt temper must compress the mass ratio: w=$wRatio mass=$massRatio")
     }
+  }
+
+  test("q171: partition advisor covers the fact tables with ceil-exact sizing") {
+    val rows = graft.queries.OpsQueries.q171(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("table_name")).sorted ===
+      Array("documents", "events", "lineitem", "orders"))
+    rows.foreach { r =>
+      val (n, b, p) = (r.getAs[Long]("n_rows"), r.getAs[Long]("est_bytes"),
+        r.getAs[Long]("parts_128mb"))
+      assert(n > 0 && b > 0)
+      // exact ceiling at the 128 MiB target, floored at one partition
+      assert(p === math.max(1L, (b + 134217727L) / 134217728L))
+      assert(r.getAs[Long]("rows_per_part") === n / p)
+      assert(r.getAs[String]("decision") ===
+        (if (p <= 32) "fits_default" else "raise_partitions"))
+    }
+    // the byte model must exceed the fixed-width floor for every table
+    val li = rows.find(_.getAs[String]("table_name") == "lineitem").get
+    assert(li.getAs[Long]("est_bytes") >= 9L * 8 * li.getAs[Long]("n_rows"))
+  }
+
+  test("q172: token budget respects the 4-epoch cap and never overspends") {
+    val rows = graft.queries.OpsQueries.q172(spark, sf).collect()
+    assert(rows.length > 1, "documents must span multiple sources")
+    rows.foreach { r =>
+      val (m, t, a) = (r.getAs[Long]("src_tokens"),
+        r.getAs[Long]("target_tokens"), r.getAs[Long]("alloc_tokens"))
+      assert(m > 0)
+      assert(a === math.min(t, 4 * m), "alloc is the capped target")
+      assert(r.getAs[Long]("epochs_ppm") === a * 1000000L / m)
+      assert(r.getAs[Long]("epochs_ppm") <= 4000000L, "cap is 4 epochs")
+      assert(r.getAs[String]("decision") ===
+        (if (t > 4 * m) "capped" else "budgeted"))
+    }
+    // targets partition the budget: floor-exact shares never overspend it
+    assert(rows.map(_.getAs[Long]("target_tokens")).sum <= 1000000000L)
+    // and the tiny test corpus is cap-bound everywhere (1e9 >> 4 epochs)
+    assert(rows.forall(_.getAs[String]("decision") == "capped"))
   }
 }
