@@ -181,4 +181,50 @@ class SourcesSpec extends SparkSpec {
     assert(archived.endsWith("archive/terminals_01012024.txt.backup"))
     assert(FileIngest.find(spark, dir, Seq("terminals_*.txt")).isEmpty)
   }
+
+  test("jsonl reader quarantines malformed and field-missing lines; good side is typed") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    mkTxt(dir, "docs-000.jsonl",
+      """{"doc_id": 1, "text": "hello world", "source": "web"}
+        |{"doc_id": 2, "text": "ok doc", "source": "books"}
+        |{"doc_id": 3, "source": "web"}
+        |{"doc_id": 4, "text": "   ", "source": "web"}
+        |not json at all
+        |{"doc_id": "five", "text": "typed wrong", "source": "web"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    val qr = graft.sources.JsonlSource.readWithQuarantine(
+      spark, s"$dir/docs-*.jsonl", schema, requiredCols = Seq("text"))
+    val good = qr.good.cache()
+    assert(good.columns.toSeq === Seq("doc_id", "text", "source"),
+      "good side carries exactly the declared schema")
+    assert(good.schema("doc_id").dataType === LongType)
+    assert(good.select("doc_id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L))
+    val bad = qr.bad.collect()
+    val reasons = bad.map(r => r.getAs[String]("raw_line") ->
+      r.getAs[String]("reject_reason")).toMap
+    assert(reasons.size === 4)
+    assert(reasons("""{"doc_id": 3, "source": "web"}""") === "missing_required")
+    assert(reasons("""{"doc_id": 4, "text": "   ", "source": "web"}""")
+      === "missing_required", "whitespace-only required field is missing")
+    assert(reasons("not json at all") === "malformed_json")
+    assert(reasons("""{"doc_id": "five", "text": "typed wrong", "source": "web"}""")
+      === "malformed_json", "a type mismatch is a parse failure, not a silent null")
+    assert(bad.forall(_.getAs[String]("src_file").endsWith("docs-000.jsonl")),
+      "rejects keep their provenance for replay")
+  }
+
+  test("jsonl reader refuses a schema that collides with the corrupt marker") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("_corrupt_record", StringType)))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.JsonlSource.readWithQuarantine(
+        spark, "/nonexistent/*.jsonl", schema, Nil)
+    }
+    assert(e.getMessage.contains("_corrupt_record"))
+  }
 }
