@@ -34,7 +34,8 @@ object SparkEntry {
       graft.queries.RiskQueries.queries ++
       graft.queries.MarketQueries.queries ++
       graft.queries.ServingQueries.queries ++
-      graft.queries.OpsQueries.queries
+      graft.queries.OpsQueries.queries ++
+      graft.queries.SeriesQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -59,5 +60,6 @@ object SparkEntry {
       graft.queries.RiskQueries.oracle ++
       graft.queries.MarketQueries.oracle ++
       graft.queries.ServingQueries.oracle ++
-      graft.queries.OpsQueries.oracle
+      graft.queries.OpsQueries.oracle ++
+      graft.queries.SeriesQueries.oracle
 }

@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.NgramFunctions
+import graft.sources.Tables
+
+/** Round-9 widening, second batch: series diagnostics & layout
+  * planning — the time-series health checks a mart owner runs on the
+  * warehouse's own daily series (autocorrelation structure, EWMA
+  * anomaly flags, day-of-week seasonality) and the file-layout
+  * planning pass a 100 TB table needs between ingest and query
+  * (compaction bin assignment, q171's downstream step), plus
+  * char-bigram LM statistics over the corpus (the character-level
+  * sibling of q104's word transitions, feeding lang-id features).
+  *
+  * Compare surface: exact integers end to end (posture 1) — dollars /
+  * cents via the tie-free cents ROUND (posture 2), epoch-integer
+  * calendar arithmetic (posture 4), ppm via integer DIV, and every
+  * output column explicitly cast (posture 5). The ACF and EWMA stay
+  * exact by DESIGN: q173 emits the raw integer num/den sums instead of
+  * a double ratio (no accumulation order exists), and q174's EWMA uses
+  * INTEGER ppm weights fixed at plan time, so the smoothed value is an
+  * exact integer dot product, not a recursive double.
+  */
+object SeriesQueries {
+
+  // --- q173: autocorrelation diagnostics of the daily revenue series —
+  // the mart owner's "is there weekly structure / drift momentum in my
+  // daily totals" readout. For lags 1..7: n_pairs, the centered cross
+  // product num = SUM(y_t * y_{t+k}) and the common den = SUM(y_t^2)
+  // (acf_k = num/den, derivable exactly from the emitted integers).
+  // Centering subtracts the INTEGER mean (sum DIV n) so every value
+  // stays an exact BIGINT on both engines — no double accumulation
+  // order exists (the q166 posture, applied to a time series). Shape:
+  // ONE corpus pass (groupBy day, map-side combined) down to <= |days|
+  // rows; the row_number / totals / den windows all run on that
+  // bounded daily frame; the lag pairing explodes 7 rows per day and
+  // equi-joins the bounded frame to itself. Long bound: |y| <= max
+  // daily dollars (~1e7 at sf0.1), den <= days * y^2 ~ 2.4e17 << 2^63.
+  def q173(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val daily = Tables.orders(s, dir)
+      .groupBy(expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+      .agg(expr("sum(cast(round(o_totalprice * 100) as bigint)) div 100")
+        .cast("long").as("x"))
+    val y = daily
+      .withColumn("rn", row_number().over(Window.orderBy("day")).cast("long"))
+      .withColumn("sx", sum("x").over(wAll).cast("long"))
+      .withColumn("nd", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("yv", expr("x - sx DIV nd"))
+      .withColumn("den", sum(expr("yv * yv")).over(wAll).cast("long"))
+      .select(col("rn"), col("yv"), col("nd"), col("den"))
+    val pairs = y
+      .withColumn("lag", explode(sequence(lit(1L), lit(7L))))
+      .withColumn("rn2", col("rn") + col("lag"))
+      .join(y.select(col("rn").as("rnb"), col("yv").as("yb")),
+        col("rn2") === col("rnb"))
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("yv * yb")).cast("long").as("num"),
+        min("den").cast("long").as("den"),
+        min("nd").cast("long").as("n_days"))
+  }
+
+  val q173Sql: String =
+    """WITH d AS (
+      | SELECT EPOCH_US(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS x
+      | FROM orders GROUP BY 1),
+      |w AS (
+      | SELECT day, x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn,
+      |  CAST(SUM(x) OVER () AS BIGINT) AS sx,
+      |  CAST(COUNT(*) OVER () AS BIGINT) AS nd
+      | FROM d),
+      |y AS (
+      | SELECT rn, x - sx // nd AS yv, nd,
+      |  CAST(SUM((x - sx // nd) * (x - sx // nd)) OVER () AS BIGINT) AS den
+      | FROM w),
+      |p AS (
+      | SELECT CAST(l.lag AS BIGINT) AS lag, a.yv, a.nd, a.den, b.yv AS yb
+      | FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) l(lag)
+      | JOIN y a ON TRUE
+      | JOIN y b ON b.rn = a.rn + l.lag)
+      |SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      | CAST(SUM(yv * yb) AS BIGINT) AS num,
+      | CAST(MIN(den) AS BIGINT) AS den,
+      | CAST(MIN(nd) AS BIGINT) AS n_days
+      |FROM p GROUP BY 1""".stripMargin
+
+  /** q174's EWMA weights: w_k = FLOOR(1e6 * 0.3 * 0.7^(k-1)) applied
+    * to lag k = 1..14 — fixed INTEGER ppm weights computed once at
+    * plan time, so the "exponential" smoothing is an exact integer dot
+    * product over the PRIOR 14 days instead of a recursive double
+    * (whose rounding would compound differently per engine). The day
+    * under test is EXCLUDED from its own baseline — a spike smoothed
+    * into its own EWMA damps its own deviation below any threshold.
+    * The same literals are interpolated into the oracle SQL, so both
+    * engines evaluate the identical integer expression.
+    */
+  val EwmaWeights: Seq[Long] =
+    (0 until 14).map(k => math.floor(1e6 * 0.3 * math.pow(0.7, k)).toLong)
+  val EwmaWSum: Long = EwmaWeights.sum
+
+  // --- q174: EWMA anomaly readout over the daily purchase-value
+  // series — the pipeline-health monitor behind the fraud mart: a day
+  // whose total deviates >30% from the exponentially-weighted average
+  // of its own PRIOR history is flagged. ewma_scaled =
+  // SUM_{k=1..14} w_k * cents_{t-k} (exact BIGINT), dev =
+  // cents_t * SUM(w) - ewma_scaled (so dev/ewma is the relative
+  // deviation without ever forming a double). Rows emitted only past
+  // the 14-day warmup, where every lag is defined. Shape: one corpus
+  // pass down to <= |days| rows, then 14 LAG reads on that bounded
+  // ordered frame. Long bound: cents * WSum ~ 1e7-cents days
+  // * 1e6 ppm = 1e13 at sf0.1 << 2^63.
+  def q174(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("day")
+    val daily = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).cast("long").as("c"))
+    val ew: Column = EwmaWeights.zipWithIndex.map { case (wt, k) =>
+      lag(col("c"), k + 1).over(w) * lit(wt)
+    }.reduce(_ + _)
+    daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("ew", ew.cast("long"))
+      .filter(col("rn") >= 15)
+      .select(col("day"), col("c"),
+        col("ew").as("ewma_scaled"),
+        (col("c") * lit(EwmaWSum) - col("ew")).cast("long").as("dev"),
+        when(abs(col("c") * lit(EwmaWSum) - col("ew")) * lit(10L) > col("ew") * lit(3L),
+          lit("spike")).otherwise(lit("ok")).as("flag"))
+  }
+
+  val q174Sql: String = {
+    val terms = EwmaWeights.zipWithIndex.map { case (wt, k) =>
+      s"$wt * LAG(c, ${k + 1}) OVER (ORDER BY day)"
+    }.mkString(" + ")
+    s"""WITH d AS (
+       | SELECT EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+       |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+       | FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |w AS (
+       | SELECT day, c, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+       |  $terms AS ew
+       | FROM d)
+       |SELECT day, c, CAST(ew AS BIGINT) AS ewma_scaled,
+       | CAST(c * $EwmaWSum - ew AS BIGINT) AS dev,
+       | CASE WHEN ABS(c * $EwmaWSum - ew) * 10 > ew * 3
+       |  THEN 'spike' ELSE 'ok' END AS flag
+       |FROM w WHERE rn >= 15""".stripMargin
+  }
+
+  // --- q175: compaction-plan assignment — q171 says how many
+  // partitions a table NEEDS; this query plans the merge that gets
+  // there: ingest chunks (30-epoch-day slices here, standing in for
+  // the small files an incremental load leaves behind) packed
+  // greedily in chunk order into target-sized output bins:
+  // bin = cum_bytes_before DIV target, the classic prefix-sum
+  // bin-packing that never splits a chunk and keeps every bin within
+  // one chunk of target. Byte model matches q171 (char mass + 8 B per
+  // fixed column). Shape: one map-side-combined corpus pass down to
+  // <= |chunks| rows, then one bounded-frame running-sum window — the
+  // PLAN costs one scan; executing it is the rewrite. 256 KiB target
+  // so the plan exercises multi-chunk bins at oracle scale.
+  def q175(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(expr("unix_micros(l_shipdate) div 2592000000000").as("chunk"))
+      .agg((sum(length(col("l_returnflag")) + length(col("l_linestatus"))) +
+        lit(72L) * count(lit(1))).cast("long").as("est_bytes"))
+      .withColumn("cum_before",
+        coalesce(sum("est_bytes").over(Window.orderBy("chunk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).cast("long"))
+      .withColumn("bin", expr("cum_before DIV 262144"))
+  }
+
+  val q175Sql: String =
+    """WITH c AS (
+      | SELECT EPOCH_US(CAST(l_shipdate AS TIMESTAMP)) // 2592000000000 AS chunk,
+      |  CAST(SUM(LENGTH(l_returnflag) + LENGTH(l_linestatus))
+      |    + 72 * COUNT(*) AS BIGINT) AS est_bytes
+      | FROM lineitem GROUP BY 1),
+      |w AS (
+      | SELECT chunk, est_bytes,
+      |  CAST(COALESCE(SUM(est_bytes) OVER (ORDER BY chunk
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS cum_before
+      | FROM c)
+      |SELECT chunk, est_bytes, cum_before,
+      | CAST(cum_before // 262144 AS BIGINT) AS bin
+      |FROM w""".stripMargin
+
+  // --- q176: day-of-week seasonality index per region — revenue share
+  // by weekday against the uniform 1/7 baseline (index_ppm = 1e6 means
+  // "an average weekday"; the q138/q140 forecasting family's seasonal
+  // factor input). Weekday from epoch-day arithmetic, (day + 4) % 7 —
+  // 1970-01-01 was a Thursday, so 0 = Monday (posture 4; the calendar
+  // builtins stay banned). Shape: orders joins three BROADCAST dims
+  // (customer/nation/region — the q167 advisor's own verdict), one
+  // map-side-combined groupBy down to 5 regions x 7 weekdays, then the
+  // per-region share window on that 35-row frame. Long bound:
+  // region-weekday cents ~ 1e11 at sf0.1, * 7e6 ~ 1e18 < 2^63 (at
+  // sf >= 1, drop to dollars).
+  def q176(s: SparkSession, dir: String): DataFrame = {
+    val j = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"),
+        expr("(unix_micros(o_orderdate) div 86400000000 + 4) % 7")
+          .cast("long").as("dow"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    j.groupBy("r_name", "dow")
+      .agg(sum("cents").cast("long").as("rev_cents"))
+      .withColumn("tot", sum("rev_cents").over(Window.partitionBy("r_name")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("long"))
+      .select(col("r_name"), col("dow"), col("rev_cents"),
+        expr("(rev_cents * 1000000) DIV tot").as("share_ppm"),
+        expr("(rev_cents * 7000000) DIV tot").as("index_ppm"))
+  }
+
+  val q176Sql: String =
+    """WITH j AS (
+      | SELECT r.r_name,
+      |  (EPOCH_US(CAST(o.o_orderdate AS TIMESTAMP)) // 86400000000 + 4) % 7 AS dow,
+      |  CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      | JOIN nation n ON c.c_nationkey = n.n_nationkey
+      | JOIN region r ON n.n_regionkey = r.r_regionkey),
+      |g AS (
+      | SELECT r_name, CAST(dow AS BIGINT) AS dow,
+      |  CAST(SUM(cents) AS BIGINT) AS rev_cents
+      | FROM j GROUP BY 1, 2)
+      |SELECT r_name, dow, rev_cents,
+      | CAST(rev_cents * 1000000
+      |   // CAST(SUM(rev_cents) OVER (PARTITION BY r_name) AS BIGINT)
+      |   AS BIGINT) AS share_ppm,
+      | CAST(rev_cents * 7000000
+      |   // CAST(SUM(rev_cents) OVER (PARTITION BY r_name) AS BIGINT)
+      |   AS BIGINT) AS index_ppm
+      |FROM g""".stripMargin
+
+  // --- q177: char-bigram LM statistics — the top-50 character bigrams
+  // of the corpus with deterministic rank (count DESC, gram ASC): the
+  // character-level sibling of q104's word transitions, and the
+  // feature table a char-n-gram lang-id model (q28's family) trains
+  // from. Extraction is the codegen'd CharNgramExpr — one boundary
+  // pass per document (the HOF form re-walks the string per gram,
+  // O(d^2) interpreted; the PhraseScanExpr lesson). Shape: linear
+  // explode (d-1 grams per doc), map-side-combined count, then the
+  // rank window on a frame bounded by |alphabet|^2 distinct grams —
+  // corpus size never enters the window.
+  def q177(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(explode(NgramFunctions.charNgrams(col("text"), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("gram"))).cast("long"))
+      .filter(col("rank") <= 50)
+      .select(col("gram"), col("n"), col("rank"))
+  }
+
+  val q177Sql: String =
+    """WITH b AS (
+      | SELECT substring(text, CAST(i AS INT), 2) AS gram
+      | FROM documents, UNNEST(range(1, CAST(length(text) AS BIGINT))) t(i)),
+      |g AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+      |r AS (SELECT gram, n,
+      | CAST(ROW_NUMBER() OVER (ORDER BY n DESC, gram) AS BIGINT) AS rank
+      | FROM g)
+      |SELECT gram, n, rank FROM r WHERE rank <= 50""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_acf" -> (q173 _),
+    "q174_ewma_anomaly" -> (q174 _),
+    "q175_compaction_plan" -> (q175 _),
+    "q176_dow_seasonality" -> (q176 _),
+    "q177_char_bigrams" -> (q177 _))
+
+  val oracle: Map[String, String] = Map(
+    "q173_acf" -> q173Sql,
+    "q174_ewma_anomaly" -> q174Sql,
+    "q175_compaction_plan" -> q175Sql,
+    "q176_dow_seasonality" -> q176Sql,
+    "q177_char_bigrams" -> q177Sql)
+}

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.NgramFunctions
+import graft.queries.SeriesQueries
+import graft.sources.Tables
+
+/** Round-9 second batch: series diagnostics & layout planning
+  * (q173–q177) plus the codegen'd CharNgramExpr they ride on.
+  */
+class SeriesSpec extends SparkSpec {
+
+  test("charNgrams: boundary cases and UTF-8 code points") {
+    val sp = spark
+    import sp.implicits._
+    val out = Seq("", "a", "ab", "abc", "héllo", (null: String))
+      .toDF("s")
+      .select(NgramFunctions.charNgrams(col("s"), 2).as("g"))
+      .collect().map(r => Option(r.getSeq[String](0)).map(_.toList))
+    assert(out(0) === Some(Nil))
+    assert(out(1) === Some(Nil))
+    assert(out(2) === Some(List("ab")))
+    assert(out(3) === Some(List("ab", "bc")))
+    assert(out(4) === Some(List("hé", "él", "ll", "lo")))
+    assert(out(5) === None)
+  }
+
+  test("charNgrams: matches sliding window for n = 1..4") {
+    val sp = spark
+    import sp.implicits._
+    val texts = Seq("the quick brown fox", "ααβγ mixed ascii", "x")
+    for (n <- 1 to 4) {
+      val got = texts.toDF("s")
+        .select(NgramFunctions.charNgrams(col("s"), n).as("g"))
+        .collect().map(_.getSeq[String](0).toList)
+      val want = texts.map(t => t.sliding(n).filter(_.length == n).toList)
+      assert(got.toList === want, s"n=$n")
+    }
+  }
+
+  test("q173: num/den equal the brute-force centered cross products") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+      .agg(expr("sum(cast(round(o_totalprice * 100) as bigint)) div 100").as("x"))
+      .collect().map(r => (r.getAs[Long]("day"), r.getAs[Long]("x")))
+      .sortBy(_._1)
+    val xs = daily.map(_._2)
+    val m = xs.sum / xs.length // integer floor-div mean, same as the query
+    val ys = xs.map(_ - m)
+    val den = ys.map(y => y * y).sum
+    val out = SeriesQueries.q173(spark, sf).collect()
+      .map(r => r.getAs[Long]("lag") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("num"),
+          r.getAs[Long]("den"), r.getAs[Long]("n_days"))).toMap
+    assert(out.keySet === (1L to 7L).toSet)
+    for (k <- 1 to 7) {
+      val prods = ys.dropRight(k).zip(ys.drop(k)).map { case (a, b) => a * b }
+      assert(out(k.toLong) === ((xs.length - k).toLong, prods.sum, den, xs.length.toLong),
+        s"lag=$k")
+    }
+  }
+
+  test("q174: ewma is the exact integer dot product of the trailing 14 days") {
+    val daily = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("c"))
+      .collect().map(r => (r.getAs[Long]("day"), r.getAs[Long]("c")))
+      .sortBy(_._1)
+    val out = SeriesQueries.q174(spark, sf).collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("c"), r.getAs[Long]("ewma_scaled"),
+          r.getAs[Long]("dev"), r.getAs[String]("flag"))).toMap
+    assert(out.size === daily.length - 14, "one row per day past the warmup")
+    for (i <- 14 until daily.length) {
+      val (day, c) = daily(i)
+      val ew = SeriesQueries.EwmaWeights.zipWithIndex
+        .map { case (w, k) => w * daily(i - k - 1)._2 }.sum
+      val dev = c * SeriesQueries.EwmaWSum - ew
+      val flag = if (math.abs(dev) * 10 > ew * 3) "spike" else "ok"
+      assert(out(day) === ((c, ew, dev, flag)), s"day=$day")
+    }
+    // the flag rule itself must be live: a 31% jump over flat history
+    // spikes (the baseline excludes the day under test, so the jump
+    // can't damp itself below the threshold)
+    val spikeEw = SeriesQueries.EwmaWeights.map(_ * 1000L).sum
+    assert(math.abs(1310L * SeriesQueries.EwmaWSum - spikeEw) * 10 > spikeEw * 3)
+    assert(math.abs(1290L * SeriesQueries.EwmaWSum - spikeEw) * 10 <= spikeEw * 3,
+      "a 29% jump stays below the threshold")
+  }
+
+  test("q175: greedy prefix-sum bins — in order, never splitting, near target") {
+    val rows = SeriesQueries.q175(spark, sf).collect()
+      .map(r => (r.getAs[Long]("chunk"), r.getAs[Long]("est_bytes"),
+        r.getAs[Long]("cum_before"), r.getAs[Long]("bin")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    var cum = 0L
+    for ((chunk, bytes, cumBefore, bin) <- rows) {
+      assert(cumBefore === cum, s"prefix sum at chunk=$chunk")
+      assert(bin === cum / 262144L, s"bin assignment at chunk=$chunk")
+      cum += bytes
+    }
+    val bins = rows.map(_._4)
+    assert(bins === bins.sorted, "bins are nondecreasing in chunk order")
+    // each bin's payload stays within one chunk of the 256 KiB target
+    rows.groupBy(_._4).foreach { case (bin, rs) =>
+      val total = rs.map(_._2).sum
+      assert(total < 262144L + rs.map(_._2).max,
+        s"bin $bin overshoots by more than its last chunk")
+    }
+  }
+
+  test("q176: shares sum to ~1e6 per region and match brute force") {
+    val out = SeriesQueries.q176(spark, sf).collect()
+      .map(r => (r.getAs[String]("r_name"), r.getAs[Long]("dow")) ->
+        (r.getAs[Long]("rev_cents"), r.getAs[Long]("share_ppm"),
+          r.getAs[Long]("index_ppm"))).toMap
+    val cust = Tables.customer(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[Int]("c_nationkey")).toMap
+    val natToReg = Tables.nation(spark, sf).collect()
+      .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[Int]("n_regionkey")).toMap
+    val regName = Tables.region(spark, sf).collect()
+      .map(r => r.getAs[Int]("r_regionkey") -> r.getAs[String]("r_name")).toMap
+    val brute = Tables.orders(spark, sf)
+      .select(col("o_custkey"), expr("unix_micros(o_orderdate) div 86400000000"),
+        expr("cast(round(o_totalprice * 100) as bigint)"))
+      .collect()
+      .map(r => (regName(natToReg(cust(r.getLong(0)))),
+        (r.getLong(1) + 4) % 7, r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).map { case (k, ts) => k -> ts.map(_._3).sum }
+    assert(out.keySet === brute.keySet)
+    brute.foreach { case (k, cents) => assert(out(k)._1 === cents, s"key=$k") }
+    out.keySet.groupBy(_._1).foreach { case (region, keys) =>
+      val tot = keys.toSeq.map(k => out(k)._1).sum
+      keys.foreach { k =>
+        assert(out(k)._2 === out(k)._1 * 1000000L / tot)
+        assert(out(k)._3 === out(k)._1 * 7000000L / tot)
+      }
+      val shareSum = keys.toSeq.map(k => out(k)._2).sum
+      assert(shareSum > 1000000L - 7 && shareSum <= 1000000L,
+        s"region=$region floor-rounded shares")
+    }
+  }
+
+  test("q177: top-50 char bigrams equal brute force with the same tie-break") {
+    val out = SeriesQueries.q177(spark, sf).collect()
+      .map(r => (r.getAs[String]("gram"), r.getAs[Long]("n"), r.getAs[Long]("rank")))
+      .sortBy(_._3)
+    val counts = Tables.documents(spark, sf).select("text").collect()
+      .iterator.flatMap(_.getString(0).sliding(2).filter(_.length == 2))
+      .foldLeft(Map.empty[String, Long]) { (m, g) => m.updated(g, m.getOrElse(g, 0L) + 1L) }
+    val want = counts.toSeq.sortBy { case (g, n) => (-n, g) }.take(50)
+      .zipWithIndex.map { case ((g, n), i) => (g, n, i + 1L) }
+    assert(out.toList === want.toList)
+  }
+}
