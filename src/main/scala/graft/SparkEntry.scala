@@ -35,7 +35,8 @@ object SparkEntry {
       graft.queries.MarketQueries.queries ++
       graft.queries.ServingQueries.queries ++
       graft.queries.OpsQueries.queries ++
-      graft.queries.SeriesQueries.queries
+      graft.queries.SeriesQueries.queries ++
+      graft.queries.InfoQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -61,5 +62,6 @@ object SparkEntry {
       graft.queries.MarketQueries.oracle ++
       graft.queries.ServingQueries.oracle ++
       graft.queries.OpsQueries.oracle ++
-      graft.queries.SeriesQueries.oracle
+      graft.queries.SeriesQueries.oracle ++
+      graft.queries.InfoQueries.oracle
 }

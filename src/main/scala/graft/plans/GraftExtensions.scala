@@ -56,6 +56,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.PhraseScanExpr(children.head,
           lit(children(1), "second"), lit(children(2), "third"))
       }))
+    // char_ngrams(text, n) → array of all character n-grams; n must be
+    // a positive integer literal (it compiles into the codegen'd
+    // extractor as a constant)
+    e.injectFunction((
+      new FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[graft.functions.CharNgramExpr].getName, "char_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "char_ngrams takes (text, n)")
+        val n = children(1) match {
+          case l if l.foldable && l.dataType == org.apache.spark.sql.types.IntegerType =>
+            Option(l.eval(null)).map(_.asInstanceOf[Int]).getOrElse(
+              throw new IllegalArgumentException("char_ngrams n must not be NULL"))
+          case other => throw new IllegalArgumentException(
+            s"char_ngrams n must be an integer literal, got $other")
+        }
+        graft.functions.CharNgramExpr(children.head, n)
+      }))
     // keyless interval joins → bucketed equi-join (no cartesian/BNL)
     e.injectOptimizerRule(_ => RangeJoinRewrite)
     // native point-in-time join: AsOfJoinNode → AsOfJoinExec

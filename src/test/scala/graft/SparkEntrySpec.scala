@@ -24,7 +24,8 @@ class SparkEntrySpec extends AnyFunSuite {
     graft.queries.AuditQueries.queries, graft.queries.NoveltyQueries.queries,
     graft.queries.PqQueries.queries, graft.queries.RiskQueries.queries,
     graft.queries.MarketQueries.queries, graft.queries.ServingQueries.queries,
-    graft.queries.OpsQueries.queries, graft.queries.SeriesQueries.queries)
+    graft.queries.OpsQueries.queries, graft.queries.SeriesQueries.queries,
+    graft.queries.InfoQueries.queries)
 
   test("no module's query name collides with another's") {
     val all = moduleQueryMaps.flatMap(_.keys)
