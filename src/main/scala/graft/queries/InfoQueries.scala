@@ -159,13 +159,62 @@ object InfoQueries {
       | CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den
       |FROM x GROUP BY 1""".stripMargin
 
+  // --- q182: pointwise mutual information between event type and
+  // weekday — the feature-dependence profile (which behaviors are
+  // weekday-locked?) that feeds feature selection for the q33 scorer;
+  // also the engine-proof template for ANY categorical-pair MI.
+  // pmi_micro = FLOOR(1e6 * ln(n_xy*N / (n_x*n_y))) per pair — one
+  // correctly-rounded LN on a bit-identical double, FLOORed (toward
+  // -inf on both engines; pmi is legitimately negative for
+  // anti-correlated pairs), NEVER divided — so no integer-division
+  // sign trap and no accumulation order. MI itself is derivable
+  // exactly as SUM(n_xy * pmi)/N. Shape: one (type, dow) groupBy
+  // (map-side combined, bounded by |types| x 7), then the marginal /
+  // total windows all on that metadata-sized frame — join-free.
+  def q182(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000 + 4) % 7").cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_xy"))
+      .withColumn("n_x", sum("n_xy").over(Window.partitionBy("event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).cast("long"))
+      .withColumn("n_y", sum("n_xy").over(Window.partitionBy("dow")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).cast("long"))
+      .withColumn("n", sum("n_xy").over(wAll).cast("long"))
+      .select(col("event_type"), col("dow"), col("n_xy"), col("n_x"), col("n_y"),
+        floor(lit(1e6) * log(expr("cast(n_xy * n as double)") /
+          expr("cast(n_x * n_y as double)"))).cast("long").as("pmi_micro"))
+  }
+
+  val q182Sql: String =
+    """WITH e AS (
+      | SELECT event_type,
+      |  (EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS dow
+      | FROM events),
+      |xy AS (SELECT event_type, CAST(dow AS BIGINT) AS dow,
+      |  CAST(COUNT(*) AS BIGINT) AS n_xy FROM e GROUP BY 1, 2),
+      |w AS (
+      | SELECT event_type, dow, n_xy,
+      |  CAST(SUM(n_xy) OVER (PARTITION BY event_type) AS BIGINT) AS n_x,
+      |  CAST(SUM(n_xy) OVER (PARTITION BY dow) AS BIGINT) AS n_y,
+      |  CAST(SUM(n_xy) OVER () AS BIGINT) AS n
+      | FROM xy)
+      |SELECT event_type, dow, n_xy, n_x, n_y,
+      | CAST(FLOOR(1000000.0 * LN(CAST(n_xy * n AS DOUBLE)
+      |   / CAST(n_x * n_y AS DOUBLE))) AS BIGINT) AS pmi_micro
+      |FROM w""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_user_entropy" -> (q178 _),
     "q179_char_entropy" -> (q179 _),
-    "q180_heaps_fit" -> (q180 _))
+    "q180_heaps_fit" -> (q180 _),
+    "q182_pmi_profile" -> (q182 _))
 
   val oracle: Map[String, String] = Map(
     "q178_user_entropy" -> q178Sql,
     "q179_char_entropy" -> q179Sql,
-    "q180_heaps_fit" -> q180Sql)
+    "q180_heaps_fit" -> q180Sql,
+    "q182_pmi_profile" -> q182Sql)
 }

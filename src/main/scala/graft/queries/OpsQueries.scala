@@ -434,6 +434,59 @@ object OpsQueries {
       |  THEN 'capped' ELSE 'budgeted' END AS decision
       |FROM a""".stripMargin
 
+  // --- q181: bloom-filter sizing advisor — the q83/FileBloomIndex
+  // family's missing input: for each dimension key a bloom-join would
+  // build on, the filter size the textbook formula implies at 1% and
+  // 0.1% target FPP, and whether it broadcasts. The real-valued
+  // constants ln(1/p)/ln(2)^2 (bits per key) and ceil(ln(1/p)/ln 2)
+  // (hash count) are frozen at plan time as INTEGER micro literals
+  // (9585058 / 14377587 bits-per-key-micro; k = 7 / 10), so
+  // m_bits = CEIL(n * bpk_micro / 1e6) is pure integer arithmetic on
+  // both engines — no runtime LN at all. Shape: one COUNT DISTINCT
+  // aggregate per dim (map-side partial), unioned to a 6-row frame.
+  def q181(s: SparkSession, dir: String): DataFrame = {
+    val Threshold = 10L * 1024 * 1024
+    def est(df: DataFrame, name: String, key: String,
+            fppPpm: Long, bpkMicro: Long, k: Long) =
+      df.agg(countDistinct(col(key)).as("n_keys"))
+        .select(lit(name).as("table_name"), lit(fppPpm).as("fpp_ppm"),
+          col("n_keys"),
+          expr(s"(n_keys * $bpkMicro + 999999) DIV 1000000").as("m_bits"),
+          lit(k).as("k_hashes"))
+        .withColumn("bloom_bytes", expr("(m_bits + 7) DIV 8"))
+        .withColumn("decision",
+          when(col("bloom_bytes") <= Threshold, lit("broadcast_bloom"))
+            .otherwise(lit("partitioned_bloom")))
+    val specs = Seq(
+      (Tables.supplier(s, dir), "supplier", "s_suppkey"),
+      (Tables.customer(s, dir), "customer", "c_custkey"),
+      (Tables.part(s, dir), "part", "p_partkey"))
+    val fpps = Seq((10000L, 9585058L, 7L), (1000L, 14377587L, 10L))
+    specs.flatMap { case (df, name, key) =>
+      fpps.map { case (fpp, bpk, k) => est(df, name, key, fpp, bpk, k) }
+    }.reduce(_ unionByName _)
+  }
+
+  val q181Sql: String = {
+    def one(t: String, key: String, fppPpm: Long, bpk: Long, k: Long) =
+      s"""SELECT '$t' AS table_name, CAST($fppPpm AS BIGINT) AS fpp_ppm,
+         | CAST(COUNT(DISTINCT $key) AS BIGINT) AS n_keys,
+         | CAST((COUNT(DISTINCT $key) * $bpk + 999999) // 1000000 AS BIGINT)
+         |   AS m_bits,
+         | CAST($k AS BIGINT) AS k_hashes,
+         | CAST(((COUNT(DISTINCT $key) * $bpk + 999999) // 1000000 + 7) // 8
+         |   AS BIGINT) AS bloom_bytes,
+         | CASE WHEN ((COUNT(DISTINCT $key) * $bpk + 999999) // 1000000 + 7) // 8
+         |   <= 10485760
+         |  THEN 'broadcast_bloom' ELSE 'partitioned_bloom' END AS decision
+         |FROM $t""".stripMargin
+    (for {
+      (t, key) <- Seq(("supplier", "s_suppkey"), ("customer", "c_custkey"),
+        ("part", "p_partkey"))
+      (fpp, bpk, k) <- Seq((10000L, 9585058L, 7L), (1000L, 14377587L, 10L))
+    } yield one(t, key, fpp, bpk, k)).mkString("\nUNION ALL\n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q164_asof_update" -> (q164 _),
     "q165_rebuild_advisor" -> (q165 _),
@@ -443,7 +496,8 @@ object OpsQueries {
     "q169_state_size" -> (q169 _),
     "q170_dup_trend" -> (q170 _),
     "q171_partition_advisor" -> (q171 _),
-    "q172_token_budget" -> (q172 _))
+    "q172_token_budget" -> (q172 _),
+    "q181_bloom_advisor" -> (q181 _))
 
   val oracle: Map[String, String] = Map(
     "q164_asof_update" -> q164Sql,
@@ -454,5 +508,6 @@ object OpsQueries {
     "q169_state_size" -> q169Sql,
     "q170_dup_trend" -> q170Sql,
     "q171_partition_advisor" -> q171Sql,
-    "q172_token_budget" -> q172Sql)
+    "q172_token_budget" -> q172Sql,
+    "q181_bloom_advisor" -> q181Sql)
 }

@@ -87,6 +87,33 @@ class InfoSpec extends SparkSpec {
     }
   }
 
+  test("q182: pmi recounts from the joint table; marginals are consistent") {
+    val out = InfoQueries.q182(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("dow")) ->
+        (r.getAs[Long]("n_xy"), r.getAs[Long]("n_x"), r.getAs[Long]("n_y"),
+          r.getAs[Long]("pmi_micro"))).toMap
+    val joint = Tables.events(spark, sf)
+      .select(col("event_type"), expr("(unix_micros(ts) div 86400000000 + 4) % 7"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(out.keySet === joint.keySet)
+    val n = joint.values.sum
+    val nx = joint.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val ny = joint.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    joint.foreach { case ((et, dow), nxy) =>
+      val (gNxy, gNx, gNy, pmi) = out((et, dow))
+      assert(gNxy === nxy)
+      assert(gNx === nx(et))
+      assert(gNy === ny(dow))
+      val want = math.floor(
+        1e6 * math.log((nxy * n).toDouble / (nx(et) * ny(dow)).toDouble)).toLong
+      assert(pmi === want, s"($et,$dow)")
+    }
+    // MI = SUM(n_xy*pmi)/n must be ~non-negative (floor bias only)
+    val mi = joint.map { case (k, nxy) => nxy * out(k)._4 }.sum / n
+    assert(mi >= -joint.size, s"mi_micro=$mi")
+  }
+
   test("char_ngrams is callable from pure SQL via the extension registry") {
     val got = spark.sql(
       "SELECT char_ngrams('abcd', 2) AS g, char_ngrams('abcd', 3) AS h")

@@ -270,4 +270,34 @@ class OpsSpec extends SparkSpec {
     // and the tiny test corpus is cap-bound everywhere (1e9 >> 4 epochs)
     assert(rows.forall(_.getAs[String]("decision") == "capped"))
   }
+
+  test("q181: bloom advisor recounts the textbook m/k from integer literals") {
+    val rows = graft.queries.OpsQueries.q181(spark, sf).collect()
+      .map(r => (r.getAs[String]("table_name"), r.getAs[Long]("fpp_ppm")) -> r).toMap
+    assert(rows.size === 6, "3 dims x 2 fpp targets")
+    val dims = Map(
+      "supplier" -> graft.sources.Tables.supplier(spark, sf)
+        .select("s_suppkey").distinct().count(),
+      "customer" -> graft.sources.Tables.customer(spark, sf)
+        .select("c_custkey").distinct().count(),
+      "part" -> graft.sources.Tables.part(spark, sf)
+        .select("p_partkey").distinct().count())
+    for {
+      (t, n) <- dims
+      (fpp, bpk, k) <- Seq((10000L, 9585058L, 7L), (1000L, 14377587L, 10L))
+    } {
+      val r = rows((t, fpp))
+      val mBits = (n * bpk + 999999L) / 1000000L
+      assert(r.getAs[Long]("n_keys") === n)
+      assert(r.getAs[Long]("m_bits") === mBits, s"$t@$fpp")
+      assert(r.getAs[Long]("k_hashes") === k)
+      assert(r.getAs[Long]("bloom_bytes") === (mBits + 7L) / 8L)
+      assert(r.getAs[String]("decision") === "broadcast_bloom",
+        "test dims all fit the broadcast threshold")
+      // the frozen integer constants are within 1 micro of the real formula
+      val realBpk = math.log(1e6 / fpp) / (math.log(2) * math.log(2))
+      assert(math.abs(bpk - math.floor(1e6 * realBpk)) <= 1.0)
+      assert(k === math.ceil(math.log(1e6 / fpp) / math.log(2)).toLong)
+    }
+  }
 }
