@@ -164,18 +164,16 @@ object SeriesQueries {
   // one chunk of target. Byte model matches q171 (char mass + 8 B per
   // fixed column). Shape: one map-side-combined corpus pass down to
   // <= |chunks| rows, then one bounded-frame running-sum window — the
-  // PLAN costs one scan; executing it is the rewrite. 256 KiB target
-  // so the plan exercises multi-chunk bins at oracle scale.
-  def q175(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir)
-      .groupBy(expr("unix_micros(l_shipdate) div 2592000000000").as("chunk"))
-      .agg((sum(length(col("l_returnflag")) + length(col("l_linestatus"))) +
-        lit(72L) * count(lit(1))).cast("long").as("est_bytes"))
-      .withColumn("cum_before",
-        coalesce(sum("est_bytes").over(Window.orderBy("chunk")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).cast("long"))
-      .withColumn("bin", expr("cum_before DIV 262144"))
-  }
+  // PLAN costs one scan; executing it is the rewrite
+  // (graft.operators.Compactor.compact — q175 IS Compactor.plan's
+  // oracle gate). 256 KiB target so the plan exercises multi-chunk
+  // bins at oracle scale.
+  def q175(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Compactor.plan(Tables.lineitem(s, dir),
+        expr("unix_micros(l_shipdate) div 2592000000000"),
+        length(col("l_returnflag")) + length(col("l_linestatus")) + lit(72L),
+        targetBytes = 262144L)
+      .select(col("chunk"), col("est_bytes"), col("cum_before"), col("bin"))
 
   val q175Sql: String =
     """WITH c AS (

@@ -112,6 +112,49 @@ class SeriesSpec extends SparkSpec {
     }
   }
 
+  test("Compactor.compact executes the q175 plan: one dir per bin, rows conserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val li = Tables.lineitem(spark, sf)
+    val chunk = expr("unix_micros(l_shipdate) div 2592000000000")
+    val bpr = length(col("l_returnflag")) + length(col("l_linestatus")) + lit(72L)
+    val manifest = graft.operators.Compactor
+      .compact(li, chunk, bpr, 262144L, dir).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("est_bytes"))).toMap
+    // manifest == the oracle-checked q175 plan rolled up per bin
+    val plan = graft.queries.SeriesQueries.q175(spark, sf).collect()
+      .map(r => (r.getAs[Long]("chunk"), r.getAs[Long]("est_bytes"),
+        r.getAs[Long]("bin")))
+    val want = plan.groupBy(_._3).map { case (bin, cs) =>
+      bin -> (cs.length.toLong, cs.map(_._2).sum)
+    }
+    assert(manifest.keySet === want.keySet)
+    want.foreach { case (bin, (nChunks, bytes)) =>
+      assert(manifest(bin)._1 === nChunks, s"bin=$bin")
+      assert(manifest(bin)._3 === bytes, s"bin=$bin")
+    }
+    assert(manifest.values.map(_._2).sum === li.count(), "rows conserved")
+    // the written layout is one directory per planned bin, rows intact
+    val back = spark.read.parquet(dir)
+    assert(back.count() === li.count())
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("bin=")).map(_.stripPrefix("bin=").toLong)
+    assert(dirs.toSet === want.keySet)
+    assert(back.groupBy("bin").count().collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("count")).toMap
+      === manifest.map { case (b, (_, n, _)) => b -> n })
+    // idempotent re-delivery: a re-run overwrites to the same state
+    val again = graft.operators.Compactor
+      .compact(li, chunk, bpr, 262144L, dir).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("est_bytes"))).toMap
+    assert(again === manifest)
+    assert(spark.read.parquet(dir).count() === li.count())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("q176: shares sum to ~1e6 per region and match brute force") {
     val out = SeriesQueries.q176(spark, sf).collect()
       .map(r => (r.getAs[String]("r_name"), r.getAs[Long]("dow")) ->
