@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -114,26 +114,14 @@ object SeriesQueries {
   // the 14-day warmup, where every lag is defined. Shape: one corpus
   // pass down to <= |days| rows, then 14 LAG reads on that bounded
   // ordered frame. Long bound: cents * WSum ~ 1e7-cents days
-  // * 1e6 ppm = 1e13 at sf0.1 << 2^63.
-  def q174(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy("day")
-    val daily = Tables.events(s, dir)
-      .filter(col("value").isNotNull)
-      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
-      .agg(sum(expr("cast(round(value * 100) as bigint)")).cast("long").as("c"))
-    val ew: Column = EwmaWeights.zipWithIndex.map { case (wt, k) =>
-      lag(col("c"), k + 1).over(w) * lit(wt)
-    }.reduce(_ + _)
-    daily
-      .withColumn("rn", row_number().over(w))
-      .withColumn("ew", ew.cast("long"))
-      .filter(col("rn") >= 15)
-      .select(col("day"), col("c"),
-        col("ew").as("ewma_scaled"),
-        (col("c") * lit(EwmaWSum) - col("ew")).cast("long").as("dev"),
-        when(abs(col("c") * lit(EwmaWSum) - col("ew")) * lit(10L) > col("ew") * lit(3L),
-          lit("spike")).otherwise(lit("ok")).as("flag"))
-  }
+  // * 1e6 ppm = 1e13 at sf0.1 << 2^63. Both halves are SHARED with
+  // the deployed streaming monitor (StreamingFraud.dailyValueStream
+  // aggregates the same daily frame as a stream;
+  // StreamingFraud.ewmaOf is this finisher — StreamingSpec asserts
+  // stream = batch), so the oracle gate checks the monitor itself.
+  def q174(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingFraud.ewmaOf(
+      graft.streaming.StreamingFraud.dailyValueStream(Tables.events(s, dir)))
 
   val q174Sql: String = {
     val terms = EwmaWeights.zipWithIndex.map { case (wt, k) =>

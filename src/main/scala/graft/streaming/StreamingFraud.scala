@@ -243,6 +243,48 @@ object StreamingFraud {
         col("base7"), col("ratio_ppm"), col("is_burst"))
   }
 
+  /** Daily value totals as ONE stream — 1-day tumbling windows over the
+    * non-null value stream in integer cents: the shared input frame of
+    * the EWMA anomaly monitor ([[ewmaOf]]) and `SeriesQueries.q174`
+    * (which runs the identical definition in batch).
+    */
+  def dailyValueStream(events: DataFrame): DataFrame =
+    events
+      .filter(col("value").isNotNull)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).cast("long").as("c"))
+      .select(expr("unix_micros(w.start) div 86400000000").cast("long").as("day"),
+        col("c"))
+
+  /** EWMA anomaly flags over a (day, c) daily-cents frame — the SHARED
+    * finisher: SeriesQueries.q174 applies it to batch daily totals, a
+    * deployed monitor applies it to [[dailyValueStream]]'s materialized
+    * output table each trigger, so stream = batch holds by construction
+    * (StreamingSpec asserts it). The baseline is an exact integer dot
+    * product of the plan-time ppm weights `SeriesQueries.EwmaWeights`
+    * over the PRIOR 14 observed days (the day under test excluded — a
+    * spike must not damp its own deviation); rows emit only past the
+    * warmup. The windows run over the ≤ |days| daily frame, never an
+    * event stream.
+    */
+  def ewmaOf(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.queries.SeriesQueries.{EwmaWSum, EwmaWeights}
+    val w = Window.orderBy("day")
+    val ew = EwmaWeights.zipWithIndex.map { case (wt, k) =>
+      lag(col("c"), k + 1).over(w) * lit(wt)
+    }.reduce(_ + _)
+    daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("ew", ew.cast("long"))
+      .filter(col("rn") >= 15)
+      .select(col("day"), col("c"),
+        col("ew").as("ewma_scaled"),
+        (col("c") * lit(EwmaWSum) - col("ew")).cast("long").as("dev"),
+        when(abs(col("c") * lit(EwmaWSum) - col("ew")) * lit(10L) > col("ew") * lit(3L),
+          lit("spike")).otherwise(lit("ok")).as("flag"))
+  }
+
   /** Batch helper for [[driftStream]]: the per-type reference histogram
     * over a training window, collected to a driver map (types×bins —
     * metadata next to the corpus, the q55 union-find precedent).

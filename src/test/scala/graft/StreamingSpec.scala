@@ -411,6 +411,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA anomaly monitor equals the q174 batch readout") {
+    // the deployed monitor: dailyValueStream materializes the daily
+    // cents frame, ewmaOf re-finishes it per trigger — must equal the
+    // batch q174 row-for-row (q174 runs the SAME two halves in batch).
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewma").toString
+    val batchEvents = graft.sources.Tables.events(spark, sf).cache()
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val q = StreamingFraud.dailyValueStream(
+        StreamingFraud.readEventStream(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ewma_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = StreamingFraud.ewmaOf(spark.table("ewma_out"))
+      val batch = graft.queries.SeriesQueries.q174(spark, sf)
+      assert(streamed.count() > 0 && streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0,
+        "stream-fed EWMA flags must equal the batch readout exactly")
+    } finally q.stop()
+  }
+
   test("full fraud report runs as one continuous stream, matching batch rules") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rep_stream").toString
     val batchEvents = graft.sources.Tables.events(spark, sf).cache()
