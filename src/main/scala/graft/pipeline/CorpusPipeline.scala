@@ -390,4 +390,67 @@ object CorpusPipeline {
     Dedup.releaseCaches()
     CurationResult(nIn, nClean, stages.result())
   }
+
+  /** The mixture-assembly result: `allocations` — one row per source
+    * (source, src_tokens, target_tokens, alloc_tokens, full_epochs,
+    * frac_rate_ppm); `sampled` — the input docs that made the mixture,
+    * each with `n_copies` (>= 1): how many times the doc appears in
+    * the assembled training set.
+    */
+  case class MixturePlan(allocations: DataFrame, sampled: DataFrame)
+
+  /** Training-mixture assembly — the step AFTER [[curate]]: spend a
+    * global token budget across sources under temperature-scaled
+    * (alpha = 0.5) weights with a repetition cap. The allocation math
+    * IS the q166/q172 advisor surface (CorpusPipelineSpec asserts the
+    * frames agree row-for-row), EXECUTED as a repetition-aware sample:
+    *
+    *  - full epochs are exact — alloc DIV src_tokens copies of every
+    *    doc in the source;
+    *  - the fractional remainder samples by seeded hash threshold
+    *    (xxhash64(doc_id, seed) % 1e6 < rate_ppm): expected token mass
+    *    = the remainder, deterministic given the seed, and — unlike a
+    *    per-source sort to a running-sum cutoff — requires NO ordered
+    *    window over a corpus-sized partition, so the plan stays one
+    *    broadcast join + map filter at any scale (the per-source sort
+    *    would serialize a 100 TB source through one sort; expectation
+    *    budgeting is the documented trade).
+    *
+    * Tokens are the n_chars DIV 4 proxy (q172's). Input needs
+    * (source, doc_id, n_chars) columns — [[curate]]'s clean output
+    * qualifies. Long bound: budgetTokens * s_scaled must fit a long —
+    * safe through ~25 T tokens per source (q172's documented bound).
+    */
+  def assembleMixture(docs: DataFrame, budgetTokens: Long,
+                      maxEpochs: Long = 4L, seed: Long = 42L): MixturePlan = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val allocations = docs.groupBy("source")
+      .agg(sum(expr("n_chars DIV 4")).cast("long").as("src_tokens"))
+      .filter(col("src_tokens") > 0)
+      .withColumn("s_scaled",
+        floor(lit(1000.0) * sqrt(col("src_tokens").cast("double"))).cast("long"))
+      .withColumn("denom", sum("s_scaled").over(wAll).cast("long"))
+      .withColumn("target_tokens", expr(s"($budgetTokens * s_scaled) DIV denom"))
+      .withColumn("alloc_tokens",
+        least(col("target_tokens"), expr(s"$maxEpochs * src_tokens")).cast("long"))
+      .withColumn("full_epochs", expr("alloc_tokens DIV src_tokens"))
+      .withColumn("frac_rate_ppm",
+        expr("((alloc_tokens % src_tokens) * 1000000) DIV src_tokens"))
+      .select(col("source"), col("src_tokens"), col("target_tokens"),
+        col("alloc_tokens"), col("full_epochs"), col("frac_rate_ppm"))
+    val sampled = docs
+      .join(broadcast(allocations
+        .select(col("source"), col("full_epochs"), col("frac_rate_ppm"))), "source")
+      .withColumn("__u", pmod(xxhash64(col("doc_id"), lit(seed)), lit(1000000L)))
+      .withColumn("n_copies",
+        (col("full_epochs") +
+          when(col("__u") < col("frac_rate_ppm"), lit(1L)).otherwise(lit(0L)))
+          .cast("long"))
+      .filter(col("n_copies") > 0)
+      .drop("__u", "full_epochs", "frac_rate_ppm")
+    MixturePlan(allocations, sampled)
+  }
 }

@@ -155,4 +155,58 @@ class CorpusPipelineSpec extends SparkSpec {
       .filter(col("score_micro") >= gate.minScoreMicro)
     assert(tooGood.isEmpty, "no doc at/above the threshold may be rejected")
   }
+
+  test("assembleMixture allocations ARE the q172 advisor surface") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val plan = graft.pipeline.CorpusPipeline
+      .assembleMixture(docs, budgetTokens = 1000000000L)
+    val got = plan.allocations.collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("src_tokens"), r.getAs[Long]("target_tokens"),
+          r.getAs[Long]("alloc_tokens"))).toMap
+    val advisor = graft.queries.OpsQueries.q172(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("src_tokens"), r.getAs[Long]("target_tokens"),
+          r.getAs[Long]("alloc_tokens"))).toMap
+    assert(got === advisor, "pipeline math must equal the oracle-checked advisor")
+  }
+
+  test("assembleMixture: cap-bound budget gives exact full epochs, no sampling") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // 1e9 tokens >> 4 epochs of the test corpus: every source caps
+    val plan = graft.pipeline.CorpusPipeline
+      .assembleMixture(docs, budgetTokens = 1000000000L)
+    val sampled = plan.sampled.collect()
+    val nDocs = docs.filter(expr("n_chars DIV 4") >= 0).count()
+    assert(sampled.length.toLong === nDocs, "capped mixture keeps every doc")
+    assert(sampled.forall(_.getAs[Long]("n_copies") === 4L),
+      "alloc = 4 epochs exactly => 4 copies each, no fractional draw")
+  }
+
+  test("assembleMixture: sub-epoch budget samples deterministically near target") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val total = docs.agg(sum(expr("n_chars DIV 4"))).collect()(0).getLong(0)
+    val budget = total / 2 // well under one epoch for every source
+    val plan = graft.pipeline.CorpusPipeline.assembleMixture(docs, budget)
+    val allocs = plan.allocations.collect()
+    assert(allocs.forall(_.getAs[Long]("full_epochs") === 0L))
+    // the fractional draw is seeded-hash deterministic
+    val ids1 = plan.sampled.select("doc_id").collect().map(_.getLong(0)).sorted
+    val ids2 = graft.pipeline.CorpusPipeline.assembleMixture(docs, budget)
+      .sampled.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids1.sameElements(ids2), "same seed, same sample")
+    assert(plan.sampled.collect().forall(_.getAs[Long]("n_copies") === 1L))
+    // expectation budgeting: sampled token mass lands near the allocation
+    val sampledTokens = plan.sampled.agg(sum(expr("n_chars DIV 4")))
+      .collect()(0).getLong(0)
+    val allocTotal = allocs.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(allocTotal <= budget)
+    assert(sampledTokens > allocTotal / 2 && sampledTokens < allocTotal * 3 / 2,
+      s"sampled=$sampledTokens alloc=$allocTotal")
+    // a different seed moves the draw (hash threshold is seed-driven)
+    val ids3 = graft.pipeline.CorpusPipeline
+      .assembleMixture(docs, budget, seed = 43L)
+      .sampled.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(!ids1.sameElements(ids3), "a new seed redraws the fractional sample")
+  }
 }
