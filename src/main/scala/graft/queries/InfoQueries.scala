@@ -36,22 +36,13 @@ object InfoQueries {
   // and a user-keyed join — all on the same key, so the shuffle
   // partitioning is reused; no window. Long bound: 1e6 * n * ln(...)
   // <= 1e6 * N * ln(types) ~ 2e15 even at 1e9 events per user.
-  def q178(s: SparkSession, dir: String): DataFrame = {
-    val g = Tables.events(s, dir)
-      .groupBy("user_id", "event_type")
-      .agg(count(lit(1)).as("n"))
-    val t = g.groupBy("user_id")
-      .agg(sum("n").cast("long").as("n_events"),
-        count(lit(1)).as("n_types"))
-    g.join(t, "user_id")
-      .groupBy("user_id")
-      .agg(min("n_events").as("n_events"), min("n_types").as("n_types"),
-        sum(floor(lit(1e6) * col("n") *
-          log(col("n_events").cast("double") / col("n"))).cast("long"))
-          .cast("long").as("term_sum"))
-      .select(col("user_id"), col("n_events"), col("n_types"),
-        expr("term_sum DIV n_events").as("entropy_micro"))
-  }
+  // Both halves are SHARED with the deployed streaming monitor
+  // (StreamingFraud.typeCountStream builds the same count frame as a
+  // stream; StreamingFraud.entropyOf is this finisher — StreamingSpec
+  // asserts stream = batch), so the oracle gate checks the monitor.
+  def q178(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingFraud.entropyOf(
+      graft.streaming.StreamingFraud.typeCountStream(Tables.events(s, dir)))
 
   val q178Sql: String =
     """WITH g AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n

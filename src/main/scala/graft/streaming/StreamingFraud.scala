@@ -285,6 +285,44 @@ object StreamingFraud {
           lit("spike")).otherwise(lit("ok")).as("flag"))
   }
 
+  /** Per-(user, type) event counts as ONE stream (windowless running
+    * aggregation, complete/update output) — the shared input frame of
+    * the behavior-entropy monitor ([[entropyOf]]) and
+    * `InfoQueries.q178` (which builds the identical frame in batch).
+    */
+  def typeCountStream(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-user event-type entropy over a (user_id, event_type, n) count
+    * frame — the SHARED finisher: InfoQueries.q178 applies it to the
+    * batch counts, a deployed monitor applies it to
+    * [[typeCountStream]]'s materialized output each trigger (stream =
+    * batch asserted in StreamingSpec). Every LN term FLOORs to an
+    * integer before summation (the q166 posture), so no cross-engine
+    * or cross-trigger accumulation order exists. The rollup runs over
+    * the users x types frame — already aggregated, never the event
+    * stream.
+    */
+  def entropyOf(g: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // per-user totals via a window on the already-aggregated frame —
+    // join-free on purpose: a self-join of a materialized streaming
+    // sink view trips conflicting-attribute resolution, and the window
+    // runs over users x types rows, never the event stream
+    val wu = Window.partitionBy("user_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("n_events", sum("n").over(wu).cast("long"))
+      .withColumn("n_types", count(lit(1)).over(wu).cast("long"))
+      .groupBy("user_id")
+      .agg(min("n_events").as("n_events"), min("n_types").as("n_types"),
+        sum(floor(lit(1e6) * col("n") *
+          log(col("n_events").cast("double") / col("n"))).cast("long"))
+          .cast("long").as("term_sum"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        expr("term_sum DIV n_events").as("entropy_micro"))
+  }
+
   /** Batch helper for [[driftStream]]: the per-type reference histogram
     * over a training window, collected to a driver map (types×bins —
     * metadata next to the corpus, the q55 union-find precedent).

@@ -433,6 +433,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming behavior-entropy monitor equals the q178 batch profile") {
+    // the deployed monitor: typeCountStream materializes the running
+    // (user, type) counts, entropyOf re-finishes them per trigger —
+    // must equal the batch q178 row-for-row.
+    val dir = java.nio.file.Files.createTempDirectory("graft_entropy").toString
+    val batchEvents = graft.sources.Tables.events(spark, sf).cache()
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val q = StreamingFraud.typeCountStream(
+        StreamingFraud.readEventStream(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("entropy_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = StreamingFraud.entropyOf(spark.table("entropy_out"))
+      val batch = graft.queries.InfoQueries.q178(spark, sf)
+      assert(streamed.count() > 0 && streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0,
+        "stream-fed entropy must equal the batch profile exactly")
+    } finally q.stop()
+  }
+
   test("full fraud report runs as one continuous stream, matching batch rules") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rep_stream").toString
     val batchEvents = graft.sources.Tables.events(spark, sf).cache()
