@@ -114,7 +114,15 @@ class PlanLintSpec extends SparkSpec {
       "q109_triangles" -> (0, 2), // K^2/2-pruned edge set is a broadcast local table
       "q121_containment" -> (17, 5),
       "q113_bpe_learn" -> (0, 0), // merge list is the driver loop's bounded output
-      "q114_bm25" -> (9, 3))
+      "q114_bm25" -> (9, 3),
+      // round-9 additions with load-bearing plan shapes: q176's three
+      // dims must stay broadcast; q173/q179's bounded-frame windows and
+      // metadata joins must not grow extra corpus shuffles
+      "q173_acf" -> (4, 1),
+      "q176_dow_seasonality" -> (2, 3),
+      "q177_char_bigrams" -> (2, 0),
+      "q179_char_entropy" -> (5, 1),
+      "q182_pmi_profile" -> (2, 0))
     val offenders = pinned.toSeq.sortBy(_._1).flatMap { case (name, (expS, expB)) =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       // shuffle exchanges print as plain "Exchange hashpartitioning(...)"
@@ -126,6 +134,18 @@ class PlanLintSpec extends SparkSpec {
       else Nil
     }
     assert(offenders.isEmpty, s"exchange-budget drift:\n${offenders.mkString("\n")}")
+  }
+
+  test("q177's global top-50 plans as a window-group limit, not a full sort") {
+    // Catalyst rewrites `row_number over (global order) <= 50` into
+    // TakeOrderedAndProject (InferWindowGroupLimit): distributed
+    // per-partition top-K + a K-row merge. A regression to the naive
+    // single-partition global Sort would still pass correctness and
+    // only surface as a corpus-sized straggler at scale — pin it here.
+    val plan = SparkEntry.queries("q177_char_bigrams")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "expected the window-group-limit top-k plan:\n" + plan)
   }
 
   test("fused plans stay fused: branch filters must not re-specialize shared joins") {
