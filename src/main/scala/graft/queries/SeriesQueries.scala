@@ -260,17 +260,72 @@ object SeriesQueries {
       | FROM g)
       |SELECT gram, n, rank FROM r WHERE rank <= 50""".stripMargin
 
+  // --- q183: cohort LTV curves — cumulative purchase value per signup
+  // cohort and week-of-life, normalized per cohort member: the revenue
+  // twin of q66's retention counts (THAT counts who came back; THIS
+  // accumulates what they spent). Exact integers end to end: cents via
+  // the tie-free money ROUND, cohort/week from epoch-day arithmetic,
+  // per-user LTV by integer DIV. Shape: the cohort assignment is one
+  // user-keyed groupBy joined back user-keyed (shuffle key reused),
+  // purchases fold map-side to the cohorts x weeks frame, and the
+  // running-sum window runs on that bounded frame with the ≤ |cohorts|
+  // size table broadcast.
+  def q183(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val f = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val cs = f.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
+    val w = e.join(f, "user_id")
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy(col("cohort_day"),
+        expr("(day - cohort_day) div 7").cast("long").as("week_n"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).cast("long")
+        .as("week_cents"))
+      .withColumn("cum_cents",
+        sum("week_cents").over(Window.partitionBy("cohort_day")
+          .orderBy("week_n").rowsBetween(Window.unboundedPreceding, 0))
+          .cast("long"))
+    w.join(broadcast(cs), "cohort_day")
+      .select(col("cohort_day"), col("week_n"), col("cohort_size"),
+        col("week_cents"), col("cum_cents"),
+        expr("cum_cents DIV cohort_size").as("ltv_per_user_cents"))
+  }
+
+  val q183Sql: String =
+    """WITH e AS (SELECT user_id, event_type, value,
+      |  EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1),
+      |cs AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      | FROM f GROUP BY 1),
+      |w AS (SELECT f.cohort_day,
+      |  CAST((e.day - f.cohort_day) // 7 AS BIGINT) AS week_n,
+      |  CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS week_cents
+      | FROM e JOIN f ON e.user_id = f.user_id
+      | WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+      | GROUP BY 1, 2),
+      |c AS (SELECT cohort_day, week_n, week_cents,
+      |  CAST(SUM(week_cents) OVER (PARTITION BY cohort_day ORDER BY week_n
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_cents
+      | FROM w)
+      |SELECT c.cohort_day, c.week_n, cs.cohort_size, c.week_cents, c.cum_cents,
+      | CAST(c.cum_cents // cs.cohort_size AS BIGINT) AS ltv_per_user_cents
+      |FROM c JOIN cs USING (cohort_day)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q173_acf" -> (q173 _),
     "q174_ewma_anomaly" -> (q174 _),
     "q175_compaction_plan" -> (q175 _),
     "q176_dow_seasonality" -> (q176 _),
-    "q177_char_bigrams" -> (q177 _))
+    "q177_char_bigrams" -> (q177 _),
+    "q183_cohort_ltv" -> (q183 _))
 
   val oracle: Map[String, String] = Map(
     "q173_acf" -> q173Sql,
     "q174_ewma_anomaly" -> q174Sql,
     "q175_compaction_plan" -> q175Sql,
     "q176_dow_seasonality" -> q176Sql,
-    "q177_char_bigrams" -> q177Sql)
+    "q177_char_bigrams" -> q177Sql,
+    "q183_cohort_ltv" -> q183Sql)
 }

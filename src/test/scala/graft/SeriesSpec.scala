@@ -187,6 +187,38 @@ class SeriesSpec extends SparkSpec {
     }
   }
 
+  test("q183: LTV curves recount from a driver-side cohort replay") {
+    val out = SeriesQueries.q183(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("week_n")) ->
+        (r.getAs[Long]("cohort_size"), r.getAs[Long]("week_cents"),
+          r.getAs[Long]("cum_cents"), r.getAs[Long]("ltv_per_user_cents"))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+    val cohort = ev.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._4).min }
+    val sizes = cohort.values.groupBy(identity).map { case (d, c) => d -> c.size.toLong }
+    val weekly = ev
+      .collect { case (u, "purchase", Some(c), d) => ((cohort(u), (d - cohort(u)) / 7), c) }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    assert(out.keySet === weekly.keySet)
+    weekly.keySet.groupBy(_._1).foreach { case (cd, keys) =>
+      var cum = 0L
+      keys.toSeq.sortBy(_._2).foreach { k =>
+        cum += weekly(k)
+        assert(out(k) === ((sizes(cd), weekly(k), cum, cum / sizes(cd))), s"key=$k")
+      }
+    }
+    // LTV is nondecreasing in week within a cohort
+    out.keySet.groupBy(_._1).foreach { case (_, keys) =>
+      val ltvs = keys.toSeq.sortBy(_._2).map(k => out(k)._4)
+      assert(ltvs === ltvs.sorted)
+    }
+  }
+
   test("q177: top-50 char bigrams equal brute force with the same tie-break") {
     val out = SeriesQueries.q177(spark, sf).collect()
       .map(r => (r.getAs[String]("gram"), r.getAs[Long]("n"), r.getAs[Long]("rank")))
