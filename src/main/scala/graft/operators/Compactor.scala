@@ -46,21 +46,42 @@ object Compactor {
 
   /** Execute the plan: write `df` to `outDir` partitioned by bin, one
     * directory per output bin, and return the manifest — one row per
-    * bin: (bin, n_chunks, n_rows, est_bytes). The manifest is computed
-    * from the plan frame (metadata-sized), not by re-scanning the
-    * written files.
+    * bin: (bin, n_chunks, n_rows, est_bytes). The plan is COLLECTED
+    * once (it is <= |chunks| rows by construction), so the broadcast
+    * assignment and the manifest are both built from the same local
+    * frame — the input scans exactly twice (plan + write), never a
+    * third time when the manifest is consumed. A NULL chunk key is a
+    * chunk like any other (null-safe join), so no row can silently
+    * miss the write while the manifest bills it.
     */
   def compact(df: DataFrame, chunkCol: Column, bytesPerRow: Column,
               targetBytes: Long, outDir: String): DataFrame = {
-    val p = plan(df, chunkCol, bytesPerRow, targetBytes)
-      .select(col("chunk"), col("n_rows"), col("est_bytes"), col("bin"))
-    df.withColumn("__chunk", chunkCol)
-      .join(broadcast(p.select(col("chunk").as("__chunk"), col("bin"))), "__chunk")
-      .drop("__chunk")
+    val spark = df.sparkSession
+    val planDf = plan(df, chunkCol, bytesPerRow, targetBytes)
+    val chunkType = planDf.schema("chunk").dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(chunkType),
+      s"chunk expression must be integral, got $chunkType")
+    val planRows = planDf
+      .select(col("chunk").cast("long"), col("n_rows"), col("est_bytes"), col("bin"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1), r.getLong(2), r.getLong(3)))
+    import spark.implicits._
+    val assignment = broadcast(
+      planRows.map { case (c, _, _, b) => (c, b) }.toSeq.toDF("__chunk", "bin"))
+    val withChunk = df.withColumn("__chunk", chunkCol.cast("long"))
+    withChunk
+      .join(assignment, withChunk("__chunk") <=> assignment("__chunk"))
+      .drop(assignment("__chunk")).drop("__chunk")
       .write.mode("overwrite").partitionBy("bin").parquet(outDir)
-    p.groupBy("bin")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum("n_rows").cast("long").as("n_rows"),
-        sum("est_bytes").cast("long").as("est_bytes"))
+    planRows.map { case (_, nRows, bytes, bin) => (bin, nRows, bytes) }.toSeq
+      .groupBy(_._1).toSeq
+      .map { case (bin, cs) =>
+        (bin, cs.length.toLong, cs.map(_._2).sum, cs.map(_._3).sum)
+      }
+      .toDF("bin", "n_chunks", "n_rows", "est_bytes")
   }
 }

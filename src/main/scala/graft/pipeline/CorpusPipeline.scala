@@ -421,13 +421,21 @@ object CorpusPipeline {
     * qualifies. Long bound: budgetTokens * s_scaled must fit a long —
     * safe through ~25 T tokens per source (q172's documented bound).
     */
-  def assembleMixture(docs: DataFrame, budgetTokens: Long,
-                      maxEpochs: Long = 4L, seed: Long = 42L): MixturePlan = {
+  /** The temperature-scaled (alpha = 0.5) per-source token allocation
+    * frame — ONE definition shared by the oracle-checked advisor
+    * (`OpsQueries.q172` derives its surface from this) and the
+    * executor ([[assembleMixture]] samples by it), so the formula can
+    * never diverge between the gate and the pipeline. Columns:
+    * (source, src_tokens, target_tokens, alloc_tokens, full_epochs,
+    * frac_rate_ppm); all exact integers (q166's integer-sqrt posture).
+    */
+  def mixtureAllocations(docs: DataFrame, budgetTokens: Long,
+                         maxEpochs: Long): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
     import org.apache.spark.sql.expressions.Window
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val allocations = docs.groupBy("source")
+    docs.groupBy("source")
       .agg(sum(expr("n_chars DIV 4")).cast("long").as("src_tokens"))
       .filter(col("src_tokens") > 0)
       .withColumn("s_scaled",
@@ -441,6 +449,11 @@ object CorpusPipeline {
         expr("((alloc_tokens % src_tokens) * 1000000) DIV src_tokens"))
       .select(col("source"), col("src_tokens"), col("target_tokens"),
         col("alloc_tokens"), col("full_epochs"), col("frac_rate_ppm"))
+  }
+
+  def assembleMixture(docs: DataFrame, budgetTokens: Long,
+                      maxEpochs: Long = 4L, seed: Long = 42L): MixturePlan = {
+    val allocations = mixtureAllocations(docs, budgetTokens, maxEpochs)
     val sampled = docs
       .join(broadcast(allocations
         .select(col("source"), col("full_epochs"), col("frac_rate_ppm"))), "source")

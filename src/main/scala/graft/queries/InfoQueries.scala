@@ -161,7 +161,10 @@ object InfoQueries {
   // sign trap and no accumulation order. MI itself is derivable
   // exactly as SUM(n_xy * pmi)/N. Shape: one (type, dow) groupBy
   // (map-side combined, bounded by |types| x 7), then the marginal /
-  // total windows all on that metadata-sized frame — join-free.
+  // total windows all on that metadata-sized frame — join-free. Long
+  // bound: the BIGINT products n_xy*n and n_x*n_y must fit — safe
+  // through ~3e9 events per marginal (Spark would wrap silently where
+  // DuckDB raises); beyond that, pre-scale both counts by 1e3.
   def q182(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -387,31 +387,21 @@ object OpsQueries {
   // then the unpartitioned window on that bounded frame. Long-range
   // bound: budget * s_scaled stays under 2^63 up to ~25 T tokens per
   // source (s_scaled ~ 5e9) — beyond that, drop the 1000x sqrt scale.
-  def q172(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val Budget = 1000000000L
-    val bySource = Tables.documents(s, dir)
-      .groupBy(col("source"))
-      .agg(sum(expr("n_chars DIV 4")).cast("long").as("src_tokens"))
-      // a source of only sub-4-char docs would divide by zero — DuckDB
-      // throws where Spark NULLs, so keep the zero row off both surfaces
-      .filter(col("src_tokens") > 0)
-      .withColumn("s_scaled",
-        floor(lit(1000.0) * sqrt(col("src_tokens").cast("double"))).cast("long"))
-    bySource
-      .withColumn("denom",
-        sum(col("s_scaled")).over(
-          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-          .cast("long"))
-      .withColumn("target_tokens", expr(s"($Budget * s_scaled) DIV denom"))
-      .withColumn("alloc_tokens",
-        least(col("target_tokens"), expr("4 * src_tokens")).cast("long"))
+  // The allocation frame is graft.pipeline.CorpusPipeline
+  // .mixtureAllocations — ONE definition shared with the executor
+  // (assembleMixture samples by the same frame), so this oracle gate
+  // checks the pipeline's own math. A source of only sub-4-char docs
+  // would divide by zero — DuckDB throws where Spark NULLs — so the
+  // shared frame keeps zero-token sources off both surfaces.
+  def q172(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.CorpusPipeline
+      .mixtureAllocations(Tables.documents(s, dir),
+        budgetTokens = 1000000000L, maxEpochs = 4L)
       .select(col("source"), col("src_tokens"), col("target_tokens"),
         col("alloc_tokens"),
         expr("(alloc_tokens * 1000000) DIV src_tokens").as("epochs_ppm"),
-        when(col("target_tokens") > expr("4 * src_tokens"), lit("capped"))
+        when(col("target_tokens") > col("alloc_tokens"), lit("capped"))
           .otherwise(lit("budgeted")).as("decision"))
-  }
 
   val q172Sql: String =
     """WITH s AS (

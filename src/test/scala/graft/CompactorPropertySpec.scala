@@ -8,8 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * guarantees must hold for ANY input, not just the test tables:
   * Compactor's prefix-sum bin assignment (checked here against a
   * direct sequential packer) and NgramOps.charNgrams (checked against
-  * String.sliding over arbitrary unicode, including surrogate-free
-  * multi-byte code points). (Raw scalacheck Gen with fixed seeds — the
+  * a code-point sliding window over arbitrary unicode, including
+  * 4-byte astral code points). (Raw scalacheck Gen with fixed seeds — the
   * scalatestplus bridge isn't in the offline dependency cache.)
   */
 class CompactorPropertySpec extends AnyFunSuite {
@@ -66,17 +66,21 @@ class CompactorPropertySpec extends AnyFunSuite {
     }
   }
 
-  // --- charNgrams vs String.sliding over arbitrary strings drawn from
-  // a unicode alphabet with 1-, 2-, and 3-byte UTF-8 code points.
-  private val textGen: Gen[String] = {
-    val alphabet = "ab \tzé√ß中本語0" // 1B ascii, 2B latin, 3B CJK
-    for {
-      n <- Gen.choose(0, 80)
-      cs <- Gen.listOfN(n, Gen.oneOf(alphabet.toSeq))
-    } yield cs.mkString
-  }
+  // --- charNgrams vs a code-point sliding window over arbitrary
+  // strings drawn from a unicode alphabet with 1-, 2-, 3-, AND 4-byte
+  // UTF-8 code points (the 4-byte astral char is a UTF-16 surrogate
+  // pair — String.sliding would split it; both engines count it as
+  // one char, so the reference must walk code points).
+  private val alphabetCps: Seq[String] =
+    "ab \tzé√ß中本語0😀𝕏".codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toSeq
 
-  test("charNgrams equals String.sliding for any unicode text and n") {
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 80)
+    cs <- Gen.listOfN(n, Gen.oneOf(alphabetCps))
+  } yield cs.mkString
+
+  test("charNgrams equals the code-point sliding window for any text and n") {
     import org.apache.spark.unsafe.types.UTF8String
     for {
       text <- samples(textGen, 60)
@@ -86,7 +90,9 @@ class CompactorPropertySpec extends AnyFunSuite {
         .charNgrams(UTF8String.fromString(text), n)
       val gotList = (0 until got.numElements())
         .map(i => got.getUTF8String(i).toString).toList
-      val want = text.sliding(n).filter(_.length == n).toList
+      val want = text.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toList
+        .sliding(n).filter(_.length == n).map(_.mkString).toList
       assert(gotList === want, s"n=$n text='$text'")
     }
   }

@@ -177,8 +177,10 @@ class CorpusPipelineSpec extends SparkSpec {
     val plan = graft.pipeline.CorpusPipeline
       .assembleMixture(docs, budgetTokens = 1000000000L)
     val sampled = plan.sampled.collect()
-    val nDocs = docs.filter(expr("n_chars DIV 4") >= 0).count()
-    assert(sampled.length.toLong === nDocs, "capped mixture keeps every doc")
+    // every doc survives: the cap keeps 4 epochs of every source (the
+    // test corpus has no zero-token source that the src_tokens > 0
+    // allocation filter would drop)
+    assert(sampled.length.toLong === docs.count(), "capped mixture keeps every doc")
     assert(sampled.forall(_.getAs[Long]("n_copies") === 4L),
       "alloc = 4 epochs exactly => 4 copies each, no fractional draw")
   }

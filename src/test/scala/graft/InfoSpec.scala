@@ -39,13 +39,15 @@ class InfoSpec extends SparkSpec {
     }
   }
 
-  test("q179: char entropy equals the recount over sliding(1) chars") {
+  test("q179: char entropy equals the recount over code-point chars") {
     val out = InfoQueries.q179(spark, sf).collect()
       .map(r => r.getAs[String]("source") ->
         (r.getAs[Long]("n_chars"), r.getAs[Long]("n_distinct"),
           r.getAs[Long]("entropy_micro"))).toMap
+    // code points, not UTF-16 units — what CharNgramExpr and DuckDB count
     val brute = Tables.documents(spark, sf).select("source", "text").collect()
-      .flatMap(r => r.getString(1).map(c => (r.getString(0), c.toString)))
+      .flatMap(r => r.getString(1).codePoints().toArray
+        .map(cp => (r.getString(0), new String(Character.toChars(cp)))))
       .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
       .groupBy(_._1._1)
       .map { case (src, m) => src -> m.values.toSeq }

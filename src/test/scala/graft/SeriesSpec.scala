@@ -11,6 +11,17 @@ import graft.sources.Tables
   */
 class SeriesSpec extends SparkSpec {
 
+  /** Code-point n-grams — the reference CharNgramExpr and DuckDB both
+    * compute: `String.sliding` walks UTF-16 code units, so it would
+    * split an astral character (4-byte UTF-8, a surrogate pair in
+    * UTF-16) that both engines treat as ONE char.
+    */
+  private def cpNgrams(s: String, n: Int): List[String] = {
+    val cps = s.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toList
+    cps.sliding(n).filter(_.length == n).map(_.mkString).toList
+  }
+
   test("charNgrams: boundary cases and UTF-8 code points") {
     val sp = spark
     import sp.implicits._
@@ -26,15 +37,17 @@ class SeriesSpec extends SparkSpec {
     assert(out(5) === None)
   }
 
-  test("charNgrams: matches sliding window for n = 1..4") {
+  test("charNgrams: matches code-point sliding window for n = 1..4") {
     val sp = spark
     import sp.implicits._
-    val texts = Seq("the quick brown fox", "ααβγ mixed ascii", "x")
+    // includes an astral (4-byte UTF-8 / surrogate-pair) character:
+    // one char to both engines, two UTF-16 units to String.sliding
+    val texts = Seq("the quick brown fox", "ααβγ mixed ascii", "x", "a😀b")
     for (n <- 1 to 4) {
       val got = texts.toDF("s")
         .select(NgramFunctions.charNgrams(col("s"), n).as("g"))
         .collect().map(_.getSeq[String](0).toList)
-      val want = texts.map(t => t.sliding(n).filter(_.length == n).toList)
+      val want = texts.map(t => cpNgrams(t, n))
       assert(got.toList === want, s"n=$n")
     }
   }
@@ -224,7 +237,7 @@ class SeriesSpec extends SparkSpec {
       .map(r => (r.getAs[String]("gram"), r.getAs[Long]("n"), r.getAs[Long]("rank")))
       .sortBy(_._3)
     val counts = Tables.documents(spark, sf).select("text").collect()
-      .iterator.flatMap(_.getString(0).sliding(2).filter(_.length == 2))
+      .iterator.flatMap(r => cpNgrams(r.getString(0), 2))
       .foldLeft(Map.empty[String, Long]) { (m, g) => m.updated(g, m.getOrElse(g, 0L) + 1L) }
     val want = counts.toSeq.sortBy { case (g, n) => (-n, g) }.take(50)
       .zipWithIndex.map { case ((g, n), i) => (g, n, i + 1L) }
