@@ -54,11 +54,11 @@ object SeriesQueries {
       .withColumn("den", sum(expr("yv * yv")).over(wAll).cast("long"))
       .select(col("rn"), col("yv"), col("nd"), col("den"))
     val pairs = y
-      .withColumn("lag", explode(sequence(lit(1L), lit(7L))))
-      .withColumn("rn2", col("rn") + col("lag"))
+      .withColumn("lag_k", explode(sequence(lit(1L), lit(7L))))
+      .withColumn("rn2", col("rn") + col("lag_k"))
       .join(y.select(col("rn").as("rnb"), col("yv").as("yb")),
         col("rn2") === col("rnb"))
-    pairs.groupBy(col("lag"))
+    pairs.groupBy(col("lag_k"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(expr("yv * yb")).cast("long").as("num"),
         min("den").cast("long").as("den"),
@@ -80,11 +80,11 @@ object SeriesQueries {
       |  CAST(SUM((x - sx // nd) * (x - sx // nd)) OVER () AS BIGINT) AS den
       | FROM w),
       |p AS (
-      | SELECT CAST(l.lag AS BIGINT) AS lag, a.yv, a.nd, a.den, b.yv AS yb
+      | SELECT CAST(l.lag AS BIGINT) AS lag_k, a.yv, a.nd, a.den, b.yv AS yb
       | FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) l(lag)
       | JOIN y a ON TRUE
       | JOIN y b ON b.rn = a.rn + l.lag)
-      |SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |SELECT lag_k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
       | CAST(SUM(yv * yb) AS BIGINT) AS num,
       | CAST(MIN(den) AS BIGINT) AS den,
       | CAST(MIN(nd) AS BIGINT) AS n_days
@@ -244,10 +244,10 @@ object SeriesQueries {
     Tables.documents(s, dir)
       .select(explode(NgramFunctions.charNgrams(col("text"), 2)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n"))
-      .withColumn("rank",
+      .withColumn("rnk",
         row_number().over(Window.orderBy(col("n").desc, col("gram"))).cast("long"))
-      .filter(col("rank") <= 50)
-      .select(col("gram"), col("n"), col("rank"))
+      .filter(col("rnk") <= 50)
+      .select(col("gram"), col("n"), col("rnk"))
   }
 
   val q177Sql: String =
@@ -256,9 +256,9 @@ object SeriesQueries {
       | FROM documents, UNNEST(range(1, CAST(length(text) AS BIGINT))) t(i)),
       |g AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
       |r AS (SELECT gram, n,
-      | CAST(ROW_NUMBER() OVER (ORDER BY n DESC, gram) AS BIGINT) AS rank
+      | CAST(ROW_NUMBER() OVER (ORDER BY n DESC, gram) AS BIGINT) AS rnk
       | FROM g)
-      |SELECT gram, n, rank FROM r WHERE rank <= 50""".stripMargin
+      |SELECT gram, n, rnk FROM r WHERE rnk <= 50""".stripMargin
 
   // --- q183: cohort LTV curves — cumulative purchase value per signup
   // cohort and week-of-life, normalized per cohort member: the revenue

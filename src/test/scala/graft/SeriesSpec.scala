@@ -63,7 +63,7 @@ class SeriesSpec extends SparkSpec {
     val ys = xs.map(_ - m)
     val den = ys.map(y => y * y).sum
     val out = SeriesQueries.q173(spark, sf).collect()
-      .map(r => r.getAs[Long]("lag") ->
+      .map(r => r.getAs[Long]("lag_k") ->
         (r.getAs[Long]("n_pairs"), r.getAs[Long]("num"),
           r.getAs[Long]("den"), r.getAs[Long]("n_days"))).toMap
     assert(out.keySet === (1L to 7L).toSet)
@@ -234,7 +234,7 @@ class SeriesSpec extends SparkSpec {
 
   test("q177: top-50 char bigrams equal brute force with the same tie-break") {
     val out = SeriesQueries.q177(spark, sf).collect()
-      .map(r => (r.getAs[String]("gram"), r.getAs[Long]("n"), r.getAs[Long]("rank")))
+      .map(r => (r.getAs[String]("gram"), r.getAs[Long]("n"), r.getAs[Long]("rnk")))
       .sortBy(_._3)
     val counts = Tables.documents(spark, sf).select("text").collect()
       .iterator.flatMap(r => cpNgrams(r.getString(0), 2))
