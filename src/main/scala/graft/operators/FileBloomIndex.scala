@@ -64,6 +64,59 @@ object FileBloomIndex {
       .withColumn("key_col", lit(keyCol))
   }
 
+  /** Incrementally refresh the index after ingest: bloom ONLY the
+    * files not yet covered, keep existing rows for still-present
+    * files, and drop rows for files that vanished (compaction /
+    * retention delete). The scan cost is proportional to the NEW data
+    * — the lakehouse steady state, where a per-batch full [[bloomIndex]]
+    * rebuild would pay O(corpus) per ingest. File identity comes from
+    * the same `input_file_name()` form the build writes, compared
+    * against the reader's `inputFiles` listing (metadata-sized — no
+    * data scan to learn the file set). A 0-row file never gets an
+    * index row (a groupBy build has nothing to bloom; point reads
+    * never need it) and is re-examined on each update — a zero-row
+    * scan, metadata-bounded.
+    *
+    * Pass the STORED index table (read back from wherever it
+    * persists), not the unmaterialized [[bloomIndex]] plan: a cached
+    * build plan still reads the data path, and Spark re-caches by
+    * path on write — an append would silently turn "existing" into a
+    * full rebuild of the grown directory (same caveat as
+    * [[prunedPointRead]]).
+    */
+  def updateIndex(spark: SparkSession, path: String, existing: DataFrame,
+                  keyCol: String, expectedItemsPerFile: Long = 1000000L,
+                  fpp: Double = 0.01): DataFrame = {
+    if (existing.columns.contains("key_col"))
+      existing.select("key_col").take(1).headOption.foreach { r =>
+        require(r.getString(0) == keyCol,
+          s"index was built on '${r.getString(0)}' but updated with '$keyCol' — " +
+            "rebuild instead")
+      }
+    val data = spark.read.parquet(path)
+    val present = data.inputFiles.toSet
+    val covered = {
+      import spark.implicits._
+      existing.select("file").as[String].collect().toSet
+    }
+    val newFiles = present.diff(covered).toSeq.sorted
+    val kept = {
+      import spark.implicits._
+      val presentDf = present.toSeq.toDF("file")
+      existing.join(presentDf, "file")
+    }
+    if (newFiles.isEmpty) kept
+    else {
+      val agg = udaf(new BloomAgg(expectedItemsPerFile, fpp), Encoders.scalaLong)
+      val fresh = spark.read.parquet(newFiles: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("n_rows"), agg(xxhash64(col(keyCol))).as("bloom"))
+        .withColumn("key_type", lit(data.schema(keyCol).dataType.catalogString))
+        .withColumn("key_col", lit(keyCol))
+      kept.unionByName(fresh, allowMissingColumns = true)
+    }
+  }
+
   /** Point read through the index: open only files whose bloom may
     * contain `key`. The probe hash uses the SAME Spark `xxhash64` as
     * the build — evaluated on the literal CAST TO THE STORED COLUMN'S

@@ -172,6 +172,72 @@ class SinksSpec extends SparkSpec {
     idx.unpersist(blocking = false)
   }
 
+  test("bloom index updates incrementally: new files bloomed, stale rows dropped") {
+    import graft.operators.FileBloomIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomupd").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+    // split at the median user so BOTH writes are non-empty at any sf
+    val mid = ev.stat.approxQuantile("user_id", Array(0.5), 0.0)(0).toLong
+    ev.filter(col("user_id") < mid)
+      .repartitionByRange(4, col("user_id"))
+      .write.parquet(s"$dir/events")
+    // a REAL incremental flow stores the index as a table — a cached
+    // build plan still reads the data path and Spark re-caches by path
+    // on write, so the append below would silently rebuild it
+    FileBloomIndex
+      .bloomIndex(spark, s"$dir/events", "user_id", expectedItemsPerFile = 10000L)
+      .write.parquet(s"$dir/idx0")
+    val idx0 = spark.read.parquet(s"$dir/idx0")
+    val files0 = idx0.select("file").collect().map(_.getString(0)).toSet
+    val blooms0 = idx0.select("file", "bloom").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    // ingest arrives: append more files, update instead of rebuilding
+    ev.filter(col("user_id") >= mid)
+      .repartitionByRange(4, col("user_id"))
+      .write.mode("append").parquet(s"$dir/events")
+    val idx1 = FileBloomIndex
+      .updateIndex(spark, s"$dir/events", idx0, "user_id",
+        expectedItemsPerFile = 10000L)
+      .cache()
+    val all = spark.read.parquet(s"$dir/events")
+    // covers every NON-EMPTY present file (a groupBy build has no row
+    // for a 0-row file — nothing to bloom, nothing a point read needs)
+    val idxFiles = idx1.select("file").collect().map(_.getString(0)).toSet
+    assert(idxFiles.subsetOf(all.inputFiles.toSet))
+    assert(idx1.count() > files0.size.toLong, "the append must add index rows")
+    assert(idx1.agg(sum("n_rows")).head().getLong(0) === all.count(),
+      "every row of every present file is indexed")
+    // existing files' rows are carried over BYTE-IDENTICAL, not re-bloomed
+    val carried = idx1.filter(col("file").isInCollection(files0))
+      .select("file", "bloom").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(carried === blooms0)
+    // point reads through the updated index stay exact on both halves
+    Seq(ev.filter(col("user_id") < mid), ev.filter(col("user_id") >= mid))
+      .foreach { half =>
+        val u = half.select("user_id").orderBy("user_id").head().getLong(0)
+        val pruned = FileBloomIndex
+          .prunedPointRead(spark, s"$dir/events", idx1, "user_id", u)
+        val full = all.filter(col("user_id") === u)
+        assert(pruned.count() === full.count(), s"user $u")
+      }
+    // a vanished file (compaction/delete) drops out of the index
+    val victim = files0.head
+    val victimPath = new org.apache.hadoop.fs.Path(new java.net.URI(victim))
+    victimPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(victimPath, false)
+    val idx2 = FileBloomIndex
+      .updateIndex(spark, s"$dir/events", idx1, "user_id",
+        expectedItemsPerFile = 10000L)
+    assert(!idx2.select("file").collect().map(_.getString(0)).contains(victim))
+    assert(idx2.count() === idx1.count() - 1)
+    // a mismatched key column is refused loudly
+    intercept[IllegalArgumentException] {
+      FileBloomIndex.updateIndex(spark, s"$dir/events", idx1, "event_id")
+    }
+    Seq(idx0, idx1).foreach(_.unpersist(blocking = false))
+  }
+
   test("matching bucketed tables join with no shuffle exchange") {
     // idempotence across JVMs: the in-memory catalog forgets managed
     // tables but their spark-warehouse locations survive — drop both
