@@ -169,13 +169,52 @@ object MarketQueries {
        |CROSS JOIN n
        |ORDER BY support DESC, pa ASC, pb ASC LIMIT $BasketTopK""".stripMargin
 
+  // --- q184: discount sensitivity per brand — the least-squares slope
+  // of quantity on discount across a brand's line items (positive:
+  // discounts move volume; ~zero: discounting buys nothing): the
+  // market-structure read behind promotion planning, and the q180
+  // integer-slope posture applied to the FACT side. x = discount in
+  // permille (the 0.01 price grid ×1000 — tie-free near-integer
+  // ROUND, posture 2), y = quantity (integral-valued double, exact
+  // ROUND); the slope ships as exact integer num/den. Shape: one
+  // lineitem pass joined to the BROADCAST part dim, map-side-combined
+  // groupBy(brand) — the sums are partial-aggregable, no window at
+  // all. Long bound: n·Σxy ~ |lines/brand|²·5e3 — safe through ~1e6
+  // lines per brand (beyond: centi-discount units).
+  def q184(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        expr("cast(round(l_discount * 1000) as bigint)").as("x"),
+        expr("cast(round(l_quantity) as bigint)").as("y"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        (count(lit(1)) * sum(expr("x * y")) - sum("x") * sum("y"))
+          .cast("long").as("slope_num"),
+        (count(lit(1)) * sum(expr("x * x")) - sum("x") * sum("x"))
+          .cast("long").as("slope_den"))
+  }
+
+  val q184Sql: String =
+    """WITH x AS (
+      | SELECT p.p_brand,
+      |  CAST(ROUND(l.l_discount * 1000) AS BIGINT) AS x,
+      |  CAST(ROUND(l.l_quantity) AS BIGINT) AS y
+      | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+      |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      | CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS slope_num,
+      | CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den
+      |FROM x GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q152_price_spread" -> (q152 _),
     "q153_hhi"          -> (q153 _),
-    "q154_basket_pairs" -> (q154 _))
+    "q154_basket_pairs" -> (q154 _),
+    "q184_discount_sensitivity" -> (q184 _))
 
   val oracle: Map[String, String] = Map(
     "q152_price_spread" -> q152Sql,
     "q153_hhi"          -> q153Sql,
-    "q154_basket_pairs" -> q154Sql)
+    "q154_basket_pairs" -> q154Sql,
+    "q184_discount_sensitivity" -> q184Sql)
 }

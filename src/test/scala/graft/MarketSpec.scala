@@ -85,4 +85,29 @@ class MarketSpec extends SparkSpec {
       assert(r.getAs[Long]("lift_ppm") === s * nOrders * 1000000L / (cnt(pa) * cnt(pb)))
     }
   }
+
+  test("q184: slope num/den equal the brute-force per-brand sums") {
+    import graft.queries.MarketQueries
+    val out = MarketQueries.q184(spark, sf).collect()
+      .map(r => r.getAs[String]("p_brand") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("slope_num"),
+          r.getAs[Long]("slope_den"))).toMap
+    val brandOf = graft.sources.Tables.part(spark, sf).collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[String]("p_brand")).toMap
+    val pts = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_discount", "l_quantity").collect()
+      .map(r => (brandOf(r.getLong(0)),
+        math.round(r.getDouble(1) * 1000), math.round(r.getDouble(2))))
+      .groupBy(_._1)
+    assert(out.keySet === pts.keySet)
+    pts.foreach { case (brand, xs) =>
+      val n = xs.length.toLong
+      val sx = xs.map(_._2).sum
+      val sy = xs.map(_._3).sum
+      val sxy = xs.map(p => p._2 * p._3).sum
+      val sxx = xs.map(p => p._2 * p._2).sum
+      assert(out(brand) === ((n, n * sxy - sx * sy, n * sxx - sx * sx)),
+        s"brand=$brand")
+    }
+  }
 }
