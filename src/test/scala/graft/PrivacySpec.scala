@@ -111,4 +111,59 @@ class PrivacySpec extends SparkSpec {
         "a new epoch reassigns at least some rows")
     } finally joined.unpersist()
   }
+
+  test("forgetKey: surgical index-pruned delete, untouched files stay byte-identical") {
+    import graft.operators.FileBloomIndex
+    import graft.pipeline.WarehouseOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_forget").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+    // cluster by user so the victim lives in few files — the layout
+    // the surgical rewrite exploits
+    ev.repartitionByRange(8, col("user_id")).write.parquet(s"$dir/events")
+    FileBloomIndex.bloomIndex(spark, s"$dir/events", "user_id", 10000L)
+      .write.parquet(s"$dir/idx")
+    val idx = spark.read.parquet(s"$dir/idx")
+    val victim = ev.select("user_id").orderBy("user_id").head().getLong(0)
+    val before = spark.read.parquet(s"$dir/events")
+    val victimRows = before.filter(col("user_id") === victim).count()
+    assert(victimRows > 0)
+    val others = before.filter(col("user_id") =!= victim)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val someUser = before.filter(col("user_id") =!= victim)
+      .select("user_id").orderBy("user_id").head().getLong(0)
+    val fileStats = new org.apache.hadoop.fs.Path(s"$dir/events")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val preMods = fileStats.listStatus(new org.apache.hadoop.fs.Path(s"$dir/events"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toMap
+
+    val res = WarehouseOps.forgetKey(spark, s"$dir/events", idx,
+      "user_id", victim, expectedItemsPerFile = 10000L)
+    assert(res.rowsRemoved === victimRows)
+    assert(res.filesRewritten >= 1 && res.filesRewritten <= res.filesExamined)
+    assert(res.filesExamined < preMods.size.toLong,
+      "a range-clustered victim must not shortlist every file")
+    val after = spark.read.parquet(s"$dir/events")
+    assert(after.filter(col("user_id") === victim).isEmpty, "key fully forgotten")
+    assert(after.select("event_id").collect().map(_.getLong(0)).sorted
+      .sameElements(others), "every other row survives exactly once")
+    // files the bloom never shortlisted were not touched at all
+    val postMods = fileStats.listStatus(new org.apache.hadoop.fs.Path(s"$dir/events"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    val untouched = preMods.keySet.intersect(postMods.keySet)
+    assert(untouched.nonEmpty)
+    untouched.foreach(f => assert(postMods(f) === preMods(f), s"file $f rewritten"))
+    // the refreshed index serves exact point reads on the new layout
+    res.index.write.mode("overwrite").parquet(s"$dir/idx2")
+    val idx2 = spark.read.parquet(s"$dir/idx2")
+    val pruned = FileBloomIndex.prunedPointRead(
+      spark, s"$dir/events", idx2, "user_id", someUser)
+    assert(pruned.count() === after.filter(col("user_id") === someUser).count())
+    // re-running the forget is a no-op on an already-clean directory
+    val res2 = WarehouseOps.forgetKey(spark, s"$dir/events", idx2,
+      "user_id", victim, expectedItemsPerFile = 10000L)
+    assert(res2.rowsRemoved === 0L)
+    assert(spark.read.parquet(s"$dir/events").count() === others.length.toLong)
+  }
 }
