@@ -51,7 +51,10 @@ def bench_gate(path):
     # breaks — the warning tracks distance to the tier boundary.
     headroom = 2000 - 90 - parsed_len
     nq = len(parsed["queries"])
-    entry_w = max(1, round(parsed_len / max(nq, 1)))
+    # entry width from the queries object alone — dividing the whole line
+    # (fixed JSON envelope included) by nq overstates per-entry width and
+    # understates the "more queries" figure
+    entry_w = max(1, round(len(json.dumps(parsed["queries"])) / max(nq, 1)))
     print(f"BENCH GATE OK: {nq} queries on the line"
           + (f" ({omitted} omitted, full set in BENCH_DETAIL.json)" if omitted else "")
           + f", total {parsed['value']}s, line {parsed_len} chars "

@@ -56,6 +56,12 @@ object Compactor {
     */
   def compact(df: DataFrame, chunkCol: Column, bytesPerRow: Column,
               targetBytes: Long, outDir: String): DataFrame = {
+    // the assignment join works through the '__chunk' working column and
+    // writes partitioned by 'bin' — an input that already carries either
+    // name would be silently overwritten (withColumn) or make the
+    // post-join drop/partitionBy ambiguous, corrupting the layout
+    require(!df.columns.contains("__chunk") && !df.columns.contains("bin"),
+      "compact uses working columns '__chunk' and 'bin' — rename them in the input first")
     val spark = df.sparkSession
     val planDf = plan(df, chunkCol, bytesPerRow, targetBytes)
     val chunkType = planDf.schema("chunk").dataType

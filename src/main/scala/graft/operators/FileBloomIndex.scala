@@ -87,13 +87,20 @@ object FileBloomIndex {
   def updateIndex(spark: SparkSession, path: String, existing: DataFrame,
                   keyCol: String, expectedItemsPerFile: Long = 1000000L,
                   fpp: Double = 0.01): DataFrame = {
-    if (existing.columns.contains("key_col"))
-      existing.select("key_col").take(1).headOption.foreach { r =>
-        require(r.getString(0) == keyCol,
-          s"index was built on '${r.getString(0)}' but updated with '$keyCol' — " +
+    // guard on the MAX non-null key_col, not an arbitrary row: an index
+    // migrated once from a pre-key_col build is a MIX of null (carried
+    // rows) and populated key_col rows, and take(1) would make the guard
+    // nondeterministic. max skips nulls; build/backfill write ONE literal
+    // per update so a populated index can only ever hold one value.
+    if (existing.columns.contains("key_col")) {
+      val built = existing.agg(max("key_col")).head()
+      if (!built.isNullAt(0))
+        require(built.getString(0) == keyCol,
+          s"index was built on '${built.getString(0)}' but updated with '$keyCol' — " +
             "rebuild instead")
-      }
+    }
     val data = spark.read.parquet(path)
+    val keyTypeStr = data.schema(keyCol).dataType.catalogString
     val present = data.inputFiles.toSet
     val covered = {
       import spark.implicits._
@@ -103,17 +110,29 @@ object FileBloomIndex {
     val kept = {
       import spark.implicits._
       val presentDf = present.toSeq.toDF("file")
-      existing.join(presentDf, "file")
+      val base = existing.join(presentDf, "file")
+      // backfill the metadata columns on carried rows so the stored index
+      // is UNIFORM after one update — pre-key_col rows otherwise carry
+      // nulls forever (via allowMissingColumns) and keep the guard and
+      // prunedPointRead's type resolution row-order-dependent
+      val withType =
+        if (base.columns.contains("key_type"))
+          base.withColumn("key_type", coalesce(col("key_type"), lit(keyTypeStr)))
+        else base.withColumn("key_type", lit(keyTypeStr))
+      if (withType.columns.contains("key_col"))
+        withType.withColumn("key_col", coalesce(col("key_col"), lit(keyCol)))
+      else withType.withColumn("key_col", lit(keyCol))
     }
     if (newFiles.isEmpty) kept
     else {
       val agg = udaf(new BloomAgg(expectedItemsPerFile, fpp), Encoders.scalaLong)
-      val fresh = spark.read.parquet(newFiles: _*)
+      // schema supplied from the table read above — no second footer pass
+      val fresh = spark.read.schema(data.schema).parquet(newFiles: _*)
         .groupBy(input_file_name().as("file"))
         .agg(count(lit(1)).as("n_rows"), agg(xxhash64(col(keyCol))).as("bloom"))
-        .withColumn("key_type", lit(data.schema(keyCol).dataType.catalogString))
+        .withColumn("key_type", lit(keyTypeStr))
         .withColumn("key_col", lit(keyCol))
-      kept.unionByName(fresh, allowMissingColumns = true)
+      kept.unionByName(fresh)
     }
   }
 
@@ -140,23 +159,29 @@ object FileBloomIndex {
     // not throw). Note the probe evaluates the index plan — pass the
     // STORED index table, not an unmaterialized build pipeline.
     val keyType = {
+      // resolve via MAX over the metadata columns, not take(1): a
+      // once-migrated index may hold nulls on carried rows, and an
+      // arbitrary-row read would nondeterministically miss the stored
+      // value (updateIndex backfills, but an index written before that
+      // fix can still be mixed)
       val stored =
         if (index.columns.contains("key_type")) {
-          val head =
+          val r =
             if (index.columns.contains("key_col"))
-              index.select("key_type", "key_col").take(1).headOption
-            else index.select("key_type").take(1).headOption
-          head.map { r =>
+              index.agg(max("key_type"), max("key_col")).head()
+            else index.agg(max("key_type")).head()
+          if (r.isNullAt(0)) None
+          else {
             // the stored type is only meaningful for the column the
             // index was BUILT on — probing a different column with it
             // would silently prune on the wrong key semantics
-            if (r.length > 1) {
+            if (r.length > 1 && !r.isNullAt(1)) {
               val built = r.getString(1)
               require(built == keyCol,
                 s"index was built on '$built' but probed with '$keyCol' — " +
                   "rebuild the index on the probe column")
             }
-            org.apache.spark.sql.types.DataType.fromDDL(r.getString(0))
+            Some(org.apache.spark.sql.types.DataType.fromDDL(r.getString(0)))
           }
         } else None
       stored.getOrElse(spark.read.parquet(path).schema(keyCol).dataType)

@@ -105,6 +105,24 @@ object WarehouseOps {
     * equals a predicate) and null-keyed ROWS are always preserved.
     * Call with the STORED index (the [[graft.operators.FileBloomIndex]]
     * caveat); the returned refreshed index covers the rewritten files.
+    *
+    * Job structure is O(1), not O(candidates): the pass first REFRESHES
+    * coverage (an [[graft.operators.FileBloomIndex.updateIndex]] over
+    * the supplied index, so files ingested after the index build are
+    * bloomed rather than silently skipped — and the refresh's key_col
+    * guard fires BEFORE any destructive step), then runs ONE
+    * aggregation over all shortlisted files (per-file hit/total counts
+    * via `input_file_name`), ONE batched rewrite job of every
+    * partially-hit file (kept rows repartitioned so each source file's
+    * survivors land in exactly one output file, written under a hidden
+    * temp dir partitioned by source id), metadata-priced renames to the
+    * deterministic sibling names, and finally the batched source
+    * deletes — survivors are durable before ANY source vanishes, so a
+    * crash at any point re-converges exactly as the per-file variant
+    * did. A hash-scattered key therefore costs two data passes over the
+    * hit files, never 2·|files| serial single-task jobs. The batched
+    * scan reads the candidates under the table's unified schema — the
+    * warehouse invariant every multi-file reader here already assumes.
     */
   def forgetKey(spark: SparkSession, path: String, index: DataFrame,
                 keyCol: String, key: Any,
@@ -116,8 +134,14 @@ object WarehouseOps {
     val keyType = data.schema(keyCol).dataType
     val probe = lit(key).cast(keyType)
     val hk = spark.range(1).select(xxhash64(probe)).head().getLong(0)
+    val hex = java.lang.Long.toHexString(hk)
     import spark.implicits._
-    val candidates = index.select(col("file"), col("bloom"))
+    // coverage first: prune with an index that is guaranteed to span
+    // data.inputFiles, so a row in a file the stored index never saw
+    // cannot survive while ForgetResult reports success
+    val spanning = FileBloomIndex.updateIndex(spark, path, index, keyCol,
+      expectedItemsPerFile, fpp)
+    val candidates = spanning.select(col("file"), col("bloom"))
       .as[(String, Array[Byte])]
       .filter { case (_, bytes) =>
         org.apache.spark.util.sketch.BloomFilter
@@ -128,31 +152,59 @@ object WarehouseOps {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var rewritten = 0L
     var removed = 0L
-    candidates.foreach { file =>
-      val rows = spark.read.parquet(file)
-      val hits = rows.filter(col(keyCol) === probe).count()
-      if (hits > 0) {
-        val kept = rows.filter(col(keyCol).isNull || col(keyCol) =!= probe)
-        val src = new Path(new java.net.URI(file))
-        val base = src.getName.stripSuffix(".parquet")
-        val target = new Path(src.getParent, s"$base-fk${java.lang.Long.toHexString(hk)}.parquet")
-        if (kept.isEmpty) {
-          // nothing remains: the delete alone is the rewrite
-        } else {
-          val tmp = new Path(src.getParent, s".tmp_fk_${src.getName}")
-          kept.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = fs.globStatus(new Path(tmp, "part-*.parquet")) match {
-            case Array(one) => one.getPath
-            case other => throw new IllegalStateException(
-              s"expected one part under $tmp, found ${other.length}")
-          }
+    if (candidates.nonEmpty) {
+      // ONE job: per-candidate-file hit/total census (map-side combined).
+      // The schema is supplied, not re-inferred — skips a footer-reading
+      // job per scan (and at 100 TB, a footer pass over the shortlist)
+      val stats = spark.read.schema(data.schema).parquet(candidates.toIndexedSeq: _*)
+        .groupBy(input_file_name().as("src"))
+        .agg(sum(when(col(keyCol) === probe, 1L).otherwise(0L)).as("hits"),
+          count(lit(1)).as("total"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val hit = stats.filter(_._2 > 0)
+      removed = hit.map(_._2).sum
+      rewritten = hit.length.toLong
+      val rewrites = hit.collect { case (f, h, t) if h < t => f }.sorted
+      def srcPath(file: String) = new Path(new java.net.URI(file))
+      def targetOf(src: Path) =
+        new Path(src.getParent, s"${src.getName.stripSuffix(".parquet")}-fk$hex.parquet")
+      if (rewrites.nonEmpty) {
+        // ONE job: every partially-hit file rewritten together. The
+        // repartition on the source id puts each file's survivors in
+        // exactly one task, so each __sid directory holds exactly one
+        // part file — the unit the deterministic rename needs.
+        val sidDf = broadcast(
+          rewrites.zipWithIndex.toSeq.toDF("__fk_src", "__fk_sid"))
+        val tmp = new Path(path, s".tmp_fk_$hex")
+        spark.read.schema(data.schema).parquet(rewrites.toIndexedSeq: _*)
+          .withColumn("__fk_src", input_file_name())
+          .filter(col(keyCol).isNull || col(keyCol) =!= probe)
+          .join(sidDf, "__fk_src")
+          .drop("__fk_src")
+          .repartition(rewrites.length, col("__fk_sid"))
+          .write.mode("overwrite").partitionBy("__fk_sid").parquet(tmp.toString)
+        rewrites.zipWithIndex.foreach { case (file, sid) =>
+          val src = srcPath(file)
+          val part =
+            fs.globStatus(new Path(new Path(tmp, s"__fk_sid=$sid"), "part-*.parquet")) match {
+              case Array(one) => one.getPath
+              case other => throw new IllegalStateException(
+                s"expected one part for $file under $tmp, found ${other.length}")
+            }
+          val target = targetOf(src)
           if (fs.exists(target)) fs.delete(target, false)
           require(fs.rename(part, target), s"rename $part -> $target failed")
-          fs.delete(tmp, true)
         }
-        require(fs.delete(src, false), s"delete $src failed")
-        rewritten += 1
-        removed += hits
+        fs.delete(tmp, true)
+      }
+      // batched source deletes LAST: every survivor is already durable
+      // under its rewrite name, so the worst crash window leaves a
+      // source/rewrite pair both visible (re-run converges; readers may
+      // briefly see survivors twice — the documented per-file-atomicity
+      // price). Fully-hit files need no rewrite: the delete IS the edit.
+      hit.foreach { case (file, _, _) =>
+        require(fs.delete(srcPath(file), false), s"delete $file failed")
       }
     }
     val refreshed = FileBloomIndex.updateIndex(spark, path, index, keyCol,

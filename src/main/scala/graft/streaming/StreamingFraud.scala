@@ -879,9 +879,23 @@ object StreamingFraud {
     * q164 oracle checks. With `EventTimeTimeout` (streaming; both
     * inputs must carry a watermark at least as large as the real
     * disorder), pending facts emit as the watermark passes them, and a
-    * timeout at watermark+1ms keeps an idle key draining; facts the
-    * final watermark never passes stay in state (the sessionStream
-    * "final open session" caveat).
+    * timeout at watermark+1ms keeps an idle key draining.
+    *
+    * End-of-stream drain: the engine's watermark is max-event-time
+    * minus delay, so it NEVER passes the final delay-window of facts —
+    * without help they'd sit in state forever once the feed stops (the
+    * sessionStream "final open session" caveat). `closeAtUs` is the
+    * explicit close watermark that drains them: the CALLER's promise
+    * that every version with event time < closeAtUs has already been
+    * delivered (the dimension feed is caught up / closed to there).
+    * Facts below `max(engine watermark, closeAtUs)` then resolve
+    * finally against the versions seen so far. Set it to (max fact
+    * event time + 1µs) when replaying a closed feed, or to the
+    * dimension source's committed offset frontier on a live one; keys
+    * drain at their next invocation (their arrival batch, or the
+    * watermark+1ms timeout for already-pending state). Leave it None
+    * for the engine-watermark-only behavior — correct under arbitrary
+    * version lateness within the delay, but final-window facts pend.
     *
     * Scale: state per key is the pending-fact buffer (bounded by the
     * watermark delay x per-key fact rate) plus the version list pruned
@@ -898,7 +912,8 @@ object StreamingFraud {
 
   def asOfUpdateStream(facts: DataFrame, versions: DataFrame,
                        timeout: org.apache.spark.sql.streaming.GroupStateTimeout =
-                         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout): DataFrame = {
+                         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+                       closeAtUs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val useTimeout = timeout == GroupStateTimeout.EventTimeTimeout
@@ -928,8 +943,13 @@ object StreamingFraud {
           // < W. A fact STRICTLY below W (µs-floored) can therefore
           // never gain another admissible version (v_us <= f_us < W·1000
           // implies the version's event time is below W) — it is final.
+          // closeAtUs extends the finality frontier by the caller's
+          // promise (version feed complete below it) — the end-of-stream
+          // drain the engine watermark alone can never provide.
           val safeUs =
-            if (useTimeout) state.getCurrentWatermarkMs() * 1000L
+            if (useTimeout)
+              math.max(state.getCurrentWatermarkMs() * 1000L,
+                closeAtUs.getOrElse(Long.MinValue))
             else Long.MaxValue
           val (ready, still) = st.pending.partition(_.f_us < safeUs)
           val out = ready.sortBy(f => (f.f_us, f.f_id)).flatMap { f =>
@@ -955,5 +975,39 @@ object StreamingFraud {
           out.iterator
         })(Encoders.product[AsOfSt], Encoders.product[AsOfOut])
       .toDF()
+  }
+
+  /** End-of-stream drain for [[asOfUpdateStream]]: batch-read the
+    * STOPPED query's keyed state from its checkpoint (Spark's state
+    * data source) and resolve every still-pending fact against the
+    * versions its key had accumulated — the rows the engine watermark
+    * could never release (it trails max event time by the delay, so
+    * the final delay-window of facts pends forever once the feed
+    * stops). Union the streamed output with this frame and the result
+    * equals the batch as-of exactly (StreamingSpec).
+    *
+    * `closeAtUs` bounds the promise exactly as in the live operator:
+    * only facts strictly below it drain (default: everything — the
+    * feed is fully closed). Resolution reuses the operator's rule via
+    * the same (v_us, v_id) struct ordering: latest admissible version,
+    * ties to the larger version_id; keys with no admissible version
+    * emit nothing (inner as-of). The state is watermark-delay-bounded
+    * per key, so the HOF filter runs over tiny arrays — this is a
+    * state-sized maintenance read, not a corpus scan.
+    */
+  def drainAsOfState(spark: SparkSession, checkpointDir: String,
+                     closeAtUs: Long = Long.MaxValue): DataFrame = {
+    val st = spark.read.format("statestore").load(checkpointDir)
+    st.select(col("key.value").as("user_id"),
+        col("value.versions").as("versions"),
+        explode(col("value.pending")).as("f"))
+      .filter(col("f.f_us") < lit(closeAtUs))
+      .withColumn("v", array_max(expr("filter(versions, v -> v.v_us <= f.f_us)")))
+      .filter(col("v").isNotNull)
+      .select(col("f.f_id").as("fact_id"), col("user_id"),
+        timestamp_micros(col("f.f_us")).as("f_ts"),
+        col("v.v_id").as("version_id"),
+        timestamp_micros(col("v.v_us")).as("v_ts"),
+        col("v.cents").as("v_cents"))
   }
 }

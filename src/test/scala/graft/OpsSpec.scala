@@ -134,6 +134,67 @@ class OpsSpec extends SparkSpec {
     assert(byKey(("fact_big", 2L)).getAs[String]("decision") === "accumulate")
     // cumulative history never leaks across tables
     assert(byKey(("dim_small", 2L)).getAs[Long]("cum_rows") === 250L)
+    // neither table is physically on disk here (log-only warehouse), so
+    // both price with the FALLBACK amp and say so
+    assert(out.map(_.getAs[String]("amp_source")).toSet === Set("fallback"))
+    assert(out.map(_.getAs[Long]("write_amp")).toSet === Set(3L))
+  }
+
+  test("MartAdvisor.measuredWriteAmp: amp derived from the warehouse's own records") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_amp").toString
+    // table t physically on disk (the inventory census must corroborate)
+    (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v").write.parquet(s"$dir/t")
+    Seq(
+      // t: n_new = 100 then 100 -> cum 100, 200; snapshot-swap writes
+      // Σcum = 300 physical rows for 200 ingested -> amp = ceil(3/2) = 2
+      ("t", 1L, 100L, 0L, 0L), ("t", 2L, 60L, 40L, 0L),
+      // ghost: in the log but with no footprint on disk -> fallback
+      ("ghost", 1L, 10L, 0L, 0L))
+      .toDF("table_name", "run_id", "rows_inserted", "rows_updated", "rows_deleted")
+      .write.mode("overwrite").parquet(s"$dir/etl_run_log")
+    val amp = graft.pipeline.MartAdvisor.measuredWriteAmp(spark, dir).collect()
+      .map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Long]("write_amp"), r.getAs[String]("amp_source"))).toMap
+    assert(amp("t") === ((2L, "measured")))
+    assert(amp("ghost") === ((3L, "fallback")))
+    // the advisor consumes the measured dial — and the verdict FLIPS on
+    // it: t's run 2 accumulates at the measured amp 2 (2*100 <= 200)
+    // where the guessed literal 3 would have said rebuild (300 > 200)
+    val out = graft.pipeline.MartAdvisor
+      .adviseFromRunLog(spark, dir, lookbackRuns = 0).collect()
+    val byKey = out.map(r =>
+      (r.getAs[String]("table_name"), r.getAs[Long]("run_id")) -> r).toMap
+    assert(byKey(("t", 2L)).getAs[Long]("write_amp") === 2L)
+    assert(byKey(("t", 2L)).getAs[Long]("acc_cost_rows") === 200L)
+    assert(byKey(("t", 2L)).getAs[String]("decision") === "accumulate")
+    val forced = graft.pipeline.MartAdvisor
+      .adviseFromRunLog(spark, dir, writeAmp = Some(3L), lookbackRuns = 0).collect()
+      .map(r => (r.getAs[String]("table_name"), r.getAs[Long]("run_id")) -> r).toMap
+    assert(forced(("t", 2L)).getAs[String]("decision") === "rebuild")
+    assert(forced(("t", 2L)).getAs[String]("amp_source") === "forced")
+  }
+
+  test("MartAdvisor.advise refuses an oversized un-partitioned frame at runtime") {
+    val sp = spark
+    import sp.implicits._
+    val big = sp.range(200)
+      .select(col("id").as("run"), lit(1L).as("n"))
+    val e = intercept[Exception] {
+      graft.pipeline.MartAdvisor
+        .advise(big, "run", "n", maxRunsPerTask = 100L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("pre-aggregated to per-run rows")),
+      s"unexpected error: $e")
+    // the same volume WITH a partition column passes (bounded per task)
+    val parts = sp.range(200)
+      .select((col("id") % 4L).as("t"), col("id").as("run"), lit(1L).as("n"))
+    assert(graft.pipeline.MartAdvisor
+      .advise(parts, "run", "n", partitionCols = Seq("t"), maxRunsPerTask = 100L)
+      .count() === 200L)
   }
 
   test("q167: join advisor sizes every dim and broadcasts the small ones") {

@@ -166,4 +166,68 @@ class PrivacySpec extends SparkSpec {
     assert(res2.rowsRemoved === 0L)
     assert(spark.read.parquet(s"$dir/events").count() === others.length.toLong)
   }
+
+  test("forgetKey: scattered key batches into O(1) jobs; unindexed files covered") {
+    import graft.operators.FileBloomIndex
+    import graft.pipeline.WarehouseOps
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_forget_batch").toString
+    // hash-scatter the victim across MANY files — the worst layout,
+    // where a per-file rewrite loop degrades to ~2 serial jobs per file
+    val nFiles = 40
+    (0L until 2000L).map(i => (i, i % 20L, s"p$i"))
+      .toDF("event_id", "user_id", "payload")
+      .repartition(nFiles, col("event_id"))
+      .write.parquet(s"$dir/t")
+    FileBloomIndex.bloomIndex(spark, s"$dir/t", "user_id", 1000L)
+      .write.parquet(s"$dir/idx")
+    // late ingest AFTER the index build: a file the stored index never
+    // saw — the silent-under-deletion hole the coverage refresh closes
+    Seq((9001L, 7L, "late_victim"), (9002L, 8L, "late_other"))
+      .toDF("event_id", "user_id", "payload")
+      .coalesce(1).write.mode("append").parquet(s"$dir/t")
+    val idx = spark.read.parquet(s"$dir/idx")
+    val before = spark.read.parquet(s"$dir/t")
+    val victimRows = before.filter(col("user_id") === 7L).count()
+    assert(victimRows === 101L, "100 scattered rows + the late-ingest one")
+    val survivors = before.filter(col("user_id") =!= 7L)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val res = try {
+      val r = WarehouseOps.forgetKey(spark, s"$dir/t", idx, "user_id", 7L,
+        expectedItemsPerFile = 1000L)
+      org.apache.spark.graftbridge.TestListenerBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    assert(res.rowsRemoved === victimRows,
+      "the unindexed late file's victim row must be removed too")
+    assert(res.filesRewritten >= 30L, "a scattered key hits most files")
+    val after = spark.read.parquet(s"$dir/t")
+    assert(after.filter(col("user_id") === 7L).isEmpty, "key fully forgotten")
+    assert(after.select("event_id").collect().map(_.getLong(0)).sorted
+      .sameElements(survivors), "every other row survives exactly once")
+    assert(after.filter(col("event_id") === 9002L).count() === 1L,
+      "the late file's non-victim row survives its rewrite")
+    // the whole pass is a CONSTANT number of jobs (schema reads, the
+    // census, the batched rewrite, two index refresh collects, plus
+    // AQE's per-stage sub-jobs) — the per-file loop cost >= 2 jobs per
+    // hit file (here >= 80); batched it is bounded regardless of
+    // candidate count, the candidates only ever widen TASKS inside jobs
+    assert(jobs.get() <= 26,
+      s"forgetKey ran ${jobs.get()} jobs for ${res.filesRewritten} rewrites — " +
+        "the rewrite loop has degenerated to per-file jobs")
+    assert(jobs.get() < res.filesRewritten,
+      "job count must not scale with the number of rewritten files")
+  }
 }

@@ -165,6 +165,15 @@ class SeriesSpec extends SparkSpec {
           r.getAs[Long]("est_bytes"))).toMap
     assert(again === manifest)
     assert(spark.read.parquet(dir).count() === li.count())
+    // inputs that already carry the working column names are refused
+    // loudly — 'bin' would make the post-join drop ambiguous, '__chunk'
+    // would be silently overwritten
+    Seq("bin", "__chunk").foreach { c =>
+      intercept[IllegalArgumentException] {
+        graft.operators.Compactor.compact(
+          li.withColumn(c, lit(1L)), chunk, bpr, 262144L, s"$dir-clash")
+      }
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 

@@ -238,6 +238,46 @@ class SinksSpec extends SparkSpec {
     Seq(idx0, idx1).foreach(_.unpersist(blocking = false))
   }
 
+  test("updateIndex backfills metadata on pre-key_col rows; guard is order-proof") {
+    import graft.operators.FileBloomIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomlegacy").toString
+    val ev = Tables.events(spark, sf)
+    val mid = ev.stat.approxQuantile("user_id", Array(0.5), 0.0)(0).toLong
+    ev.filter(col("user_id") < mid).repartitionByRange(4, col("user_id"))
+      .write.parquet(s"$dir/events")
+    // simulate an index persisted by a pre-key_col/key_type build
+    FileBloomIndex.bloomIndex(spark, s"$dir/events", "user_id", 10000L)
+      .drop("key_col", "key_type").write.parquet(s"$dir/idx_legacy")
+    ev.filter(col("user_id") >= mid).repartitionByRange(4, col("user_id"))
+      .write.mode("append").parquet(s"$dir/events")
+    val migrated = FileBloomIndex.updateIndex(spark, s"$dir/events",
+      spark.read.parquet(s"$dir/idx_legacy"), "user_id",
+      expectedItemsPerFile = 10000L)
+    // ONE update makes the stored metadata uniform — carried rows are
+    // backfilled, not left null (which made the key_col guard and
+    // prunedPointRead's type resolution depend on row order)
+    assert(migrated.filter(col("key_col").isNull || col("key_type").isNull).isEmpty,
+      "carried rows must be backfilled, not carried as nulls")
+    assert(migrated.select("key_col").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("user_id"))
+    // a HALF-migrated index (nulls on some rows) still guards
+    // deterministically: max skips the nulls, so the mismatch is caught
+    // no matter which row an arbitrary read would have returned
+    val mixed = migrated.withColumn("key_col",
+      when(col("file").isin(migrated.select("file").orderBy("file")
+        .head().getString(0)), col("key_col")).otherwise(lit(null: String)))
+    intercept[IllegalArgumentException] {
+      FileBloomIndex.updateIndex(spark, s"$dir/events", mixed, "event_id")
+    }
+    // probing a mixed index resolves the stored type from the non-null
+    // rows — exact pruned reads either way
+    val u = ev.select("user_id").orderBy("user_id").head().getLong(0)
+    val pruned = FileBloomIndex.prunedPointRead(
+      spark, s"$dir/events", mixed, "user_id", u)
+    assert(pruned.count() ===
+      spark.read.parquet(s"$dir/events").filter(col("user_id") === u).count())
+  }
+
   test("matching bucketed tables join with no shuffle exchange") {
     // idempotence across JVMs: the in-memory catalog forgets managed
     // tables but their spark-warehouse locations survive — drop both
