@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Incremental, Scd}
-import graft.sources.{DelimitedSource, FileIngest, XlsxSource}
+import graft.sources.{DelimitedSource, FileIngest, JsonlSource, XlsxSource}
 
 /** Metadata-driven staging→DWH orchestration — the reference's ETL core
   * (etl.py:132-284) re-expressed as a library of lazy plans.
@@ -90,6 +90,18 @@ object EtlPipeline {
       payload: Seq[String],
       scd: Int,
       decimalCols: Seq[String] = Nil)
+
+  /** The all-strings parse schema for a jsonl-fed mapping: key +
+    * payload, every field read as a raw string exactly like the
+    * delimited reader delivers them (decimal normalization and the
+    * create_dt timestamp cast happen downstream, shared with the
+    * delimited path; create_dt itself comes from the file's business
+    * date, not the JSON body).
+    */
+  private def jsonlSchema(m: FileMapping): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      (m.key +: m.payload).map(c => org.apache.spark.sql.types.StructField(
+        c, org.apache.spark.sql.types.StringType)))
 
   /** What one `run` did: the run-log rows it appended (also persisted to
     * `<warehouseDir>/etl_run_log` with run start/end timestamps), and
@@ -300,10 +312,22 @@ object EtlPipeline {
         // When rejects exist, liveness switches to an explicit key list
         // covering good ∪ quarantined keys; scd1 ignores liveness.
         var liveness: Scd.Liveness = Scd.SnapshotStg
+        val isJsonl = path.toLowerCase.endsWith(".jsonl")
         val norm = (quarantineDir, isXlsx) match {
           case (Some(qdir), false) =>
-            val q = DelimitedSource.readWithQuarantine(
-              spark, path, Seq(m.key), m.decimalCols)
+            // jsonl shards get the SAME audited reject loop as
+            // delimited files: raw-line quarantine (replayable verbatim
+            // via JsonlSource.splitRaw), a qtn_ run-log row, and the
+            // key-list liveness switch. The jsonl quarantine stores raw
+            // lines, so its key-list contribution is a best-effort
+            // get_json_object pull — a line that is not even valid JSON
+            // has no extractable key to protect.
+            val q =
+              if (isJsonl)
+                JsonlSource.readWithQuarantine(spark, path,
+                  jsonlSchema(m), Seq(m.key), m.decimalCols)
+              else DelimitedSource.readWithQuarantine(
+                spark, path, Seq(m.key), m.decimalCols)
             // count first (rejects are small by construction); write
             // only when non-empty so a clean run leaves no empty dirs
             val nBad = q.bad.count()
@@ -316,14 +340,24 @@ object EtlPipeline {
                 .write.mode(org.apache.spark.sql.SaveMode.Append)
                 .parquet(s"$qdir/${m.targetName}")
               logRows += ((runId, s"qtn_${m.targetName}", nBad, 0L, 0L))
+              val badKeys =
+                if (isJsonl)
+                  q.bad.select(get_json_object(col("raw_line"), s"$$.${m.key}").as(m.key))
+                else q.bad.select(m.key)
               liveness = Scd.KeyList(
                 q.good.select(m.key).union(
-                  q.bad.select(m.key).filter(col(m.key).isNotNull)).distinct())
+                  badKeys.filter(col(m.key).isNotNull)).distinct())
             }
-            q.good
+            if (isJsonl)
+              q.good.withColumn("create_dt", lit(java.sql.Date.valueOf(dt)))
+            else q.good
           case _ =>
-            val raw = if (isXlsx) XlsxSource.read(spark, path)
-                      else DelimitedSource.read(spark, path)
+            val raw =
+              if (isXlsx) XlsxSource.read(spark, path)
+              else if (isJsonl)
+                JsonlSource.read(spark, path, jsonlSchema(m))
+                  .withColumn("create_dt", lit(java.sql.Date.valueOf(dt)))
+              else DelimitedSource.read(spark, path)
             DelimitedSource.normalizeDecimalColumns(raw, m.decimalCols)
         }
         val stg = norm.select(
@@ -529,8 +563,22 @@ object EtlPipeline {
     requireNoOrphanStage(spark, path)
     if (fs.exists(new Path(path))) {
       val qtn = spark.read.parquet(path)
-      val sp = DelimitedSource.validitySplit(
-        qtn.drop("reject_reason"), Seq(m.key), m.decimalCols)
+      // a raw_line column marks a jsonl quarantine (stored verbatim
+      // lines); re-split it through the SAME parser the ingest used,
+      // deriving create_dt from the source file's business date — the
+      // value run() stamped on the good rows of that delivery
+      val sp =
+        if (qtn.columns.contains("raw_line")) {
+          val s0 = graft.sources.JsonlSource.splitRaw(
+            qtn.drop("reject_reason"), jsonlSchema(m), Seq(m.key), m.decimalCols)
+          s0.copy(good = s0.good.withColumn("create_dt", {
+            val d = regexp_extract(col("src_file"),
+              graft.sources.FileIngest.BusinessDateRegex, 1)
+            when(d === "", lit(null).cast("date"))
+              .otherwise(to_date(d, "ddMMyyyy"))
+          }))
+        } else DelimitedSource.validitySplit(
+          qtn.drop("reject_reason"), Seq(m.key), m.decimalCols)
       val current = loadWatermarks(spark, warehouseDir).get(m.targetName) match {
         case Some(d) => sp.good.filter(col("create_dt").cast("date") >= lit(d.toString).cast("date"))
         case None    => sp.good

@@ -101,8 +101,8 @@ object MartAdvisor {
     *
     * Bytes cancel out of the ratio (both sides scale by the table's
     * own bytes-per-row), so the estimate is exact integer arithmetic
-    * over the run log alone; [[WarehouseOps.inventory]]'s footprint
-    * census gates WHICH tables get a measured amp — only tables
+    * over the run log alone; [[WarehouseOps.footprint]]'s byte census
+    * gates WHICH tables get a measured amp — only tables
     * physically present with bytes on disk (a log-only name has no
     * footprint to corroborate the reconstruction and keeps the
     * `fallbackAmp` literal, as does a table with zero ingested rows).
@@ -121,7 +121,7 @@ object MartAdvisor {
       .groupBy("table_name")
       .agg(sum("cum").cast("long").as("written_rows"),
         sum("n_new").cast("long").as("ingested_rows"))
-    val present = WarehouseOps.inventory(spark, warehouseDir)
+    val present = WarehouseOps.footprint(spark, warehouseDir)
       .filter(col("total_bytes") > 0L).select("table_name")
     perTable
       .join(present.withColumn("on_disk", lit(true)), Seq("table_name"), "left")

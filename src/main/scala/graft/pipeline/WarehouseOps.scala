@@ -29,7 +29,14 @@ object WarehouseOps {
     * when caller-supplied run ids aren't time-ordered). Meta tables
     * themselves are excluded.
     */
-  def inventory(spark: SparkSession, warehouseDir: String): DataFrame = {
+  /** The file-footprint half of [[inventory]]: one row per table —
+    * (table_name, n_files, total_bytes, last_modified) from a
+    * recursive FS listing alone. No meta-table reads, so it works on
+    * any directory of parquet tables (including warehouses whose run
+    * log predates the run_start/end columns); [[measuredWriteAmp]]'s
+    * presence gate uses exactly this.
+    */
+  def footprint(spark: SparkSession, warehouseDir: String): DataFrame = {
     import spark.implicits._
     val root = new Path(warehouseDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -37,7 +44,7 @@ object WarehouseOps {
       if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]
       else fs.listStatus(root).filter(s =>
         s.isDirectory && !MetaTables(s.getPath.getName))
-    val rows = tables.map { t =>
+    tables.map { t =>
       val it = fs.listFiles(t.getPath, true)
       var nFiles = 0L; var bytes = 0L; var lastMod = 0L
       while (it.hasNext) {
@@ -50,6 +57,13 @@ object WarehouseOps {
       (t.getPath.getName, nFiles, bytes,
         if (lastMod == 0) null else new java.sql.Timestamp(lastMod))
     }.toSeq.toDF("table_name", "n_files", "total_bytes", "last_modified")
+  }
+
+  def inventory(spark: SparkSession, warehouseDir: String): DataFrame = {
+    import spark.implicits._
+    val root = new Path(warehouseDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = footprint(spark, warehouseDir)
 
     def wmStore(name: String) = {
       val p = s"$warehouseDir/$name"

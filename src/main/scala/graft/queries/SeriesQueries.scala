@@ -239,14 +239,16 @@ object SeriesQueries {
   // O(d^2) interpreted; the PhraseScanExpr lesson). Shape: linear
   // explode (d-1 grams per doc), map-side-combined count, then the
   // rank window on a frame bounded by |alphabet|^2 distinct grams —
-  // corpus size never enters the window.
+  // corpus size never enters the window. The rank runs through
+  // graft.text.NgramRank.topK, whose `shards` dial (default 1 = this
+  // exact plan) pre-prunes per first-char shard for CJK-scale
+  // alphabets — the SURVEY §5 escape hatch, shard-count-independent
+  // by construction (NgramRankPropertySpec).
   def q177(s: SparkSession, dir: String): DataFrame = {
-    Tables.documents(s, dir)
+    val counts = Tables.documents(s, dir)
       .select(explode(NgramFunctions.charNgrams(col("text"), 2)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n"))
-      .withColumn("rnk",
-        row_number().over(Window.orderBy(col("n").desc, col("gram"))).cast("long"))
-      .filter(col("rnk") <= 50)
+    graft.text.NgramRank.topK(counts, "gram", "n", 50)
       .select(col("gram"), col("n"), col("rnk"))
   }
 

@@ -999,8 +999,8 @@ object StreamingFraud {
                      closeAtUs: Long = Long.MaxValue): DataFrame = {
     val st = spark.read.format("statestore").load(checkpointDir)
     st.select(col("key.value").as("user_id"),
-        col("value.versions").as("versions"),
-        explode(col("value.pending")).as("f"))
+        col("value.groupState.versions").as("versions"),
+        explode(col("value.groupState.pending")).as("f"))
       .filter(col("f.f_us") < lit(closeAtUs))
       .withColumn("v", array_max(expr("filter(versions, v -> v.v_us <= f.f_us)")))
       .filter(col("v").isNotNull)

@@ -200,6 +200,68 @@ class EtlPipelineSpec extends SparkSpec {
       .filter(col("cur") === "USD").collect()(0).getAs[Double]("rate") == 91.0)
   }
 
+  test("jsonl shards get the audited reject loop: qtn_ row, raw-line quarantine, replay") {
+    val inbox = Files.createTempDirectory("graft_jinbox").toString
+    val wh = Files.createTempDirectory("graft_jwh").toString
+    val qdir = Files.createTempDirectory("graft_jqtn").toString
+    val mappings = Seq(
+      FileMapping("rates_*.jsonl", "dwh_jrates", "cur", Seq("rate"), scd = 1,
+        decimalCols = Seq("rate")))
+    // good comma-decimal, malformed json, missing key, bad decimal, good dot
+    mkFile(inbox, "rates_01012024.jsonl",
+      """{"cur":"USD","rate":"90,5"}
+        |{"cur":"GBP","rate":
+        |{"cur":"","rate":"77,0"}
+        |{"cur":"JPY","rate":"1x2,3"}
+        |{"cur":"EUR","rate":"88.25"}
+        |""".stripMargin)
+
+    val r1 = EtlPipeline.run(spark, inbox, wh, mappings, runId = 31,
+      quarantineDir = Some(qdir))
+    val rates = spark.read.parquet(s"$wh/dwh_jrates")
+    assert(rates.count() == 2, "only clean rows may reach the warehouse")
+    assert(math.abs(rates.filter(col("cur") === "USD").collect()(0)
+      .getAs[Double]("rate") - 90.5) < 1e-9)
+    // the business date stamped on the shard became the watermark —
+    // the same create_dt path the delimited loop drives
+    assert(WarehouseOps.inventory(spark, wh)
+      .filter(col("table_name") === "dwh_jrates")
+      .head().getAs[String]("watermark") === "2024-01-01")
+    // the quarantine stores VERBATIM lines with provenance + reasons
+    val qtn = spark.read.parquet(s"$qdir/dwh_jrates")
+    assert(qtn.count() == 3)
+    assert(qtn.select("reject_reason").collect().map(_.getString(0)).sorted.toSeq
+      === Seq("bad_decimal", "malformed_json", "missing_required"))
+    val jpy = qtn.filter(col("raw_line").contains("JPY")).collect()(0)
+    assert(jpy.getAs[String]("raw_line") === """{"cur":"JPY","rate":"1x2,3"}""")
+    assert(jpy.getAs[String]("src_file").contains("rates_01012024.jsonl"))
+    assert(jpy.getAs[Long]("run_id") === 31L)
+    assert(logRow(r1, "qtn_dwh_jrates").getAs[Long]("rows_inserted") == 3)
+    assert(logRow(r1, "stg_dwh_jrates").getAs[Long]("rows_inserted") == 2)
+
+    // replay: JPY's fee is still bad, but a corrected quarantine row
+    // replays through the SAME jsonl parser back into the warehouse
+    val fixed = spark.read.parquet(s"$qdir/dwh_jrates")
+      .withColumn("raw_line",
+        when(col("raw_line").contains("JPY"),
+          lit("""{"cur":"JPY","rate":"1,23"}""")).otherwise(col("raw_line")))
+    val tmp = Files.createTempDirectory("graft_jfix").toString
+    fixed.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(s"$qdir/dwh_jrates")
+    val r2 = EtlPipeline.replayQuarantine(spark, qdir, wh,
+      mappings.head, runId = 32)
+    assert(logRow(r2, "qrp_dwh_jrates").getAs[Long]("rows_inserted") == 1)
+    val after = spark.read.parquet(s"$wh/dwh_jrates")
+    assert(after.count() == 3)
+    assert(math.abs(after.filter(col("cur") === "JPY").collect()(0)
+      .getAs[Double]("rate") - 1.23) < 1e-9)
+    // still-invalid lines stay quarantined, reasons recomputed
+    val left = spark.read.parquet(s"$qdir/dwh_jrates").collect()
+    assert(left.length == 2)
+    assert(left.map(_.getAs[String]("reject_reason")).sorted.toSeq
+      === Seq("malformed_json", "missing_required"))
+  }
+
   test("warehouse inventory reports footprint, watermark, and last run per table") {
     val inbox = Files.createTempDirectory("graft_winbox").toString
     val wh = Files.createTempDirectory("graft_wwh").toString

@@ -61,12 +61,20 @@ class PlanLintSpec extends SparkSpec {
 
   /** Every query built ONCE for the whole suite — the QueryExecution
     * caches its phases, so each test reads plans without re-running the
-    * driver-side query builders (BPE learn, MLlib fits, ...).
+    * driver-side query builders (BPE learn, MLlib fits, ...). The cache
+    * manager is cleared first so plans don't depend on which OTHER
+    * suites ran before this one in the JVM (a cache entry registered
+    * elsewhere substitutes InMemoryRelation into a query's plan and
+    * shifts its exchange counts) — builds then re-register shared
+    * caches deterministically in name order, the same state
+    * RegenPlanBudgets captures.
     */
-  private lazy val queryDfs: Seq[(String, org.apache.spark.sql.DataFrame)] =
+  private lazy val queryDfs: Seq[(String, org.apache.spark.sql.DataFrame)] = {
+    spark.catalog.clearCache()
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf)
     }
+  }
 
   test("no cartesian products; nested-loop joins only where bounded by design") {
     val offenders = queryDfs.flatMap { case (name, df) =>

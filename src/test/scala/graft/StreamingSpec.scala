@@ -666,4 +666,65 @@ class StreamingSpec extends SparkSpec {
         s"$interiorMissing interior facts never emitted despite the watermark passing them")
     } finally { q.stop(); ev.unpersist(blocking = false) }
   }
+
+  test("as-of update stream: drainAsOfState flushes the watermark tail after stop") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    // Same out-of-order replay as above — the engine watermark trails
+    // max event time by the delay, so the stream ENDS with the final
+    // facts still pending in state. The drain must read the stopped
+    // query's checkpoint and resolve exactly those, making
+    // streamed ∪ drained equal the batch as-of EXACTLY.
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("arr", expr("timestampadd(DAY, CAST(event_id % 3 AS INT), ts)"))
+      .cache()
+    val fdir = java.nio.file.Files.createTempDirectory("graft_asof_df").toString
+    val vdir = java.nio.file.Files.createTempDirectory("graft_asof_dv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_asof_ck").toString
+    val cuts = Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00", "2099-01-01 00:00:00")
+    var lo = "1900-01-01 00:00:00"
+    cuts.foreach { hi =>
+      val chunk = ev.filter(col("arr") >= lit(lo).cast("timestamp") &&
+        col("arr") < lit(hi).cast("timestamp"))
+      chunk.filter(col("event_type") === "click")
+        .select(col("event_id").as("fact_id"), col("user_id"), col("ts"))
+        .coalesce(1).write.mode("append").parquet(fdir)
+      chunk.filter(col("event_type") === "signup" && col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id").as("version_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .coalesce(1).write.mode("append").parquet(vdir)
+      lo = hi
+    }
+    val facts = spark.readStream.schema(asOfFactSchema)
+      .option("maxFilesPerTrigger", 1).parquet(fdir)
+      .withWatermark("ts", "3 days")
+    val vers = spark.readStream.schema(asOfVerSchema)
+      .option("maxFilesPerTrigger", 1).parquet(vdir)
+      .withWatermark("ts", "3 days")
+    val q = StreamingFraud.asOfUpdateStream(facts, vers,
+        timeout = GroupStateTimeout.EventTimeTimeout)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("asof_drain_out").start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("asof_drain_out")
+      .select("fact_id", "user_id", "f_ts", "version_id", "v_ts", "v_cents")
+    val batch = graft.queries.OpsQueries.q164(spark, sf)
+    val tail = batch.exceptAll(streamed)
+    assert(tail.count() > 0,
+      "the replay must END with watermark-tail facts pending, or the drain proves nothing")
+    val drained = StreamingFraud.drainAsOfState(spark, ckpt)
+    // drain emits EXACTLY the missing resolutions — same rule, same
+    // tie-breaks, nothing the stream already emitted, nothing wrong
+    assert(drained.exceptAll(tail).isEmpty,
+      "drain emitted a resolution the batch as-of tail does not contain")
+    assert(tail.exceptAll(drained).isEmpty,
+      "drain missed pending facts the batch as-of resolves")
+    val all = streamed.unionByName(drained)
+    assert(all.count() === batch.count())
+    assert(all.exceptAll(batch).isEmpty && batch.exceptAll(all).isEmpty,
+      "streamed ∪ drained must equal the batch as-of exactly")
+    ev.unpersist(blocking = false)
+  }
 }

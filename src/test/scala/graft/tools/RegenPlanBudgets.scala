@@ -25,8 +25,18 @@ object RegenPlanBudgets {
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkSpec.spark
     val sf = graft.SparkSpec.sf
-    val lines = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (s, b) = exchangeCounts(fn(spark, sf).queryExecution.executedPlan.toString)
+    // Build EVERY query before capturing ANY plan, from a CLEARED
+    // cache — exactly what PlanLintSpec.queryDfs does. Capture order
+    // matters: shared sub-plans registered with the cache manager by a
+    // later build substitute InMemoryRelation into an earlier query's
+    // executed plan, changing its exchange count; budgets must be read
+    // from the same all-built state the spec asserts in.
+    spark.catalog.clearCache()
+    val dfs = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sf)
+    }
+    val lines = dfs.map { case (name, df) =>
+      val (s, b) = exchangeCounts(df.queryExecution.executedPlan.toString)
       s"$name\t$s\t$b"
     }
     val out = java.nio.file.Paths.get(goldenPath)
