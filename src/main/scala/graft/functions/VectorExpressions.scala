@@ -97,6 +97,30 @@ object VectorOps {
     while (i < n) { val d = a.getDouble(i) - b.getDouble(i); acc += d * d; i += 1 }
     acc
   }
+
+  /** PQ asymmetric-distance lookup: Σ_j luts[j][codes[j]] — one probe's
+    * ADC distance to a coded vector, accumulated strictly in subspace
+    * order (bit-identical to the old per-subspace `element_at` sum).
+    * NULL on length mismatch, a null code/LUT element, or an
+    * out-of-range code — the vec-ops mismatch-⇒-NULL posture (codes
+    * from [[graft.operators.ProductQuant.encode]] are in range by
+    * construction).
+    */
+  def pqAdc(codes: ArrayData, luts: ArrayData): java.lang.Double = {
+    val m = codes.numElements()
+    if (luts.numElements() != m) return null
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j) || luts.isNullAt(j)) return null
+      val lut = luts.getArray(j)
+      val c = codes.getInt(j)
+      if (c < 0 || c >= lut.numElements() || lut.isNullAt(c)) return null
+      acc += lut.getDouble(c)
+      j += 1
+    }
+    acc
+  }
 }
 
 abstract class VectorBinaryExpr extends BinaryExpression {
@@ -176,5 +200,42 @@ case class L2SqExpr(left: Expression, right: Expression) extends VectorBinaryExp
   override def op: String = "l2sq"
   override def prettyName: String = "vec_l2sq"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SqExpr =
+    copy(left = l, right = r)
+}
+
+/** PQ ADC distance: left = array<int> codes, right = array<array<double>>
+  * per-subspace LUTs. ONE codegen'd expression regardless of probe-batch
+  * size — the previous per-probe `element_at`-forest formulation grew
+  * the generated method past janino's 64 KB limit at ~50 probes
+  * (caught by the sf1 sweep) and silently fell back to interpreted
+  * eval on the corpus×probes hot path.
+  */
+case class PqAdcExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.IntegerType, _),
+          ArrayType(ArrayType(DoubleType, _), _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc requires (array<int>, array<array<double>>), got " +
+        s"${l.simpleString} and ${r.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.functions.VectorOps.pqAdc($a, $b);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.doubleValue();
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcExpr =
     copy(left = l, right = r)
 }

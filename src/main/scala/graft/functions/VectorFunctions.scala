@@ -34,6 +34,12 @@ object VectorFunctions {
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** PQ ADC distance: Σ_j luts[j][codes[j]] over an `array<int>` codes
+    * column and an `array<array<double>>` LUT column (codegen'd; one
+    * expression regardless of probe-batch size).
+    */
+  def pqAdc(codes: Column, luts: Column): Column = bin(PqAdcExpr.apply)(codes, luts)
+
   // --- reference HOF formulations (built-ins only, interpreted) ---
 
   def dotHof(a: Column, b: Column): Column =

@@ -173,18 +173,26 @@ object ProductQuant {
     acc
   }
 
-  /** ADC distance of a coded vector to one known probe: the probe's
-    * m·k LUT is computed here (driver, plan time) and folded in as
-    * literal arrays — per corpus row, m `element_at` lookups + adds.
+  /** One probe's m·k ADC lookup table, computed driver-side at plan
+    * time: lut(j)(c) = ‖probe_sub_j − centroid_jc‖².
     */
-  def adcCol(codes: Column, probe: Array[Double], cb: Codebook): Column =
+  def lutFor(probe: Array[Double], cb: Codebook): Seq[Seq[Double]] =
     (0 until cb.m).map { j =>
       val psub = probe.slice(j * cb.subDim, (j + 1) * cb.subDim)
-      val lut = array((0 until cb.k).map { c =>
-        lit(l2Local(psub, cb.centroids(j)(c)))
-      }: _*)
-      element_at(lut, codes.getItem(j).cast("int") + 1)
-    }.reduce(_ + _)
+      (0 until cb.k).map(c => l2Local(psub, cb.centroids(j)(c)))
+    }
+
+  /** ADC distance of a coded vector to one known probe: the probe's
+    * m·k LUT is computed here (driver, plan time) and folded in as ONE
+    * nested-array literal scored by the codegen'd [[PqAdcExpr]] — per
+    * corpus row, m array lookups + adds inside whole-stage codegen.
+    * (The previous per-subspace `element_at`-on-literal-array forest
+    * blew janino's 64 KB method limit once ~50 probes stacked up and
+    * fell back to interpreted eval — sf1-sweep finding.)
+    */
+  def adcCol(codes: Column, probe: Array[Double], cb: Codebook): Column =
+    graft.functions.VectorFunctions.pqAdc(
+      codes, typedLit(lutFor(probe, cb)))
 
   /** PQ-ADC top-k per probe. The probe set is COLLECTED — the bounded
     * query-batch contract shared with [[Similarity.bruteForceTopK]]'s
@@ -206,13 +214,20 @@ object ProductQuant {
       "probe set is a bounded query batch — more than 1024 probes supplied")
     val codes = encode(corpus, idCol, vecCol, cb)
       .withColumnRenamed(idCol, "neighbor_id")
-    val perProbe = array(ps.map { case (pid, pv) =>
-      struct(lit(pid).as("probe_id"), adcCol(col("codes"), pv, cb).as("adist"))
-    }: _*)
+    // ALL probe LUTs ride in ONE nested literal (a single codegen
+    // reference), exploded per corpus row and scored by the codegen'd
+    // pq_adc — constant generated-code size in the probe count, where
+    // the old per-probe expression forest (50 structs × m element_at
+    // chains) crossed janino's 64 KB method limit and de-codegen'd the
+    // whole corpus scan stage.
+    val probeLuts = typedLit(ps.toSeq.map { case (pid, pv) =>
+      (pid, lutFor(pv, cb))
+    })
     val w = Window.partitionBy("probe_id")
       .orderBy(col("adist").asc, col("neighbor_id").asc)
-    codes.select(col("neighbor_id"), explode(perProbe).as("s"))
-      .select(col("s.probe_id").as("probe_id"), col("neighbor_id"), col("s.adist"))
+    codes.select(col("neighbor_id"), col("codes"), explode(probeLuts).as("s"))
+      .select(col("s._1").as("probe_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.pqAdc(col("codes"), col("s._2")).as("adist"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

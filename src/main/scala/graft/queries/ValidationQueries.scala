@@ -75,13 +75,20 @@ object ValidationQueries {
   // per type; slope = num/den is surfaced as the exact integer pair
   // (num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)² > 0) plus a sign-only
   // label — no division reaches the compare surface (the q119 ratio
-  // lesson). Exact in int64 while n·Σxy < 2^63 (n ~ 4e13 at epoch-day
-  // × cents magnitudes) — ANSI mode fails loudly past it, the q126
-  // contract; past that bound lift the sums to decimal(38,0).
+  // lesson). x is centered on a CONSTANT origin near the data
+  // ([[TrendOrigin]]): num and den are exactly translation-invariant
+  // (num(x+c) = n·Σxy + cnΣy − ΣxΣy − cnΣy), so the origin changes no
+  // output value — it only shrinks the int64 intermediates ~650×
+  // (epoch-day ~19.7k → day-offset ≤ span). The raw-epoch form
+  // overflowed n·Σxy at the sf1 sweep (n=2e5/type · Σxy~3.9e14);
+  // centered, exact while n²·span·max_cents < 2^63 — n ≤ ~2.3e6/type
+  // at a 30-day span — ANSI mode fails loudly past it, the q126
+  // contract; past that bound lift the sums to decimal(38,0) or
+  // re-center per coarse time chunk.
   def q140(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir).filter(col("value").isNotNull)
       .select(col("event_type"),
-        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        datediff(col("ts").cast("date"), lit(TrendOrigin).cast("date"))
           .cast("bigint").as("x"),
         round(col("value") * 100).cast("bigint").as("y"))
       .groupBy("event_type")
@@ -97,10 +104,16 @@ object ValidationQueries {
         col("slope_den").cast("bigint").as("slope_den"), col("trend"))
   }
 
+  /** q140's constant slope origin — any date works (translation
+    * invariance, see q140's doc); one near the corpus keeps the OLS
+    * sums small. Spark and the oracle MUST share it.
+    */
+  val TrendOrigin = "2024-01-01"
+
   val q140Sql: String =
-    """WITH b AS (
+    s"""WITH b AS (
       | SELECT event_type,
-      |  DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+      |  DATE_DIFF('day', DATE '$TrendOrigin', CAST(ts AS DATE)) AS x,
       |  CAST(ROUND(value * 100) AS BIGINT) AS y
       | FROM events WHERE value IS NOT NULL),
       |a AS (

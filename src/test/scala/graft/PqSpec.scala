@@ -87,4 +87,39 @@ class PqSpec extends SparkSpec {
         r.getAs[Double]("recall_adc_at_10") - 1e-9)
     }
   }
+
+  test("pq_adc equals the element_at-on-literal formulation, bit-identical") {
+    val probe = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>")).first().getSeq[Double](0).toArray
+    val codes = ProductQuant.encode(emb, "vec_id", "embedding", cb)
+    // the pre-round-10 expression forest, reconstructed literally
+    val oldForm = (0 until cb.m).map { j =>
+      val lut = array(ProductQuant.lutFor(probe, cb)(j).map(lit): _*)
+      element_at(lut, col("codes").getItem(j).cast("int") + 1)
+    }.reduce(_ + _)
+    val both = codes.select(col("vec_id"),
+      ProductQuant.adcCol(col("codes"), probe, cb).as("nu"), oldForm.as("old"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("50-probe ADC scan compiles inside whole-stage codegen (no janino fallback)") {
+    // With fallback disabled a >64 KB generated method FAILS the query
+    // instead of silently de-codegen'ing — the exact regression the sf1
+    // sweep caught in the per-probe expression-forest formulation.
+    val before = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val probes = emb.filter(col("vec_id") < 50)
+      val sl = ProductQuant.pqTopK(emb, probes, "vec_id", "embedding",
+        k = PqQueries.PqShortlist, cb)
+      assert(sl.count() > 0)
+    } finally before match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
 }
