@@ -71,9 +71,18 @@ if len(sys.argv) > 1 and sys.argv[1] == "bench":
     bench_gate(sys.argv[2])
 
 import duckdb
+import os
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+# SELFCHECK_SKIP: comma-separated query names to skip — for oracle SQLs
+# whose ANSI formulation is intractable for DuckDB at audit scales
+# (q129's 3-hop PIT chain joins on 50/20-cardinality keys + BETWEEN:
+# ~1e10 pair evaluations at sf1; its driver-gate sf0.01 run is fine).
+# Skipped queries must be audited separately (e.g. an ASOF JOIN
+# reformulation — scripts/audit_q129_sf1.py).
+SKIP = {s for s in os.environ.get("SELFCHECK_SKIP", "").split(",") if s}
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -103,6 +112,9 @@ def canon(rows, cols):
 
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
+    if name in SKIP:
+        print(f"SKIP {name} (SELFCHECK_SKIP)")
+        continue
     try:
         # Read the Spark parquet via pyarrow (the driver's read path) —
         # DuckDB reads INT96 as µs and masked the ns-overflow of the
