@@ -28,17 +28,27 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 con.execute(f"CREATE VIEW events AS SELECT * FROM '{sfdir}/events.parquet'")
 
+# Tie handling: the committed oracle tiles intervals with
+# LEAD(ts) OVER (... ORDER BY ts, event_id) - 1us, so of two dimension
+# rows sharing (key, ts) only the HIGHEST event_id has a non-empty
+# interval — the other is [ts, ts-1us]. ASOF JOIN would pick an
+# arbitrary row among tied c_from values, so each CTE pre-collapses
+# ties to that highest-event_id row (QUALIFY), making the ASOF match
+# exactly the BETWEEN match.
 ASOF_SQL = """
 WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events),
 cards AS (
  SELECT user_id AS card_id, (user_id * 7 + LENGTH(event_type)) % 50 AS account_num,
-  ts AS c_from FROM ev WHERE event_id % 3 = 0),
+  ts AS c_from FROM ev WHERE event_id % 3 = 0
+ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
 accounts AS (
  SELECT user_id % 50 AS account_num, (user_id * 13 + event_id) % 20 AS client_id,
-  ts AS a_from FROM ev WHERE event_id % 3 = 1),
+  ts AS a_from FROM ev WHERE event_id % 3 = 1
+ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id % 50, ts ORDER BY event_id DESC) = 1),
 clients AS (
  SELECT user_id % 20 AS client_id, event_type AS segment,
-  ts AS l_from FROM ev WHERE event_id % 3 = 2)
+  ts AS l_from FROM ev WHERE event_id % 3 = 2
+ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id % 20, ts ORDER BY event_id DESC) = 1)
 SELECT f.event_id, f.user_id AS card_id, c.account_num, a.client_id, l.segment
 FROM ev f
 ASOF JOIN cards c ON f.user_id = c.card_id AND f.ts >= c.c_from

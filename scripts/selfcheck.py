@@ -82,11 +82,22 @@ outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 # ~1e10 pair evaluations at sf1; its driver-gate sf0.01 run is fine).
 # Skipped queries must be audited separately (e.g. an ASOF JOIN
 # reformulation — scripts/audit_q129_sf1.py).
+# SELFCHECK_ONLY: comma-separated names to run exclusively (re-run a
+# failed subset without paying the whole sweep).
 SKIP = {s for s in os.environ.get("SELFCHECK_SKIP", "").split(",") if s}
+ONLY = {s for s in os.environ.get("SELFCHECK_ONLY", "").split(",") if s}
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 con = duckdb.connect()
+# An in-memory DuckDB has spilling DISABLED: at audit scales (sf1) one
+# join-heavy oracle fills RAM and every query after it dies with
+# "Out of Memory Error: Failed to allocate block" — 31 phantom fails
+# in the first sf1 sweep. A temp directory turns those into disk
+# spills; the memory cap leaves headroom for pyarrow's result reads.
+con.execute("SET temp_directory='/tmp/duckdb_selfcheck_spill'")
+con.execute("SET max_temp_directory_size='60GB'")
+con.execute("SET memory_limit='48GB'")
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
@@ -112,6 +123,8 @@ def canon(rows, cols):
 
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
+    if ONLY and name not in ONLY:
+        continue
     if name in SKIP:
         print(f"SKIP {name} (SELFCHECK_SKIP)")
         continue

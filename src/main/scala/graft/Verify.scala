@@ -38,6 +38,12 @@ object Verify {
     // full-sweep cost). The driver always passes two args → full sweep.
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').map(_.trim).toSet) else None
+    // a typo'd name would otherwise filter everything out, exit 0, and
+    // leave a STALE parquet from a prior sweep for selfcheck to bless
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"unknown query names: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

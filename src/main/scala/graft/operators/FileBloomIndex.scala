@@ -86,18 +86,40 @@ object FileBloomIndex {
     */
   def updateIndex(spark: SparkSession, path: String, existing: DataFrame,
                   keyCol: String, expectedItemsPerFile: Long = 1000000L,
-                  fpp: Double = 0.01): DataFrame = {
+                  fpp: Double = 0.01,
+                  assumeLegacyKeyCol: Boolean = false): DataFrame = {
     // guard on the MAX non-null key_col, not an arbitrary row: an index
     // migrated once from a pre-key_col build is a MIX of null (carried
     // rows) and populated key_col rows, and take(1) would make the guard
     // nondeterministic. max skips nulls; build/backfill write ONE literal
     // per update so a populated index can only ever hold one value.
+    //
+    // Legacy rows (null key_col, or a pre-metadata index with no
+    // key_col column at all) carry blooms whose build column is
+    // UNVERIFIABLE. Backfilling them with the current keyCol would
+    // launder that uncertainty into confident, permanent metadata that
+    // the max-guard then trusts forever — prunedPointRead/forgetKey
+    // would prune on blooms possibly hashing a different column
+    // (silent false "definitely absent"). So backfill requires the
+    // caller's EXPLICIT assertion (assumeLegacyKeyCol=true = "I know
+    // the legacy index was built on this keyCol"); the default refuses
+    // and demands a rebuild. Destructive callers (forgetKey) never
+    // assert it.
     if (existing.columns.contains("key_col")) {
-      val built = existing.agg(max("key_col")).head()
-      if (!built.isNullAt(0))
-        require(built.getString(0) == keyCol,
-          s"index was built on '${built.getString(0)}' but updated with '$keyCol' — " +
+      val r = existing.agg(max("key_col"),
+        (count(lit(1)) - count(col("key_col"))).as("n_legacy")).head()
+      if (!r.isNullAt(0))
+        require(r.getString(0) == keyCol,
+          s"index was built on '${r.getString(0)}' but updated with '$keyCol' — " +
             "rebuild instead")
+      require(r.getLong(1) == 0 || assumeLegacyKeyCol,
+        s"index holds ${r.getLong(1)} rows with no recorded key_col (pre-metadata " +
+          s"build) — rebuild it, or pass assumeLegacyKeyCol=true only if it was " +
+          s"verifiably built on '$keyCol'")
+    } else {
+      require(existing.isEmpty || assumeLegacyKeyCol,
+        s"index predates key_col metadata — rebuild it, or pass " +
+          s"assumeLegacyKeyCol=true only if it was verifiably built on '$keyCol'")
     }
     val data = spark.read.parquet(path)
     val keyTypeStr = data.schema(keyCol).dataType.catalogString

@@ -574,7 +574,14 @@ object EtlPipeline {
           s0.copy(good = s0.good.withColumn("create_dt", {
             val d = regexp_extract(col("src_file"),
               graft.sources.FileIngest.BusinessDateRegex, 1)
-            when(d === "", lit(null).cast("date"))
+            // a dateless src_file must FAIL the replay, not produce a
+            // null create_dt — null fails the watermark filter, gets
+            // counted "stale", and leaves the quarantine WITHOUT being
+            // merged: silent data loss on hand-repaired or renamed rows
+            when(d === "", raise_error(concat(
+              lit("quarantined row's src_file has no parseable _DDMMYYYY "),
+              lit("business date (cannot stamp create_dt for replay): "),
+              col("src_file"))).cast("date"))
               .otherwise(to_date(d, "ddMMyyyy"))
           }))
         } else DelimitedSource.validitySplit(

@@ -155,6 +155,10 @@ object MartAdvisor {
     val perRun = spark.read.parquet(s"$warehouseDir/etl_run_log")
       .groupBy("table_name", "run_id")
       .agg((sum("rows_inserted") + sum("rows_updated")).cast("long").as("n_new"))
+    // a forced amp below 1 would zero/invert every rebuild cost and
+    // deterministically answer "accumulate" — the validation the old
+    // scalar signature enforced
+    writeAmp.foreach(x => require(x >= 1L, s"writeAmp must be >= 1, got $x"))
     val (priced, ampCol) = writeAmp match {
       case Some(x) =>
         (perRun.withColumn("write_amp", lit(x))

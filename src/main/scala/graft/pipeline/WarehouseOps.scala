@@ -137,6 +137,13 @@ object WarehouseOps {
     * hit files, never 2·|files| serial single-task jobs. The batched
     * scan reads the candidates under the table's unified schema — the
     * warehouse invariant every multi-file reader here already assumes.
+    * The closing index refresh resumes from the MATERIALIZED coverage
+    * index, blooming only the fk-rewrite files — late-ingest files are
+    * bloomed once per call, not twice. A legacy index with no recorded
+    * key_col is refused up front (the [[graft.operators.FileBloomIndex
+    * .updateIndex]] legacy guard; forgetKey never asserts
+    * assumeLegacyKeyCol — destructive pruning demands verifiable
+    * metadata).
     */
   def forgetKey(spark: SparkSession, path: String, index: DataFrame,
                 keyCol: String, key: Any,
@@ -152,9 +159,15 @@ object WarehouseOps {
     import spark.implicits._
     // coverage first: prune with an index that is guaranteed to span
     // data.inputFiles, so a row in a file the stored index never saw
-    // cannot survive while ForgetResult reports success
+    // cannot survive while ForgetResult reports success.
+    // MATERIALIZED (localCheckpoint): the spanning frame is reused as
+    // the base of the final refresh below — without it the refresh
+    // would re-bloom every late-ingest file a second time (a second
+    // full data pass at the 100 TB posture), and the lazy plan's
+    // explicit new-file reads would dangle once the source deletes
+    // remove those paths.
     val spanning = FileBloomIndex.updateIndex(spark, path, index, keyCol,
-      expectedItemsPerFile, fpp)
+      expectedItemsPerFile, fpp).localCheckpoint(true)
     val candidates = spanning.select(col("file"), col("bloom"))
       .as[(String, Array[Byte])]
       .filter { case (_, bytes) =>
@@ -221,7 +234,11 @@ object WarehouseOps {
         require(fs.delete(srcPath(file), false), s"delete $file failed")
       }
     }
-    val refreshed = FileBloomIndex.updateIndex(spark, path, index, keyCol,
+    // final refresh RESUMES from the materialized spanning index: rows
+    // for deleted sources drop via the present-file join, and only the
+    // fk-rewrite files are bloomed fresh — never a re-bloom of the
+    // late-ingest files the coverage pass already paid for
+    val refreshed = FileBloomIndex.updateIndex(spark, path, spanning, keyCol,
       expectedItemsPerFile, fpp)
     ForgetResult(candidates.length.toLong, rewritten, removed, refreshed)
   }

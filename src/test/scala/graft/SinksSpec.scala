@@ -250,9 +250,18 @@ class SinksSpec extends SparkSpec {
       .drop("key_col", "key_type").write.parquet(s"$dir/idx_legacy")
     ev.filter(col("user_id") >= mid).repartitionByRange(4, col("user_id"))
       .write.mode("append").parquet(s"$dir/events")
+    // default REFUSES legacy rows: the blooms' build column is
+    // unverifiable, and backfilling would launder that into trusted
+    // metadata (a wrong-column bloom = silent false "definitely
+    // absent" on pruned reads and forgetKey)
+    intercept[IllegalArgumentException] {
+      FileBloomIndex.updateIndex(spark, s"$dir/events",
+        spark.read.parquet(s"$dir/idx_legacy"), "user_id",
+        expectedItemsPerFile = 10000L)
+    }
     val migrated = FileBloomIndex.updateIndex(spark, s"$dir/events",
       spark.read.parquet(s"$dir/idx_legacy"), "user_id",
-      expectedItemsPerFile = 10000L)
+      expectedItemsPerFile = 10000L, assumeLegacyKeyCol = true)
     // ONE update makes the stored metadata uniform — carried rows are
     // backfilled, not left null (which made the key_col guard and
     // prunedPointRead's type resolution depend on row order)

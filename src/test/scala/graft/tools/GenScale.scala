@@ -179,13 +179,18 @@ object GenScale {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("r").select(docs.columns.map(col): _*), "documents")
 
-    val emb = load("embeddings"); val vecS = stride(emb, "vec_id")
+    // vec_id shifts by the DOCUMENTS stride, not its own: vec_id is an
+    // id into the doc_id space (q130 full-outer-joins semantic ranks
+    // onto lexical doc ranks), so replica r's vector for base doc d
+    // must carry id d + r*docS — its own stride would alias unrelated
+    // base documents.
+    val emb = load("embeddings")
     writeOne(replicate(emb)
       .withColumn("embedding",
         when(col("r") === 0, col("embedding")).otherwise(
           expr("transform(embedding, (x, j) -> cast(x + " +
             "(pmod(hash(vec_id, r, j), 1000) / 25000.0d - 0.02d) as float))")))
-      .withColumn("vec_id", shifted("vec_id", vecS))
+      .withColumn("vec_id", shifted("vec_id", docS))
       .drop("r").select(emb.columns.map(col): _*), "embeddings")
 
     spark.stop()
