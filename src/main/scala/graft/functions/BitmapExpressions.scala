@@ -48,6 +48,26 @@ object BitmapOps {
     acc
   }
 
+  /** True iff NO index j < upTo has a(j) == b(j) — the LSH
+    * first-agreeing-band dedup primitive: a candidate pair that agrees
+    * at band `upTo` is emitted only if no EARLIER band already agreed,
+    * so each pair leaves the band-bucket join exactly once and the
+    * multiset `distinct()` (a shuffle of pairs × agreeing-bands rows —
+    * 327M at the sf1 dedup sweep) disappears. Compared on the band
+    * BUCKET values, i.e. exactly the equality the join itself matches
+    * on, so "agreeing" here and in the join can never disagree.
+    */
+  def noEarlierMatch(a: ArrayData, b: ArrayData, upTo: Int): Boolean = {
+    val n = math.min(math.min(a.numElements(), b.numElements()), upTo)
+    var j = 0
+    while (j < n) {
+      if (!a.isNullAt(j) && !b.isNullAt(j) && a.getLong(j) == b.getLong(j))
+        return false
+      j += 1
+    }
+    true
+  }
+
   /** |a ∩ b| of two ASCENDING-sorted long arrays — the hashed-set
     * verifier's primitive (arrays come from sort_array(collect_set(..)),
     * so they are null-free and duplicate-free by construction; a null
@@ -131,6 +151,34 @@ case class BitmapCountExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+case class NoEarlierBandMatchExpr(first: Expression, second: Expression,
+                                  third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _),
+            org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>, int), got " +
+          s"${a.simpleString}, ${b.simpleString}, ${c.simpleString}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "no_earlier_band_match"
+
+  override def nullSafeEval(a: Any, b: Any, u: Any): Any =
+    BitmapOps.noEarlierMatch(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], u.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, u) =>
+      s"graft.functions.BitmapOps.noEarlierMatch($a, $b, $u)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): NoEarlierBandMatchExpr =
+    copy(first = f, second = s, third = t)
+}
+
 object BitmapFunctions {
   /** popcount(a & b) of two array<long> bitmap columns (codegen'd). */
   def andCount(a: Column, b: Column): Column =
@@ -147,4 +195,12 @@ object BitmapFunctions {
   def sortedAndCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedAndCountExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** LSH first-agreeing-band filter: true iff no index < `upTo` of the
+    * two array<long> bucket columns matches (codegen'd).
+    */
+  def noEarlierBandMatch(a: Column, b: Column, upTo: Column): Column =
+    ColumnBridge.column(NoEarlierBandMatchExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b),
+      ColumnBridge.expression(upTo)))
 }

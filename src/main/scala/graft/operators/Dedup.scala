@@ -403,28 +403,68 @@ object Dedup {
   def dedupIncrement(indexBands: DataFrame, indexSets: DataFrame,
                      newDocs: DataFrame, idCol: String, textCol: String,
                      k: Int, threshold: Double, numPerm: Int, bands: Int): DataFrame = {
+    require(indexBands.columns.contains("buckets"),
+      "this index predates the round-10 banded format (no 'buckets' band-array " +
+        "column) — rebuild it with nearDupIndex; the curate loop rewrites it " +
+        "every batch, so one batch migrates")
     val (newBandsRaw, newSets) = nearDupIndex(newDocs, idCol, textCol, k, numPerm, bands)
     val nb = trackPersist(newBandsRaw) // feeds the cross-batch join AND the self-join
-    val vsCorpus = nb.select(col(idCol).as("id_n"), col("band"), col("bucket"))
-      .join(indexBands.select(col(idCol).as("id_o"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
+    // first-agreeing-band filter on BOTH candidate channels (see
+    // lshPairsFromSignatures): each (new, old) / (new, new) pair leaves
+    // its join exactly once, and the channels are disjoint by id spaces
+    // — so no `.distinct()`, whose pairs×bands multiset shuffle was the
+    // measured q85 scale bottleneck at sf1
+    val vsCorpus = nb.select(col(idCol).as("id_n"), col("band"), col("bucket"),
+        col("buckets").as("bk_n"))
+      .join(indexBands.select(col(idCol).as("id_o"), col("band"), col("bucket"),
+        col("buckets").as("bk_o")), Seq("band", "bucket"))
       .filter(col("id_n") =!= col("id_o"))
+      .filter(graft.functions.BitmapFunctions
+        .noEarlierBandMatch(col("bk_n"), col("bk_o"), col("band")))
       .select(least(col("id_n"), col("id_o")).as("id_a"),
         greatest(col("id_n"), col("id_o")).as("id_b"))
-    val l = nb.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-    val r = nb.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    val l = nb.select(col(idCol).as("id_a"), col("band"), col("bucket"),
+      col("buckets").as("bk_a"))
+    val r = nb.select(col(idCol).as("id_b"), col("band"), col("bucket"),
+      col("buckets").as("bk_b"))
     val vsBatch = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.BitmapFunctions
+        .noEarlierBandMatch(col("bk_a"), col("bk_b"), col("band")))
       .select("id_a", "id_b")
-    val cands = vsCorpus.union(vsBatch).distinct()
-    val allSets = indexSets.unionByName(newSets)
-    val a = allSets.select(col(idCol).as("id_a"), col("bm").as("bm_a"),
-      col("set_size").as("size_a"))
-    val b = allSets.select(col(idCol).as("id_b"), col("bm").as("bm_b"),
-      col("set_size").as("size_b"))
+    val cands = vsCorpus.union(vsBatch)
+    // persisted: joined on BOTH candidate ends (the q72 docs-persist
+    // rationale), and the persist gives the broadcast decision below a
+    // materialized frame to measure
+    val allSets = trackPersist(indexSets.unionByName(newSets))
+    // Verify-join strategy, MEASURED: hashed-set payloads are ~8 B per
+    // shingle, so a hashed index is often just past Spark's 10 MB
+    // autoBroadcast line even when it trivially fits memory — and then
+    // BOTH verify joins sort-merge, shuffling every candidate pair WITH
+    // its 2 set arrays (the sf1 sweep measured 58M pairs × ~4.6 KB
+    // riding two exchanges; q72's dense-bitmap sets sat under the line
+    // and AQE broadcast them — the whole 10× q72-vs-q85 gap). Under
+    // `graft.dedup.maxBroadcastSetBytes` (default 256 MB) the sets side
+    // broadcasts explicitly and the candidate stream never shuffles;
+    // past the dial (a truly corpus-sized index) the shuffled join is
+    // the correct plan and stands.
+    val est = allSets.agg(sum(col("set_size")), count(lit(1))).head()
+    val estBytes =
+      if (est.isNullAt(0)) 0L else est.getLong(0) * 8L + est.getLong(1) * 32L
+    val maxBytes = spark(allSets).conf
+      .getOption("graft.dedup.maxBroadcastSetBytes").map(_.toLong)
+      .getOrElse(256L * 1024 * 1024)
+    val hint: DataFrame => DataFrame =
+      if (estBytes <= maxBytes) broadcast(_: DataFrame) else identity
+    val a = hint(allSets.select(col(idCol).as("id_a"), col("bm").as("bm_a"),
+      col("set_size").as("size_a")))
+    val b = hint(allSets.select(col(idCol).as("id_b"), col("bm").as("bm_b"),
+      col("set_size").as("size_b")))
     jaccardVerify(cands.join(a, Seq("id_a")).join(b, Seq("id_b")), threshold,
       hashed = true)
   }
+
+  private def spark(df: DataFrame) = df.sparkSession
 
   // Cache ownership: the near-dup pipelines persist small derived frames
   // (shingle stream, banded signatures, simhash chunks) that their
@@ -505,9 +545,15 @@ object Dedup {
       val slice = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(bnd).as("band"), xxhash64(slice: _*).as("bucket")).as(s"b$bnd")
     }
+    // every row also carries the doc's FULL band-bucket array: the pair
+    // join filters on "no earlier band already agreed" instead of
+    // multiset-distincting its output — the array is bands longs per
+    // row, the distinct it replaces was a shuffle of pairs×bands rows
     sig.select(col(idCol) +: bandCols: _*)
-      .select(col(idCol), explode(array((0 until bands).map(b => col(s"b$b")): _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+      .select(col(idCol),
+        array((0 until bands).map(b => col(s"b$b.bucket")): _*).as("buckets"),
+        explode(array((0 until bands).map(b => col(s"b$b")): _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"), col("buckets"))
   }
 
   private def lshPairsFromSignatures(sig: DataFrame, idCol: String,
@@ -519,12 +565,20 @@ object Dedup {
     // docs × bands rows (one per band per document), tiny next to the
     // corpus; released by [[releaseCaches]].
     val banded = trackPersist(bandedBuckets(sig, idCol, numPerm, bands))
-    val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-    val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"),
+      col("buckets").as("bk_a"))
+    val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"),
+      col("buckets").as("bk_b"))
+    // first-agreeing-band dedup: the join emits a pair once PER agreeing
+    // band; keeping only the earliest one is a codegen'd FILTER inside
+    // the join stage, where the old `.distinct()` shuffled the whole
+    // pairs×agreeing-bands multiset (327M rows at the sf1 sweep — the
+    // measured q85 bottleneck, 92 s of its 137 s)
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.BitmapFunctions
+        .noEarlierBandMatch(col("bk_a"), col("bk_b"), col("band")))
       .select("id_a", "id_b")
-      .distinct()
   }
 
   /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by token

@@ -210,44 +210,48 @@ object ScdQueries {
   // from disjoint event slices (card→account, account→client,
   // client→segment), the fact PIT-joined through all three.
   //
-  // Scale shape (the part the chain stresses): each hop is an
-  // EQUI-join on the dim key with the validity range as a post-join
-  // filter — hash-partitionable and, with dimension-sized dims,
-  // broadcastable (all three hinted here; a pure range join would be
-  // a per-key cross product). Join order follows the key chain, so no
-  // hop ever joins on a column produced by a later hop; the fact
-  // stream is scanned once and never shuffled — three stacked
-  // BroadcastHashJoins (ScdSpec pins the plan).
+  // Scale shape (the part the chain stresses — REWRITTEN round 10):
+  // each hop is a NATIVE as-of join ([[graft.plans.AsOfJoinExec]]) of
+  // the fact stream to the RAW change rows, keyed on the hop's dim
+  // key. The previous equi-join + BETWEEN-filter form (the broadcast
+  // PIT shape that is right for high-cardinality keys like FraudMart's
+  // user_id) is quadratic here: account_num has 50 values and
+  // client_id 20, so every fact fanned out over EVERY interval of its
+  // key before the range filter pruned — ~1.6e10 intermediate rows at
+  // sf1, measured 119 s (71× the sf0.1 time, the round-10 sweep's
+  // worst scaler; the same shape is why DuckDB needs >1 h on the
+  // oracle SQL). The as-of merge consumes each side ONCE per hop —
+  // O(facts + changes) after the (key, ts) sort — and needs no
+  // interval materialization, so the three buildHistory windows
+  // disappear too: the merge's "latest change at-or-before, ties to
+  // the highest event_id" IS the LEAD-tiling interval semantics
+  // (degenerate same-instant intervals match nothing; facts before a
+  // key's first change drop on both forms). sf1: 119 s → ~3 s.
+  // Parallelism on hops 2/3 is capped by the 50/20-key cardinality —
+  // inherent to the data model, not the operator (each key's merge is
+  // one linear pass).
   def q129(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val cards = Scd.buildHistory(
-      ev.filter(col("event_id") % 3 === 0)
-        .withColumn("account_num", expr("(user_id * 7 + length(event_type)) % 50")),
-      "user_id", "ts", "event_id", Seq("account_num"))
-      .select(col("user_id").as("card_id"), col("account_num"),
-        col("effective_from").as("c_from"), col("effective_to").as("c_to"))
-    val accounts = Scd.buildHistory(
-      ev.filter(col("event_id") % 3 === 1)
-        .withColumn("account_num", expr("user_id % 50"))
-        .withColumn("client_id", expr("(user_id * 13 + event_id) % 20")),
-      "account_num", "ts", "event_id", Seq("client_id"))
-      .select(col("account_num").as("a_account"), col("client_id"),
-        col("effective_from").as("a_from"), col("effective_to").as("a_to"))
-    val clients = Scd.buildHistory(
-      ev.filter(col("event_id") % 3 === 2)
-        .withColumn("client_id", expr("user_id % 20")),
-      "client_id", "ts", "event_id", Seq("event_type"))
-      .select(col("client_id").as("l_client"), col("event_type").as("segment"),
-        col("effective_from").as("l_from"), col("effective_to").as("l_to"))
-    ev.select(col("event_id"), col("ts"), col("user_id").as("card_id"))
-      .join(broadcast(cards), Seq("card_id"))
-      .filter(col("ts") >= col("c_from") && col("ts") <= col("c_to"))
-      .join(broadcast(accounts), col("account_num") === col("a_account"))
-      .filter(col("ts") >= col("a_from") && col("ts") <= col("a_to"))
-      .join(broadcast(clients), col("client_id") === col("l_client"))
-      .filter(col("ts") >= col("l_from") && col("ts") <= col("l_to"))
-      .select(col("event_id"), col("card_id"), col("account_num"),
-        col("client_id"), col("segment"))
+    val facts = ev.select(col("event_id"), col("ts"), col("user_id").as("card_id"))
+    val cards = ev.filter(col("event_id") % 3 === 0)
+      .select(col("user_id").as("c_card"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"),
+        expr("(user_id * 7 + length(event_type)) % 50").as("account_num"))
+    val accounts = ev.filter(col("event_id") % 3 === 1)
+      .select(expr("user_id % 50").as("a_account"), col("ts").as("a_ts"),
+        col("event_id").as("a_id"),
+        expr("(user_id * 13 + event_id) % 20").as("client_id"))
+    val clients = ev.filter(col("event_id") % 3 === 2)
+      .select(expr("user_id % 20").as("l_client"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"), col("event_type").as("segment"))
+    val h1 = graft.plans.AsOfNative.join(facts, cards,
+      "card_id", "ts", "c_card", "c_ts", "c_id")
+    val h2 = graft.plans.AsOfNative.join(h1, accounts,
+      "account_num", "ts", "a_account", "a_ts", "a_id")
+    val h3 = graft.plans.AsOfNative.join(h2, clients,
+      "client_id", "ts", "l_client", "l_ts", "l_id")
+    h3.select(col("event_id"), col("card_id"), col("account_num"),
+      col("client_id"), col("segment"))
   }
 
   val q129Sql: String =

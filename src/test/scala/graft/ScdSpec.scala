@@ -104,12 +104,16 @@ class ScdSpec extends SparkSpec {
         r.getString(4))).toSet
     assert(got === expect)
     assert(got.nonEmpty, "the chain must resolve at least one fact")
-    // the scale contract: three broadcast equi-joins, no shuffle joins
+    // the scale contract (round 10): three NATIVE as-of merges — the
+    // old broadcast-equi-join + BETWEEN pin fanned every fact over all
+    // intervals of its 50/20-cardinality key before filtering (~1.6e10
+    // rows at sf1, 119 s); the as-of chain consumes each side once.
     // (AQE's toString prints final + initial plans; count the final only)
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    assert("BroadcastHashJoin".r.findAllIn(plan).size === 3, plan.take(800))
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin"))
+    assert("AsOfJoin".r.findAllIn(plan).size === 3, plan.take(800))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("BroadcastHashJoin"))
   }
 
   test("q84 diff agrees with independently recomputed snapshots") {
