@@ -787,17 +787,24 @@ object Dedup {
     }
     // persisted: the self-join would recompute the nTables × nBits
     // hyperplane projections per side; one row per (vector, table);
-    // released by [[releaseCaches]]
+    // released by [[releaseCaches]]. Each row carries the vector's FULL
+    // per-table signature array for the first-agreeing-table filter
+    // below (the q85 lesson: the old `.distinct()` shuffled the
+    // pairs×agreeing-tables multiset).
     val banded = trackPersist(v.select(col("id") +: sigCols: _*)
       .select(col("id"),
+        array((0 until nTables).map(t => col(s"t$t.sig").cast("long")): _*).as("sigs"),
         explode(array((0 until nTables).map(t => col(s"t$t")): _*)).as("b"))
-      .select(col("id"), col("b.tbl"), col("b.sig")))
-    val l = banded.select(col("id").as("id_a"), col("tbl"), col("sig"))
-    val r = banded.select(col("id").as("id_b"), col("tbl"), col("sig"))
+      .select(col("id"), col("b.tbl"), col("b.sig"), col("sigs")))
+    val l = banded.select(col("id").as("id_a"), col("tbl"), col("sig"),
+      col("sigs").as("sg_a"))
+    val r = banded.select(col("id").as("id_b"), col("tbl"), col("sig"),
+      col("sigs").as("sg_b"))
     val cands = l.join(r, Seq("tbl", "sig"))
       .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.BitmapFunctions
+        .noEarlierBandMatch(col("sg_a"), col("sg_b"), col("tbl")))
       .select("id_a", "id_b")
-      .distinct()
     val va = v.select(col("id").as("id_a"), col("v").as("va"))
     val vb = v.select(col("id").as("id_b"), col("v").as("vb"))
     cands.join(va, Seq("id_a")).join(vb, Seq("id_b"))
