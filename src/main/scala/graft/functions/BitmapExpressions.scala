@@ -166,13 +166,44 @@ case class NoEarlierBandMatchExpr(first: Expression, second: Expression,
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def prettyName: String = "no_earlier_band_match"
 
-  override def nullSafeEval(a: Any, b: Any, u: Any): Any =
-    BitmapOps.noEarlierMatch(a.asInstanceOf[ArrayData],
-      b.asInstanceOf[ArrayData], u.asInstanceOf[Int])
+  // NULL TOLERANCE — this expression sits under a FILTER on the dedup
+  // candidate path, where the default null-intolerant eval would turn a
+  // NULL bucket array (a partially-migrated or corrupt index row) into a
+  // NULL result, which the filter treats as false: the pair would be
+  // SILENTLY dropped. A dedup pass must degrade to duplicates, never to
+  // silent misses — so a NULL array (or NULL band index) evaluates to
+  // true (emit on every agreeing band; downstream verification still
+  // dedupes by value). NULL elements inside the arrays are skipped by
+  // [[BitmapOps.noEarlierMatch]] (no-match) for the same reason.
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b, u) =>
-      s"graft.functions.BitmapOps.noEarlierMatch($a, $b, $u)")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = first.eval(input)
+    val b = second.eval(input)
+    val u = third.eval(input)
+    if (a == null || b == null || u == null) true
+    else BitmapOps.noEarlierMatch(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], u.asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val af = first.genCode(ctx)
+    val bf = second.genCode(ctx)
+    val uf = third.genCode(ctx)
+    val resultCode =
+      code"""
+        ${af.code}
+        ${bf.code}
+        ${uf.code}
+        boolean ${ev.value} = true;
+        if (!(${af.isNull}) && !(${bf.isNull}) && !(${uf.isNull})) {
+          ${ev.value} = graft.functions.BitmapOps.noEarlierMatch(
+            ${af.value}, ${bf.value}, ${uf.value});
+        }"""
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): NoEarlierBandMatchExpr =

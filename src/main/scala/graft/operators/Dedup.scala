@@ -396,9 +396,9 @@ object Dedup {
     * the same one-bucket-shuffle self-join as the backfill.
     *
     * Id spaces must be disjoint (new ids are new — the ingest
-    * precondition); recall follows [[lshVerifiedPairs]]'s (1-J)^numPerm
-    * band-miss bound. Emits the [[jaccardVerify]] schema with
-    * id_a < id_b.
+    * precondition; ENFORCED by a guard riding the broadcast-sizing
+    * aggregation); recall follows [[lshVerifiedPairs]]'s band-miss
+    * bound. Emits the [[jaccardVerify]] schema with id_a < id_b.
     */
   def dedupIncrement(indexBands: DataFrame, indexSets: DataFrame,
                      newDocs: DataFrame, idCol: String, textCol: String,
@@ -448,14 +448,30 @@ object Dedup {
     // broadcasts explicitly and the candidate stream never shuffles;
     // past the dial (a truly corpus-sized index) the shuffled join is
     // the correct plan and stands.
-    val est = allSets.agg(sum(col("set_size")), count(lit(1))).head()
+    val est = allSets.agg(sum(col("set_size")), count(lit(1)),
+      count_distinct(col(idCol))).head()
+    // The disjoint-id-space precondition is ENFORCED, not just documented
+    // — it rides the sizing aggregation below for free. An overlapping id
+    // would let a (new, new) pair also surface through the (new, old)
+    // channel, and without the old `.distinct()` the union would emit
+    // duplicate verified rows.
+    require(est.isNullAt(0) || est.getLong(1) == est.getLong(2),
+      s"dedupIncrement requires disjoint id spaces (new ids are new — the " +
+        s"ingest precondition): the stored index and the batch share " +
+        s"${est.getLong(1) - est.getLong(2)} document id(s)")
     val estBytes =
       if (est.isNullAt(0)) 0L else est.getLong(0) * 8L + est.getLong(1) * 32L
     val maxBytes = spark(allSets).conf
       .getOption("graft.dedup.maxBroadcastSetBytes").map(_.toLong)
       .getOrElse(256L * 1024 * 1024)
+    // The dial is compared against 4× the raw payload estimate: TWO
+    // aliased copies of allSets ship (the a/b selects below don't hit
+    // exchange reuse), and UnsafeRow + HashedRelation overhead roughly
+    // doubles the 8 B/element array payload once built — sizing against
+    // the raw bytes could pin ~4× the dial in executor memory right under
+    // the threshold.
     val hint: DataFrame => DataFrame =
-      if (estBytes <= maxBytes) broadcast(_: DataFrame) else identity
+      if (estBytes * 4 <= maxBytes) broadcast(_: DataFrame) else identity
     val a = hint(allSets.select(col(idCol).as("id_a"), col("bm").as("bm_a"),
       col("set_size").as("size_a")))
     val b = hint(allSets.select(col(idCol).as("id_b"), col("bm").as("bm_b"),

@@ -546,7 +546,11 @@ object EtlPipeline {
     * The quarantine shrinks atomically (snapshot swap; the directory
     * is removed outright when nothing remains); still-invalid rows
     * stay with a recomputed `reject_reason` and original
-    * `src_file`/`run_id` provenance. Pass the same `marts` map as
+    * `src_file`/`run_id` provenance. A jsonl row whose `src_file`
+    * carries no parseable `_DDMMYYYY` business date cannot be stamped
+    * for replay: it stays quarantined with `reject_reason =
+    * 'dateless_src_file'` (rename the file to release it) rather than
+    * aborting the batch — the other repairable rows still merge. Pass the same `marts` map as
     * `run` to refresh marts afterwards — note a `MartAccumulate`
     * whose stored watermark already covers the replayed rows' dates
     * will not re-derive them (strictly-greater contract); pair
@@ -569,21 +573,28 @@ object EtlPipeline {
       // value run() stamped on the good rows of that delivery
       val sp =
         if (qtn.columns.contains("raw_line")) {
+          // a dateless src_file (hand-renamed file) cannot be stamped
+          // with a replay create_dt. It must not produce a null create_dt
+          // — null fails the watermark filter, gets counted "stale", and
+          // leaves the quarantine WITHOUT being merged: silent data loss.
+          // But aborting the WHOLE replay on the first offender would
+          // block every other repairable row behind one bad filename — so
+          // dateless rows are split to a REJECTED side-channel instead:
+          // they stay quarantined with reject_reason 'dateless_src_file'
+          // (visible provenance, rename the file to release them) while
+          // every dated row merges normally this run.
+          val hasDate = regexp_extract(col("src_file"),
+            graft.sources.FileIngest.BusinessDateRegex, 1) =!= ""
+          val dateless = qtn.filter(!hasDate)
+            .withColumn("reject_reason", lit("dateless_src_file"))
           val s0 = graft.sources.JsonlSource.splitRaw(
-            qtn.drop("reject_reason"), jsonlSchema(m), Seq(m.key), m.decimalCols)
-          s0.copy(good = s0.good.withColumn("create_dt", {
-            val d = regexp_extract(col("src_file"),
-              graft.sources.FileIngest.BusinessDateRegex, 1)
-            // a dateless src_file must FAIL the replay, not produce a
-            // null create_dt — null fails the watermark filter, gets
-            // counted "stale", and leaves the quarantine WITHOUT being
-            // merged: silent data loss on hand-repaired or renamed rows
-            when(d === "", raise_error(concat(
-              lit("quarantined row's src_file has no parseable _DDMMYYYY "),
-              lit("business date (cannot stamp create_dt for replay): "),
-              col("src_file"))).cast("date"))
-              .otherwise(to_date(d, "ddMMyyyy"))
-          }))
+            qtn.filter(hasDate).drop("reject_reason"),
+            jsonlSchema(m), Seq(m.key), m.decimalCols)
+          s0.copy(
+            good = s0.good.withColumn("create_dt",
+              to_date(regexp_extract(col("src_file"),
+                graft.sources.FileIngest.BusinessDateRegex, 1), "ddMMyyyy")),
+            bad = s0.bad.unionByName(dateless))
         } else DelimitedSource.validitySplit(
           qtn.drop("reject_reason"), Seq(m.key), m.decimalCols)
       val current = loadWatermarks(spark, warehouseDir).get(m.targetName) match {

@@ -179,6 +179,38 @@ class DedupSpec extends SparkSpec {
     assert(incr.count() > 0, "the sample corpus has batch-touching near-dups")
   }
 
+  test("incremental dedup REFUSES overlapping id spaces (duplicate-row hazard)") {
+    val base = Tables.documents(spark, sf).filter(col("doc_id") % 4 === 0)
+    val (ib, is) = Dedup.nearDupIndex(
+      base.filter(col("doc_id") % 8 === 0), "doc_id", "text", 3, 16, 16)
+    // batch = ALL of base, so every indexed id is also a batch id
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dedupIncrement(ib, is, base, "doc_id", "text", 3, 0.6, 16, 16)
+    }
+    assert(ex.getMessage.contains("disjoint id spaces"))
+  }
+
+  test("no_earlier_band_match treats NULL bucket arrays as emit, not silent drop") {
+    val s = spark
+    import s.implicits._
+    // one row with populated arrays agreeing at band 0 (earlier than the
+    // probe band 1 → filtered), one row whose array is NULL (corrupt /
+    // partially-migrated index row → MUST survive the filter)
+    val df = Seq(
+      (Some(Seq(7L, 9L)), Some(Seq(7L, 9L)), 1),
+      (None: Option[Seq[Long]], Some(Seq(7L, 9L)), 1),
+      (Some(Seq(7L, 9L)), None: Option[Seq[Long]], 1)
+    ).toDF("bk_a", "bk_b", "band")
+    val kept = df.filter(graft.functions.BitmapFunctions
+      .noEarlierBandMatch(col("bk_a"), col("bk_b"), col("band"))).count()
+    assert(kept == 2, "NULL arrays must degrade to duplicates, never to misses")
+    // and the expression itself is non-nullable (safe under any filter)
+    val exprOut = df.select(graft.functions.BitmapFunctions
+      .noEarlierBandMatch(col("bk_a"), col("bk_b"), col("band")).as("ok"))
+    assert(!exprOut.schema("ok").nullable)
+    assert(exprOut.filter(col("ok").isNull).count() == 0)
+  }
+
   test("span dedup flags exactly the later occurrences of repeated spans") {
     val s = spark
     import s.implicits._

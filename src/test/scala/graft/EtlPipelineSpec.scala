@@ -262,6 +262,43 @@ class EtlPipelineSpec extends SparkSpec {
       === Seq("malformed_json", "missing_required"))
   }
 
+  test("replay parks dateless-src_file rows with a reason instead of aborting the batch") {
+    val inbox = Files.createTempDirectory("graft_dlinbox").toString
+    val wh = Files.createTempDirectory("graft_dlwh").toString
+    val qdir = Files.createTempDirectory("graft_dlqtn").toString
+    val m = FileMapping("rates_*.jsonl", "dwh_dlrates", "cur", Seq("rate"), scd = 1,
+      decimalCols = Seq("rate"))
+    mkFile(inbox, "rates_01012024.jsonl",
+      """{"cur":"USD","rate":"90,5"}
+        |{"cur":"JPY","rate":"1x2,3"}
+        |{"cur":"GBP","rate":"zz"}
+        |""".stripMargin)
+    EtlPipeline.run(spark, inbox, wh, Seq(m), runId = 61, quarantineDir = Some(qdir))
+    assert(spark.read.parquet(s"$qdir/dwh_dlrates").count() == 2)
+    // repair BOTH raw lines, but hand-rename one row's src_file so it has
+    // no parseable business date — it must NOT block the other repair
+    val fixed = spark.read.parquet(s"$qdir/dwh_dlrates")
+      .withColumn("raw_line",
+        when(col("raw_line").contains("JPY"), lit("""{"cur":"JPY","rate":"1,23"}"""))
+          .otherwise(lit("""{"cur":"GBP","rate":"2,5"}""")))
+      .withColumn("src_file",
+        when(col("raw_line").contains("GBP"), lit("rates_fixed.jsonl"))
+          .otherwise(col("src_file")))
+    val tmp = Files.createTempDirectory("graft_dlfix").toString
+    fixed.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(s"$qdir/dwh_dlrates")
+    val r = EtlPipeline.replayQuarantine(spark, qdir, wh, m, runId = 62)
+    assert(logRow(r, "qrp_dwh_dlrates").getAs[Long]("rows_inserted") == 1)
+    val after = spark.read.parquet(s"$wh/dwh_dlrates")
+    assert(after.filter(col("cur") === "JPY").count() == 1,
+      "the dated repair must merge despite the dateless sibling")
+    assert(after.filter(col("cur") === "GBP").isEmpty)
+    val left = spark.read.parquet(s"$qdir/dwh_dlrates").collect()
+    assert(left.length == 1)
+    assert(left(0).getAs[String]("reject_reason") === "dateless_src_file")
+    assert(left(0).getAs[String]("raw_line").contains("GBP"))
+  }
+
   test("warehouse inventory reports footprint, watermark, and last run per table") {
     val inbox = Files.createTempDirectory("graft_winbox").toString
     val wh = Files.createTempDirectory("graft_wwh").toString
