@@ -3,10 +3,11 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
@@ -33,23 +34,32 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   *    longs in the merge loop — no per-row ordering allocation);
   *  - `tie` breaks equal version timestamps deterministically (the
   *    (ts, tie) pair must be unique per key);
-  *  - inner semantics: facts with no version at-or-before drop;
-  *  - rows with a NULL key or ts on either side drop (a NULL never
+  *  - inner mode: facts with no version at-or-before drop; left-outer
+  *    mode: they survive with a null-extended version side (absence as
+  *    signal — the q161-style enrichment shape);
+  *  - rows with a NULL key or ts: version rows never match; facts drop
+  *    in inner mode and null-extend in left-outer mode (a NULL never
   *    matches in the composed form either).
   */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, leftTs: Expression,
                         rightKey: Expression, rightTs: Expression,
-                        rightTie: Expression) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+                        rightTie: Expression,
+                        isLeftOuter: Boolean = false) extends BinaryNode {
+  // left-outer null-extends the version side, so its attributes must
+  // surface as nullable — a downstream IsNotNull simplification over a
+  // non-nullable attribute would silently drop the outer rows
+  override def output: Seq[Attribute] =
+    if (isLeftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
   override protected def withNewChildrenInternal(
       l: LogicalPlan, r: LogicalPlan): AsOfJoinNode = copy(left = l, right = r)
 }
 
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, lt, rk, rt, tie) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie) :: Nil
+    case AsOfJoinNode(l, r, lk, lt, rk, rt, tie, outer) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie, outer) :: Nil
     case _ => Nil
   }
 }
@@ -57,9 +67,25 @@ class AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, leftTs: Expression,
                         rightKey: Expression, rightTs: Expression,
-                        rightTie: Expression) extends BinaryExecNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+                        rightTie: Expression,
+                        isLeftOuter: Boolean = false) extends BinaryExecNode {
+  override def output: Seq[Attribute] =
+    if (isLeftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
   override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  // SQL-UI observability on par with the built-in joins this operator
+  // replaces: output volume plus the three row-fate counters whose drift
+  // is the thing you'd investigate at 100× (nulls arriving in a key
+  // column, facts racing ahead of their dimension).
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numNullFacts" -> SQLMetrics.createMetric(sparkContext,
+      "facts with null key/ts (dropped; null-extended when left outer)"),
+    "numNullVersions" -> SQLMetrics.createMetric(sparkContext,
+      "version rows with null key/ts (never match)"),
+    "numUnmatchedFacts" -> SQLMetrics.createMetric(sparkContext,
+      "facts with no version at-or-before (dropped; null-extended when left outer)"))
 
   // both children cluster by key; EnsureRequirements co-partitions the
   // two shuffles exactly as it does for a shuffled equi-join
@@ -75,11 +101,19 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val out = output
+    val outer = isLeftOuter
+    val rightWidth = right.output.size
+    val mOut = longMetric("numOutputRows")
+    val mNullFacts = longMetric("numNullFacts")
+    val mNullVers = longMetric("numNullVersions")
+    val mUnmatched = longMetric("numUnmatchedFacts")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lExtract = UnsafeProjection.create(Seq(leftKey, leftTs), left.output)
       val rExtract = UnsafeProjection.create(Seq(rightKey, rightTs), right.output)
       val resultProj = UnsafeProjection.create(out, out)
       val joined = new JoinedRow
+      // the all-null version side an outer row extends with
+      val nullRight = new GenericInternalRow(rightWidth)
 
       new Iterator[InternalRow] {
         // right cursor (the not-yet-consumed head version)
@@ -104,8 +138,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             val k = rExtract(r)
             if (!k.isNullAt(0) && !k.isNullAt(1)) {
               rRow = r; rKey = k.getLong(0); rTs = k.getLong(1); rValid = true
-            }
+            } else mNullVers.add(1)
           }
+        }
+
+        private def stage(l: InternalRow, r: InternalRow): Boolean = {
+          pending = resultProj(joined(l, r))
+          mOut.add(1)
+          true
         }
 
         override def hasNext: Boolean = {
@@ -123,10 +163,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                 bufValid = true
                 advanceRight()
               }
-              if (bufValid && bufKey == lk) {
-                pending = resultProj(joined(l, bufRow))
-                return true
-              } // else: no version at-or-before this fact — inner drop
+              if (bufValid && bufKey == lk) return stage(l, bufRow)
+              // no version at-or-before this fact
+              mUnmatched.add(1)
+              if (outer) return stage(l, nullRight)
+            } else {
+              mNullFacts.add(1)
+              if (outer) return stage(l, nullRight)
             }
           }
           false
@@ -164,10 +207,18 @@ object AsOfNative {
     * if names collide). `versionTie` must make (versionTs, versionTie)
     * unique per key — it pins which of two same-timestamp versions
     * wins, on every engine and every partitioning.
+    *
+    * `joinType`: "inner" (default) drops facts with no version
+    * at-or-before; "left_outer" keeps them with a null-extended version
+    * side — the enrichment shape where absence is signal (a fact before
+    * its dimension existed is a finding, not a row to hide).
     */
   def join(facts: DataFrame, versions: DataFrame,
            factKey: String, factTs: String,
-           versionKey: String, versionTs: String, versionTie: String): DataFrame = {
+           versionKey: String, versionTs: String, versionTie: String,
+           joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"as-of joinType must be inner or left_outer, got '$joinType'")
     // re-alias the version side so a self-join (facts and versions
     // carved from the same source) cannot share attribute ids
     val fresh = versions.select(versions.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
@@ -187,7 +238,8 @@ object AsOfNative {
       s"as-of ts types must match: '$factTs' is ${lt.dataType.simpleString}, " +
         s"'$versionTs' is ${rt.dataType.simpleString}")
     val node = AsOfJoinNode(lPlan, rPlan, lk, lt, rk, rt,
-      requireOrderable(attrOf(rPlan, versionTie)))
+      requireOrderable(attrOf(rPlan, versionTie)),
+      isLeftOuter = joinType == "left_outer")
     org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(facts.sparkSession, node)
   }
 }

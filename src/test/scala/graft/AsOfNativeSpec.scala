@@ -83,4 +83,76 @@ class AsOfNativeSpec extends SparkSpec {
     assert(scrambled.exceptAll(reference).isEmpty && reference.exceptAll(scrambled).isEmpty,
       "EnsureRequirements must re-cluster both sides by key")
   }
+
+  test("left-outer mode equals the composed left-outer form under adversarial partitioning") {
+    val (facts, vers) = factsAndVersions
+    val native = AsOfNative.join(
+      facts.repartition(7, col("f_ts")), vers.repartition(3, col("v_state")),
+      "f_user", "f_ts", "v_user", "v_ts", "v_id", joinType = "left_outer")
+      .select("f_id", "v_id", "v_state")
+    // composed reference: inner as-of result left-joined back onto facts
+    val inner = AsOfNative.join(facts, vers, "f_user", "f_ts", "v_user", "v_ts", "v_id")
+      .select(col("f_id").as("j_id"), col("v_id"), col("v_state"))
+    val composed = facts.join(inner, facts("f_id") === inner("j_id"), "left_outer")
+      .select("f_id", "v_id", "v_state")
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty,
+      "left-outer merge must equal inner + null-extension")
+    assert(native.count() == facts.count(), "left outer preserves every fact")
+    assert(native.filter(col("v_id").isNull).count() > 0,
+      "the fixture has facts before any version — they must null-extend")
+    // the outer output schema must declare the version side nullable
+    assert(native.schema("v_id").nullable && native.schema("v_state").nullable)
+  }
+
+  test("left-outer keeps null-key facts with a null-extended version side") {
+    val s2 = spark
+    import s2.implicits._
+    val t1 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val facts = Seq((5L, Option.empty[Long], Option(t1)),
+      (6L, Option(10L), Option(t1))).toDF("f_id", "f_user", "f_ts")
+    val vers = Seq((10L, t1, 1L, "a")).toDF("v_user", "v_ts", "v_id", "v_state")
+    val out = AsOfNative.join(facts, vers, "f_user", "f_ts", "v_user", "v_ts", "v_id",
+      joinType = "left_outer").select("f_id", "v_state").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(out === Set((5L, None), (6L, Some("a"))),
+      "null keys never match but must survive a left-outer as-of")
+  }
+
+  test("AsOfJoinExec reports SQLMetrics: output rows and row-fate counters") {
+    val s2 = spark
+    import s2.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val facts = Seq(
+      (1L, Option(10L), Option(t1)),  // matches
+      (2L, Option(30L), Option(t0)),  // before key 30's version — unmatched
+      (3L, Option.empty[Long], Option(t1))  // null key
+    ).toDF("f_id", "f_user", "f_ts")
+    val vers = Seq(
+      (Option(10L), Option(t0), 1L, "a"),
+      (Option.empty[Long], Option(t0), 2L, "junk"),  // null version key
+      (Option(30L), Option(t1), 3L, "c")
+    ).toDF("v_user", "v_ts", "v_id", "v_state")
+    val df = AsOfNative.join(facts, vers, "f_user", "f_ts", "v_user", "v_ts", "v_id")
+    // execute THIS queryExecution (count() would plan a separate one and
+    // leave these metrics untouched)
+    assert(df.collect().length == 1)
+    // AQE wraps the final plan in (Result)QueryStageExec LEAVES — plain
+    // collectFirst won't descend into them, so unwrap recursively
+    def findExec(p: org.apache.spark.sql.execution.SparkPlan): Option[graft.plans.AsOfJoinExec] =
+      p match {
+        case e: graft.plans.AsOfJoinExec => Some(e)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          findExec(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          findExec(q.plan)
+        case other => other.children.iterator.flatMap(findExec).nextOption()
+      }
+    val exec = findExec(df.queryExecution.executedPlan)
+      .getOrElse(fail("no AsOfJoinExec in the executed plan"))
+    assert(exec.metrics("numOutputRows").value == 1)
+    assert(exec.metrics("numNullFacts").value == 1)
+    assert(exec.metrics("numNullVersions").value == 1)
+    assert(exec.metrics("numUnmatchedFacts").value == 1)
+  }
 }
