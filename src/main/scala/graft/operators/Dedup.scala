@@ -52,6 +52,69 @@ object Dedup {
         sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
   }
 
+  /** Execute q81's removal plan — the C4 recipe (arXiv:1910.10683 §2.2)
+    * REMOVES later occurrences of repeated spans, it does not drop
+    * documents. Non-overlapping `spanTokens`-token cells (the
+    * stride == spanTokens regime of [[spanDuplicates]] — removal needs a
+    * PARTITION of the token stream, overlapping flags are analysis-only)
+    * keep only their first corpus-wide occurrence in (id, pos) order,
+    * case-insensitively, matching [[spanDuplicates]]'s span identity.
+    *
+    * CLOSURE under re-tokenization: removals are whole cells, so later
+    * tokens shift by a multiple of spanTokens and cell boundaries
+    * re-align — re-running [[spanDuplicates]] on the rewritten corpus
+    * flags ZERO duplicate spans (the kept cells are corpus-wide distinct
+    * by construction, and sub-span tails never form a span). Tokens
+    * outside full cells (the < spanTokens tail) and short documents pass
+    * through verbatim; tokens keep their original case and order, joined
+    * with single spaces (tokenization is the recipe's unit — original
+    * inter-token whitespace is not retained).
+    *
+    * Scale shape: one explode (~1 row per spanTokens tokens), ONE wide
+    * shuffle (the first-occurrence window on the span key), one
+    * map-side-combined per-doc rollup, one id equi-join back — the q81
+    * plan plus a join, corpus-linear. Returns every input column with
+    * `textCol` rewritten, plus `n_spans_kept`/`n_spans_removed`.
+    */
+  def removeSpans(df: DataFrame, idCol: String, textCol: String,
+                  spanTokens: Int): DataFrame = {
+    require(spanTokens >= 1, "spanTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(trim(col(textCol)), "\\s+")
+    val cells = df
+      .select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= spanTokens)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("toks")) - spanTokens, lit(spanTokens)),
+        i => struct(i.as("pos"),
+          array_join(slice(col("toks"), i + 1, lit(spanTokens)), " ").as("span")))).as("sp"))
+      .select(col(idCol), col("sp.pos"), col("sp.span"))
+    val firstSeen = Window.partitionBy(lower(col("span")))
+      .orderBy(col(idCol).asc, col("pos").asc)
+    val keptAgg = cells
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(sort_array(collect_list(struct(col("pos"), col("span")))),
+          c => c("span")), " ").as("kept_body"),
+        count(lit(1)).as("n_spans_kept"))
+    df
+      .withColumn("__toks", toks)
+      .withColumn("__n_toks", size(col("__toks")).cast("bigint"))
+      .withColumn("__n_cells", expr(s"__n_toks DIV $spanTokens"))
+      .withColumn("__tail", array_join(expr(
+        s"slice(__toks, cast(__n_cells * $spanTokens + 1 as int), " +
+          s"cast(__n_toks - __n_cells * $spanTokens as int))"), " "))
+      .join(keptAgg, Seq(idCol), "left")
+      .withColumn("n_spans_kept", coalesce(col("n_spans_kept"), lit(0L)))
+      .withColumn("n_spans_removed", col("__n_cells") - col("n_spans_kept"))
+      .withColumn(textCol, concat_ws(" ",
+        nullif(coalesce(col("kept_body"), lit("")), lit("")),
+        nullif(col("__tail"), lit(""))))
+      .drop("__toks", "__n_toks", "__n_cells", "__tail", "kept_body")
+  }
+
   /** Character k-shingles of a text column, one row per (id, shingle),
     * distinct within a document.
     */
@@ -218,19 +281,70 @@ object Dedup {
     * >= t), codegen'd intersection count (AND+popcount for dense bitmaps,
     * sorted-merge for hashed sets), threshold filter.
     */
+  // J ≥ t ⟺ n_inter ≥ t·(size_a+size_b)/(1+t); the −1 float-safety
+  // margin makes this a LOWER estimate of the true rational bound, and
+  // anything ≤ the true bound preserves exactness in the screens below.
+  private def minRequiredCol(threshold: Double): Column =
+    floor(lit(threshold) * (col("size_a") + col("size_b")) /
+      lit(1.0 + threshold)).cast("bigint") - lit(1L)
+
   private def jaccardVerify(pairs: DataFrame, threshold: Double,
-                            hashed: Boolean): DataFrame =
-    pairs
+                            hashed: Boolean): DataFrame = {
+    val sized = pairs
       .filter(least(col("size_a"), col("size_b")).cast("double") >=
         lit(threshold) * greatest(col("size_a"), col("size_b")).cast("double"))
+    // Packed-bitmap screen (hashed verifier only — the dense verifier is
+    // already a branchless AND): when the caller ships per-doc packed
+    // bitmaps (pk_*, popcounts pkc_*), reject a pair on the PROVABLE
+    // intersection upper bound
+    //   |A∩B| ≤ popcount(pkA ∧ pkB) + min(sizeA−pkcA, sizeB−pkcB)
+    // — every shared element's bit lands in the AND, and the collision
+    // excess inside A∩B is bounded by the excess inside either whole set.
+    // The AND is a branchless screenWords-long loop vs the branchy
+    // sorted merge, and on a dense corpus ~93% of candidates fail
+    // verification (sf1: 58M candidates → 4.3M pairs), so the screen is
+    // where almost every candidate's cost ends.
+    val screened =
+      if (hashed && sized.columns.contains("pk_a"))
+        sized.filter(
+          graft.functions.BitmapFunctions.andCount(col("pk_a"), col("pk_b")) +
+            least(col("size_a") - col("pkc_a"), col("size_b") - col("pkc_b")) >=
+            minRequiredCol(threshold))
+      else sized
+    screened
       .withColumn("n_inter",
-        if (hashed) graft.functions.BitmapFunctions.sortedAndCount(col("bm_a"), col("bm_b"))
+        if (hashed)
+          // early-exit merge: aborts as soon as the pair provably fails
+          // (see sortedAndCountBounded) — survivors return exact counts
+          graft.functions.BitmapFunctions.sortedAndCountBounded(
+            col("bm_a"), col("bm_b"), minRequiredCol(threshold))
         else graft.functions.BitmapFunctions.andCount(col("bm_a"), col("bm_b")))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("size_a") + col("size_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_inter", "jaccard")
+  }
+
+  /** Words dial for the packed screen bitmap (default 128 longs = 8192
+    * bit slots ≈ 1 KB/doc). Collision excess grows ~set_size²/(2·slots),
+    * so past ~2·slots distinct shingles per doc the bound stops
+    * rejecting anything (stays SAFE — it only ever under-rejects) —
+    * raise the dial for long-document corpora.
+    */
+  private def screenWords(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("graft.dedup.screenWords").map(_.toInt).getOrElse(128)
+
+  /** Attach the packed-screen columns (pk, pkc) to a per-doc hashed-set
+    * frame — derived from the stored sorted set, so a persisted index
+    * needs NO schema migration to benefit.
+    */
+  private def withPackedScreen(sets: DataFrame): DataFrame = {
+    val w = screenWords(sets.sparkSession)
+    sets
+      .withColumn("pk", graft.functions.BitmapFunctions.packBits(col("bm"), lit(w)))
+      .withColumn("pkc", graft.functions.BitmapFunctions.popcount(col("pk")))
+  }
 
   /** Exact n-gram Jaccard near-duplicate pairs — VERIFICATION-ONLY entry
     * point: all-pairs via a broadcast cross join is quadratic in the
@@ -286,10 +400,15 @@ object Dedup {
     // document) so the shingle→set aggregation runs once, not twice
     val (docsRaw, hashed) = docSetsFromShingles(sh, idCol)
     val docs = trackPersist(docsRaw)
-    val a = docs.select(col(idCol).as("id_a"), col("bm").as("bm_a"),
-      col("set_size").as("size_a"))
-    val b = docs.select(col(idCol).as("id_b"), col("bm").as("bm_b"),
-      col("set_size").as("size_b"))
+    // hashed path ships the packed-screen columns so jaccardVerify can
+    // kill failing candidates with a branchless AND before the merge
+    val docsS = if (hashed) withPackedScreen(docs) else docs
+    val extraA = if (hashed) Seq(col("pk").as("pk_a"), col("pkc").as("pkc_a")) else Nil
+    val extraB = if (hashed) Seq(col("pk").as("pk_b"), col("pkc").as("pkc_b")) else Nil
+    val a = docsS.select(Seq(col(idCol).as("id_a"), col("bm").as("bm_a"),
+      col("set_size").as("size_a")) ++ extraA: _*)
+    val b = docsS.select(Seq(col(idCol).as("id_b"), col("bm").as("bm_b"),
+      col("set_size").as("size_b")) ++ extraB: _*)
     jaccardVerify(cands.join(a, Seq("id_a")).join(b, Seq("id_b")), threshold, hashed)
   }
 
@@ -359,6 +478,94 @@ object Dedup {
         col("size_a"), col("size_b"),
         expr("(n_common * 1000000) DIV least(size_a, size_b)")
           .as("containment_ppm"))
+  }
+
+  /** A measured LSH banding choice: `numPerm = rowsPerBand × bands`
+    * MinHash permutations banded `rowsPerBand` at a time, with the
+    * candidate density the census observed at that banding.
+    */
+  case class BandingChoice(numPerm: Int, bands: Int, rowsPerBand: Int,
+                           estPairsPerDoc: Double)
+
+  /** Fewest bands `b` such that a TRUE pair at `threshold` escapes all
+    * bands with probability ≤ `missProb`: (1 − t^r)^b ≤ missProb. This
+    * is the recall side of the banding trade — [[adaptiveBanding]] holds
+    * it constant while escalating `rowsPerBand`, so candidate pruning
+    * never buys speed with silent misses. (t=0.6, r=1, 1e-6 → 16 bands —
+    * exactly the suite's historical numPerm=16/bands=16 default.)
+    */
+  def bandsForRecall(threshold: Double, rowsPerBand: Int,
+                     missProb: Double = 1e-6): Int = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0,1), got $threshold")
+    require(rowsPerBand >= 1 && missProb > 0.0 && missProb < 1.0,
+      s"rowsPerBand >= 1 and missProb in (0,1) required")
+    math.ceil(math.log(missProb) /
+      math.log1p(-math.pow(threshold, rowsPerBand))).toInt.max(1)
+  }
+
+  /** Candidate-density census at a banding: Σ over (band, bucket) of
+    * c·(c−1)/2, per document — EXACTLY the row count the band-bucket
+    * pair join emits before the first-agreeing-band filter, i.e. the
+    * volume that goes quadratic on a template-heavy corpus. One
+    * groupBy over the (docs × bands)-row banded frame; no pair is ever
+    * materialized to measure it.
+    */
+  def bandedCensusPairsPerDoc(banded: DataFrame, bands: Int): Double = {
+    val r = banded.groupBy("band", "bucket").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("(c * (c - 1)) DIV 2")).as("pairs"), sum(col("c")).as("n"))
+      .head()
+    if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
+    else r.getLong(0).toDouble * bands / r.getLong(1)
+  }
+
+  /** Density-adaptive banding: choose (numPerm, bands) from a MEASURED
+    * candidate-density census instead of a fixed guess. Starting at
+    * rowsPerBand = 1 (bands from [[bandsForRecall]], so recall at
+    * `threshold` is pinned at ≥ 1 − missProb per true pair THROUGHOUT),
+    * band the corpus, census the within-bucket pair volume, and — while
+    * it exceeds `targetPairsPerDoc` — escalate rowsPerBand: each extra
+    * row per band multiplies a noise pair's per-band collision odds by
+    * its Jaccard (J^r), so low-J collisions — the bulk of a hot-template
+    * corpus's candidate explosion — die off geometrically while the
+    * recall formula re-derives bands to keep true pairs safe.
+    *
+    * The escalation trade is measured, not assumed: each step pays one
+    * more signature pass over the (cached) shingle stream and a wider
+    * index (numPerm grows ~2× per step at t=0.6), and buys a census-
+    * verified candidate reduction; it stops at the first banding under
+    * target, at `maxRowsPerBand`, or when a step stops paying (density
+    * improved < 1.3× — true near-dup pairs are irreducible by banding,
+    * so a census floor means the corpus genuinely contains that many
+    * near-dups and more bands would only burn signature work).
+    *
+    * Use at INDEX BUILD time ([[nearDupIndex]]/backfill): the stored
+    * index fixes (numPerm, bands) for every later [[dedupIncrement]]
+    * batch, which must be banded identically.
+    */
+  def adaptiveBanding(df: DataFrame, idCol: String, textCol: String, k: Int,
+                      threshold: Double,
+                      targetPairsPerDoc: Double = 64.0,
+                      missProb: Double = 1e-6,
+                      maxRowsPerBand: Int = 3): BandingChoice = {
+    require(targetPairsPerDoc > 0.0 && maxRowsPerBand >= 1,
+      "targetPairsPerDoc must be positive and maxRowsPerBand >= 1")
+    val sh = trackPersist(shinglesRaw(df, idCol, textCol, k))
+    var r = 1
+    var cur: BandingChoice = null
+    var done = false
+    while (!done) {
+      val b = bandsForRecall(threshold, r, missProb)
+      val banded = bandedBuckets(
+        signaturesFromShingles(sh, idCol, r * b), idCol, r * b, b)
+      val density = bandedCensusPairsPerDoc(banded, b)
+      val gainedEnough = cur == null || density * 1.3 <= cur.estPairsPerDoc
+      if (cur == null || density < cur.estPairsPerDoc)
+        cur = BandingChoice(r * b, b, r, density)
+      done = density <= targetPairsPerDoc || r >= maxRowsPerBand || !gainedEnough
+      r += 1
+    }
+    cur
   }
 
   /** The persistable near-dup index of a corpus: the two tables a
@@ -459,23 +666,33 @@ object Dedup {
       s"dedupIncrement requires disjoint id spaces (new ids are new — the " +
         s"ingest precondition): the stored index and the batch share " +
         s"${est.getLong(1) - est.getLong(2)} document id(s)")
+    // per-row payload: the sorted set (8 B/element) + the packed-screen
+    // bitmap (screenWords longs) + sizes/id overhead
     val estBytes =
-      if (est.isNullAt(0)) 0L else est.getLong(0) * 8L + est.getLong(1) * 32L
+      if (est.isNullAt(0)) 0L
+      else est.getLong(0) * 8L +
+        est.getLong(1) * (40L + 8L * screenWords(spark(allSets)))
+    // The dial bounds TOTAL PINNED BROADCAST STATE, compared against 4×
+    // the raw payload estimate: TWO aliased copies of allSets ship (the
+    // a/b selects below don't hit exchange reuse), and UnsafeRow +
+    // HashedRelation overhead roughly doubles the 8 B/element array
+    // payload once built. The 1 GiB default keeps the same effective
+    // cutover as the raw-estimate-vs-256 MB sizing it replaces (which
+    // under-counted by exactly that 4×) — measured at the sf1 sweep,
+    // crossing it the wrong way costs 3×: 164 s sort-merge vs 52 s
+    // broadcast on 58M candidate pairs.
     val maxBytes = spark(allSets).conf
       .getOption("graft.dedup.maxBroadcastSetBytes").map(_.toLong)
-      .getOrElse(256L * 1024 * 1024)
-    // The dial is compared against 4× the raw payload estimate: TWO
-    // aliased copies of allSets ship (the a/b selects below don't hit
-    // exchange reuse), and UnsafeRow + HashedRelation overhead roughly
-    // doubles the 8 B/element array payload once built — sizing against
-    // the raw bytes could pin ~4× the dial in executor memory right under
-    // the threshold.
+      .getOrElse(1024L * 1024 * 1024)
     val hint: DataFrame => DataFrame =
       if (estBytes * 4 <= maxBytes) broadcast(_: DataFrame) else identity
-    val a = hint(allSets.select(col(idCol).as("id_a"), col("bm").as("bm_a"),
-      col("set_size").as("size_a")))
-    val b = hint(allSets.select(col(idCol).as("id_b"), col("bm").as("bm_b"),
-      col("set_size").as("size_b")))
+    // packed-screen columns derive from the STORED sorted sets (no index
+    // schema migration) and ride the same broadcast
+    val setsS = withPackedScreen(allSets)
+    val a = hint(setsS.select(col(idCol).as("id_a"), col("bm").as("bm_a"),
+      col("set_size").as("size_a"), col("pk").as("pk_a"), col("pkc").as("pkc_a")))
+    val b = hint(setsS.select(col(idCol).as("id_b"), col("bm").as("bm_b"),
+      col("set_size").as("size_b"), col("pk").as("pk_b"), col("pkc").as("pkc_b")))
     jaccardVerify(cands.join(a, Seq("id_a")).join(b, Seq("id_b")), threshold,
       hashed = true)
   }

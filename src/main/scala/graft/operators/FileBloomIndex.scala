@@ -64,6 +64,37 @@ object FileBloomIndex {
       .withColumn("key_col", lit(keyCol))
   }
 
+  /** Advisor-sized build — the q181 measure→act loop closed: instead of
+    * the caller-guessed `expectedItemsPerFile` default, run a per-file
+    * distinct-key census (one `approx_count_distinct` pass, map-side
+    * partials — priced like the build's own aggregation) and size every
+    * bloom to the LARGEST file's key count plus `headroom`. Sizing to
+    * the max means no file's bloom is undersized (the target fpp holds
+    * everywhere); a 1M-row guess over 10k-key files would waste ~100×
+    * the index bytes, and a 10k guess over 1M-key files would blow the
+    * fpp through the ceiling — both silent today, both measured here.
+    * The headroom (default 10%) covers approx_count_distinct's relative
+    * error so the estimate can't undersize; an over-estimate only costs
+    * bytes, never correctness (the q181 `m_bits = n·ln(1/p)/ln²2`
+    * relationship — more bits at fixed keys = lower fpp).
+    *
+    * Returns the index plus the measured sizing so callers can log the
+    * decision (the advisor posture: measurements are surfaced, not
+    * swallowed).
+    */
+  def bloomIndexSized(spark: SparkSession, path: String, keyCol: String,
+                      fpp: Double = 0.01,
+                      headroom: Double = 0.10): (DataFrame, Long) = {
+    require(headroom >= 0, s"headroom must be non-negative, got $headroom")
+    val census = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(approx_count_distinct(col(keyCol)).as("n_keys"))
+      .agg(max(col("n_keys"))).head()
+    val maxKeys = if (census.isNullAt(0)) 1L else math.max(1L, census.getLong(0))
+    val sized = math.max(1L, (maxKeys * (1.0 + headroom)).ceil.toLong)
+    (bloomIndex(spark, path, keyCol, sized, fpp), sized)
+  }
+
   /** Incrementally refresh the index after ingest: bloom ONLY the
     * files not yet covered, keep existing rows for still-present
     * files, and drop rows for files that vanished (compaction /

@@ -40,7 +40,15 @@ import graft.operators.{Decontaminate, Dedup}
   */
 object CorpusPipeline {
 
-  /** Curation dials; defaults match the q29/q72/q76/q106 entries. */
+  /** Curation dials; defaults match the q29/q72/q76/q106 entries.
+    * `spanRewriteTokens = Some(n)` inserts the C4 span-rewrite stage
+    * (q81's plan executed by [[Dedup.removeSpans]], q185) after exact
+    * dedup: later occurrences of every n-token span are REMOVED from
+    * the text (documents emptied by the rewrite drop, reason
+    * `span_rewrite_emptied`). It runs before near-dup so shared
+    * boilerplate spans can't glue unrelated documents into one LSH
+    * cluster.
+    */
   case class CurationConfig(
       minQuality: Double = 0.5,
       shingleK: Int = 3,
@@ -49,7 +57,8 @@ object CorpusPipeline {
       bands: Int = 16,
       decontamNgram: Int = 5,
       nShards: Int = 16,
-      epoch: Long = 0L)
+      epoch: Long = 0L,
+      spanRewriteTokens: Option[Int] = None)
 
   /** Optional DSIR importance gate (q158's operator as a curation
     * stage): keep documents whose domain-match score against the
@@ -110,6 +119,23 @@ object CorpusPipeline {
     val n2 = stage("exact_dup", eKept,
       qKept.join(keep, Seq(idCol), "left_anti"), n1)
 
+    // 2.2 (optional) span rewrite — execute q81's removal plan on the
+    //     exact-deduped corpus (identical texts are already collapsed,
+    //     so the window never sees byte-duplicate span floods); a doc
+    //     whose every cell was a later occurrence comes back empty and
+    //     drops here rather than polluting downstream stages
+    val (sKept, n2a, sFrame) = cfg.spanRewriteTokens match {
+      case Some(st) =>
+        val rewritten = Dedup.removeSpans(eKept, idCol, textCol, st)
+          .drop("n_spans_kept", "n_spans_removed")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val kept = rewritten.filter(length(trim(col(textCol))) > 0)
+        val n = stage("span_rewrite", kept,
+          rewritten.filter(length(trim(col(textCol))) === 0), n2)
+        (kept, n, Some(rewritten))
+      case None => (eKept, n2, None)
+    }
+
     // 2.5 (optional) importance gate — DSIR domain-match selection
     //     (operators.Importance, q158). Runs on the exact-deduped
     //     corpus so duplicated texts cannot skew the feature model,
@@ -118,15 +144,15 @@ object CorpusPipeline {
     val (iKept, n2b) = importance match {
       case Some(ic) =>
         val keepIds = graft.operators.Importance
-          .dsirScore(eKept, idCol, textCol, ic.isTarget, ic.vocabSize)
+          .dsirScore(sKept, idCol, textCol, ic.isTarget, ic.vocabSize)
           .filter(col("score_micro") >= ic.minScoreMicro)
           .select(col(idCol))
-        val kept = eKept.join(keepIds, Seq(idCol), "left_semi")
+        val kept = sKept.join(keepIds, Seq(idCol), "left_semi")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = stage("importance", kept,
-          eKept.join(keepIds, Seq(idCol), "left_anti"), n2)
+          sKept.join(keepIds, Seq(idCol), "left_anti"), n2a)
         (kept, n)
-      case None => (eKept, n2)
+      case None => (sKept, n2a)
     }
 
     // 3. near-dup canonicalization — LSH-verified pairs, connected
@@ -186,7 +212,8 @@ object CorpusPipeline {
     }
 
     Seq(input, qKept, eKept, nKept).foreach(_.unpersist(blocking = false))
-    if (iKept ne eKept) iKept.unpersist(blocking = false)
+    sFrame.foreach(_.unpersist(blocking = false))
+    if (iKept ne sKept) iKept.unpersist(blocking = false)
     if (cKept ne nKept) cKept.unpersist(blocking = false)
     Dedup.releaseCaches()
     CurationResult(nIn, nClean, stages.result())

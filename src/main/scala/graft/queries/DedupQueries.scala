@@ -118,17 +118,23 @@ object DedupQueries {
   // pre-indexed "corpus" (doc_id % 8 == 0) and a "daily batch" (the
   // rest); the batch is near-dup-checked against the corpus's persisted
   // LSH index (bands + hashed sets) WITHOUT re-reading corpus text, plus
-  // batch-internal pairs. Same (1-J)^16 miss bound as q72, so the result
-  // equals the exact all-pairs SQL restricted to pairs touching the
-  // batch — the oracle checks exactly that.
+  // batch-internal pairs. Banding is DENSITY-ADAPTIVE: a bucket census
+  // at index-build time escalates rowsPerBand on candidate-dense corpora
+  // (the sf1 GenScale corpus densifies quadratically — 58M candidate
+  // verifications at the fixed 16/16 banding) while bandsForRecall pins
+  // the per-true-pair miss probability ≤ 1e-6 at every escalation, so
+  // the result still equals the exact all-pairs SQL restricted to pairs
+  // touching the batch — the oracle checks exactly that.
   def q85(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).filter(col("doc_id") % 4 === 0)
+    val choice = Dedup.adaptiveBanding(base, "doc_id", "text",
+      k = 3, threshold = JaccardT)
     val (indexBands, indexSets) = Dedup.nearDupIndex(
       base.filter(col("doc_id") % 8 === 0), "doc_id", "text",
-      k = 3, numPerm = 16, bands = 16)
+      k = 3, numPerm = choice.numPerm, bands = choice.bands)
     Dedup.dedupIncrement(indexBands, indexSets,
       base.filter(col("doc_id") % 8 =!= 0), "doc_id", "text",
-      k = 3, threshold = JaccardT, numPerm = 16, bands = 16)
+      k = 3, threshold = JaccardT, numPerm = choice.numPerm, bands = choice.bands)
   }
 
   val q85Sql: String =
@@ -155,8 +161,38 @@ object DedupQueries {
       | CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
       |FROM r GROUP BY 1""".stripMargin
 
+  // --- q185: the span-rewrite EXECUTOR for q81's removal plan — the C4
+  // recipe removes later-occurrence spans, keeping the corpus. Closed
+  // under re-tokenization (stride == spanTokens cells re-align), so a
+  // second q81 pass flags nothing (spec-pinned); oracle-checked
+  // string-for-string against DuckDB's reconstruction.
+  def q185(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeSpans(Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", spanTokens = 3)
+      .select(col("doc_id"), col("n_spans_kept"), col("n_spans_removed"),
+        col("text").as("new_text"))
+
+  val q185Sql: String =
+    """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS w
+      |  FROM documents),
+      |c AS (SELECT doc_id, i, ARRAY_TO_STRING(w[i:i+2], ' ') AS span
+      |  FROM (SELECT doc_id, w, UNNEST(GENERATE_SERIES(1, LEN(w) - 2, 3)) AS i
+      |        FROM t WHERE LEN(w) >= 3)),
+      |r AS (SELECT doc_id, i, span,
+      |  ROW_NUMBER() OVER (PARTITION BY LOWER(span) ORDER BY doc_id ASC, i ASC) AS rn
+      |  FROM c),
+      |k AS (SELECT doc_id, STRING_AGG(span, ' ' ORDER BY i) AS body,
+      |  COUNT(*) AS n_kept FROM r WHERE rn = 1 GROUP BY doc_id)
+      |SELECT t.doc_id,
+      | CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_spans_kept,
+      | CAST((LEN(w) // 3) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_spans_removed,
+      | CONCAT_WS(' ', NULLIF(COALESCE(k.body, ''), ''),
+      |   NULLIF(ARRAY_TO_STRING(w[(LEN(w) // 3) * 3 + 1 : LEN(w)], ' '), '')) AS new_text
+      |FROM t LEFT JOIN k ON t.doc_id = k.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_dedup_increment"    -> (q85 _),
+    "q185_span_rewrite"      -> (q185 _),
     "q81_span_dedup"         -> (q81 _),
     "q21_dedup_ngram"        -> (q21 _),
     "q22_dedup_minhash"      -> (q22 _),
@@ -169,6 +205,7 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "q85_dedup_increment"    -> q85Sql,
+    "q185_span_rewrite"      -> q185Sql,
     "q81_span_dedup"         -> q81Sql,
     "q21_dedup_ngram"        -> q21Sql,
     "q24_dedup_embedding"    -> q24Sql,

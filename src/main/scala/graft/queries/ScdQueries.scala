@@ -226,7 +226,8 @@ object ScdQueries {
   // disappear too: the merge's "latest change at-or-before, ties to
   // the highest event_id" IS the LEAD-tiling interval semantics
   // (degenerate same-instant intervals match nothing; facts before a
-  // key's first change drop on both forms). sf1: 119 s → ~3 s.
+  // key's first change drop on both forms). sf1: 119 s → 1.3 s
+  // (BENCH_sf1.json).
   // Parallelism on hops 2/3 is capped by the 50/20-key cardinality —
   // inherent to the data model, not the operator (each key's merge is
   // one linear pass).

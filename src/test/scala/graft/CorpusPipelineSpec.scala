@@ -126,6 +126,21 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/clean").count() === res.nClean)
   }
 
+  test("curate with span rewrite: clean output carries zero duplicate spans") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spanrw").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val res = CorpusPipeline.curate(spark, docs, None, dir,
+      cfg = CorpusPipeline.CurationConfig(spanRewriteTokens = Some(3)))
+    assert(res.stages.map(_.stage) ===
+      Seq("quality", "exact_dup", "span_rewrite", "near_dup"))
+    res.stages.foreach(s => assert(s.rows_in - s.rows_out === s.rows_dropped))
+    assert(res.nClean > 0)
+    val clean = spark.read.parquet(s"$dir/clean")
+    val dupSpans = Dedup.spanDuplicates(clean, "doc_id", "text", 3, 3)
+      .agg(coalesce(sum("n_dup_spans"), lit(0L))).collect().head.getLong(0)
+    assert(dupSpans == 0, s"span-rewritten clean corpus still has $dupSpans dup spans")
+  }
+
   test("curate with an importance gate: DSIR selection drops off-domain docs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_curate_imp").toString
     val docs = graft.sources.Tables.documents(spark, sf)

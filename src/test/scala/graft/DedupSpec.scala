@@ -179,6 +179,101 @@ class DedupSpec extends SparkSpec {
     assert(incr.count() > 0, "the sample corpus has batch-touching near-dups")
   }
 
+  test("bandsForRecall pins the miss bound: 16 bands at t=0.6/r=1, 31 at r=2") {
+    assert(Dedup.bandsForRecall(0.6, 1) == 16,
+      "the historical numPerm=16/bands=16 default IS the r=1 recall solution")
+    assert(Dedup.bandsForRecall(0.6, 2) == 31)
+    // monotone in r: deeper bands need more of them for the same recall
+    val bs = (1 to 4).map(Dedup.bandsForRecall(0.6, _))
+    assert(bs == bs.sorted && bs.distinct == bs)
+    // and the bound holds: (1 - t^r)^b <= missProb
+    (1 to 4).foreach { r =>
+      val b = Dedup.bandsForRecall(0.6, r)
+      assert(math.pow(1 - math.pow(0.6, r), b) <= 1e-6)
+      assert(math.pow(1 - math.pow(0.6, r), b - 1) > 1e-6, "b must be the FEWEST")
+    }
+  }
+
+  test("banded census counts within-bucket pairs per doc without materializing them") {
+    val s = spark
+    import s.implicits._
+    // 3 docs colliding in band 0, all distinct in band 1 → 3 pairs over
+    // 3 docs at 2 bands
+    val banded = Seq(
+      (1L, 0, 77L), (2L, 0, 77L), (3L, 0, 77L),
+      (1L, 1, 10L), (2L, 1, 20L), (3L, 1, 30L)
+    ).toDF("doc_id", "band", "bucket")
+    assert(Dedup.bandedCensusPairsPerDoc(banded, bands = 2) == 1.0)
+    assert(Dedup.bandedCensusPairsPerDoc(banded.limit(0), bands = 2) == 0.0)
+  }
+
+  test("adaptive banding: low density keeps r=1; a low-J-collision corpus escalates") {
+    val s = spark
+    import s.implicits._
+    // a sparse corpus under a generous target stays at the r=1 solution
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") % 4 === 0)
+    val calm = Dedup.adaptiveBanding(docs, "doc_id", "text", 3, 0.6,
+      targetPairsPerDoc = 1e9)
+    assert(calm == Dedup.BandingChoice(16, 16, 1, calm.estPairsPerDoc))
+    // 60 docs sharing a short common block and otherwise built from
+    // trigrams containing a doc-UNIQUE character (J ≈ 0.05 pairwise, far
+    // below the 0.6 threshold): at r=1 roughly half the pairs collide in
+    // some band; at r=2 the J^2 per-band odds kill nearly all of them
+    val noisy = (0 until 60).map { i =>
+      val c = ('Ā' + i).toChar
+      (i.toLong, "the quick brown fox jumps over the lazy dog " +
+        (0 until 150).map(j =>
+          s"$c${('a' + j % 26).toChar}${('a' + j / 26).toChar}").mkString)
+    }.toDF("doc_id", "text")
+    val hot = Dedup.adaptiveBanding(noisy, "doc_id", "text", 3, 0.6,
+      targetPairsPerDoc = 0.001, maxRowsPerBand = 2)
+    assert(hot.rowsPerBand == 2 && hot.bands == 31 && hot.numPerm == 62,
+      s"dense low-J corpus must escalate, got $hot")
+    val flat = Dedup.adaptiveBanding(noisy, "doc_id", "text", 3, 0.6,
+      targetPairsPerDoc = 1e9, maxRowsPerBand = 2)
+    assert(hot.estPairsPerDoc * 1.3 <= flat.estPairsPerDoc,
+      "escalation must be census-verified to pay")
+  }
+
+  test("escalated banding preserves the incremental-vs-backfill equality") {
+    val base = Tables.documents(spark, sf).filter(col("doc_id") % 4 === 0)
+    val full = Dedup.lshVerifiedPairs(base, "doc_id", "text", 3, 0.6, 16, 16)
+      .filter(!(col("id_a") % 8 === 0 && col("id_b") % 8 === 0))
+      .select("id_a", "id_b", "n_inter")
+    val (ib, is) = Dedup.nearDupIndex(
+      base.filter(col("doc_id") % 8 === 0), "doc_id", "text", 3, 62, 31)
+    val incr = Dedup.dedupIncrement(ib, is,
+        base.filter(col("doc_id") % 8 =!= 0), "doc_id", "text", 3, 0.6, 62, 31)
+      .select("id_a", "id_b", "n_inter")
+    assert(incr.exceptAll(full).count() == 0 && full.exceptAll(incr).count() == 0,
+      "r=2/b=31 banding must find the same verified pairs as 16/16")
+  }
+
+  test("packed-screen upper bound never undercounts an intersection (collision-heavy)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val ops = graft.functions.BitmapOps
+    // 2 words = 128 bit slots for up to 90-element sets — collision rates
+    // far beyond any production setting; the bound must still hold
+    val words = 2
+    var seed = 0x9E3779B97F4A7C15L
+    def next(): Long = { seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17; seed }
+    for (trial <- 1 to 200) {
+      val common = Seq.fill(trial % 40)(next())
+      val a = (common ++ Seq.fill(20 + trial % 50)(next())).distinct.sorted
+      val b = (common ++ Seq.fill(20 + (trial * 7) % 50)(next())).distinct.sorted
+      val aa = new GenericArrayData(a.toArray)
+      val bb = new GenericArrayData(b.toArray)
+      val trueInter = a.toSet.intersect(b.toSet).size.toLong
+      val pkA = ops.packBits(aa, words)
+      val pkB = ops.packBits(bb, words)
+      val excessA = a.length - ops.count(pkA)
+      val excessB = b.length - ops.count(pkB)
+      val ub = ops.andCount(pkA, pkB) + math.min(excessA, excessB)
+      assert(ub >= trueInter,
+        s"trial $trial: screen UB $ub < true intersection $trueInter")
+    }
+  }
+
   test("incremental dedup REFUSES overlapping id spaces (duplicate-row hazard)") {
     val base = Tables.documents(spark, sf).filter(col("doc_id") % 4 === 0)
     val (ib, is) = Dedup.nearDupIndex(
@@ -225,6 +320,47 @@ class DedupSpec extends SparkSpec {
     val res = Dedup.spanDuplicates(docs, "doc_id", "text", spanTokens = 3, stride = 3)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(res == Map(1L -> (2L, 0L), 2L -> (2L, 1L), 3L -> (2L, 1L)))
+  }
+
+  test("removeSpans executes the removal plan: later spans go, tails and case stay") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),    // both cells first occurrences — untouched
+      (2L, "A B C q r s tl"), // "A B C" dups doc 1's cell (case-insensitive); tail "tl"
+      (3L, "x y z x y z"),    // intra-doc repeat — second cell removed
+      (4L, "t u")             // too short for any cell — verbatim
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeSpans(docs, "doc_id", "text", spanTokens = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_spans_kept"),
+          r.getAs[Long]("n_spans_removed")))).toMap
+    assert(out(1L) == (("a b c d e f", 2L, 0L)))
+    assert(out(2L) == (("q r s tl", 1L, 1L)), "dup cell removed, tail preserved")
+    assert(out(3L) == (("x y z", 1L, 1L)))
+    assert(out(4L) == (("t u", 0L, 0L)))
+  }
+
+  test("removeSpans is closed: a second spanDuplicates pass flags nothing") {
+    val docs = Tables.documents(spark, sf)
+    val before = Dedup.spanDuplicates(docs, "doc_id", "text", 3, 3)
+      .agg(sum("n_dup_spans")).collect().head.getLong(0)
+    assert(before > 0, "fixture must contain duplicate spans for this to mean anything")
+    val rewritten = Dedup.removeSpans(docs, "doc_id", "text", spanTokens = 3)
+    val after = Dedup.spanDuplicates(rewritten, "doc_id", "text", 3, 3)
+      .agg(coalesce(sum("n_dup_spans"), lit(0L))).collect().head.getLong(0)
+    assert(after == 0,
+      s"rewritten corpus still flags $after dup spans — cell re-alignment broken")
+    // conservation: kept cells + sub-span tails account for every token
+    val toks = size(split(trim(col("text")), "\\s+"))
+    val removedTokens = Dedup.removeSpans(docs, "doc_id", "text", 3)
+      .agg(sum(col("n_spans_removed") * 3)).collect().head.getLong(0)
+    val beforeTok = docs.filter(length(trim(col("text"))) > 0).agg(sum(toks))
+      .collect().head.getLong(0)
+    val afterTok = rewritten.filter(length(trim(col("text"))) > 0).agg(sum(toks))
+      .collect().head.getLong(0)
+    assert(beforeTok - afterTok == removedTokens,
+      "every removed token must come from a removed span — nothing else may change")
   }
 
   test("span dedup invariant: dup count equals total spans minus distinct spans") {

@@ -111,6 +111,39 @@ class SinksSpec extends SparkSpec {
     assert(pruned.select("event_id").exceptAll(full.select("event_id")).isEmpty)
   }
 
+  test("advisor-sized bloom index: census-derived sizing, smaller index, still exact") {
+    import graft.operators.FileBloomIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomsz").toString
+    graft.sources.Tables.events(spark, sf)
+      .repartitionByRange(8, col("user_id"))
+      .write.parquet(s"$dir/events")
+    val (idx, sized) = FileBloomIndex.bloomIndexSized(spark, s"$dir/events", "user_id")
+    val idxC = idx.cache()
+    // the derivation: sized = ceil(1.1 × max per-file approx-distinct);
+    // check against the EXACT census within approx_count_distinct's
+    // error envelope
+    val exactMax = spark.read.parquet(s"$dir/events")
+      .groupBy(input_file_name()).agg(countDistinct(col("user_id")).as("n"))
+      .agg(max("n")).head().getLong(0)
+    assert(sized >= exactMax, "sizing below the true per-file max would blow the fpp")
+    assert(sized <= (exactMax * 1.25).toLong + 1,
+      s"sized=$sized is far beyond ceil(1.1 x $exactMax) — census not driving sizing")
+    // the measured sizing beats the 1M caller-guess by orders of magnitude
+    val guessBytes = FileBloomIndex.bloomIndex(spark, s"$dir/events", "user_id")
+      .select(sum(length(col("bloom")))).head().getLong(0)
+    val sizedBytes = idxC.select(sum(length(col("bloom")))).head().getLong(0)
+    assert(sizedBytes * 10 < guessBytes,
+      s"sized index ($sizedBytes B) should be far under the guessed one ($guessBytes B)")
+    // and the no-false-negatives contract is untouched
+    val u = graft.sources.Tables.events(spark, sf)
+      .select("user_id").orderBy("user_id").limit(1).collect().head.getLong(0)
+    val pruned = FileBloomIndex.prunedPointRead(spark, s"$dir/events", idxC, "user_id", u)
+    val full = spark.read.parquet(s"$dir/events").filter(col("user_id") === u)
+    assert(pruned.count() === full.count())
+    assert(pruned.select("event_id").exceptAll(full.select("event_id")).isEmpty)
+    idxC.unpersist(blocking = false)
+  }
+
   test("per-file bloom index: point reads skip files, results stay exact") {
     import graft.operators.FileBloomIndex
     val dir = java.nio.file.Files.createTempDirectory("graft_bloomidx").toString
