@@ -560,8 +560,9 @@ object Dedup {
         signaturesFromShingles(sh, idCol, r * b), idCol, r * b, b)
       val density = bandedCensusPairsPerDoc(banded, b)
       val gainedEnough = cur == null || density * 1.3 <= cur.estPairsPerDoc
-      if (cur == null || density < cur.estPairsPerDoc)
-        cur = BandingChoice(r * b, b, r, density)
+      // adopt an escalation only when it PAYS (≥1.3× density cut): a
+      // marginal win would still double the signature bill every batch
+      if (gainedEnough) cur = BandingChoice(r * b, b, r, density)
       done = density <= targetPairsPerDoc || r >= maxRowsPerBand || !gainedEnough
       r += 1
     }
