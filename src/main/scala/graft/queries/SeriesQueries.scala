@@ -38,8 +38,21 @@ object SeriesQueries {
   // ONE corpus pass (groupBy day, map-side combined) down to <= |days|
   // rows; the row_number / totals / den windows all run on that
   // bounded daily frame; the lag pairing explodes 7 rows per day and
-  // equi-joins the bounded frame to itself. Long bound: |y| <= max
-  // daily dollars (~1e7 at sf0.1), den <= days * y^2 ~ 2.4e17 << 2^63.
+  // equi-joins the bounded frame to itself.
+  //
+  // Long bound, ENFORCED at any corpus scale (the sf3 sweep overflowed
+  // the naive dollars unit: den = days·y² ≈ 2e20 at 30× > 2^63): the
+  // centered values are shrunk by a DETERMINISTIC integer unit scale
+  //   us = 1 + (max|yv|·(1+⌊√nd⌋)) DIV 2e9
+  // so |yv/us| ≤ 2e9/√nd and den = Σ(yv/us)² ≤ nd·(2e9)²/nd = 4e18
+  // < 2^63 by construction. us is exact integer arithmetic plus one
+  // IEEE sqrt of a small integer — bit-identical on both engines — and
+  // equals 1 at sf ≤ 1 (max|yv| ~1e7), so historical outputs are
+  // unchanged; the emitted `unit_scale` column makes acf_k = num/den
+  // still exactly derivable (both sums shrink by us², the ratio is
+  // unit-free up to the integer truncation, which both engines apply
+  // identically — truncation TOWARD ZERO, spelled as sign·(abs DIV us)
+  // because DuckDB's // floors while Spark's DIV truncates).
   def q173(s: SparkSession, dir: String): DataFrame = {
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val daily = Tables.orders(s, dir)
@@ -50,9 +63,14 @@ object SeriesQueries {
       .withColumn("rn", row_number().over(Window.orderBy("day")).cast("long"))
       .withColumn("sx", sum("x").over(wAll).cast("long"))
       .withColumn("nd", count(lit(1)).over(wAll).cast("long"))
-      .withColumn("yv", expr("x - sx DIV nd"))
+      .withColumn("yv0", expr("x - sx DIV nd"))
+      .withColumn("mx", max(abs(col("yv0"))).over(wAll))
+      .withColumn("us", expr(
+        "1L + (mx * (1L + cast(floor(sqrt(cast(nd as double))) as long))) DIV 2000000000L"))
+      .withColumn("yv", expr(
+        "(case when yv0 < 0 then -1L else 1L end) * (abs(yv0) DIV us)"))
       .withColumn("den", sum(expr("yv * yv")).over(wAll).cast("long"))
-      .select(col("rn"), col("yv"), col("nd"), col("den"))
+      .select(col("rn"), col("yv"), col("nd"), col("den"), col("us"))
     val pairs = y
       .withColumn("lag_k", explode(sequence(lit(1L), lit(7L))))
       .withColumn("rn2", col("rn") + col("lag_k"))
@@ -62,7 +80,8 @@ object SeriesQueries {
       .agg(count(lit(1)).as("n_pairs"),
         sum(expr("yv * yb")).cast("long").as("num"),
         min("den").cast("long").as("den"),
-        min("nd").cast("long").as("n_days"))
+        min("nd").cast("long").as("n_days"),
+        min("us").cast("long").as("unit_scale"))
   }
 
   val q173Sql: String =
@@ -75,19 +94,31 @@ object SeriesQueries {
       |  CAST(SUM(x) OVER () AS BIGINT) AS sx,
       |  CAST(COUNT(*) OVER () AS BIGINT) AS nd
       | FROM d),
+      |y0 AS (
+      | SELECT rn, nd, x - sx // nd AS yv0 FROM w),
+      |u AS (
+      | SELECT rn, nd, yv0,
+      |  1 + (MAX(ABS(yv0)) OVER () *
+      |       (1 + CAST(FLOOR(SQRT(CAST(nd AS DOUBLE))) AS BIGINT))) // 2000000000
+      |   AS us
+      | FROM y0),
       |y AS (
-      | SELECT rn, x - sx // nd AS yv, nd,
-      |  CAST(SUM((x - sx // nd) * (x - sx // nd)) OVER () AS BIGINT) AS den
-      | FROM w),
+      | SELECT rn, nd, us,
+      |  (CASE WHEN yv0 < 0 THEN -1 ELSE 1 END) * (ABS(yv0) // us) AS yv,
+      |  CAST(SUM(((CASE WHEN yv0 < 0 THEN -1 ELSE 1 END) * (ABS(yv0) // us)) *
+      |           ((CASE WHEN yv0 < 0 THEN -1 ELSE 1 END) * (ABS(yv0) // us)))
+      |    OVER () AS BIGINT) AS den
+      | FROM u),
       |p AS (
-      | SELECT CAST(l.lag AS BIGINT) AS lag_k, a.yv, a.nd, a.den, b.yv AS yb
+      | SELECT CAST(l.lag AS BIGINT) AS lag_k, a.yv, a.nd, a.den, a.us, b.yv AS yb
       | FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) l(lag)
       | JOIN y a ON TRUE
       | JOIN y b ON b.rn = a.rn + l.lag)
       |SELECT lag_k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
       | CAST(SUM(yv * yb) AS BIGINT) AS num,
       | CAST(MIN(den) AS BIGINT) AS den,
-      | CAST(MIN(nd) AS BIGINT) AS n_days
+      | CAST(MIN(nd) AS BIGINT) AS n_days,
+      | CAST(MIN(us) AS BIGINT) AS unit_scale
       |FROM p GROUP BY 1""".stripMargin
 
   /** q174's EWMA weights: w_k = FLOOR(1e6 * 0.3 * 0.7^(k-1)) applied

@@ -65,12 +65,51 @@ class SeriesSpec extends SparkSpec {
     val out = SeriesQueries.q173(spark, sf).collect()
       .map(r => r.getAs[Long]("lag_k") ->
         (r.getAs[Long]("n_pairs"), r.getAs[Long]("num"),
-          r.getAs[Long]("den"), r.getAs[Long]("n_days"))).toMap
+          r.getAs[Long]("den"), r.getAs[Long]("n_days"),
+          r.getAs[Long]("unit_scale"))).toMap
     assert(out.keySet === (1L to 7L).toSet)
     for (k <- 1 to 7) {
       val prods = ys.dropRight(k).zip(ys.drop(k)).map { case (a, b) => a * b }
-      assert(out(k.toLong) === ((xs.length - k).toLong, prods.sum, den, xs.length.toLong),
+      // unit_scale is 1 at test scale, so the scaled sums ARE the raw ones
+      assert(out(k.toLong) ===
+        ((xs.length - k).toLong, prods.sum, den, xs.length.toLong, 1L),
         s"lag=$k")
+    }
+  }
+
+  test("q173 unit scale engages on a corpus-scale series and keeps den in int64") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_acf3").toString
+    // 400 days of ~3e9-dollar totals with ±1e9 structure: the naive
+    // dollars-unit den would be ~400·(1e9)² = 4e20 > 2^63 (the sf3
+    // overflow this guards), the scaled one must fit with room
+    val rows = (0 until 400).map { d =>
+      val ts = java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2020, 1, 1).plusDays(d).atStartOfDay())
+      (ts, 3.0e9 + 1.0e9 * math.sin(d * 0.9))
+    }
+    rows.toDF("o_orderdate", "o_totalprice").write.parquet(s"$dir/orders.parquet")
+    val out = SeriesQueries.q173(spark, dir).collect()
+    assert(out.length == 7)
+    val us = out.head.getAs[Long]("unit_scale")
+    assert(us > 1L, s"scale must engage on 1e9-deviation days, got us=$us")
+    out.foreach { r =>
+      assert(r.getAs[Long]("den") > 0 && r.getAs[Long]("den") <= (1L << 62),
+        "scaled den must respect the designed 2^62 bound")
+    }
+    // the scaled integer ratio still IS the acf: compare against the
+    // double brute force within the documented truncation error
+    val xs = rows.map(_._2)
+    val m = xs.sum / xs.length
+    val ys = xs.map(_ - m)
+    val denD = ys.map(y => y * y).sum
+    for (r <- out) {
+      val k = r.getAs[Long]("lag_k").toInt
+      val numD = ys.dropRight(k).zip(ys.drop(k)).map { case (a, b) => a * b }.sum
+      val got = r.getAs[Long]("num").toDouble / r.getAs[Long]("den").toDouble
+      assert(math.abs(got - numD / denD) < 1e-3,
+        s"lag=$k: scaled acf $got vs brute ${numD / denD}")
     }
   }
 
