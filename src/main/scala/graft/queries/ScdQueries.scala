@@ -382,7 +382,43 @@ object ScdQueries {
        |  ON f.user_id = d.user_id AND d.event_id % 2 = 1 AND d.ts <= f.ts
        | WHERE f.event_id % 2 = 0) WHERE rn = 1""".stripMargin
 
+  // --- q186: q160's lookup in LEFT-OUTER mode — facts with no version
+  // at-or-before survive with a null-extended version side (absence as
+  // signal: a fact earlier than its dimension's first version is a
+  // finding, not a row to hide). Same native one-pass merge
+  // (plans/AsOfJoin.scala, isLeftOuter), same two (key, ts)
+  // shuffle+sorts; the oracle is the composed rank form LEFT-joined
+  // back onto the fact set.
+  def q186(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val facts = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id").as("f_user"), col("ts").as("event_dt"))
+    val vers = ev.filter(col("event_id") % 2 === 1)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"), col("event_type").as("state"))
+    graft.plans.AsOfNative.join(facts, vers,
+        "f_user", "event_dt", "v_user", "v_ts", "v_id", joinType = "left_outer")
+      .select(col("event_id"), col("f_user").as("user_id"), col("event_dt"),
+        col("state"), col("v_ts").as("version_ts"))
+  }
+
+  val q186Sql: String =
+    s"""$EvCte
+       |, f AS (SELECT event_id, user_id, ts AS event_dt FROM ev
+       |        WHERE event_id % 2 = 0),
+       |m AS (
+       | SELECT event_id, state, version_ts FROM (
+       |  SELECT f.event_id, d.event_type AS state, d.ts AS version_ts,
+       |   ROW_NUMBER() OVER (PARTITION BY f.event_id
+       |     ORDER BY d.ts DESC, d.event_id DESC) AS rn
+       |  FROM f JOIN ev d
+       |   ON f.user_id = d.user_id AND d.event_id % 2 = 1 AND d.ts <= f.event_dt)
+       | WHERE rn = 1)
+       |SELECT f.event_id, f.user_id, f.event_dt, m.state, m.version_ts
+       |FROM f LEFT JOIN m ON f.event_id = m.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_asof_outer" -> (q186 _),
     "q160_asof_native" -> (q160 _),
     "q159_bitemporal" -> (q159 _),
     "q84_cdc_diff"   -> (q84 _),
@@ -394,6 +430,7 @@ object ScdQueries {
     "q129_dim_chain" -> (q129 _))
 
   val oracle: Map[String, String] = Map(
+    "q186_asof_outer" -> q186Sql,
     "q160_asof_native" -> q160Sql,
     "q159_bitemporal" -> q159Sql,
     "q84_cdc_diff"   -> q84Sql,
