@@ -462,13 +462,24 @@ object Dedup {
       .join(pruned.select(col("shingle"), col(idCol).as("id_b")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    // containment requires n_common ≥ t·min(sizes): the same packed-
+    // bitmap screen + early-exit merge as jaccardVerify, with the bound
+    // m = ⌊t·min(sizes)⌋ − 1 (any value ≤ the true requirement is safe)
+    val setsS = withPackedScreen(sets.withColumnRenamed("sz", "set_size"))
+    val minReq = floor(lit(threshold) *
+      least(col("size_a"), col("size_b")).cast("double")).cast("bigint") - lit(1L)
     cands
-      .join(sets.select(col(idCol).as("id_a"), col("bm").as("bm_a"),
-        col("sz").as("size_a")), Seq("id_a"))
-      .join(sets.select(col(idCol).as("id_b"), col("bm").as("bm_b"),
-        col("sz").as("size_b")), Seq("id_b"))
+      .join(setsS.select(col(idCol).as("id_a"), col("bm").as("bm_a"),
+        col("set_size").as("size_a"), col("pk").as("pk_a"),
+        col("pkc").as("pkc_a")), Seq("id_a"))
+      .join(setsS.select(col(idCol).as("id_b"), col("bm").as("bm_b"),
+        col("set_size").as("size_b"), col("pk").as("pk_b"),
+        col("pkc").as("pkc_b")), Seq("id_b"))
+      .filter(graft.functions.BitmapFunctions.andCount(col("pk_a"), col("pk_b")) +
+        least(col("size_a") - col("pkc_a"), col("size_b") - col("pkc_b")) >= minReq)
       .withColumn("n_common",
-        graft.functions.BitmapFunctions.sortedAndCount(col("bm_a"), col("bm_b")))
+        graft.functions.BitmapFunctions.sortedAndCountBounded(
+          col("bm_a"), col("bm_b"), minReq))
       .filter(col("n_common").cast("double") >=
         lit(threshold) * least(col("size_a"), col("size_b")).cast("double"))
       // containment as exact-integer ppm DIV — counts and set sizes are
