@@ -48,6 +48,14 @@ object CorpusPipeline {
     * `span_rewrite_emptied`). It runs before near-dup so shared
     * boilerplate spans can't glue unrelated documents into one LSH
     * cluster.
+    *
+    * `adaptiveBanding = true` replaces the fixed (numPerm, bands) for
+    * the near-dup stage with [[Dedup.adaptiveBanding]]'s measured
+    * bucket-census choice (recall pinned by `bandsForRecall` at the
+    * same threshold). BACKFILL-ONLY dial: [[curateIncrement]] keeps the
+    * explicit cfg values because every later batch must band exactly
+    * like the STORED index — run the advisor at backfill, then carry
+    * its choice into the incremental cfg.
     */
   case class CurationConfig(
       minQuality: Double = 0.5,
@@ -58,7 +66,8 @@ object CorpusPipeline {
       decontamNgram: Int = 5,
       nShards: Int = 16,
       epoch: Long = 0L,
-      spanRewriteTokens: Option[Int] = None)
+      spanRewriteTokens: Option[Int] = None,
+      adaptiveBanding: Boolean = false)
 
   /** Optional DSIR importance gate (q158's operator as a curation
     * stage): keep documents whose domain-match score against the
@@ -156,9 +165,16 @@ object CorpusPipeline {
     }
 
     // 3. near-dup canonicalization — LSH-verified pairs, connected
-    //    components, longest-text representative per cluster (q95)
+    //    components, longest-text representative per cluster (q95);
+    //    banding from the measured census when the dial asks for it
+    val (numPerm, bands) =
+      if (cfg.adaptiveBanding) {
+        val c = Dedup.adaptiveBanding(iKept, idCol, textCol,
+          cfg.shingleK, cfg.jaccardThreshold)
+        (c.numPerm, c.bands)
+      } else (cfg.numPerm, cfg.bands)
     val pairs = Dedup.lshVerifiedPairs(iKept, idCol, textCol,
-      cfg.shingleK, cfg.jaccardThreshold, cfg.numPerm, cfg.bands)
+      cfg.shingleK, cfg.jaccardThreshold, numPerm, bands)
     val clusters = Dedup.dedupClusters(pairs, "id_a", "id_b")
     val canon = clusters
       .join(iKept.select(col(idCol).as("node"),
@@ -254,6 +270,14 @@ object CorpusPipeline {
                       batchId: String,
                       cfg: CurationConfig = CurationConfig(),
                       idCol: String = "doc_id", textCol: String = "text"): CurationResult = {
+    // A per-batch census could choose a DIFFERENT banding than the
+    // stored index was built with — the batch would band-bucket
+    // incompatibly and silently miss every cross-batch near-dup. Run
+    // the advisor at backfill; carry its (numPerm, bands) here.
+    require(!cfg.adaptiveBanding,
+      "adaptiveBanding is a backfill-only dial: the stored index fixes " +
+        "(numPerm, bands) for every increment — run Dedup.adaptiveBanding at " +
+        "backfill and pass its choice explicitly")
     // Leading letter/underscore: the id round-trips partition-value
     // type inference. A numeric-looking id ("001") comes back from the
     // `batch=001` directory as integer 1, so the crash-retry

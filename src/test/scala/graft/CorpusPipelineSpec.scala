@@ -141,6 +141,24 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(dupSpans == 0, s"span-rewritten clean corpus still has $dupSpans dup spans")
   }
 
+  test("adaptive banding in curate: calm corpus picks the default; increment refuses it") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft_adapt").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_fixed").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val a = CorpusPipeline.curate(spark, docs, None, dirA,
+      cfg = CorpusPipeline.CurationConfig(adaptiveBanding = true))
+    val b = CorpusPipeline.curate(spark, docs, None, dirB)
+    // the sf fixture is calm — the census picks the r=1/16-band default,
+    // so both runs must agree stage-for-stage
+    assert(a.stages === b.stages && a.nClean === b.nClean)
+    val ex = intercept[IllegalArgumentException] {
+      CorpusPipeline.curateIncrement(spark, docs, None,
+        java.nio.file.Files.createTempDirectory("graft_adinc").toString, "b1",
+        cfg = CorpusPipeline.CurationConfig(adaptiveBanding = true))
+    }
+    assert(ex.getMessage.contains("backfill-only"))
+  }
+
   test("curate with an importance gate: DSIR selection drops off-domain docs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_curate_imp").toString
     val docs = graft.sources.Tables.documents(spark, sf)
