@@ -699,14 +699,23 @@ object Dedup {
     val hint: DataFrame => DataFrame =
       if (estBytes * 4 <= maxBytes) broadcast(_: DataFrame) else identity
     // packed-screen columns derive from the STORED sorted sets (no index
-    // schema migration) and ride the same broadcast
-    val setsS = withPackedScreen(allSets)
-    val a = hint(setsS.select(col(idCol).as("id_a"), col("bm").as("bm_a"),
-      col("set_size").as("size_a"), col("pk").as("pk_a"), col("pkc").as("pkc_a")))
-    val b = hint(setsS.select(col(idCol).as("id_b"), col("bm").as("bm_b"),
-      col("set_size").as("size_b"), col("pk").as("pk_b"), col("pkc").as("pkc_b")))
-    jaccardVerify(cands.join(a, Seq("id_a")).join(b, Seq("id_b")), threshold,
-      hashed = true)
+    // schema migration) and ride the same broadcast. The build side is
+    // the BARE frame — renames live in Projects ABOVE each join, keeping
+    // the two broadcast children canonically identical. MEASURED CAVEAT:
+    // AQE still materializes both (no ReusedExchange forms above the
+    // cached relation on local[32], Spark 4.1), so the sizing estimate
+    // below keeps the honest two-copies accounting; the pack/popcount
+    // compute is at least shared through the persisted allSets.
+    val base = withPackedScreen(allSets)
+      .select(col(idCol), col("bm"), col("set_size"), col("pk"), col("pkc"))
+    val withA = cands.join(hint(base), cands("id_a") === base(idCol))
+      .select(col("id_a"), col("id_b"), col("bm").as("bm_a"),
+        col("set_size").as("size_a"), col("pk").as("pk_a"), col("pkc").as("pkc_a"))
+    val pairs = withA.join(hint(base), withA("id_b") === base(idCol))
+      .select(col("id_a"), col("id_b"), col("bm_a"), col("size_a"),
+        col("pk_a"), col("pkc_a"), col("bm").as("bm_b"),
+        col("set_size").as("size_b"), col("pk").as("pk_b"), col("pkc").as("pkc_b"))
+    jaccardVerify(pairs, threshold, hashed = true)
   }
 
   private def spark(df: DataFrame) = df.sparkSession
