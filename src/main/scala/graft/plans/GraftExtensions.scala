@@ -38,6 +38,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     binary("vec_dot", classOf[DotProductExpr], DotProductExpr.apply)
     binary("vec_cosine", classOf[CosineSimExpr], CosineSimExpr.apply)
     binary("vec_l2sq", classOf[L2SqExpr], L2SqExpr.apply)
+    // the dedup-verifier primitives, for pure-SQL near-dup pipelines
+    binary("bitmap_and_count", classOf[graft.functions.BitmapAndCountExpr],
+      graft.functions.BitmapAndCountExpr.apply)
+    binary("sorted_and_count", classOf[graft.functions.SortedAndCountExpr],
+      graft.functions.SortedAndCountExpr.apply)
+    binary("pack_bits", classOf[graft.functions.PackBitsExpr],
+      graft.functions.PackBitsExpr.apply)
+    def ternary(name: String, clazz: Class[_],
+                make: (Expression, Expression, Expression) => Expression): Unit =
+      e.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (children: Seq[Expression]) => {
+          require(children.length == 3, s"$name takes exactly three arguments")
+          make(children.head, children(1), children(2))
+        }))
+    ternary("sorted_and_count_bounded",
+      classOf[graft.functions.SortedAndCountBoundedExpr],
+      graft.functions.SortedAndCountBoundedExpr.apply)
+    ternary("no_earlier_band_match",
+      classOf[graft.functions.NoEarlierBandMatchExpr],
+      graft.functions.NoEarlierBandMatchExpr.apply)
     // phrase_scan(tokens, 'a', 'b') → [n_matches, first_pos]; the two
     // phrase terms must be string literals (they compile into the
     // codegen'd matcher as constants)
