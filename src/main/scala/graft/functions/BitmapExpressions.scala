@@ -94,22 +94,10 @@ object BitmapOps {
     acc
   }
 
-  /** [[sortedAndCount]] with a PROVABLE early exit: once
-    * acc + min(remaining_a, remaining_b) < minRequired the true
-    * intersection can no longer reach `minRequired`, so the merge
-    * aborts and returns the partial count (strictly below
-    * minRequired). Callers that FILTER on `count ≥ minRequired`
-    * downstream get identical decisions and identical surviving
-    * values — a pair that would pass can never trigger the exit
-    * (acc + min(remaining) ≥ true count ≥ minRequired throughout) —
-    * while a clearly-failing pair costs only a prefix of the merge.
-    * At the sf1 dedup sweep ~93% of the 58M candidate pairs fail
-    * verification; this bounds what each failure costs.
-    */
   /** Pack a hashed-element set into a FIXED-width bitmap: element h sets
     * bit pmod(h, words·64). Collisions are expected and SAFE — the
     * packed form is used only through the provable intersection upper
-    * bound in [[packedUpperBound]]'s derivation (see jaccardVerify):
+    * bound derivation (see Dedup.jaccardVerify):
     *
     *   |A∩B| ≤ popcount(pkA ∧ pkB) + min(|A|−popcount(pkA), |B|−popcount(pkB))
     *
@@ -117,8 +105,17 @@ object BitmapOps {
     * collision excess within A∩B is bounded by the excess within either
     * whole set (a colliding group of a subset sits inside a colliding
     * group of the superset).
+    *
+    * `words` must be in [1, 2^20] — validated loudly here because the
+    * SQL registration and the `graft.dedup.screenWords` conf both reach
+    * this with user-supplied values (0 would divide by zero, a negative
+    * would allocate a negative array, huge values overflow the bit
+    * index).
     */
   def packBits(a: ArrayData, words: Int): ArrayData = {
+    if (words < 1 || words > (1 << 20))
+      throw new IllegalArgumentException(
+        s"pack_bits words must be in [1, ${1 << 20}], got $words")
     val out = new Array[Long](words)
     val bits = words * 64
     val n = a.numElements()
@@ -134,6 +131,18 @@ object BitmapOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** [[sortedAndCount]] with a PROVABLE early exit: once
+    * acc + min(remaining_a, remaining_b) < minRequired the true
+    * intersection can no longer reach `minRequired`, so the merge
+    * aborts and returns the partial count (strictly below
+    * minRequired). Callers that FILTER on `count ≥ minRequired`
+    * downstream get identical decisions and identical surviving
+    * values — a pair that would pass can never trigger the exit
+    * (acc + min(remaining) ≥ true count ≥ minRequired throughout) —
+    * while a clearly-failing pair costs only a prefix of the merge.
+    * At the sf1 dedup sweep ~93% of the 58M candidate pairs fail
+    * verification; this bounds what each failure costs.
+    */
   def sortedAndCountBounded(a: ArrayData, b: ArrayData, minRequired: Long): Long = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -282,8 +291,11 @@ case class NoEarlierBandMatchExpr(first: Expression, second: Expression,
   // NULL result, which the filter treats as false: the pair would be
   // SILENTLY dropped. A dedup pass must degrade to duplicates, never to
   // silent misses — so a NULL array (or NULL band index) evaluates to
-  // true (emit on every agreeing band; downstream verification still
-  // dedupes by value). NULL elements inside the arrays are skipped by
+  // true. Degradation is LITERAL: such a pair is emitted once per
+  // agreeing band and downstream verification only filters (it does not
+  // dedupe), so a corrupt index row can yield duplicate verified output
+  // rows — visible and harmless to a dedup decision, unlike a miss.
+  // NULL elements inside the arrays are skipped by
   // [[BitmapOps.noEarlierMatch]] (no-match) for the same reason.
   override def nullable: Boolean = false
 
@@ -337,10 +349,6 @@ object BitmapFunctions {
     ColumnBridge.column(SortedAndCountExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** intersection size with a provable early exit below `minRequired` —
-    * identical filter decisions when the caller keeps only counts ≥
-    * minRequired (codegen'd; see [[BitmapOps.sortedAndCountBounded]]).
-    */
   /** fixed-width hash-packed bitmap of an array<long> element set
     * (codegen'd; see [[BitmapOps.packBits]] for the safety contract).
     */
@@ -348,6 +356,10 @@ object BitmapFunctions {
     ColumnBridge.column(PackBitsExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(words)))
 
+  /** intersection size with a provable early exit below `minRequired` —
+    * identical filter decisions when the caller keeps only counts ≥
+    * minRequired (codegen'd; see [[BitmapOps.sortedAndCountBounded]]).
+    */
   def sortedAndCountBounded(a: Column, b: Column, minRequired: Column): Column =
     ColumnBridge.column(SortedAndCountBoundedExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b),

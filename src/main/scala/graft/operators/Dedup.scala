@@ -332,8 +332,12 @@ object Dedup {
     * rejecting anything (stays SAFE — it only ever under-rejects) —
     * raise the dial for long-document corpora.
     */
-  private def screenWords(spark: org.apache.spark.sql.SparkSession): Int =
-    spark.conf.getOption("graft.dedup.screenWords").map(_.toInt).getOrElse(128)
+  private def screenWords(spark: org.apache.spark.sql.SparkSession): Int = {
+    val w = spark.conf.getOption("graft.dedup.screenWords").map(_.toInt).getOrElse(128)
+    require(w >= 1 && w <= (1 << 20),
+      s"graft.dedup.screenWords must be in [1, ${1 << 20}], got $w")
+    w
+  }
 
   /** Attach the packed-screen columns (pk, pkc) to a per-doc hashed-set
     * frame — derived from the stored sorted set, so a persisted index
@@ -684,20 +688,20 @@ object Dedup {
       if (est.isNullAt(0)) 0L
       else est.getLong(0) * 8L +
         est.getLong(1) * (40L + 8L * screenWords(spark(allSets)))
-    // The dial bounds TOTAL PINNED BROADCAST STATE, compared against 4×
-    // the raw payload estimate: TWO aliased copies of allSets ship (the
-    // a/b selects below don't hit exchange reuse), and UnsafeRow +
-    // HashedRelation overhead roughly doubles the 8 B/element array
-    // payload once built. The 1 GiB default keeps the same effective
-    // cutover as the raw-estimate-vs-256 MB sizing it replaces (which
-    // under-counted by exactly that 4×) — measured at the sf1 sweep,
-    // crossing it the wrong way costs 3×: 164 s sort-merge vs 52 s
-    // broadcast on 58M candidate pairs.
+    // The dial keeps its ORIGINAL semantics — an upper bound on the RAW
+    // payload estimate (so a value tuned under the old accounting keeps
+    // its cutover) — but the TRUE pinned footprint is ~4× the dial: two
+    // copies of allSets ship (the two verify joins' broadcasts do not
+    // reuse one exchange — measured, see the canonical-child note below)
+    // and UnsafeRow + HashedRelation overhead roughly doubles the
+    // 8 B/element payload once built. Size the dial with that 4× in
+    // mind. Crossing the cutover the wrong way costs 3× — measured at
+    // the sf1 sweep: 164 s sort-merge vs 52 s broadcast on 58M pairs.
     val maxBytes = spark(allSets).conf
       .getOption("graft.dedup.maxBroadcastSetBytes").map(_.toLong)
-      .getOrElse(1024L * 1024 * 1024)
+      .getOrElse(256L * 1024 * 1024)
     val hint: DataFrame => DataFrame =
-      if (estBytes * 4 <= maxBytes) broadcast(_: DataFrame) else identity
+      if (estBytes <= maxBytes) broadcast(_: DataFrame) else identity
     // packed-screen columns derive from the STORED sorted sets (no index
     // schema migration) and ride the same broadcast. The build side is
     // the BARE frame — renames live in Projects ABOVE each join, keeping

@@ -73,9 +73,11 @@ object FileBloomIndex {
     * everywhere); a 1M-row guess over 10k-key files would waste ~100×
     * the index bytes, and a 10k guess over 1M-key files would blow the
     * fpp through the ceiling — both silent today, both measured here.
-    * The headroom (default 10%) covers approx_count_distinct's relative
-    * error so the estimate can't undersize; an over-estimate only costs
-    * bytes, never correctness (the q181 `m_bits = n·ln(1/p)/ln²2`
+    * The census runs approx_count_distinct at rsd 0.02, so the default
+    * 10% headroom sits ≥5σ above the estimator's error (undersizing
+    * probability ~3e-7 per build, vs ~2% had the default 5% rsd been
+    * paired with 10% headroom); an over-estimate only costs bytes,
+    * never correctness (the q181 `m_bits = n·ln(1/p)/ln²2`
     * relationship — more bits at fixed keys = lower fpp).
     *
     * Returns the index plus the measured sizing so callers can log the
@@ -88,7 +90,7 @@ object FileBloomIndex {
     require(headroom >= 0, s"headroom must be non-negative, got $headroom")
     val census = spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
-      .agg(approx_count_distinct(col(keyCol)).as("n_keys"))
+      .agg(approx_count_distinct(col(keyCol), 0.02).as("n_keys"))
       .agg(max(col("n_keys"))).head()
     val maxKeys = if (census.isNullAt(0)) 1L else math.max(1L, census.getLong(0))
     val sized = math.max(1L, (maxKeys * (1.0 + headroom)).ceil.toLong)

@@ -44,8 +44,8 @@ object CorpusPipeline {
     * `spanRewriteTokens = Some(n)` inserts the C4 span-rewrite stage
     * (q81's plan executed by [[Dedup.removeSpans]], q185) after exact
     * dedup: later occurrences of every n-token span are REMOVED from
-    * the text (documents emptied by the rewrite drop, reason
-    * `span_rewrite_emptied`). It runs before near-dup so shared
+    * the text (documents emptied by the rewrite drop, rejects reason
+    * `span_rewrite` — the stage name). It runs before near-dup so shared
     * boilerplate spans can't glue unrelated documents into one LSH
     * cluster.
     *

@@ -583,8 +583,12 @@ object EtlPipeline {
           // they stay quarantined with reject_reason 'dateless_src_file'
           // (visible provenance, rename the file to release them) while
           // every dated row merges normally this run.
-          val hasDate = regexp_extract(col("src_file"),
-            graft.sources.FileIngest.BusinessDateRegex, 1) =!= ""
+          // coalesce: a NULL src_file makes regexp_extract (and the
+          // comparison) NULL, which would fall out of BOTH branches —
+          // neither merged nor kept — and vanish at the writeSwap. NULL
+          // provenance is dateless.
+          val hasDate = coalesce(regexp_extract(col("src_file"),
+            graft.sources.FileIngest.BusinessDateRegex, 1) =!= "", lit(false))
           val dateless = qtn.filter(!hasDate)
             .withColumn("reject_reason", lit("dateless_src_file"))
           val s0 = graft.sources.JsonlSource.splitRaw(

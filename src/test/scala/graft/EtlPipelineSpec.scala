@@ -272,17 +272,21 @@ class EtlPipelineSpec extends SparkSpec {
       """{"cur":"USD","rate":"90,5"}
         |{"cur":"JPY","rate":"1x2,3"}
         |{"cur":"GBP","rate":"zz"}
+        |{"cur":"CHF","rate":"yy"}
         |""".stripMargin)
     EtlPipeline.run(spark, inbox, wh, Seq(m), runId = 61, quarantineDir = Some(qdir))
-    assert(spark.read.parquet(s"$qdir/dwh_dlrates").count() == 2)
-    // repair BOTH raw lines, but hand-rename one row's src_file so it has
-    // no parseable business date — it must NOT block the other repair
+    assert(spark.read.parquet(s"$qdir/dwh_dlrates").count() == 3)
+    // repair ALL raw lines, but hand-rename one row's src_file so it has
+    // no parseable business date and NULL another's entirely — neither
+    // may block the dated repair, and neither may silently vanish
     val fixed = spark.read.parquet(s"$qdir/dwh_dlrates")
       .withColumn("raw_line",
         when(col("raw_line").contains("JPY"), lit("""{"cur":"JPY","rate":"1,23"}"""))
-          .otherwise(lit("""{"cur":"GBP","rate":"2,5"}""")))
+          .when(col("raw_line").contains("GBP"), lit("""{"cur":"GBP","rate":"2,5"}"""))
+          .otherwise(lit("""{"cur":"CHF","rate":"3,5"}""")))
       .withColumn("src_file",
         when(col("raw_line").contains("GBP"), lit("rates_fixed.jsonl"))
+          .when(col("raw_line").contains("CHF"), lit(null: String))
           .otherwise(col("src_file")))
     val tmp = Files.createTempDirectory("graft_dlfix").toString
     fixed.write.mode("overwrite").parquet(tmp)
@@ -291,12 +295,13 @@ class EtlPipelineSpec extends SparkSpec {
     assert(logRow(r, "qrp_dwh_dlrates").getAs[Long]("rows_inserted") == 1)
     val after = spark.read.parquet(s"$wh/dwh_dlrates")
     assert(after.filter(col("cur") === "JPY").count() == 1,
-      "the dated repair must merge despite the dateless sibling")
-    assert(after.filter(col("cur") === "GBP").isEmpty)
+      "the dated repair must merge despite the dateless siblings")
+    assert(after.filter(col("cur") === "GBP" || col("cur") === "CHF").isEmpty)
     val left = spark.read.parquet(s"$qdir/dwh_dlrates").collect()
-    assert(left.length == 1)
-    assert(left(0).getAs[String]("reject_reason") === "dateless_src_file")
-    assert(left(0).getAs[String]("raw_line").contains("GBP"))
+    assert(left.length == 2, "renamed AND null-src_file rows must both stay parked")
+    assert(left.forall(_.getAs[String]("reject_reason") == "dateless_src_file"))
+    assert(left.exists(_.getAs[String]("raw_line").contains("CHF")),
+      "a NULL src_file row must park as dateless, not vanish at the swap")
   }
 
   test("warehouse inventory reports footprint, watermark, and last run per table") {
