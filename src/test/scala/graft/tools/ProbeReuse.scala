@@ -21,7 +21,6 @@ object ProbeReuse {
     val plan = df.queryExecution.executedPlan.toString
     println("BroadcastExchange: " + "BroadcastExchange".r.findAllIn(plan).size)
     println("ReusedExchange: " + "ReusedExchange".r.findAllIn(plan).size)
-    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/q85_plan.txt"), plan.getBytes)
     spark.stop()
   }
 }
