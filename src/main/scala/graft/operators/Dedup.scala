@@ -68,7 +68,10 @@ object Dedup {
     * outside full cells (the < spanTokens tail) and short documents pass
     * through verbatim; tokens keep their original case and order, joined
     * with single spaces (tokenization is the recipe's unit — original
-    * inter-token whitespace is not retained).
+    * inter-token whitespace is not retained). A NULL text passes through
+    * UNCHANGED with NULL span counts — without the guard, size(NULL) = -1
+    * would make `__n_cells` 0 and concat_ws would silently coerce the
+    * text to '' (dropping such docs as span_rewrite rejects downstream).
     *
     * Scale shape: one explode (~1 row per spanTokens tokens), ONE wide
     * shuffle (the first-occurrence window on the span key), one
@@ -99,6 +102,7 @@ object Dedup {
         array_join(transform(sort_array(collect_list(struct(col("pos"), col("span")))),
           c => c("span")), " ").as("kept_body"),
         count(lit(1)).as("n_spans_kept"))
+    val nullText = col(textCol).isNull
     df
       .withColumn("__toks", toks)
       .withColumn("__n_toks", size(col("__toks")).cast("bigint"))
@@ -107,11 +111,13 @@ object Dedup {
         s"slice(__toks, cast(__n_cells * $spanTokens + 1 as int), " +
           s"cast(__n_toks - __n_cells * $spanTokens as int))"), " "))
       .join(keptAgg, Seq(idCol), "left")
-      .withColumn("n_spans_kept", coalesce(col("n_spans_kept"), lit(0L)))
-      .withColumn("n_spans_removed", col("__n_cells") - col("n_spans_kept"))
-      .withColumn(textCol, concat_ws(" ",
+      .withColumn("n_spans_kept", when(nullText, lit(null).cast("long"))
+        .otherwise(coalesce(col("n_spans_kept"), lit(0L))))
+      .withColumn("n_spans_removed", when(nullText, lit(null).cast("long"))
+        .otherwise(col("__n_cells") - col("n_spans_kept")))
+      .withColumn(textCol, when(nullText, col(textCol)).otherwise(concat_ws(" ",
         nullif(coalesce(col("kept_body"), lit("")), lit("")),
-        nullif(col("__tail"), lit(""))))
+        nullif(col("__tail"), lit("")))))
       .drop("__toks", "__n_toks", "__n_cells", "__tail", "kept_body")
   }
 

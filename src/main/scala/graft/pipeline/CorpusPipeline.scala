@@ -138,9 +138,13 @@ object CorpusPipeline {
         val rewritten = Dedup.removeSpans(eKept, idCol, textCol, st)
           .drop("n_spans_kept", "n_spans_removed")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val kept = rewritten.filter(length(trim(col(textCol))) > 0)
-        val n = stage("span_rewrite", kept,
-          rewritten.filter(length(trim(col(textCol))) === 0), n2)
+        // coalesce: a NULL text (passed through removeSpans unchanged)
+        // must land in the REJECT branch — a bare `> 0` / `=== 0` pair
+        // is NULL for it on both sides and the doc would vanish from
+        // the ledger entirely, breaking the stage-count reconciliation
+        val keptPred = coalesce(length(trim(col(textCol))) > 0, lit(false))
+        val kept = rewritten.filter(keptPred)
+        val n = stage("span_rewrite", kept, rewritten.filter(!keptPred), n2)
         (kept, n, Some(rewritten))
       case None => (eKept, n2, None)
     }

@@ -583,21 +583,27 @@ object EtlPipeline {
           // they stay quarantined with reject_reason 'dateless_src_file'
           // (visible provenance, rename the file to release them) while
           // every dated row merges normally this run.
-          // coalesce: a NULL src_file makes regexp_extract (and the
-          // comparison) NULL, which would fall out of BOTH branches —
-          // neither merged nor kept — and vanish at the writeSwap. NULL
-          // provenance is dateless.
-          val hasDate = coalesce(regexp_extract(col("src_file"),
-            graft.sources.FileIngest.BusinessDateRegex, 1) =!= "", lit(false))
+          // Gate on the PARSED date, not the regex: an 8-digit but
+          // invalid business date (_31132024) passes the regex, then
+          // to_date('ddMMyyyy') either throws executor-side under ANSI
+          // (aborting the whole replay — the failure mode this branch
+          // exists to remove) or yields a NULL create_dt under legacy
+          // mode (counted "stale", never merged, never released:
+          // silent loss). try_to_date turns both into NULL here, and
+          // NULL routes to the dateless side-channel. A NULL src_file
+          // makes regexp_extract NULL → try_to_date NULL → same
+          // branch: NULL provenance is dateless.
+          val parsedDate = call_function("try_to_date",
+            regexp_extract(col("src_file"),
+              graft.sources.FileIngest.BusinessDateRegex, 1), lit("ddMMyyyy"))
+          val hasDate = parsedDate.isNotNull
           val dateless = qtn.filter(!hasDate)
             .withColumn("reject_reason", lit("dateless_src_file"))
           val s0 = graft.sources.JsonlSource.splitRaw(
             qtn.filter(hasDate).drop("reject_reason"),
             jsonlSchema(m), Seq(m.key), m.decimalCols)
           s0.copy(
-            good = s0.good.withColumn("create_dt",
-              to_date(regexp_extract(col("src_file"),
-                graft.sources.FileIngest.BusinessDateRegex, 1), "ddMMyyyy")),
+            good = s0.good.withColumn("create_dt", parsedDate),
             bad = s0.bad.unionByName(dateless))
         } else DelimitedSource.validitySplit(
           qtn.drop("reject_reason"), Seq(m.key), m.decimalCols)

@@ -184,10 +184,15 @@ object DedupQueries {
       |k AS (SELECT doc_id, STRING_AGG(span, ' ' ORDER BY i) AS body,
       |  COUNT(*) AS n_kept FROM r WHERE rn = 1 GROUP BY doc_id)
       |SELECT t.doc_id,
-      | CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_spans_kept,
-      | CAST((LEN(w) // 3) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_spans_removed,
-      | CONCAT_WS(' ', NULLIF(COALESCE(k.body, ''), ''),
-      |   NULLIF(ARRAY_TO_STRING(w[(LEN(w) // 3) * 3 + 1 : LEN(w)], ' '), '')) AS new_text
+      | CASE WHEN w IS NULL THEN NULL
+      |   ELSE CAST(COALESCE(k.n_kept, 0) AS BIGINT) END AS n_spans_kept,
+      | CASE WHEN w IS NULL THEN NULL
+      |   ELSE CAST((LEN(w) // 3) - COALESCE(k.n_kept, 0) AS BIGINT) END
+      |   AS n_spans_removed,
+      | CASE WHEN w IS NULL THEN NULL
+      |   ELSE CONCAT_WS(' ', NULLIF(COALESCE(k.body, ''), ''),
+      |     NULLIF(ARRAY_TO_STRING(w[(LEN(w) // 3) * 3 + 1 : LEN(w)], ' '), ''))
+      |   END AS new_text
       |FROM t LEFT JOIN k ON t.doc_id = k.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -42,10 +42,16 @@ object SeriesQueries {
   //
   // Long bound, ENFORCED at any corpus scale (the sf3 sweep overflowed
   // the naive dollars unit: den = days·y² ≈ 2e20 at 30× > 2^63): the
-  // centered values are shrunk by a DETERMINISTIC integer unit scale
-  //   us = 1 + (max|yv|·(1+⌊√nd⌋)) DIV 2e9
-  // so |yv/us| ≤ 2e9/√nd and den = Σ(yv/us)² ≤ nd·(2e9)²/nd = 4e18
-  // < 2^63 by construction. us is exact integer arithmetic plus one
+  // centered values are shrunk by a DETERMINISTIC integer unit scale,
+  // computed DIVISION-FIRST so the derivation itself cannot overflow
+  // (the multiply-first form max|yv|·(1+⌊√nd⌋) has an uncovered
+  // intermediate when max|yv| > 2^63/√nd):
+  //   q  = max(1, 2e9 DIV (1+⌊√nd⌋))        — no multiply anywhere
+  //   us = 1 + max|yv| DIV q
+  // Then us > max|yv|/q, so |yv/us| < q ≤ 2e9/√nd and
+  // den = Σ(yv/us)² < nd·(2e9)²/nd = 4e18 < 2^63 by construction,
+  // with every intermediate ≤ max(max|yv|, 2e9). us is exact integer
+  // arithmetic plus one
   // IEEE sqrt of a small integer — bit-identical on both engines — and
   // equals 1 at sf ≤ 1 (max|yv| ~1e7), so historical outputs are
   // unchanged; the emitted `unit_scale` column makes acf_k = num/den
@@ -66,7 +72,8 @@ object SeriesQueries {
       .withColumn("yv0", expr("x - sx DIV nd"))
       .withColumn("mx", max(abs(col("yv0"))).over(wAll))
       .withColumn("us", expr(
-        "1L + (mx * (1L + cast(floor(sqrt(cast(nd as double))) as long))) DIV 2000000000L"))
+        "1L + mx DIV greatest(1L, " +
+          "2000000000L DIV (1L + cast(floor(sqrt(cast(nd as double))) as long)))"))
       .withColumn("yv", expr(
         "(case when yv0 < 0 then -1L else 1L end) * (abs(yv0) DIV us)"))
       .withColumn("den", sum(expr("yv * yv")).over(wAll).cast("long"))
@@ -98,8 +105,8 @@ object SeriesQueries {
       | SELECT rn, nd, x - sx // nd AS yv0 FROM w),
       |u AS (
       | SELECT rn, nd, yv0,
-      |  1 + (MAX(ABS(yv0)) OVER () *
-      |       (1 + CAST(FLOOR(SQRT(CAST(nd AS DOUBLE))) AS BIGINT))) // 2000000000
+      |  1 + MAX(ABS(yv0)) OVER () // GREATEST(1,
+      |       2000000000 // (1 + CAST(FLOOR(SQRT(CAST(nd AS DOUBLE))) AS BIGINT)))
       |   AS us
       | FROM y0),
       |y AS (

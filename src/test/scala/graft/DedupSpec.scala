@@ -341,6 +341,22 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == (("t u", 0L, 0L)))
   }
 
+  test("removeSpans passes NULL texts through unchanged with NULL counts") {
+    val s = spark
+    import s.implicits._
+    // without the guard, size(NULL toks) = -1 silently rewrites the text
+    // to '' with n_spans_removed = 0 — a null→'' coercion that would drop
+    // such docs as span_rewrite rejects and diverge from the SQL oracle
+    val docs = Seq((1L, "a b c d e f"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeSpans(docs, "doc_id", "text", spanTokens = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.get(r.fieldIndex("n_spans_kept")),
+          r.get(r.fieldIndex("n_spans_removed"))))).toMap
+    assert(out(1L) == (("a b c d e f", 2L, 0L)), "non-null rows unaffected")
+    assert(out(2L) == ((null, null, null)), "null text passes through untouched")
+  }
+
   test("removeSpans is closed: a second spanDuplicates pass flags nothing") {
     val docs = Tables.documents(spark, sf)
     val before = Dedup.spanDuplicates(docs, "doc_id", "text", 3, 3)

@@ -273,20 +273,25 @@ class EtlPipelineSpec extends SparkSpec {
         |{"cur":"JPY","rate":"1x2,3"}
         |{"cur":"GBP","rate":"zz"}
         |{"cur":"CHF","rate":"yy"}
+        |{"cur":"DKK","rate":"xx"}
         |""".stripMargin)
     EtlPipeline.run(spark, inbox, wh, Seq(m), runId = 61, quarantineDir = Some(qdir))
-    assert(spark.read.parquet(s"$qdir/dwh_dlrates").count() == 3)
+    assert(spark.read.parquet(s"$qdir/dwh_dlrates").count() == 4)
     // repair ALL raw lines, but hand-rename one row's src_file so it has
-    // no parseable business date and NULL another's entirely — neither
-    // may block the dated repair, and neither may silently vanish
+    // no parseable business date, NULL another's entirely, and give a
+    // third an 8-digit-but-INVALID date (month 13 — passes the regex,
+    // fails the parse) — none may block the dated repair, abort the
+    // batch under ANSI, or silently vanish
     val fixed = spark.read.parquet(s"$qdir/dwh_dlrates")
       .withColumn("raw_line",
         when(col("raw_line").contains("JPY"), lit("""{"cur":"JPY","rate":"1,23"}"""))
           .when(col("raw_line").contains("GBP"), lit("""{"cur":"GBP","rate":"2,5"}"""))
+          .when(col("raw_line").contains("DKK"), lit("""{"cur":"DKK","rate":"4,5"}"""))
           .otherwise(lit("""{"cur":"CHF","rate":"3,5"}""")))
       .withColumn("src_file",
         when(col("raw_line").contains("GBP"), lit("rates_fixed.jsonl"))
           .when(col("raw_line").contains("CHF"), lit(null: String))
+          .when(col("raw_line").contains("DKK"), lit("rates_31132024.jsonl"))
           .otherwise(col("src_file")))
     val tmp = Files.createTempDirectory("graft_dlfix").toString
     fixed.write.mode("overwrite").parquet(tmp)
@@ -296,12 +301,15 @@ class EtlPipelineSpec extends SparkSpec {
     val after = spark.read.parquet(s"$wh/dwh_dlrates")
     assert(after.filter(col("cur") === "JPY").count() == 1,
       "the dated repair must merge despite the dateless siblings")
-    assert(after.filter(col("cur") === "GBP" || col("cur") === "CHF").isEmpty)
+    assert(after.filter(col("cur").isin("GBP", "CHF", "DKK")).isEmpty)
     val left = spark.read.parquet(s"$qdir/dwh_dlrates").collect()
-    assert(left.length == 2, "renamed AND null-src_file rows must both stay parked")
+    assert(left.length == 3,
+      "renamed, null-src_file AND invalid-date rows must all stay parked")
     assert(left.forall(_.getAs[String]("reject_reason") == "dateless_src_file"))
     assert(left.exists(_.getAs[String]("raw_line").contains("CHF")),
       "a NULL src_file row must park as dateless, not vanish at the swap")
+    assert(left.exists(_.getAs[String]("raw_line").contains("DKK")),
+      "an unparseable 8-digit date must park as dateless, not null-merge or abort")
   }
 
   test("warehouse inventory reports footprint, watermark, and last run per table") {
