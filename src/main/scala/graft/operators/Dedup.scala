@@ -356,6 +356,26 @@ object Dedup {
       .withColumn("pkc", graft.functions.BitmapFunctions.popcount(col("pk")))
   }
 
+  /** Census gate for the packed screen: below `graft.dedup.
+    * screenMinCandidatesPerDoc` (default 256) candidates per document
+    * there is too little rejection work to amortize the per-doc
+    * pack+popcount and the per-candidate 1 KB × 2 payload inflation —
+    * the r11 sf0.1 measurements (q85 2.3→2.8 s, q121 1.7→2.1 s at ~tens
+    * of candidates/doc) against the sf1 2× win at ~35k candidates/doc.
+    * `None` (no census available) keeps the screen ON — the safe default
+    * at unknown scale, since skipping it can only be justified by a
+    * measurement. The gate is a pure PERFORMANCE choice: the screen is a
+    * provable upper-bound pre-filter, so gated and ungated plans return
+    * byte-identical rows (spec-pinned).
+    */
+  private def screenPays(spark: org.apache.spark.sql.SparkSession,
+                         candidatesPerDoc: Option[Double]): Boolean = {
+    val minDensity = spark.conf
+      .getOption("graft.dedup.screenMinCandidatesPerDoc")
+      .map(_.toDouble).getOrElse(256.0)
+    candidatesPerDoc.forall(_ >= minDensity)
+  }
+
   /** Exact n-gram Jaccard near-duplicate pairs — VERIFICATION-ONLY entry
     * point: all-pairs via a broadcast cross join is quadratic in the
     * input and broadcasts the whole right side, so it is only safe on a
@@ -395,7 +415,8 @@ object Dedup {
     */
   def lshVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
                        k: Int, threshold: Double,
-                       numPerm: Int, bands: Int): DataFrame = {
+                       numPerm: Int, bands: Int,
+                       candidatesPerDocHint: Option[Double] = None): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     // The shingle stream feeds BOTH the MinHash signatures and the
     // verification sets; cache it so the corpus (the dominant scan at
@@ -411,10 +432,13 @@ object Dedup {
     val (docsRaw, hashed) = docSetsFromShingles(sh, idCol)
     val docs = trackPersist(docsRaw)
     // hashed path ships the packed-screen columns so jaccardVerify can
-    // kill failing candidates with a branchless AND before the merge
-    val docsS = if (hashed) withPackedScreen(docs) else docs
-    val extraA = if (hashed) Seq(col("pk").as("pk_a"), col("pkc").as("pkc_a")) else Nil
-    val extraB = if (hashed) Seq(col("pk").as("pk_b"), col("pkc").as("pkc_b")) else Nil
+    // kill failing candidates with a branchless AND before the merge —
+    // unless the caller's banding census says there are too few
+    // candidates per doc for the screen to pay (see screenPays)
+    val screen = hashed && screenPays(spark(df), candidatesPerDocHint)
+    val docsS = if (screen) withPackedScreen(docs) else docs
+    val extraA = if (screen) Seq(col("pk").as("pk_a"), col("pkc").as("pkc_a")) else Nil
+    val extraB = if (screen) Seq(col("pk").as("pk_b"), col("pkc").as("pkc_b")) else Nil
     val a = docsS.select(Seq(col(idCol).as("id_a"), col("bm").as("bm_a"),
       col("set_size").as("size_a")) ++ extraA: _*)
     val b = docsS.select(Seq(col(idCol).as("id_b"), col("bm").as("bm_b"),
@@ -465,8 +489,23 @@ object Dedup {
         .groupBy(col(idCol))
         .agg(sort_array(collect_set(col("h"))).as("bm"))
         .withColumn("sz", size(col("bm")).cast("bigint")))
-    val cold = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("shingle")
+    // posting-frequency frame: feeds the cold-shingle prune AND the
+    // screen-gate census (Σ df·(df−1)/2 over cold shingles is exactly
+    // the candidate volume the posting self-join emits, with
+    // multiplicity) — persisted so the census action is not paid twice
+    val dfFreq = trackPersist(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df")))
+    val candMass = {
+      val r = dfFreq.agg(sum(when(col("df") <= maxDf,
+        expr("(df * (df - 1)) DIV 2")).otherwise(lit(0L)))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    // sets is needed by the verify joins regardless — counting it here
+    // just materializes the cache early and reads the count back
+    val nDocs = sets.count()
+    val screen = screenPays(spark,
+      Some(if (nDocs == 0L) 0.0 else candMass.toDouble / nDocs))
+    val cold = dfFreq.filter(col("df") <= maxDf).select("shingle")
     val pruned = sh.join(cold, Seq("shingle"), "left_semi")
     val cands = pruned.select(col("shingle"), col(idCol).as("id_a"))
       .join(pruned.select(col("shingle"), col(idCol).as("id_b")), Seq("shingle"))
@@ -474,19 +513,27 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     // containment requires n_common ≥ t·min(sizes): the same packed-
     // bitmap screen + early-exit merge as jaccardVerify, with the bound
-    // m = ⌊t·min(sizes)⌋ − 1 (any value ≤ the true requirement is safe)
-    val setsS = withPackedScreen(sets.withColumnRenamed("sz", "set_size"))
+    // m = ⌊t·min(sizes)⌋ − 1 (any value ≤ the true requirement is safe);
+    // the screen itself is census-gated (see screenPays)
+    val renamed = sets.withColumnRenamed("sz", "set_size")
+    val setsS = if (screen) withPackedScreen(renamed) else renamed
+    val extraA = if (screen)
+      Seq(col("pk").as("pk_a"), col("pkc").as("pkc_a")) else Nil
+    val extraB = if (screen)
+      Seq(col("pk").as("pk_b"), col("pkc").as("pkc_b")) else Nil
     val minReq = floor(lit(threshold) *
       least(col("size_a"), col("size_b")).cast("double")).cast("bigint") - lit(1L)
-    cands
-      .join(setsS.select(col(idCol).as("id_a"), col("bm").as("bm_a"),
-        col("set_size").as("size_a"), col("pk").as("pk_a"),
-        col("pkc").as("pkc_a")), Seq("id_a"))
-      .join(setsS.select(col(idCol).as("id_b"), col("bm").as("bm_b"),
-        col("set_size").as("size_b"), col("pk").as("pk_b"),
-        col("pkc").as("pkc_b")), Seq("id_b"))
-      .filter(graft.functions.BitmapFunctions.andCount(col("pk_a"), col("pk_b")) +
-        least(col("size_a") - col("pkc_a"), col("size_b") - col("pkc_b")) >= minReq)
+    val joined = cands
+      .join(setsS.select(Seq(col(idCol).as("id_a"), col("bm").as("bm_a"),
+        col("set_size").as("size_a")) ++ extraA: _*), Seq("id_a"))
+      .join(setsS.select(Seq(col(idCol).as("id_b"), col("bm").as("bm_b"),
+        col("set_size").as("size_b")) ++ extraB: _*), Seq("id_b"))
+    val screened =
+      if (screen) joined.filter(
+        graft.functions.BitmapFunctions.andCount(col("pk_a"), col("pk_b")) +
+          least(col("size_a") - col("pkc_a"), col("size_b") - col("pkc_b")) >= minReq)
+      else joined
+    screened
       .withColumn("n_common",
         graft.functions.BitmapFunctions.sortedAndCountBounded(
           col("bm_a"), col("bm_b"), minReq))
@@ -503,10 +550,21 @@ object Dedup {
 
   /** A measured LSH banding choice: `numPerm = rowsPerBand × bands`
     * MinHash permutations banded `rowsPerBand` at a time, with the
-    * candidate density the census observed at that banding.
+    * candidate density the census observed (or, after the recall-budget
+    * extension, linearly re-scaled) at that banding. `estTotalPairs` is
+    * the corpus-wide candidate-pair mass the same census measured — the
+    * quantity the recall budget divides by.
     */
   case class BandingChoice(numPerm: Int, bands: Int, rowsPerBand: Int,
-                           estPairsPerDoc: Double)
+                           estPairsPerDoc: Double, estTotalPairs: Double)
+
+  /** One banding census result: corpus-wide within-bucket pair mass
+    * (summed over every band — a pair agreeing in a bands is counted a
+    * times, exactly the pre-filter join volume) and the document count.
+    */
+  case class BandedCensus(totalPairs: Double, nDocs: Long) {
+    def pairsPerDoc: Double = if (nDocs == 0L) 0.0 else totalPairs / nDocs
+  }
 
   /** Fewest bands `b` such that a TRUE pair at `threshold` escapes all
     * bands with probability ≤ `missProb`: (1 − t^r)^b ≤ missProb. This
@@ -532,12 +590,19 @@ object Dedup {
     * groupBy over the (docs × bands)-row banded frame; no pair is ever
     * materialized to measure it.
     */
-  def bandedCensusPairsPerDoc(banded: DataFrame, bands: Int): Double = {
+  def bandedCensusPairsPerDoc(banded: DataFrame, bands: Int): Double =
+    bandedCensus(banded, bands).pairsPerDoc
+
+  /** The full census behind [[bandedCensusPairsPerDoc]]: total
+    * within-bucket pair mass plus the document count, so callers can
+    * budget TOTAL expected recall misses, not just per-doc density.
+    */
+  def bandedCensus(banded: DataFrame, bands: Int): BandedCensus = {
     val r = banded.groupBy("band", "bucket").agg(count(lit(1)).as("c"))
       .agg(sum(expr("(c * (c - 1)) DIV 2")).as("pairs"), sum(col("c")).as("n"))
       .head()
-    if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
-    else r.getLong(0).toDouble * bands / r.getLong(1)
+    if (r.isNullAt(1) || r.getLong(1) == 0L) BandedCensus(0.0, 0L)
+    else BandedCensus(r.getLong(0).toDouble, r.getLong(1) / bands)
   }
 
   /** Density-adaptive banding: choose (numPerm, bands) from a MEASURED
@@ -560,6 +625,23 @@ object Dedup {
     * so a census floor means the corpus genuinely contains that many
     * near-dups and more bands would only burn signature work).
     *
+    * RECALL BUDGET (the corpus side of the trade): `missProb` alone pins
+    * the PER-PAIR miss probability, so expected TOTAL misses grow
+    * linearly with the corpus's true-pair mass — at 5.6M true pairs a
+    * 1e-6 per-pair tail still loses ~6 of them. The census already
+    * measures an upper bound on that mass (candidate pairs ⊇ true pairs
+    * up to the ≤missProb missed sliver, and band multiplicity only
+    * inflates it), so after the density loop the effective per-pair
+    * budget is tightened to p = min(missProb, maxExpectedMisses/mass)
+    * and bands re-derived: expected total misses ≤ mass·(1−t^r)^bands ≤
+    * `maxExpectedMisses` AT THE MEASURED SCALE. Extra bands add
+    * candidates ~linearly, so (mass, bands) is fixed-pointed with the
+    * linear re-scale — pure arithmetic, no re-census, log convergence,
+    * and the overestimate in using candidate mass for true-pair mass
+    * costs only O(log overestimate) extra bands. At gate scales the
+    * budget never binds (mass < 1/missProb) and the choice is
+    * byte-identical to the unbudgeted one.
+    *
     * Use at INDEX BUILD time ([[nearDupIndex]]/backfill): the stored
     * index fixes (numPerm, bands) for every later [[dedupIncrement]]
     * batch, which must be banded identically.
@@ -568,9 +650,11 @@ object Dedup {
                       threshold: Double,
                       targetPairsPerDoc: Double = 64.0,
                       missProb: Double = 1e-6,
-                      maxRowsPerBand: Int = 3): BandingChoice = {
+                      maxRowsPerBand: Int = 3,
+                      maxExpectedMisses: Double = 1.0): BandingChoice = {
     require(targetPairsPerDoc > 0.0 && maxRowsPerBand >= 1,
       "targetPairsPerDoc must be positive and maxRowsPerBand >= 1")
+    require(maxExpectedMisses > 0.0, "maxExpectedMisses must be positive")
     val sh = trackPersist(shinglesRaw(df, idCol, textCol, k))
     var r = 1
     var cur: BandingChoice = null
@@ -579,15 +663,39 @@ object Dedup {
       val b = bandsForRecall(threshold, r, missProb)
       val banded = bandedBuckets(
         signaturesFromShingles(sh, idCol, r * b), idCol, r * b, b)
-      val density = bandedCensusPairsPerDoc(banded, b)
+      val census = bandedCensus(banded, b)
+      val density = census.pairsPerDoc
       val gainedEnough = cur == null || density * 1.3 <= cur.estPairsPerDoc
       // adopt an escalation only when it PAYS (≥1.3× density cut): a
       // marginal win would still double the signature bill every batch
-      if (gainedEnough) cur = BandingChoice(r * b, b, r, density)
+      if (gainedEnough) cur = BandingChoice(r * b, b, r, density, census.totalPairs)
       done = density <= targetPairsPerDoc || r >= maxRowsPerBand || !gainedEnough
       r += 1
     }
-    cur
+    budgetBands(cur, threshold, missProb, maxExpectedMisses)
+  }
+
+  /** The recall-budget fixed point described on [[adaptiveBanding]]:
+    * widen `bands` until mass·(1−t^r)^bands ≤ maxExpectedMisses, with
+    * mass re-scaled linearly as bands grow. Never narrows the choice.
+    */
+  private def budgetBands(base: BandingChoice, threshold: Double,
+                          missProb: Double,
+                          maxExpectedMisses: Double): BandingChoice = {
+    var b = base.bands
+    var stable = false
+    var iter = 0
+    while (!stable && iter < 8) {
+      val mass = base.estTotalPairs * b / base.bands
+      val p = math.min(missProb, maxExpectedMisses / math.max(mass, 1.0))
+      val nb = math.max(b, bandsForRecall(threshold, base.rowsPerBand, p))
+      stable = nb == b
+      b = nb
+      iter += 1
+    }
+    if (b == base.bands) base
+    else BandingChoice(base.rowsPerBand * b, b, base.rowsPerBand,
+      base.estPairsPerDoc * b / base.bands, base.estTotalPairs * b / base.bands)
   }
 
   /** The persistable near-dup index of a corpus: the two tables a
@@ -631,7 +739,8 @@ object Dedup {
     */
   def dedupIncrement(indexBands: DataFrame, indexSets: DataFrame,
                      newDocs: DataFrame, idCol: String, textCol: String,
-                     k: Int, threshold: Double, numPerm: Int, bands: Int): DataFrame = {
+                     k: Int, threshold: Double, numPerm: Int, bands: Int,
+                     candidatesPerDocHint: Option[Double] = None): DataFrame = {
     require(indexBands.columns.contains("buckets"),
       "this index predates the round-10 banded format (no 'buckets' band-array " +
         "column) — rebuild it with nearDupIndex; the curate loop rewrites it " +
@@ -688,12 +797,17 @@ object Dedup {
       s"dedupIncrement requires disjoint id spaces (new ids are new — the " +
         s"ingest precondition): the stored index and the batch share " +
         s"${est.getLong(1) - est.getLong(2)} document id(s)")
-    // per-row payload: the sorted set (8 B/element) + the packed-screen
-    // bitmap (screenWords longs) + sizes/id overhead
+    // census gate: skip the screen columns entirely when the banding
+    // census says candidates/doc is below the pack+popcount break-even
+    // (output unchanged — the screen is a pre-filter; see screenPays)
+    val screen = screenPays(spark(allSets), candidatesPerDocHint)
+    // per-row payload: the sorted set (8 B/element) + (when screening)
+    // the packed-screen bitmap (screenWords longs) + sizes/id overhead
     val estBytes =
       if (est.isNullAt(0)) 0L
       else est.getLong(0) * 8L +
-        est.getLong(1) * (40L + 8L * screenWords(spark(allSets)))
+        est.getLong(1) *
+          (40L + (if (screen) 8L * screenWords(spark(allSets)) else 0L))
     // The dial keeps its ORIGINAL semantics — an upper bound on the RAW
     // payload estimate (so a value tuned under the old accounting keeps
     // its cutover) — but the TRUE pinned footprint is ~4× the dial: two
@@ -716,15 +830,22 @@ object Dedup {
     // cached relation on local[32], Spark 4.1), so the sizing estimate
     // below keeps the honest two-copies accounting; the pack/popcount
     // compute is at least shared through the persisted allSets.
-    val base = withPackedScreen(allSets)
-      .select(col(idCol), col("bm"), col("set_size"), col("pk"), col("pkc"))
+    val base =
+      if (screen) withPackedScreen(allSets)
+        .select(col(idCol), col("bm"), col("set_size"), col("pk"), col("pkc"))
+      else allSets.select(col(idCol), col("bm"), col("set_size"))
+    val extraA = if (screen)
+      Seq(col("pk").as("pk_a"), col("pkc").as("pkc_a")) else Nil
+    val extraB = if (screen)
+      Seq(col("pk").as("pk_b"), col("pkc").as("pkc_b")) else Nil
+    val carryA = if (screen) Seq(col("pk_a"), col("pkc_a")) else Nil
     val withA = cands.join(hint(base), cands("id_a") === base(idCol))
-      .select(col("id_a"), col("id_b"), col("bm").as("bm_a"),
-        col("set_size").as("size_a"), col("pk").as("pk_a"), col("pkc").as("pkc_a"))
+      .select(Seq(col("id_a"), col("id_b"), col("bm").as("bm_a"),
+        col("set_size").as("size_a")) ++ extraA: _*)
     val pairs = withA.join(hint(base), withA("id_b") === base(idCol))
-      .select(col("id_a"), col("id_b"), col("bm_a"), col("size_a"),
-        col("pk_a"), col("pkc_a"), col("bm").as("bm_b"),
-        col("set_size").as("size_b"), col("pk").as("pk_b"), col("pkc").as("pkc_b"))
+      .select(Seq(col("id_a"), col("id_b"), col("bm_a"), col("size_a")) ++
+        carryA ++ Seq(col("bm").as("bm_b"), col("set_size").as("size_b")) ++
+        extraB: _*)
     jaccardVerify(pairs, threshold, hashed = true)
   }
 

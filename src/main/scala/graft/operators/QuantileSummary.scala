@@ -40,6 +40,24 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object QuantileSummary {
 
+  /** Census-driven capacity (the adaptiveBanding pattern applied to
+    * quantiles): size the summary to the MEASURED max group size so the
+    * n ≤ capacity exact contract holds at the deployed scale, clamped
+    * to [floor, maxExactCapacity]. The ceiling is the memory honesty
+    * dial — a group's level-0 buffer is `capacity+1` doubles, so the
+    * default 2²⁰ pins worst-case per-group state at ~8 MB; groups
+    * larger than the ceiling get the documented Munro-Paterson
+    * rank-error regime (≈ n·log₂(n/c)/c) instead of silent OOM. Callers
+    * measure maxGroupSize with one map-side-combined count census
+    * (`groupBy(keys).count().agg(max(...))`) — corpus-linear, no sort.
+    */
+  def capacityFor(maxGroupSize: Long, floor: Int = 4096,
+                  maxExactCapacity: Int = 1 << 20): Int = {
+    require(floor >= 8 && maxExactCapacity >= floor,
+      s"need 8 <= floor <= maxExactCapacity, got ($floor, $maxExactCapacity)")
+    math.max(floor.toLong, math.min(maxGroupSize, maxExactCapacity.toLong)).toInt
+  }
+
   /** Per-group result: exact count and the requested percentile values
     * (parallel to the Aggregator's `percents`).
     */

@@ -171,14 +171,15 @@ object CorpusPipeline {
     // 3. near-dup canonicalization — LSH-verified pairs, connected
     //    components, longest-text representative per cluster (q95);
     //    banding from the measured census when the dial asks for it
-    val (numPerm, bands) =
+    val (numPerm, bands, densityHint) =
       if (cfg.adaptiveBanding) {
         val c = Dedup.adaptiveBanding(iKept, idCol, textCol,
           cfg.shingleK, cfg.jaccardThreshold)
-        (c.numPerm, c.bands)
-      } else (cfg.numPerm, cfg.bands)
+        (c.numPerm, c.bands, Some(c.estPairsPerDoc))
+      } else (cfg.numPerm, cfg.bands, None)
     val pairs = Dedup.lshVerifiedPairs(iKept, idCol, textCol,
-      cfg.shingleK, cfg.jaccardThreshold, numPerm, bands)
+      cfg.shingleK, cfg.jaccardThreshold, numPerm, bands,
+      candidatesPerDocHint = densityHint)
     val clusters = Dedup.dedupClusters(pairs, "id_a", "id_b")
     val canon = clusters
       .join(iKept.select(col(idCol).as("node"),

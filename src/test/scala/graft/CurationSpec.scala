@@ -393,6 +393,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("containment screen census gate flips with the dial, output unchanged") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 4 === 0)
+    def run(): Set[(Long, Long, Long)] = graft.operators.Dedup
+      .containmentPairs(docs, "doc_id", "text", 4, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val key = "graft.dedup.screenMinCandidatesPerDoc"
+    val withScreen = try { spark.conf.set(key, "0"); run() }
+    finally spark.conf.unset(key)
+    val withoutScreen = try { spark.conf.set(key, "1e18"); run() }
+    finally spark.conf.unset(key)
+    assert(withScreen === withoutScreen,
+      "the census gate is performance-only: the screen is a pre-filter")
+    val defaulted = run()
+    assert(defaulted === withScreen)
+  }
+
   test("bpe encodeWord: merges apply lowest-rank-first, all occurrences at once") {
     val ranks = Map(("a", "b") -> 1, ("ab", "c") -> 2, ("c", "d") -> 3)
     assert(BpeEncoder.encodeWord("abcd", ranks).toSeq === Seq("abc", "d"))

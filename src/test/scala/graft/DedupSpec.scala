@@ -214,7 +214,8 @@ class DedupSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") % 4 === 0)
     val calm = Dedup.adaptiveBanding(docs, "doc_id", "text", 3, 0.6,
       targetPairsPerDoc = 1e9)
-    assert(calm == Dedup.BandingChoice(16, 16, 1, calm.estPairsPerDoc))
+    assert(calm == Dedup.BandingChoice(16, 16, 1,
+      calm.estPairsPerDoc, calm.estTotalPairs))
     // 60 docs sharing a short common block and otherwise built from
     // trigrams containing a doc-UNIQUE character (J ≈ 0.05 pairwise, far
     // below the 0.6 threshold): at r=1 roughly half the pairs collide in
@@ -233,6 +234,60 @@ class DedupSpec extends SparkSpec {
       targetPairsPerDoc = 1e9, maxRowsPerBand = 2)
     assert(hot.estPairsPerDoc * 1.3 <= flat.estPairsPerDoc,
       "escalation must be census-verified to pay")
+  }
+
+  test("recall budget widens bands with corpus pair mass, never binds at gate scale") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") % 4 === 0)
+    // gate-scale corpus: measured mass ≪ 1/missProb → budget must be a
+    // no-op and the choice byte-identical to the per-pair-only solution
+    val unbudgeted = Dedup.adaptiveBanding(docs, "doc_id", "text", 3, 0.6,
+      targetPairsPerDoc = 1e9, maxExpectedMisses = 1e18)
+    val budgeted = Dedup.adaptiveBanding(docs, "doc_id", "text", 3, 0.6,
+      targetPairsPerDoc = 1e9)
+    assert(budgeted == unbudgeted, "budget must not bind below 1e6 pairs")
+    assert(budgeted.estTotalPairs < 1e6, "fixture sanity: gate mass is small")
+    // force the budget to bind on the SAME corpus by shrinking the miss
+    // allowance below mass·missProb: bands must widen, and the bound
+    // mass·(1−t^r)^bands ≤ maxExpectedMisses must hold at the result —
+    // with mass conservatively re-scaled to the final banding
+    val mass = math.max(budgeted.estTotalPairs, 1.0)
+    val tightBudget = mass * 1e-6 / 100.0 // 100× below the per-pair tail
+    val tight = Dedup.adaptiveBanding(docs, "doc_id", "text", 3, 0.6,
+      targetPairsPerDoc = 1e9, maxExpectedMisses = tightBudget)
+    assert(tight.bands > budgeted.bands && tight.rowsPerBand == 1,
+      s"budget must widen bands, got $tight")
+    assert(tight.numPerm == tight.bands * tight.rowsPerBand)
+    assert(tight.estTotalPairs * math.pow(1.0 - 0.6, tight.bands) <= tightBudget,
+      "expected total misses must respect the budget at the re-scaled mass")
+    // the re-scale is the documented linear model
+    assert(math.abs(tight.estTotalPairs -
+      budgeted.estTotalPairs * tight.bands / budgeted.bands) < 1e-6)
+  }
+
+  test("screen census gate: gated and ungated verify return identical rows") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") % 4 === 0)
+    // the packed screen is a provable pre-filter, so skipping it below
+    // the density break-even must not change a single output row
+    val screened = Dedup.lshVerifiedPairs(docs, "doc_id", "text", 3, 0.6, 16, 16,
+      candidatesPerDocHint = Some(1e9)).collect().toSet
+    val gated = Dedup.lshVerifiedPairs(docs, "doc_id", "text", 3, 0.6, 16, 16,
+      candidatesPerDocHint = Some(0.0)).collect().toSet
+    assert(screened === gated, "gate must be performance-only")
+    assert(screened.nonEmpty, "fixture sanity: there are near-dup pairs")
+    // default (no hint) keeps the screen ON — the safe unknown-scale path
+    val unhinted = Dedup.lshVerifiedPairs(docs, "doc_id", "text", 3, 0.6, 16, 16)
+      .collect().toSet
+    assert(unhinted === screened)
+    // incremental path: same equality through dedupIncrement
+    val (ib, is) = Dedup.nearDupIndex(
+      docs.filter(col("doc_id") % 8 === 0), "doc_id", "text", 3, 16, 16)
+    val batch = docs.filter(col("doc_id") % 8 =!= 0)
+    val incrOn = Dedup.dedupIncrement(ib, is, batch, "doc_id", "text",
+      3, 0.6, 16, 16, candidatesPerDocHint = Some(1e9)).collect().toSet
+    val incrOff = Dedup.dedupIncrement(ib, is, batch, "doc_id", "text",
+      3, 0.6, 16, 16, candidatesPerDocHint = Some(0.0)).collect().toSet
+    assert(incrOn === incrOff, "incremental gate must be performance-only")
+    assert(incrOn.nonEmpty)
   }
 
   test("escalated banding preserves the incremental-vs-backfill equality") {

@@ -127,6 +127,12 @@ class PlanLintSpec extends SparkSpec {
     // as local tables; q109 (0,2) — the K^2/2-pruned edge set broadcasts;
     // q176 (2,3) — its three dims must stay broadcast; q173/q177/q179/
     // q182 — bounded-frame windows and metadata joins, no corpus shuffle.
+    // q121's r12 jump (17→49) is PRINT inflation, not plan growth: the
+    // screen-gate census persists the posting-frequency frame, and every
+    // InMemoryTableScan prints its cached build plan (exchanges included)
+    // nested inside the consumer — isolated wall-clock IMPROVED
+    // (1.61→1.38 s at sf0.1). Same mechanism moves q146 (shares the
+    // wordNgrams subplan) and q72 (banding memo + gated screen, 48→42).
     val golden = {
       val src = scala.io.Source.fromFile(graft.tools.RegenPlanBudgets.goldenPath)
       try src.getLines().filter(_.nonEmpty).map { ln =>
