@@ -825,11 +825,16 @@ object Dedup {
     // packed-screen columns derive from the STORED sorted sets (no index
     // schema migration) and ride the same broadcast. The build side is
     // the BARE frame — renames live in Projects ABOVE each join, keeping
-    // the two broadcast children canonically identical. MEASURED CAVEAT:
-    // AQE still materializes both (no ReusedExchange forms above the
-    // cached relation on local[32], Spark 4.1), so the sizing estimate
-    // below keeps the honest two-copies accounting; the pack/popcount
-    // compute is at least shared through the persisted allSets.
+    // the two broadcast children canonically identical. MEASURED CAVEAT
+    // (tools/ProbeReuse, final-plan evidence r12): under AQE the two
+    // joins materialize DISTINCT BroadcastQueryStages — two copies ship
+    // regardless of caching or child canonicalization; with AQE off the
+    // ReuseExchange rule collapses them to one. A planner property of
+    // this Spark, not a plan-shape bug: the single-copy reformulation
+    // (melt both pair sides through one join + regroup) shuffles every
+    // candidate with its set payload — the measured 3× regression. So
+    // the sizing estimate keeps the honest two-copies accounting; the
+    // pack/popcount compute is at least shared through persisted allSets.
     val base =
       if (screen) withPackedScreen(allSets)
         .select(col(idCol), col("bm"), col("set_size"), col("pk"), col("pkc"))

@@ -39,13 +39,25 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   *    signal — the q161-style enrichment shape);
   *  - rows with a NULL key or ts: version rows never match; facts drop
   *    in inner mode and null-extend in left-outer mode (a NULL never
-  *    matches in the composed form either).
+  *    matches in the composed form either);
+  *  - `within` (the standard ASOF tolerance): when set, the matched
+  *    version must additionally satisfy factTs − versionTs ≤ within —
+  *    a fact whose latest at-or-before version is STALER than the
+  *    tolerance counts as unmatched (drops / null-extends). Models the
+  *    reference's bounded-validity R2 join
+  *    (trsh_rep_fraud_sync.sql:27-44) and keeps enrichments from
+  *    silently matching unboundedly-stale dimensions. Same unit as the
+  *    ts columns (µs for timestamps). Since versions are consumed in ts
+  *    order, the latest at-or-before IS the latest within the window
+  *    whenever any window match exists — so the tolerance is one extra
+  *    primitive compare in the merge, no second pointer.
   */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, leftTs: Expression,
                         rightKey: Expression, rightTs: Expression,
                         rightTie: Expression,
-                        isLeftOuter: Boolean = false) extends BinaryNode {
+                        isLeftOuter: Boolean = false,
+                        within: Option[Long] = None) extends BinaryNode {
   // left-outer null-extends the version side, so its attributes must
   // surface as nullable — a downstream IsNotNull simplification over a
   // non-nullable attribute would silently drop the outer rows
@@ -58,8 +70,9 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
 
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, lt, rk, rt, tie, outer) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie, outer) :: Nil
+    case AsOfJoinNode(l, r, lk, lt, rk, rt, tie, outer, within) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie,
+        outer, within) :: Nil
     case _ => Nil
   }
 }
@@ -68,7 +81,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, leftTs: Expression,
                         rightKey: Expression, rightTs: Expression,
                         rightTie: Expression,
-                        isLeftOuter: Boolean = false) extends BinaryExecNode {
+                        isLeftOuter: Boolean = false,
+                        within: Option[Long] = None) extends BinaryExecNode {
   override def output: Seq[Attribute] =
     if (isLeftOuter) left.output ++ right.output.map(_.withNullability(true))
     else left.output ++ right.output
@@ -85,7 +99,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     "numNullVersions" -> SQLMetrics.createMetric(sparkContext,
       "version rows with null key/ts (never match)"),
     "numUnmatchedFacts" -> SQLMetrics.createMetric(sparkContext,
-      "facts with no version at-or-before (dropped; null-extended when left outer)"))
+      "facts with no version at-or-before" +
+        (if (within.isDefined) "-within-tolerance" else "") +
+        " (dropped; null-extended when left outer)"))
 
   // both children cluster by key; EnsureRequirements co-partitions the
   // two shuffles exactly as it does for a shuffled equi-join
@@ -102,6 +118,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override protected def doExecute(): RDD[InternalRow] = {
     val out = output
     val outer = isLeftOuter
+    // tolerance as a primitive long for the merge loop; -1 = unbounded.
+    // Staleness is computed as lt − bufTs (non-negative by the
+    // consumption invariant bufTs ≤ lt, so the subtraction cannot wrap
+    // for any epoch-scaled inputs).
+    val tol = within.getOrElse(-1L)
+    require(within.forall(_ >= 0L), s"as-of tolerance must be >= 0, got $within")
     val rightWidth = right.output.size
     val mOut = longMetric("numOutputRows")
     val mNullFacts = longMetric("numNullFacts")
@@ -122,9 +144,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         private var rTs = 0L
         private var rValid = false
         // the latest consumed version (a private copy — sort iterators
-        // reuse their row buffer) and the key it belongs to
+        // reuse their row buffer), the key it belongs to, and its ts
+        // (for the tolerance check)
         private var bufRow: InternalRow = _
         private var bufKey = 0L
+        private var bufTs = 0L
         private var bufValid = false
         // next result, staged by hasNext
         private var pending: InternalRow = _
@@ -159,12 +183,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               // consume every version at-or-before this fact, key-major
               while (rValid && (rKey < lk || (rKey == lk && rTs <= lt))) {
                 bufKey = rKey
+                bufTs = rTs
                 bufRow = rRow.copy()
                 bufValid = true
                 advanceRight()
               }
-              if (bufValid && bufKey == lk) return stage(l, bufRow)
-              // no version at-or-before this fact
+              if (bufValid && bufKey == lk && (tol < 0L || lt - bufTs <= tol))
+                return stage(l, bufRow)
+              // no version at-or-before this fact (or latest is staler
+              // than the tolerance window)
               mUnmatched.add(1)
               if (outer) return stage(l, nullRight)
             } else {
@@ -212,13 +239,25 @@ object AsOfNative {
     * at-or-before; "left_outer" keeps them with a null-extended version
     * side — the enrichment shape where absence is signal (a fact before
     * its dimension existed is a finding, not a row to hide).
+    *
+    * `within`: the standard ASOF tolerance — when set, a match must
+    * also satisfy factTs − versionTs ≤ within (same unit as the ts
+    * columns: MICROSECONDS for timestamp, raw units for bigint).
+    * Facts whose latest at-or-before version is staler count as
+    * unmatched. Equivalent to the inner join post-filtered by
+    * `versionTs ≥ factTs − within` (outer: version side conditionally
+    * nulled) — but decided inside the merge with one primitive compare
+    * instead of a second pass.
     */
   def join(facts: DataFrame, versions: DataFrame,
            factKey: String, factTs: String,
            versionKey: String, versionTs: String, versionTie: String,
-           joinType: String = "inner"): DataFrame = {
+           joinType: String = "inner",
+           within: Option[Long] = None): DataFrame = {
     require(joinType == "inner" || joinType == "left_outer",
       s"as-of joinType must be inner or left_outer, got '$joinType'")
+    require(within.forall(_ >= 0L),
+      s"as-of within tolerance must be >= 0, got $within")
     // re-alias the version side so a self-join (facts and versions
     // carved from the same source) cannot share attribute ids
     val fresh = versions.select(versions.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
@@ -239,7 +278,7 @@ object AsOfNative {
         s"'$versionTs' is ${rt.dataType.simpleString}")
     val node = AsOfJoinNode(lPlan, rPlan, lk, lt, rk, rt,
       requireOrderable(attrOf(rPlan, versionTie)),
-      isLeftOuter = joinType == "left_outer")
+      isLeftOuter = joinType == "left_outer", within = within)
     org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(facts.sparkSession, node)
   }
 }

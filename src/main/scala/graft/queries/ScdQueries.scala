@@ -417,7 +417,46 @@ object ScdQueries {
        |SELECT f.event_id, f.user_id, f.event_dt, m.state, m.version_ts
        |FROM f LEFT JOIN m ON f.event_id = m.event_id""".stripMargin
 
+  // --- q187: q160's lookup with the standard ASOF TOLERANCE — a match
+  // must be no staler than one hour (WITHIN '1 hour'): the latest
+  // version at-or-before the fact wins ONLY if fact_ts − version_ts ≤
+  // 1 h, else the fact counts as unmatched and drops (inner mode).
+  // Models the reference's bounded-validity R2 join
+  // (trsh_rep_fraud_sync.sql:27-44) and keeps enrichments from
+  // matching unboundedly-stale dimensions. Same native one-pass merge
+  // — the tolerance is one primitive compare inside it, not a second
+  // pass (plans/AsOfJoin.scala `within`); the oracle is the rank form
+  // post-filtered to the window, which is equivalent because versions
+  // arrive in ts order (the latest at-or-before IS the latest within
+  // the window whenever any window match exists).
+  def q187(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val facts = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id").as("f_user"), col("ts").as("event_dt"))
+    val vers = ev.filter(col("event_id") % 2 === 1)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"), col("event_type").as("state"))
+    graft.plans.AsOfNative.join(facts, vers,
+        "f_user", "event_dt", "v_user", "v_ts", "v_id",
+        within = Some(3600L * 1000000L))
+      .select(col("event_id"), col("f_user").as("user_id"), col("event_dt"),
+        col("state"), col("v_ts").as("version_ts"))
+  }
+
+  val q187Sql: String =
+    s"""$EvCte
+       |SELECT event_id, user_id, event_dt, state, version_ts FROM (
+       | SELECT f.event_id, f.user_id, f.ts AS event_dt,
+       |  d.event_type AS state, d.ts AS version_ts,
+       |  ROW_NUMBER() OVER (PARTITION BY f.event_id
+       |    ORDER BY d.ts DESC, d.event_id DESC) AS rn
+       | FROM ev f JOIN ev d
+       |  ON f.user_id = d.user_id AND d.event_id % 2 = 1 AND d.ts <= f.ts
+       | WHERE f.event_id % 2 = 0)
+       |WHERE rn = 1 AND version_ts >= event_dt - INTERVAL 1 HOUR""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_asof_within" -> (q187 _),
     "q186_asof_outer" -> (q186 _),
     "q160_asof_native" -> (q160 _),
     "q159_bitemporal" -> (q159 _),
@@ -430,6 +469,7 @@ object ScdQueries {
     "q129_dim_chain" -> (q129 _))
 
   val oracle: Map[String, String] = Map(
+    "q187_asof_within" -> q187Sql,
     "q186_asof_outer" -> q186Sql,
     "q160_asof_native" -> q160Sql,
     "q159_bitemporal" -> q159Sql,

@@ -104,6 +104,49 @@ class AsOfNativeSpec extends SparkSpec {
     assert(native.schema("v_id").nullable && native.schema("v_state").nullable)
   }
 
+  test("within tolerance equals the composed filtered form, inner and outer, " +
+    "under adversarial partitioning") {
+    val (facts, vers) = factsAndVersions
+    val tolMicros = 3600L * 1000000L // one hour
+    // composed reference: unbounded inner as-of, post-filtered to the
+    // tolerance window (the latest at-or-before IS the latest within the
+    // window whenever any window match exists — versions arrive in ts
+    // order, so the two formulations agree row-for-row)
+    val inner = AsOfNative.join(facts, vers,
+      "f_user", "f_ts", "v_user", "v_ts", "v_id")
+    val composedInner = inner
+      .filter(col("v_ts").cast("long") >= col("f_ts").cast("long") - lit(3600L))
+      .select("f_id", "v_id")
+    val nativeInner = AsOfNative.join(
+      facts.repartition(7, col("f_ts")), vers.repartition(3, col("v_state")),
+      "f_user", "f_ts", "v_user", "v_ts", "v_id", within = Some(tolMicros))
+      .select("f_id", "v_id")
+    assert(nativeInner.exceptAll(composedInner).isEmpty &&
+      composedInner.exceptAll(nativeInner).isEmpty,
+      "within-tolerance inner must equal the post-filtered unbounded join")
+    assert(nativeInner.count() > 0, "fixture sanity: some matches inside the hour")
+    assert(nativeInner.count() < inner.count(),
+      "fixture sanity: the tolerance must actually reject stale matches")
+    // outer: rejected-stale facts null-extend instead of dropping
+    val nativeOuter = AsOfNative.join(
+      facts.repartition(7, col("f_ts")), vers.repartition(3, col("v_state")),
+      "f_user", "f_ts", "v_user", "v_ts", "v_id",
+      joinType = "left_outer", within = Some(tolMicros))
+      .select("f_id", "v_id")
+    val composedOuter = facts.join(
+      composedInner.select(col("f_id").as("j_id"), col("v_id")),
+      facts("f_id") === col("j_id"), "left_outer")
+      .select("f_id", "v_id")
+    assert(nativeOuter.exceptAll(composedOuter).isEmpty &&
+      composedOuter.exceptAll(nativeOuter).isEmpty,
+      "within-tolerance outer must equal inner + null-extension")
+    assert(nativeOuter.count() == facts.count())
+    intercept[IllegalArgumentException] {
+      AsOfNative.join(facts, vers, "f_user", "f_ts", "v_user", "v_ts", "v_id",
+        within = Some(-1L))
+    }
+  }
+
   test("left-outer keeps null-key facts with a null-extended version side") {
     val s2 = spark
     import s2.implicits._
