@@ -23,6 +23,17 @@ object BenchSome {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional dial overrides for scale probes (the graft.* dials are
+    // runtime conf, readable via spark.conf at call sites):
+    // SPARK_GRAFT_CONF="k1=v1;k2=v2". E.g. the sf10 q85 probe sizes
+    // graft.dedup.maxBroadcastSetBytes to the measured corpus (125k-doc
+    // index ≈ 340 MB raw > the conservative 256 MB default).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        System.err.println(s"BenchSome conf override: $k=$v")
+        spark.conf.set(k, v)
+      })
     spark.range(1000).selectExpr("sum(id)").collect()
     val byShort = SparkEntry.queries.map { case (k, v) => k.takeWhile(_ != '_') -> ((k, v)) }
     args.foreach { short =>

@@ -782,10 +782,11 @@ object Dedup {
     // its 2 set arrays (the sf1 sweep measured 58M pairs × ~4.6 KB
     // riding two exchanges; q72's dense-bitmap sets sat under the line
     // and AQE broadcast them — the whole 10× q72-vs-q85 gap). Under
-    // `graft.dedup.maxBroadcastSetBytes` (default 256 MB) the sets side
-    // broadcasts explicitly and the candidate stream never shuffles;
-    // past the dial (a truly corpus-sized index) the shuffled join is
-    // the correct plan and stands.
+    // `graft.dedup.maxBroadcastSetBytes` (default: memory-derived, see
+    // defaultBroadcastSetBytes) the sets side broadcasts explicitly and
+    // the candidate stream never shuffles; past the dial (a truly
+    // corpus-sized index) the shuffled join is the correct plan and
+    // stands.
     val est = allSets.agg(sum(col("set_size")), count(lit(1)),
       count_distinct(col(idCol))).head()
     // The disjoint-id-space precondition is ENFORCED, not just documented
@@ -810,7 +811,8 @@ object Dedup {
           (40L + (if (screen) 8L * screenWords(spark(allSets)) else 0L))
     // The dial keeps its ORIGINAL semantics — an upper bound on the RAW
     // payload estimate (so a value tuned under the old accounting keeps
-    // its cutover) — but the TRUE pinned footprint is ~4× the dial: two
+    // its cutover); unset, the bound derives from the deployed heap
+    // (defaultBroadcastSetBytes). The TRUE pinned footprint is ~4×: two
     // copies of allSets ship (the two verify joins' broadcasts do not
     // reuse one exchange — measured, see the canonical-child note below)
     // and UnsafeRow + HashedRelation overhead roughly doubles the
@@ -819,7 +821,7 @@ object Dedup {
     // the sf1 sweep: 164 s sort-merge vs 52 s broadcast on 58M pairs.
     val maxBytes = spark(allSets).conf
       .getOption("graft.dedup.maxBroadcastSetBytes").map(_.toLong)
-      .getOrElse(256L * 1024 * 1024)
+      .getOrElse(defaultBroadcastSetBytes(spark(allSets)))
     val hint: DataFrame => DataFrame =
       if (estBytes <= maxBytes) broadcast(_: DataFrame) else identity
     // packed-screen columns derive from the STORED sorted sets (no index
@@ -855,6 +857,31 @@ object Dedup {
   }
 
   private def spark(df: DataFrame) = df.sparkSession
+
+  /** Default raw-payload bound for the verify-join broadcast when the
+    * `graft.dedup.maxBroadcastSetBytes` dial is unset: sized from the
+    * DEPLOYED memory instead of a one-size guess (the adaptiveBanding
+    * posture — measure, don't hardcode). The true pinned footprint is
+    * ~4× the raw estimate (two shipped copies, measured non-reused
+    * under AQE, plus UnsafeRow/HashedRelation ≈2× build overhead);
+    * budgeting that pinned footprint at ≤ heap/6 gives raw ≤ heap/24 —
+    * a 64 g local heap allows ~2.7 GB raw (the sf10 125k-doc index's
+    * ~340 MB estimate broadcasts, where the old flat 256 MB default
+    * took the shuffled plan: the measured-3× wrong side of the
+    * cutover), a 16 g executor ~680 MB, and the 64 MB floor keeps
+    * small-heap containers on the broadcast path for gate-scale
+    * indexes. Local mode reads the actual JVM heap; cluster mode reads
+    * spark.executor.memory (Spark's own 1g default when unset — the
+    * conservative answer for unknown executors). The explicit dial
+    * always wins and keeps its raw-payload semantics.
+    */
+  private[graft] def defaultBroadcastSetBytes(spark: org.apache.spark.sql.SparkSession): Long = {
+    val heap =
+      if (spark.sparkContext.isLocal) Runtime.getRuntime.maxMemory
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.executor.memory", "1g"))
+    math.max(64L * 1024 * 1024, heap / 24)
+  }
 
   // Cache ownership: the near-dup pipelines persist small derived frames
   // (shingle stream, banded signatures, simhash chunks) that their
