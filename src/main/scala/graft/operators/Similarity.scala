@@ -60,46 +60,12 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int, nProbe: Int,
               fitSampleCap: Long = 100000L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("fv", array_to_vector(col("cv")))
-    // init "random" (seeded): the default k-means|| init alone costs
-    // ~2·initSteps extra distributed passes over the fit set — more than
-    // the 5 Lloyd iterations it precedes. A coarse quantizer only needs
-    // evenly-spread cells, not an optimal clustering; random init plus
-    // the same Lloyd budget yields equivalent cell balance here.
-    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
-      .setInitMode("random")
-      .setFeaturesCol("fv").setPredictionCol("cell")
-    // Coarse-quantizer centroids need a representative sample, not the
-    // corpus: cap the fit set with a seeded uniform sample so the
-    // KMeans iterations (maxIter full passes) scan ~fitSampleCap rows
-    // instead of 100 TB. The count is one columnar-metadata-cheap scan;
-    // ASSIGNMENT below still covers every corpus vector.
-    val n = c.count()
-    // content-hash Bernoulli on the unique id, not df.sample: the
-    // per-partition RNG would pick a different fit set under a
-    // different partition layout, making the quantizer (and every cell
-    // assignment) vary run to run on identical data (the
-    // ProductQuant.fit contract). denom = 2^40: a 10^6 denom would
-    // stop bounding the fit set once n > 10^6·cap (floor clamps to 1).
-    require(fitSampleCap >= 1 && fitSampleCap <= 1000000L,
-      s"fit sample is a bounded driver-side KMeans set, cap $fitSampleCap out of range")
-    val fit = if (n <= fitSampleCap) c
-              else c.filter(
-                pmod(xxhash64(col("neighbor_id")), lit(1L << 40)) <
-                  // (2^40)·cap <= 2^40 · 10^6 < 2^63 by the require
-                  math.max(1L, (1L << 40) * fitSampleCap / n))
-    val model = km.fit(fit)
-    val assigned = model.transform(c).select(col("neighbor_id"), col("cv"), col("cell"))
+    val (assigned0, cents) = coarseAssign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol)),
+      "neighbor_id", vecCol, nCells, fitSampleCap)
+    val assigned = assigned0.select(col("neighbor_id"), col("cv"), col("cell"))
     // centroid table is nCells rows — broadcast; each probe ranks cells
     // by L2 (KMeans' own metric) and keeps the nProbe closest
-    import spark.implicits._
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
     val wCell = Window.partitionBy("probe_id").orderBy(col("cd").asc, col("cell").asc)
     val probeCells = probes.select(col(idCol).as("probe_id"),
         col(vecCol).cast("array<double>").as("pv"))
@@ -115,6 +81,118 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("probe_id", "neighbor_id", "rank")
+  }
+
+  /** Seeded coarse k-means quantizer shared by [[ivfTopK]] and
+    * [[semDedup]]: fit on a capped content-hash sample, assign EVERY
+    * corpus vector. Returns the assigned frame (idCol, cv, cell) and
+    * the nCells-row (cell, centroid) table.
+    *
+    * init "random" (seeded): the default k-means|| init alone costs
+    * ~2·initSteps extra distributed passes over the fit set — more than
+    * the 5 Lloyd iterations it precedes. A coarse quantizer only needs
+    * evenly-spread cells, not an optimal clustering; random init plus
+    * the same Lloyd budget yields equivalent cell balance here.
+    *
+    * Centroids need a representative sample, not the corpus: the fit
+    * set is capped with a content-hash Bernoulli draw on the unique id,
+    * NOT df.sample — the per-partition RNG would pick a different fit
+    * set under a different partition layout, making the quantizer (and
+    * every cell assignment) vary run to run on identical data (the
+    * ProductQuant.fit contract). denom = 2^40: a 10^6 denom would stop
+    * bounding the fit set once n > 10^6·cap (floor clamps to 1).
+    * ASSIGNMENT still covers every corpus vector, map-side.
+    */
+  private[graft] def coarseAssign(corpus: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, fitSampleCap: Long): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("fv", array_to_vector(col("cv")))
+    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
+      .setInitMode("random")
+      .setFeaturesCol("fv").setPredictionCol("cell")
+    // one columnar-metadata-cheap scan
+    val n = c.count()
+    require(fitSampleCap >= 1 && fitSampleCap <= 1000000L,
+      s"fit sample is a bounded driver-side KMeans set, cap $fitSampleCap out of range")
+    val fit = if (n <= fitSampleCap) c
+              else c.filter(
+                pmod(xxhash64(col(idCol)), lit(1L << 40)) <
+                  // (2^40)·cap <= 2^40 · 10^6 < 2^63 by the require
+                  math.max(1L, (1L << 40) * fitSampleCap / n))
+    val model = km.fit(fit)
+    val assigned = model.transform(c).select(col(idCol), col("cv"), col("cell"))
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+    (assigned, cents)
+  }
+
+  /** SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540): a
+    * seeded k-means partitions the embedding space; within each cluster
+    * a vector is pruned when its cosine similarity to a LOWER-RANKED
+    * clustermate reaches `threshold`. Rank follows the paper's keep
+    * rule — the member least similar to its own centroid survives a
+    * duplicate group (it carries the most information the centroid
+    * doesn't) — with (csim, id) lexicographic ties, so GIVEN the
+    * clustering the prune is a pure function: v drops iff ∃u in v's
+    * cluster with cos(u,v) ≥ threshold and (csim_u, id_u) <
+    * (csim_v, id_v). The clustering itself is run-to-run deterministic
+    * on a fixed input layout (seeded fit on a content-hash-stable
+    * sample) but not layout-independent — MLlib KMeans' random init
+    * draws by partition — the same rows-only posture as [[ivfTopK]]'s
+    * q49. Emits every corpus vector with its cell, centroid similarity
+    * (FLOOR micro units — the §5 fixed-point posture), and the kept
+    * flag.
+    *
+    * Scale shape: one capped seeded fit + map-side assignment
+    * ([[coarseAssign]]), one broadcast centroid join, and a
+    * within-cell self-join whose cost is quadratic ONLY in cluster
+    * width — the width census `require`s the widest cell under
+    * `maxClusterSize` before any pairing work is planned (pick
+    * nClusters ≈ n/width; the paper runs ~100k clusters at corpus
+    * scale for the same reason). Near-dup semantics differ from
+    * [[graft.operators.Dedup.embeddingLshPairs]] deliberately: LSH
+    * recalls pairs anywhere in space, SemDeDup prunes only within a
+    * cluster — the trade the paper makes to get the keep-rule and a
+    * hard cost bound.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nClusters: Int,
+               fitSampleCap: Long = 100000L,
+               maxClusterSize: Long = 100000L): DataFrame = {
+    val (assigned, cents) =
+      coarseAssign(corpus, idCol, vecCol, nClusters, fitSampleCap)
+    val widest = assigned.groupBy("cell").count()
+      .agg(max(col("count"))).head().getLong(0)
+    require(widest <= maxClusterSize,
+      s"widest cluster ($widest rows) exceeds maxClusterSize=$maxClusterSize" +
+        " — raise nClusters: within-cluster pairing is quadratic in cell width")
+    val withSim = assigned.join(broadcast(cents), Seq("cell"))
+      .withColumn("csim_micro",
+        floor(cosine(col("cv"), col("centroid")) * 1e6).cast("long"))
+      .select(col("cell"), col(idCol), col("cv"), col("csim_micro"))
+    // both branches rename EVERY column (incl. the join key) so the
+    // self-join cannot trip attribute-reference ambiguity
+    val a = withSim.select(col("cell").as("cell_a"), col(idCol).as("id_a"),
+      col("cv").as("cv_a"), col("csim_micro").as("cs_a"))
+    val b = withSim.select(col("cell").as("cell_b"), col(idCol).as("id_b"),
+      col("cv").as("cv_b"), col("csim_micro").as("cs_b"))
+    // equi-join on cell; the lexicographic dominance order and the
+    // cosine threshold ride as post-conditions of the hash join
+    val dominated = a.join(b, col("cell_a") === col("cell_b") &&
+        (col("cs_a") < col("cs_b") ||
+          (col("cs_a") === col("cs_b") && col("id_a") < col("id_b"))))
+      .filter(cosine(col("cv_a"), col("cv_b")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("__dropped", lit(true))
+    withSim.join(dominated, Seq(idCol), "left")
+      .select(col(idCol), col("cell").cast("int").as("cell"),
+        col("csim_micro"),
+        coalesce(!col("__dropped"), lit(true)).as("kept"))
   }
 
   /** ANN via shared LSH bucket; exact cosine ranking within the bucket.

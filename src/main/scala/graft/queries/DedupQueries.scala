@@ -141,6 +141,59 @@ object DedupQueries {
     Dedup.embeddingLshPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
       threshold = CosT, nBits = 4, nTables = 16, dim = 64)
 
+  // --- q188: cross-source duplicate-provenance matrix — which sources
+  // copy from each other. The q72 LSH-verified exact-Jaccard pairs
+  // (oracle-exact at any scale by the recall budget) are labeled with
+  // each end's source and rolled up to the ≤ |sources|² frame, with the
+  // pair-mass share as integer ppm (§5 posture 1). The curation readout
+  // behind q166/q172's mixture decisions: a source pair with heavy
+  // cross-duplication double-bills its token budget.
+  // Scale shape: the pair set (≪ corpus) joins the (id → source)
+  // projection co-keyed on doc id twice, then one bounded rollup; the
+  // share window runs on the |sources|²-row frame, never the corpus.
+  def q188(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") % 4 === 0)
+    val choice = bandingFor(s, dir)
+    val pairs = Dedup.lshVerifiedPairs(docs, "doc_id", "text", k = 3,
+      threshold = JaccardT, numPerm = choice.numPerm, bands = choice.bands,
+      candidatesPerDocHint = Some(choice.estPairsPerDoc))
+    val src = docs.select(col("doc_id"), col("source"))
+    val lab = pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_l")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_r")), "id_b")
+      .select(least(col("src_l"), col("src_r")).as("src_a"),
+        greatest(col("src_l"), col("src_r")).as("src_b"))
+    lab.groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("pair_share_ppm",
+        expr("n_pairs * 1000000L DIV sum(n_pairs) over ()").cast("long"))
+  }
+
+  val q188Sql: String =
+    s"""WITH pr AS (${ngramPairsSql(JaccardT)}),
+       |d AS (SELECT doc_id, source FROM documents WHERE doc_id % 4 = 0),
+       |j AS (SELECT LEAST(da.source, db.source) AS src_a,
+       |             GREATEST(da.source, db.source) AS src_b
+       |      FROM pr JOIN d da ON pr.id_a = da.doc_id
+       |              JOIN d db ON pr.id_b = db.doc_id)
+       |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       | CAST(COUNT(*) * 1000000 // (SELECT COUNT(*) FROM j) AS BIGINT)
+       |   AS pair_share_ppm
+       |FROM j GROUP BY 1, 2""".stripMargin
+
+  // --- q189: SemDeDup semantic dedup (Abbas et al. 2023) — k-means
+  // clusters the embedding space, then each cluster prunes members
+  // whose cosine to a lower-(centroid-sim, id) clustermate reaches the
+  // threshold (rows-only: the seeded KMeans fit is not SQL-expressible;
+  // SimilaritySpec pins determinism, the planted-duplicate prune, and
+  // the keep rule). Complements q24/q73: LSH recalls near-dup PAIRS
+  // anywhere in space, SemDeDup emits a KEEP/DROP decision with a hard
+  // within-cluster cost bound — the form training-data curation
+  // actually consumes.
+  def q189(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+      threshold = CosT, nClusters = 16)
+
   // --- q85: incremental ingest dedup — the q21 sample is split into a
   // pre-indexed "corpus" (doc_id % 8 == 0) and a "daily batch" (the
   // rest); the batch is near-dup-checked against the corpus's persisted
@@ -235,7 +288,9 @@ object DedupQueries {
     "q25_ann_bruteforce"     -> (q25 _),
     "q26_ann_lsh"            -> (q26 _),
     "q72_dedup_lsh_verified" -> (q72 _),
-    "q73_dedup_embedding_lsh" -> (q73 _))
+    "q73_dedup_embedding_lsh" -> (q73 _),
+    "q188_dup_provenance"    -> (q188 _),
+    "q189_semdedup"          -> (q189 _))
 
   val oracle: Map[String, String] = Map(
     "q85_dedup_increment"    -> q85Sql,
@@ -244,5 +299,6 @@ object DedupQueries {
     "q21_dedup_ngram"        -> q21Sql,
     "q24_dedup_embedding"    -> q24Sql,
     "q25_ann_bruteforce"     -> q25Sql,
-    "q72_dedup_lsh_verified" -> q21Sql)
+    "q72_dedup_lsh_verified" -> q21Sql,
+    "q188_dup_provenance"    -> q188Sql)
 }

@@ -449,4 +449,91 @@ class DedupSpec extends SparkSpec {
     assert(agg.getLong(0) - agg.getLong(1) == distinctSpans)
     assert(agg.getLong(1) > 0, "sf0.001 corpus should contain repeated spans")
   }
+
+  test("semDedup keep/drop equals the driver-recomputed dominance rule") {
+    val e = Tables.embeddings(spark, sf)
+    val t = 0.35
+    val out = Similarity.semDedup(e, "vec_id", "embedding", t, nClusters = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cell"), r.getAs[Long]("csim_micro"),
+          r.getAs[Boolean]("kept")))).toMap
+    val vecs = e.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    assert(out.keySet == vecs.keySet, "every corpus vector must be emitted")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    // recompute the rule from the output's own (cell, csim) labels plus
+    // exact driver-side cosines: v drops iff a lower-(csim, id)
+    // clustermate reaches the threshold
+    var drops = 0
+    out.foreach { case (v, (cellV, csV, keptV)) =>
+      val dominated = out.exists { case (u, (cellU, csU, _)) =>
+        u != v && cellU == cellV &&
+          (csU < csV || (csU == csV && u < v)) &&
+          cos(vecs(u), vecs(v)) >= t
+      }
+      assert(keptV == !dominated, s"vec $v: kept=$keptV but dominated=$dominated")
+      if (dominated) drops += 1
+    }
+    assert(drops > 0, "the near-dup corpus must exercise the prune")
+  }
+
+  test("semDedup collapses planted identical vectors to one kept member") {
+    val s = spark
+    import s.implicits._
+    // two exact-duplicate groups + spread singletons; identical vectors
+    // land in the same cluster whatever the fit does, so each group must
+    // meet. Equal centroid similarity within each group forces the id
+    // tie-break: the LOWEST id survives. (k = 2: MLlib KMeans refuses
+    // k = 1.)
+    val v1 = Array.fill(8)(0.5)
+    val v2 = Array.tabulate(8)(i => if (i % 2 == 0) 1.0 else -1.0)
+    // distinct one-hot fillers keep MLlib's random init from drawing
+    // two IDENTICAL rows as centers (KMeansAggregator crashes on a
+    // distinct-center count below k); all mutually orthogonal, so none
+    // reaches the 0.999 threshold against anything
+    val fillers = (0 until 6).map(i =>
+      (30L + i) -> Array.tabulate(8)(j => if (j == i) 1.0 else 0.0))
+    val rows = Seq(1L -> v1, 2L -> v1, 3L -> v1, 10L -> v2, 11L -> v2,
+      20L -> Array.tabulate(8)(i => if (i < 4) 1.0 else 0.0)) ++ fillers
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, "vec_id", "embedding",
+      threshold = 0.999, nClusters = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(out.filter(_._2).keySet ==
+      Set(1L, 10L, 20L) ++ fillers.map(_._1),
+      s"one survivor per identical group, lowest id on ties: $out")
+  }
+
+  test("semDedup is deterministic on identical input (the q49 KMeans posture)") {
+    // the content-hash fit sample is layout-stable, but MLlib KMeans'
+    // seeded random INIT draws by partition — so the contract is
+    // run-to-run determinism on the same input layout (exactly q49's
+    // rows-only posture), not layout independence
+    val e = Tables.embeddings(spark, sf)
+    val a = Similarity.semDedup(e, "vec_id", "embedding", 0.35, 4)
+      .orderBy("vec_id").collect().toSeq
+    val b = Similarity.semDedup(e, "vec_id", "embedding", 0.35, 4)
+      .orderBy("vec_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("semDedup refuses a clustering wider than maxClusterSize") {
+    val e = Tables.embeddings(spark, sf)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semDedup(e, "vec_id", "embedding", 0.35,
+        nClusters = 2, maxClusterSize = 2)
+    }
+    assert(ex.getMessage.contains("maxClusterSize"))
+  }
+
+  test("default broadcast dial derives from the deployed heap with a floor") {
+    // local mode: heap/24 (pinned ≈ 4× raw budgeted at heap/6), floored
+    // at 64 MB — the test JVM's actual heap decides which side binds
+    val d = Dedup.defaultBroadcastSetBytes(spark)
+    val expected = math.max(64L * 1024 * 1024, Runtime.getRuntime.maxMemory / 24)
+    assert(d == expected)
+  }
 }
