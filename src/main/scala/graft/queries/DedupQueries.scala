@@ -176,10 +176,11 @@ object DedupQueries {
        |             GREATEST(da.source, db.source) AS src_b
        |      FROM pr JOIN d da ON pr.id_a = da.doc_id
        |              JOIN d db ON pr.id_b = db.doc_id)
-       |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       | CAST(COUNT(*) * 1000000 // (SELECT COUNT(*) FROM j) AS BIGINT)
+       |SELECT src_a, src_b, n_pairs,
+       | CAST(n_pairs * 1000000 // SUM(n_pairs) OVER () AS BIGINT)
        |   AS pair_share_ppm
-       |FROM j GROUP BY 1, 2""".stripMargin
+       |FROM (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |      FROM j GROUP BY 1, 2) g""".stripMargin
 
   // --- q189: SemDeDup semantic dedup (Abbas et al. 2023) — k-means
   // clusters the embedding space, then each cluster prunes members
