@@ -30,7 +30,9 @@ object BenchSome {
     // index ≈ 340 MB raw > the conservative 256 MB default).
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_CONF segment '$kv' is not key=value")
+        val (k, v) = (kv.substring(0, i), kv.substring(i + 1))
         System.err.println(s"BenchSome conf override: $k=$v")
         spark.conf.set(k, v)
       })

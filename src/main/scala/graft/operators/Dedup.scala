@@ -870,16 +870,22 @@ object Dedup {
     * took the shuffled plan: the measured-3× wrong side of the
     * cutover), a 16 g executor ~680 MB, and the 64 MB floor keeps
     * small-heap containers on the broadcast path for gate-scale
-    * indexes. Local mode reads the actual JVM heap; cluster mode reads
-    * spark.executor.memory (Spark's own 1g default when unset — the
-    * conservative answer for unknown executors). The explicit dial
-    * always wins and keeps its raw-payload semantics.
+    * indexes. The broadcast relation is BUILT on the driver before it
+    * ships, so in cluster mode the binding heap is the SMALLER of the
+    * driver's (this JVM — Runtime.maxMemory) and the executors'
+    * (spark.executor.memory, Spark's own 1g default when unset — the
+    * conservative answer for unknown executors): a 64 g-executor /
+    * 2 g-driver skew must size to the driver or the collect itself
+    * OOMs. Local mode: the one JVM heap. The explicit dial always wins
+    * and keeps its raw-payload semantics.
     */
   private[graft] def defaultBroadcastSetBytes(spark: org.apache.spark.sql.SparkSession): Long = {
     val heap =
       if (spark.sparkContext.isLocal) Runtime.getRuntime.maxMemory
-      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        spark.conf.get("spark.executor.memory", "1g"))
+      else math.min(
+        Runtime.getRuntime.maxMemory,
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get("spark.executor.memory", "1g")))
     math.max(64L * 1024 * 1024, heap / 24)
   }
 

@@ -166,15 +166,20 @@ object Similarity {
                maxClusterSize: Long = 100000L): DataFrame = {
     val (assigned, cents) =
       coarseAssign(corpus, idCol, vecCol, nClusters, fitSampleCap)
-    val widest = assigned.groupBy("cell").count()
+    // persisted: the assignment (a full corpus pass through the model)
+    // feeds FOUR consumers — the width census action plus the a-side,
+    // b-side, and final left join of the self-join — the Dedup
+    // docs-persist rationale; released via [[releaseCaches]]
+    val withSim = caches.trackPersist(
+      assigned.join(broadcast(cents), Seq("cell"))
+        .withColumn("csim_micro",
+          floor(cosine(col("cv"), col("centroid")) * 1e6).cast("long"))
+        .select(col("cell"), col(idCol), col("cv"), col("csim_micro")))
+    val widest = withSim.groupBy("cell").count()
       .agg(max(col("count"))).head().getLong(0)
     require(widest <= maxClusterSize,
       s"widest cluster ($widest rows) exceeds maxClusterSize=$maxClusterSize" +
         " — raise nClusters: within-cluster pairing is quadratic in cell width")
-    val withSim = assigned.join(broadcast(cents), Seq("cell"))
-      .withColumn("csim_micro",
-        floor(cosine(col("cv"), col("centroid")) * 1e6).cast("long"))
-      .select(col("cell"), col(idCol), col("cv"), col("csim_micro"))
     // both branches rename EVERY column (incl. the join key) so the
     // self-join cannot trip attribute-reference ambiguity
     val a = withSim.select(col("cell").as("cell_a"), col(idCol).as("id_a"),
@@ -194,6 +199,17 @@ object Similarity {
         col("csim_micro"),
         coalesce(!col("__dropped"), lit(true)).as("kept"))
   }
+
+  // Cache ownership: semDedup persists its corpus assignment (four
+  // consumers). Policy shared with Dedup via [[graft.util.CacheTracker]];
+  // call between corpora in long-lived sessions.
+  private val caches = new graft.util.CacheTracker
+
+  /** Unpersist every intermediate frame cached by [[semDedup]] so far.
+    * Results already computed are unaffected; un-executed lazy plans
+    * recompute.
+    */
+  def releaseCaches(): Unit = caches.release()
 
   /** ANN via shared LSH bucket; exact cosine ranking within the bucket.
     * Recall < 1 by construction — the scale path, not the oracle.

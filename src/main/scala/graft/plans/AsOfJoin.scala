@@ -188,7 +188,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                 bufValid = true
                 advanceRight()
               }
-              if (bufValid && bufKey == lk && (tol < 0L || lt - bufTs <= tol))
+              // staleness lt - bufTs is mathematically >= 0 here (the
+              // buffer only ever holds versions consumed under
+              // rTs <= lt, and facts advance in ts order within a key),
+              // so a NEGATIVE computed difference can only mean Long
+              // overflow on raw-bigint ts domains — a true staleness
+              // past 2^63 that must REJECT, not wrap into acceptance
+              val stale = lt - bufTs
+              if (bufValid && bufKey == lk &&
+                  (tol < 0L || (stale >= 0L && stale <= tol)))
                 return stage(l, bufRow)
               // no version at-or-before this fact (or latest is staler
               // than the tolerance window)

@@ -147,6 +147,30 @@ class AsOfNativeSpec extends SparkSpec {
     }
   }
 
+  test("within tolerance rejects a staleness that overflows Long on raw-bigint ts") {
+    val s = spark
+    import s.implicits._
+    // raw-unit bigint domain: the fact sits near Long.Max, the only
+    // version near Long.Min — true staleness ~1.9e19 exceeds 2^63 and
+    // the naive lt - bufTs wraps NEGATIVE, which a plain <= tol check
+    // would accept as fresh; the merge must reject (inner drops the
+    // fact, outer null-extends)
+    val facts = Seq((1L, 5000000000000000000L, 100L)).toDF("f_user", "f_ts", "f_id")
+    val vers = Seq((1L, -5000000000000000000L, 7L)).toDF("v_user", "v_ts", "v_id")
+    val inner = AsOfNative.join(facts, vers,
+      "f_user", "f_ts", "v_user", "v_ts", "v_id", within = Some(1000L))
+    assert(inner.isEmpty,
+      "an overflowing staleness is past any tolerance — never a match")
+    val outer = AsOfNative.join(facts, vers,
+      "f_user", "f_ts", "v_user", "v_ts", "v_id",
+      joinType = "left_outer", within = Some(1000L))
+    assert(outer.count() == 1 && outer.filter(col("v_id").isNull).count() == 1)
+    // and without a tolerance the same pair IS the latest at-or-before
+    val unbounded = AsOfNative.join(facts, vers,
+      "f_user", "f_ts", "v_user", "v_ts", "v_id")
+    assert(unbounded.count() == 1)
+  }
+
   test("left-outer keeps null-key facts with a null-extended version side") {
     val s2 = spark
     import s2.implicits._
