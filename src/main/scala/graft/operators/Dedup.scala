@@ -752,20 +752,24 @@ object Dedup {
     // its join exactly once, and the channels are disjoint by id spaces
     // — so no `.distinct()`, whose pairs×bands multiset shuffle was the
     // measured q85 scale bottleneck at sf1
-    val vsCorpus = nb.select(col(idCol).as("id_n"), col("band"), col("bucket"),
-        col("buckets").as("bk_n"))
-      .join(indexBands.select(col(idCol).as("id_o"), col("band"), col("bucket"),
-        col("buckets").as("bk_o")), Seq("band", "bucket"))
+    // salted: the INDEX side (the big one at steady state) is salted,
+    // the batch side replicates g× — the q39 asymmetry
+    val vsCorpus = saltedExplodeJoin(
+        indexBands.select(col(idCol).as("id_o"), col("band"), col("bucket"),
+          col("buckets").as("bk_o")), "id_o",
+        nb.select(col(idCol).as("id_n"), col("band"), col("bucket"),
+          col("buckets").as("bk_n")),
+        Seq("band", "bucket"))
       .filter(col("id_n") =!= col("id_o"))
       .filter(graft.functions.BitmapFunctions
         .noEarlierBandMatch(col("bk_n"), col("bk_o"), col("band")))
       .select(least(col("id_n"), col("id_o")).as("id_a"),
         greatest(col("id_n"), col("id_o")).as("id_b"))
-    val l = nb.select(col(idCol).as("id_a"), col("band"), col("bucket"),
-      col("buckets").as("bk_a"))
-    val r = nb.select(col(idCol).as("id_b"), col("band"), col("bucket"),
-      col("buckets").as("bk_b"))
-    val vsBatch = l.join(r, Seq("band", "bucket"))
+    val l = nb.select(col(idCol).as("id_a"), col("band"),
+      col("bucket"), col("buckets").as("bk_a"))
+    val r = nb.select(col(idCol).as("id_b"), col("band"),
+      col("bucket"), col("buckets").as("bk_b"))
+    val vsBatch = saltedExplodeJoin(l, "id_a", r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .filter(graft.functions.BitmapFunctions
         .noEarlierBandMatch(col("bk_a"), col("bk_b"), col("band")))
@@ -979,6 +983,59 @@ object Dedup {
       .select(col(idCol), col("bb.band"), col("bb.bucket"), col("buckets"))
   }
 
+  /** Pin the parallelism of a frame about to feed an EXPLODING
+    * band/bucket equi-join. AQE sizes post-shuffle parallelism by the
+    * exchange's INPUT bytes, and the banded frames are slim (one ~50 B
+    * row per document per band) — a few MB even when their self-join
+    * emits hundreds of millions of candidate pairs — so adaptive
+    * coalescing hands the whole candidate generation + screened
+    * verification chain to ONE task (measured at the sf3 probe: 902 of
+    * 915 cold-pass seconds in a single task; the sf10 warm pass was ~29
+    * minutes of one-core verify at ~4 µs/pair). An explicit-count
+    * repartition on the join keys satisfies the join's clustering
+    * requirement — it replaces, not adds to, the exchange the join
+    * would plan — and its REPARTITION_BY_NUM origin is exempt from AQE
+    * coalescing, so the explode runs at the session's configured
+    * shuffle width. Hot-bucket skew is unchanged (the hot-bucket
+    * contract: run exact dedup first).
+    */
+  private def spreadForExplode(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      keys.map(col): _*)
+
+  /** SALTED band/bucket candidate join — the skew half of the explode
+    * problem [[spreadForExplode]]'s width pin alone can't fix: hash
+    * clustering puts an entire bucket in ONE task, and a near-dup
+    * super-cluster (GenScale replica corpora, boilerplate floods) makes
+    * one bucket carry most of the corpus's quadratic pair mass
+    * (measured at the sf3 probe AFTER the width pin: 216 of ~290 busy
+    * core-seconds still in a single task). The left side gets
+    * salt = xxhash64(id) % g; the right side replicates each row g
+    * times, one per salt — every qualifying pair still meets EXACTLY
+    * once (at the left row's salt), so the candidate set is identical
+    * by construction, while a hot bucket's m²/2 pairs spread over g
+    * tasks (max task work m²/g). Cost: the replicated side's slim rows
+    * ship g× through one exchange — bands·g rows per document, bytes
+    * not pairs. `graft.dedup.bucketSalt` (default 16) dials g; pass the
+    * SMALLER frame as `replicate` so the g× inflation lands on the
+    * cheaper side (the q39 salted-join asymmetry).
+    */
+  private def saltedExplodeJoin(salted: DataFrame, saltedIdCol: String,
+      replicate: DataFrame, keys: Seq[String]): DataFrame = {
+    val g = salted.sparkSession.conf
+      .getOption("graft.dedup.bucketSalt").map(_.toInt).getOrElse(16)
+    require(g >= 1 && g <= 1024,
+      s"graft.dedup.bucketSalt must be in [1, 1024], got $g")
+    val ls = salted.withColumn("__salt",
+      pmod(xxhash64(col(saltedIdCol)), lit(g.toLong)).cast("int"))
+    val rs = replicate.withColumn("__salt",
+      explode(array((0 until g).map(s => lit(s)): _*)))
+    spreadForExplode(ls, keys :+ "__salt")
+      .join(spreadForExplode(rs, keys :+ "__salt"), keys :+ "__salt")
+      .drop("__salt")
+  }
+
   private def lshPairsFromSignatures(sig: DataFrame, idCol: String,
                                      numPerm: Int, bands: Int): DataFrame = {
     // Persist the banded rows: both sides of the self-join below derive
@@ -988,16 +1045,16 @@ object Dedup {
     // docs × bands rows (one per band per document), tiny next to the
     // corpus; released by [[releaseCaches]].
     val banded = trackPersist(bandedBuckets(sig, idCol, numPerm, bands))
-    val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"),
-      col("buckets").as("bk_a"))
-    val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"),
-      col("buckets").as("bk_b"))
+    val l = banded.select(col(idCol).as("id_a"), col("band"),
+      col("bucket"), col("buckets").as("bk_a"))
+    val r = banded.select(col(idCol).as("id_b"), col("band"),
+      col("bucket"), col("buckets").as("bk_b"))
     // first-agreeing-band dedup: the join emits a pair once PER agreeing
     // band; keeping only the earliest one is a codegen'd FILTER inside
     // the join stage, where the old `.distinct()` shuffled the whole
     // pairs×agreeing-bands multiset (327M rows at the sf1 sweep — the
     // measured q85 bottleneck, 92 s of its 137 s)
-    l.join(r, Seq("band", "bucket"))
+    saltedExplodeJoin(l, "id_a", r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .filter(graft.functions.BitmapFunctions
         .noEarlierBandMatch(col("bk_a"), col("bk_b"), col("band")))
@@ -1050,11 +1107,11 @@ object Dedup {
             shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ckey"))
         }: _*)).as("ck"))
       .select(col(idCol), col("simhash"), col("ck.chunk"), col("ck.ckey")))
-    val l = chunked.select(col(idCol).as("id_a"), col("simhash").as("fp_a"),
-      col("chunk"), col("ckey"))
-    val r = chunked.select(col(idCol).as("id_b"), col("simhash").as("fp_b"),
-      col("chunk"), col("ckey"))
-    l.join(r, Seq("chunk", "ckey"))
+    val l = chunked.select(col(idCol).as("id_a"),
+      col("simhash").as("fp_a"), col("chunk"), col("ckey"))
+    val r = chunked.select(col(idCol).as("id_b"),
+      col("simhash").as("fp_b"), col("chunk"), col("ckey"))
+    saltedExplodeJoin(l, "id_a", r, Seq("chunk", "ckey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
@@ -1219,11 +1276,11 @@ object Dedup {
         array((0 until nTables).map(t => col(s"t$t.sig").cast("long")): _*).as("sigs"),
         explode(array((0 until nTables).map(t => col(s"t$t")): _*)).as("b"))
       .select(col("id"), col("b.tbl"), col("b.sig"), col("sigs")))
-    val l = banded.select(col("id").as("id_a"), col("tbl"), col("sig"),
-      col("sigs").as("sg_a"))
-    val r = banded.select(col("id").as("id_b"), col("tbl"), col("sig"),
-      col("sigs").as("sg_b"))
-    val cands = l.join(r, Seq("tbl", "sig"))
+    val l = banded.select(col("id").as("id_a"), col("tbl"),
+      col("sig"), col("sigs").as("sg_a"))
+    val r = banded.select(col("id").as("id_b"), col("tbl"),
+      col("sig"), col("sigs").as("sg_b"))
+    val cands = saltedExplodeJoin(l, "id_a", r, Seq("tbl", "sig"))
       .filter(col("id_a") < col("id_b"))
       .filter(graft.functions.BitmapFunctions
         .noEarlierBandMatch(col("sg_a"), col("sg_b"), col("tbl")))
