@@ -1017,16 +1017,23 @@ object Dedup {
     * by construction, while a hot bucket's m²/2 pairs spread over g
     * tasks (max task work m²/g). Cost: the replicated side's slim rows
     * ship g× through one exchange — bands·g rows per document, bytes
-    * not pairs. `graft.dedup.bucketSalt` (default 16) dials g; pass the
-    * SMALLER frame as `replicate` so the g× inflation lands on the
-    * cheaper side (the q39 salted-join asymmetry).
+    * not pairs. Explicit `graft.dedup.bucketSalt` dials g; UNSET, g is
+    * CENSUS-DERIVED per the suite's measured-not-guessed posture (see
+    * [[saltForExplode]]). Pass the SMALLER frame as `replicate` so the
+    * g× inflation lands on the cheaper side (the q39 salted-join
+    * asymmetry). g = 1 short-circuits to the unsalted width-pinned
+    * join — no replication, no salt column.
     */
   private def saltedExplodeJoin(salted: DataFrame, saltedIdCol: String,
       replicate: DataFrame, keys: Seq[String]): DataFrame = {
     val g = salted.sparkSession.conf
-      .getOption("graft.dedup.bucketSalt").map(_.toInt).getOrElse(16)
+      .getOption("graft.dedup.bucketSalt").map(_.toInt)
+      .getOrElse(saltForExplode(salted, replicate, keys))
     require(g >= 1 && g <= 1024,
       s"graft.dedup.bucketSalt must be in [1, 1024], got $g")
+    if (g == 1)
+      return spreadForExplode(salted, keys)
+        .join(spreadForExplode(replicate, keys), keys)
     val ls = salted.withColumn("__salt",
       pmod(xxhash64(col(saltedIdCol)), lit(g.toLong)).cast("int"))
     val rs = replicate.withColumn("__salt",
@@ -1034,6 +1041,49 @@ object Dedup {
     spreadForExplode(ls, keys :+ "__salt")
       .join(spreadForExplode(rs, keys :+ "__salt"), keys :+ "__salt")
       .drop("__salt")
+  }
+
+  /** Census-derived salt granularity for [[saltedExplodeJoin]]: the max
+    * rows ONE task can be handed is bounded by the hottest key-group's
+    * emitted-row product, maxₖ(mₗ(k)·mᵣ(k)) ≤ maxₖmₗ · maxₖmᵣ — two
+    * single-pass max-group-size censuses over the slim pre-join frames,
+    * no census join (the product-of-maxes overestimate only ever picks
+    * a LARGER g, and g's cost is linear slim-row replication while the
+    * skew it prevents is quadratic pair mass in one task). g is that
+    * bound divided by `graft.dedup.targetPairsPerTask` (default 4M
+    * emitted rows ≈ 1–2 s of screen+verify work per task at measured
+    * sf3 throughput), clamped to [1, 1024]. Flat corpora (hot buckets
+    * of a handful of docs — every gate-scale table) derive g = 1 and
+    * skip salting entirely; the GenScale replica corpus at sf3 derives
+    * g within 2× of the previously hand-pinned 16.
+    *
+    * Memoized per (analyzed-plan, keys) semantic hash: a long-running
+    * session (bench steady state, incremental batches) pays the two
+    * census jobs once per distinct frame shape. An index that GROWS
+    * under an unchanged plan (dedupIncrement appends within one
+    * session) can under-salt later batches — a task-granularity
+    * effect only, never a result change; restart the session or set
+    * the explicit dial for a corpus that grows 100× in-session.
+    */
+  private val saltMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Long, Seq[String]), Int]
+  def saltForExplode(l: DataFrame, r: DataFrame, keys: Seq[String]): Int = {
+    val target = l.sparkSession.conf
+      .getOption("graft.dedup.targetPairsPerTask").map(_.toLong)
+      .getOrElse(4L << 20)
+    require(target >= 1L, s"graft.dedup.targetPairsPerTask must be >= 1, got $target")
+    def hash(df: DataFrame): Long =
+      df.queryExecution.analyzed.semanticHash().toLong
+    val memoKey = (hash(l), hash(r), keys)
+    saltMemo.computeIfAbsent(memoKey, { _ =>
+      def hot(df: DataFrame): Long = {
+        val row = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+          .agg(max(col("c"))).head()
+        if (row.isNullAt(0)) 0L else row.getLong(0)
+      }
+      val product = hot(l) * hot(r) // ≤ (2^31)² — no overflow risk
+      math.min(1024L, math.max(1L, (product + target - 1L) / target)).toInt
+    })
   }
 
   private def lshPairsFromSignatures(sig: DataFrame, idCol: String,

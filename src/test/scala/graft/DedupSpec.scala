@@ -536,4 +536,42 @@ class DedupSpec extends SparkSpec {
     val expected = math.max(64L * 1024 * 1024, Runtime.getRuntime.maxMemory / 24)
     assert(d == expected)
   }
+
+  test("census-derived salt: flat corpus gets 1, a hot bucket gets pairs/target") {
+    val s = spark
+    import s.implicits._
+    // flat: 40 singleton buckets → hot product 1 → g = 1 at any target
+    val flat = (0L until 40L).map(i => (i, i)).toDF("id", "bucket")
+    assert(Dedup.saltForExplode(flat, flat, Seq("bucket")) == 1)
+    // hot: one 60-row bucket self-joined emits 3600 rows; target 500
+    // rows/task → g = ceil(3600/500) = 8 (product-of-maxes bound)
+    val hot = (0L until 60L).map(i => (i, 7L)).toDF("id", "bucket")
+    withConf("graft.dedup.targetPairsPerTask" -> "500") {
+      assert(Dedup.saltForExplode(hot, hot, Seq("bucket")) == 8)
+    }
+    // asymmetric: hot 60 × replicated max 3 = 180 emitted; target 100 → 2
+    val small = Seq((100L, 7L), (101L, 7L), (102L, 7L), (103L, 8L))
+      .toDF("id", "bucket")
+    withConf("graft.dedup.targetPairsPerTask" -> "100") {
+      assert(Dedup.saltForExplode(hot, small, Seq("bucket")) == 2)
+    }
+    // clamp: enormous hot product never exceeds the 1024 ceiling
+    val huge = (0L until 3000L).map(i => (i, 1L)).toDF("id", "bucket")
+    withConf("graft.dedup.targetPairsPerTask" -> "1") {
+      assert(Dedup.saltForExplode(huge, huge, Seq("bucket")) == 1024)
+    }
+  }
+
+  test("candidate pairs are salt-invariant: explicit g=1/g=8 and auto agree") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") % 8 === 0)
+    def run() = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = run() // unset dial → census-derived
+    val g1 = withConf("graft.dedup.bucketSalt" -> "1")(run())
+    val g8 = withConf("graft.dedup.bucketSalt" -> "8")(run())
+    assert(auto.nonEmpty)
+    assert(g1 === auto, "g=1 changed the candidate set")
+    assert(g8 === auto, "g=8 changed the candidate set")
+  }
 }
