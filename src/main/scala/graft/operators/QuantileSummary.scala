@@ -58,6 +58,48 @@ object QuantileSummary {
     math.max(floor.toLong, math.min(maxGroupSize, maxExactCapacity.toLong)).toInt
   }
 
+  /** Default exactness ceiling when the `graft.quantile.maxExactCapacity`
+    * dial is unset: derived from the DEPLOYED memory and the MEASURED
+    * group count instead of a flat 2²⁰ (the defaultBroadcastSetBytes
+    * posture — the old flat ceiling forced the approximate regime at the
+    * 100× rung's 2.03M max group on a heap that could trivially afford
+    * exactness). The binding state is map-side combine: every
+    * concurrently running task's hash aggregation can hold ALL groups
+    * at once, so per-JVM worst case = tasks · nGroups · (capacity+1)
+    * doubles, ×2 slack for merge-time copies and the Kryo buffer.
+    * Budgeting that at ≤ heap/6 gives
+    * ceiling = heap / (96 · tasks · nGroups) elements. Clamps:
+    * floor 2²⁰ (the historical default — deriving may only ever BUY
+    * exactness, never regress it; the floor is safe because groups
+    * beyond any ceiling degrade to the documented Munro-Paterson
+    * rank-error regime, not OOM) and cap 2²⁴ (one level-0 buffer =
+    * 128 MB/group — past that, approximate is the honest answer).
+    */
+  def derivedCeiling(heapBytes: Long, concurrentTasks: Int, nGroups: Long): Int = {
+    require(heapBytes >= 1 && concurrentTasks >= 1,
+      s"need positive heap/tasks, got ($heapBytes, $concurrentTasks)")
+    val denom = 96L * concurrentTasks * math.max(1L, nGroups)
+    math.max(1L << 20, math.min(1L << 24, heapBytes / denom)).toInt
+  }
+
+  /** Spark-bound wrapper for [[derivedCeiling]]: aggregation state lives
+    * on the EXECUTORS (never collected), so the binding heap is the
+    * executors' (`spark.executor.memory`, Spark's own 1g default when
+    * unset — the conservative answer for unknown executors); local mode
+    * is the one JVM heap. Concurrent tasks per JVM: executor cores
+    * (cluster) / scheduler parallelism (local).
+    */
+  def defaultMaxExactCapacity(spark: org.apache.spark.sql.SparkSession,
+                              nGroups: Long): Int = {
+    val sc = spark.sparkContext
+    val (heap, tasks) =
+      if (sc.isLocal) (Runtime.getRuntime.maxMemory, sc.defaultParallelism)
+      else (org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+              spark.conf.get("spark.executor.memory", "1g")),
+            spark.conf.get("spark.executor.cores", "1").toInt)
+    derivedCeiling(heap, math.max(1, tasks), nGroups)
+  }
+
   /** Per-group result: exact count and the requested percentile values
     * (parallel to the Aggregator's `percents`).
     */

@@ -369,7 +369,9 @@ object CorpusQueries {
   // combined count census measures the max group size and
   // QuantileSummary.capacityFor sizes the summary to it (floor 4096 —
   // the historical gate capacity — ceiling `graft.quantile.
-  // maxExactCapacity`, default 2²⁰ ≈ 8 MB/group of level-0 buffer), so
+  // maxExactCapacity`; unset, the ceiling derives from the deployed
+  // executor heap and the measured group count, clamped to
+  // [2²⁰, 2²⁴] — see QuantileSummary.defaultMaxExactCapacity), so
   // the n ≤ capacity EXACT contract holds at whatever scale the query
   // actually runs — sf0.01 (~2k/group), sf0.1 (~20k), sf1 (~200k) —
   // and the result is the EXACT type-1 order statistic (rank
@@ -383,11 +385,16 @@ object CorpusQueries {
   // shape when groups have billions of rows.
   def q107(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).filter(col("value").isNotNull)
-    val maxGroupRow = ev.groupBy("event_type").count()
-      .agg(max("count").as("mx")).head()
-    val maxGroup = if (maxGroupRow.isNullAt(0)) 0L else maxGroupRow.getLong(0)
+    val censusRow = ev.groupBy("event_type").count()
+      .agg(max("count").as("mx"), count(lit(1)).as("groups")).head()
+    val maxGroup = if (censusRow.isNullAt(0)) 0L else censusRow.getLong(0)
+    val nGroups = censusRow.getLong(1)
+    // unset ceiling derives from deployed heap + the measured group
+    // count (defaultMaxExactCapacity — see its scaladoc for the memory
+    // model); the explicit dial always wins
     val ceiling = s.conf.getOption("graft.quantile.maxExactCapacity")
-      .map(_.toInt).getOrElse(1 << 20)
+      .map(_.toInt).getOrElse(
+        graft.operators.QuantileSummary.defaultMaxExactCapacity(s, nGroups))
     val capacity = graft.operators.QuantileSummary.capacityFor(
       maxGroup, maxExactCapacity = ceiling)
     val qagg = udaf(

@@ -368,6 +368,29 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](capacityFor(1L, floor = 64, maxExactCapacity = 8))
   }
 
+  test("derived quantile ceiling: heap/tasks/groups model with both clamps") {
+    import graft.operators.QuantileSummary.{derivedCeiling, defaultMaxExactCapacity}
+    // 48g heap, 32 tasks, 5 groups: 48e9/(96*32*5) ~ 3.1M — above the
+    // 2^20 flat default (the sf10 regime this derivation exists for),
+    // below the 2^24 cap
+    val mid = derivedCeiling(48L << 30, 32, 5L)
+    assert(mid > (1 << 20) && mid < (1 << 24), s"mid-range derivation, got $mid")
+    assert(mid === ((48L << 30) / (96L * 32 * 5)).toInt)
+    // small heap or many groups floors at the historical 2^20 — the
+    // derivation may only ever BUY exactness, never regress it
+    assert(derivedCeiling(1L << 30, 32, 5L) === (1 << 20))
+    assert(derivedCeiling(48L << 30, 32, 1000000L) === (1 << 20))
+    // giant heap caps at 2^24 (128 MB/group level-0 buffer)
+    assert(derivedCeiling(1L << 50, 1, 1L) === (1 << 24))
+    // zero measured groups (empty input) behaves as one group
+    assert(derivedCeiling(48L << 30, 32, 0L) === derivedCeiling(48L << 30, 32, 1L))
+    intercept[IllegalArgumentException](derivedCeiling(0L, 32, 5L))
+    // the spark-bound wrapper resolves local heap/parallelism and stays
+    // within the clamp bounds
+    val d = defaultMaxExactCapacity(spark, 5L)
+    assert(d >= (1 << 20) && d <= (1 << 24))
+  }
+
   test("q107 census sizes capacity above the floor: exact on a 5000-row group") {
     val s = spark
     import s.implicits._
