@@ -1010,79 +1010,144 @@ object Dedup {
     * super-cluster (GenScale replica corpora, boilerplate floods) makes
     * one bucket carry most of the corpus's quadratic pair mass
     * (measured at the sf3 probe AFTER the width pin: 216 of ~290 busy
-    * core-seconds still in a single task). The left side gets
+    * core-seconds still in a single task). Salting: the left side gets
     * salt = xxhash64(id) % g; the right side replicates each row g
     * times, one per salt — every qualifying pair still meets EXACTLY
     * once (at the left row's salt), so the candidate set is identical
     * by construction, while a hot bucket's m²/2 pairs spread over g
-    * tasks (max task work m²/g). Cost: the replicated side's slim rows
-    * ship g× through one exchange — bands·g rows per document, bytes
-    * not pairs. Explicit `graft.dedup.bucketSalt` dials g; UNSET, g is
-    * CENSUS-DERIVED per the suite's measured-not-guessed posture (see
-    * [[saltForExplode]]). Pass the SMALLER frame as `replicate` so the
-    * g× inflation lands on the cheaper side (the q39 salted-join
-    * asymmetry). g = 1 short-circuits to the unsalted width-pinned
-    * join — no replication, no salt column.
+    * tasks (max task work m²/g).
+    *
+    * UNSET dial (the default): a HOT/COLD SPLIT — [[hotCensus]] finds
+    * the buckets whose exact pair product exceeds the per-task target,
+    * and ONLY rows in those buckets pay the g× replication; the cold
+    * mass (virtually the whole corpus) takes the plain width-pinned
+    * join and the two halves union. Replication cost is then hot rows
+    * × g, not corpus × g — full-frame replication at a census-scale g
+    * is the sf10 failure mode (290 GB of spill) the split prevents.
+    * Explicit `graft.dedup.bucketSalt` keeps the original FULL-FRAME
+    * semantics as the caller's informed escape hatch. Pass the SMALLER
+    * frame as `replicate` so the g× inflation lands on the cheaper
+    * side (the q39 salted-join asymmetry). g = 1 short-circuits to the
+    * unsalted width-pinned join — no replication, no salt column.
     */
   private def saltedExplodeJoin(salted: DataFrame, saltedIdCol: String,
       replicate: DataFrame, keys: Seq[String]): DataFrame = {
-    val g = salted.sparkSession.conf
+    def plain = spreadForExplode(salted, keys)
+      .join(spreadForExplode(replicate, keys), keys)
+    def saltJoin(l: DataFrame, r: DataFrame, g: Int): DataFrame = {
+      val ls = l.withColumn("__salt",
+        pmod(xxhash64(col(saltedIdCol)), lit(g.toLong)).cast("int"))
+      val rs = r.withColumn("__salt",
+        explode(array((0 until g).map(s => lit(s)): _*)))
+      spreadForExplode(ls, keys :+ "__salt")
+        .join(spreadForExplode(rs, keys :+ "__salt"), keys :+ "__salt")
+        .drop("__salt")
+    }
+    val explicit = salted.sparkSession.conf
       .getOption("graft.dedup.bucketSalt").map(_.toInt)
-      .getOrElse(saltForExplode(salted, replicate, keys))
-    require(g >= 1 && g <= 1024,
-      s"graft.dedup.bucketSalt must be in [1, 1024], got $g")
-    if (g == 1)
-      return spreadForExplode(salted, keys)
-        .join(spreadForExplode(replicate, keys), keys)
-    val ls = salted.withColumn("__salt",
-      pmod(xxhash64(col(saltedIdCol)), lit(g.toLong)).cast("int"))
-    val rs = replicate.withColumn("__salt",
-      explode(array((0 until g).map(s => lit(s)): _*)))
-    spreadForExplode(ls, keys :+ "__salt")
-      .join(spreadForExplode(rs, keys :+ "__salt"), keys :+ "__salt")
-      .drop("__salt")
+    explicit.foreach(g => require(g >= 1 && g <= 1024,
+      s"graft.dedup.bucketSalt must be in [1, 1024], got $g"))
+    explicit match {
+      // the explicit dial keeps its original full-frame semantics — the
+      // caller's informed escape hatch (e.g. an index that grows under
+      // an unchanged plan where the memoized census under-salts)
+      case Some(1) => plain
+      case Some(g) => saltJoin(salted, replicate, g)
+      case None =>
+        val (g, hotHashes) = hotCensus(salted, replicate, keys)
+        if (g == 1 || hotHashes.isEmpty) plain
+        else {
+          // HOT/COLD SPLIT: only rows in censused hot buckets pay the
+          // g× replication. Routing key is xxhash64 of the join keys —
+          // both sides compute it identically, so a (vanishingly rare)
+          // cold bucket colliding with a hot hash just routes WITH the
+          // hot path consistently: extra benign salting, never a lost
+          // or duplicated pair. Full-frame replication at census-scale
+          // g is exactly the sf10 failure this split exists to prevent
+          // (11.5M banded rows × g=625 ≈ 290 GB of shuffle spill).
+          val hk = xxhash64(keys.map(col): _*)
+          val isHot = hk.isInCollection(hotHashes)
+          val cold = spreadForExplode(salted.filter(!isHot), keys)
+            .join(spreadForExplode(replicate.filter(!isHot), keys), keys)
+          cold.unionByName(
+            saltJoin(salted.filter(isHot), replicate.filter(isHot), g))
+        }
+    }
   }
 
-  /** Census-derived salt granularity for [[saltedExplodeJoin]]: the max
-    * rows ONE task can be handed is bounded by the hottest key-group's
-    * emitted-row product, maxₖ(mₗ(k)·mᵣ(k)) ≤ maxₖmₗ · maxₖmᵣ — two
-    * single-pass max-group-size censuses over the slim pre-join frames,
-    * no census join (the product-of-maxes overestimate only ever picks
-    * a LARGER g, and g's cost is linear slim-row replication while the
-    * skew it prevents is quadratic pair mass in one task). g is that
-    * bound divided by `graft.dedup.targetPairsPerTask` (default 4M
-    * emitted rows ≈ 1–2 s of screen+verify work per task at measured
-    * sf3 throughput), clamped to [1, 1024]. Flat corpora (hot buckets
-    * of a handful of docs — every gate-scale table) derive g = 1 and
-    * skip salting entirely; the GenScale replica corpus at sf3 derives
-    * g within 2× of the previously hand-pinned 16.
+  /** Census-derived salt for [[saltedExplodeJoin]]: ONE census join of
+    * the two per-key count frames finds every HOT bucket — a key whose
+    * exact emitted-row product mₗ(k)·mᵣ(k) exceeds
+    * `graft.dedup.targetPairsPerTask` (default 4M emitted rows ≈ 1–2 s
+    * of screen+verify work per task at measured sf3 throughput) — and
+    * g = ceil(maxₖ product / target), clamped to [1, 1024]. The census
+    * frames are metadata-sized (one row per occupied bucket), so the
+    * join is cheap next to the corpus-sized inputs it describes. Flat
+    * corpora (hot buckets of a handful of docs — every gate-scale
+    * table) find NO hot bucket and skip salting entirely.
+    *
+    * Two explicit safety rails, both dialed:
+    *  - g is ALSO capped so the hot-side replication volume
+    *    (hot replicate rows × g) stays under
+    *    `graft.dedup.maxSaltVolumeRows` (default 64M slim rows ≈ a few
+    *    GB of shuffle) — past the cap the worst task runs longer than
+    *    target but the exchange can never flood local disk (the sf10
+    *    lesson: an uncapped derived g spilled ~290 GB and took the
+    *    host's free space to zero mid-sweep);
+    *  - the collected hot-hash list is `require`d under
+    *    `graft.dedup.maxHotBuckets` (default 2^17 ≈ 1 MB of driver
+    *    longs) — more hot buckets than that means the corpus needs
+    *    exact dedup first (the operator's documented precondition),
+    *    and the census refuses loudly instead of collecting unbounded.
     *
     * Memoized per (analyzed-plan, keys) semantic hash: a long-running
-    * session (bench steady state, incremental batches) pays the two
-    * census jobs once per distinct frame shape. An index that GROWS
-    * under an unchanged plan (dedupIncrement appends within one
-    * session) can under-salt later batches — a task-granularity
-    * effect only, never a result change; restart the session or set
-    * the explicit dial for a corpus that grows 100× in-session.
+    * session (bench steady state, incremental batches) pays the census
+    * once per distinct frame shape. An index that GROWS under an
+    * unchanged plan (dedupIncrement appends within one session) can
+    * under-salt later batches — a task-granularity effect only, never
+    * a result change; restart the session or set the explicit dial for
+    * a corpus that grows 100× in-session.
     */
-  private val saltMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Long, Long, Seq[String]), Int]
-  def saltForExplode(l: DataFrame, r: DataFrame, keys: Seq[String]): Int = {
-    val target = l.sparkSession.conf
-      .getOption("graft.dedup.targetPairsPerTask").map(_.toLong)
-      .getOrElse(4L << 20)
+  private val saltMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Long, Long, Seq[String]), (Int, Seq[Long])]
+  def saltForExplode(l: DataFrame, r: DataFrame, keys: Seq[String]): Int =
+    hotCensus(l, r, keys)._1
+  private[graft] def hotCensus(l: DataFrame, r: DataFrame,
+      keys: Seq[String]): (Int, Seq[Long]) = {
+    val conf = l.sparkSession.conf
+    val target = conf.getOption("graft.dedup.targetPairsPerTask")
+      .map(_.toLong).getOrElse(4L << 20)
     require(target >= 1L, s"graft.dedup.targetPairsPerTask must be >= 1, got $target")
+    val volumeCap = conf.getOption("graft.dedup.maxSaltVolumeRows")
+      .map(_.toLong).getOrElse(64L << 20)
+    require(volumeCap >= 1L, s"graft.dedup.maxSaltVolumeRows must be >= 1, got $volumeCap")
+    val maxHot = conf.getOption("graft.dedup.maxHotBuckets")
+      .map(_.toInt).getOrElse(1 << 17)
     def hash(df: DataFrame): Long =
       df.queryExecution.analyzed.semanticHash().toLong
     val memoKey = (hash(l), hash(r), keys)
     saltMemo.computeIfAbsent(memoKey, { _ =>
-      def hot(df: DataFrame): Long = {
-        val row = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
-          .agg(max(col("c"))).head()
-        if (row.isNullAt(0)) 0L else row.getLong(0)
+      def counts(df: DataFrame, as: String): DataFrame =
+        df.groupBy(keys.map(col): _*).agg(count(lit(1)).as(as))
+      val hot = counts(l, "__cl").join(counts(r, "__cr"), keys)
+        .select(xxhash64(keys.map(col): _*).as("__hk"),
+          (col("__cl") * col("__cr")).as("__p"), // ≤ (2^31)² — no overflow risk
+          col("__cr"))
+        .filter(col("__p") > target)
+        .limit(maxHot + 1)
+        .collect()
+      require(hot.length <= maxHot,
+        s"hot-bucket census found more than $maxHot buckets over " +
+          s"$target pairs — run exact dedup first or raise graft.dedup.maxHotBuckets")
+      if (hot.isEmpty) (1, Nil)
+      else {
+        val maxP = hot.iterator.map(_.getLong(1)).max
+        val hotRowsR = math.max(1L, hot.iterator.map(_.getLong(2)).sum)
+        val gPairs = (maxP + target - 1L) / target
+        val gVolume = math.max(1L, volumeCap / hotRowsR)
+        val g = math.min(1024L, math.max(1L, math.min(gPairs, gVolume))).toInt
+        (g, hot.map(_.getLong(0)).toSeq)
       }
-      val product = hot(l) * hot(r) // ≤ (2^31)² — no overflow risk
-      math.min(1024L, math.max(1L, (product + target - 1L) / target)).toInt
     })
   }
 

@@ -562,6 +562,67 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hot census: exact products pick the hot set; volume cap and refusal rail") {
+    val s = spark
+    import s.implicits._
+    // two buckets over a 10-pair target (4×4=16, 5×5=25), one under (2×2=4):
+    // census returns g from the MAX product and exactly the two hot hashes
+    val f = (0L until 4L).map(i => (i, 70L)) ++
+      (10L until 15L).map(i => (i, 71L)) ++ Seq((20L, 72L), (21L, 72L))
+    val df = f.toDF("id", "bkt")
+    withConf("graft.dedup.targetPairsPerTask" -> "10") {
+      val (g, hot) = Dedup.hotCensus(df, df, Seq("bkt"))
+      assert(g == 3, s"ceil(25/10) = 3, got $g") // max product 25
+      assert(hot.size == 2, s"two hot buckets, got ${hot.size}")
+    }
+    // volume cap binds g below the pair-derived value: hot replicate
+    // rows = 9 (4+5), cap 18 rows → g ≤ 2 even though pairs want 3
+    val df2 = f.map { case (i, b) => (i, b + 100L) }.toDF("id", "bkt")
+    withConf("graft.dedup.targetPairsPerTask" -> "10",
+             "graft.dedup.maxSaltVolumeRows" -> "18") {
+      val (g, hot) = Dedup.hotCensus(df2, df2, Seq("bkt"))
+      assert(g == 2, s"volume cap 18/9 = 2 must bind, got $g")
+      assert(hot.size == 2)
+    }
+    // more hot buckets than the rail allows → loud refusal, not an
+    // unbounded driver collect
+    val df3 = f.map { case (i, b) => (i, b + 200L) }.toDF("id", "bkt")
+    withConf("graft.dedup.targetPairsPerTask" -> "1",
+             "graft.dedup.maxHotBuckets" -> "2") {
+      val e = intercept[IllegalArgumentException](
+        Dedup.hotCensus(df3, df3, Seq("bkt")))
+      assert(e.getMessage.contains("maxHotBuckets"))
+    }
+  }
+
+  test("hot/cold split engages and preserves the candidate set") {
+    val s = spark
+    import s.implicits._
+    // 24 identical docs (every band bucket 24-wide: hot under target 50)
+    // plus distinct docs that stay cold — the derived path must split
+    // and still emit exactly the pairs the unsalted g=1 plan emits
+    val docs = ((0L until 24L).map(i => (i, "alpha beta gamma delta epsilon zeta eta theta")) ++
+      (100L until 140L).map(i => (i, s"unique text body number $i with trailing words ${i * 7}")))
+      .toDF("doc_id", "text")
+    def run() = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // engagement proof: with the hot-bucket rail at 0 the census MUST
+    // refuse — i.e. this corpus genuinely has hot buckets under target
+    // 50, so the `auto` run below exercises the split path, not the
+    // plain fallback (a refusal never memoizes, so the next run is clean)
+    withConf("graft.dedup.targetPairsPerTask" -> "50",
+             "graft.dedup.maxHotBuckets" -> "0") {
+      intercept[IllegalArgumentException](run())
+    }
+    val auto = withConf("graft.dedup.targetPairsPerTask" -> "50")(run())
+    val g1 = withConf("graft.dedup.bucketSalt" -> "1")(run())
+    assert(auto.nonEmpty, "planted duplicates must produce candidate pairs")
+    assert(auto === g1, "hot/cold split changed the candidate set")
+    assert(auto.exists { case (a, b) => a < 24L && b < 24L },
+      "duplicate cluster pairs present")
+  }
+
   test("candidate pairs are salt-invariant: explicit g=1/g=8 and auto agree") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") % 8 === 0)
     def run() = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4)
