@@ -727,8 +727,10 @@ object Dedup {
     * batch — (new × corpus) ∪ (new × new) — against a corpus represented
     * ONLY by its [[nearDupIndex]]. The corpus text is never re-read:
     * candidates come from equi-joining the batch's band buckets to the
-    * index's (for a daily batch ≪ corpus, AQE broadcasts the batch side,
-    * so the index scan is shuffle-free); verification equi-joins the
+    * index's (for a daily batch ≪ corpus, [[saltedExplodeJoin]]'s
+    * broadcast fast path ships the batch side — under
+    * `graft.dedup.maxBroadcastBandRows` the index scan is shuffle-free
+    * and no census job runs); verification equi-joins the
     * candidate list to the stored hashed sets. Batch-internal dups use
     * the same one-bucket-shuffle self-join as the backfill.
     *
@@ -1017,7 +1019,13 @@ object Dedup {
     * by construction, while a hot bucket's m²/2 pairs spread over g
     * tasks (max task work m²/g).
     *
-    * UNSET dial (the default): a HOT/COLD SPLIT — [[hotCensus]] finds
+    * UNSET dial (the default): first a BROADCAST fast path — when the
+    * replicate side is batch-sized (`graft.dedup.maxBroadcastBandRows`,
+    * memoized exact count), it broadcasts and no census, salt, or
+    * probe-side repartition happens at all (a broadcast join has no
+    * post-shuffle exchange to coalesce and spreads a hot bucket across
+    * the probe side's partitions by construction); past the bound, a
+    * HOT/COLD SPLIT — [[hotCensus]] finds
     * the buckets whose exact pair product exceeds the per-task target,
     * and ONLY rows in those buckets pay the g× replication; the cold
     * mass (virtually the whole corpus) takes the plain width-pinned
@@ -1054,6 +1062,43 @@ object Dedup {
       case Some(1) => plain
       case Some(g) => saltJoin(salted, replicate, g)
       case None =>
+        // STEADY-STATE fast path BEFORE any census: when the replicate
+        // side is batch-sized (a daily increment's banded rows, or a
+        // gate-scale corpus), BROADCAST it instead of censusing and
+        // repartitioning. A broadcast join needs neither the width pin
+        // (no post-shuffle exchange for AQE to coalesce — parallelism
+        // is the probe side's scan/cache partitioning) nor the salt (a
+        // hot bucket's probe rows are already spread across the probe
+        // side's partitions), and it keeps dedupIncrement's contract
+        // that the corpus-sized index is never shuffled per batch. The
+        // row bound is a dial (`graft.dedup.maxBroadcastBandRows`,
+        // default 256k slim banded rows ≈ ~50 MB pinned — measured
+        // break-even: a ~200k-row broadcast still wins at sf1, a
+        // ~400k-row one loses ~25% to the censused shuffle)
+        // chosen so every measured at-scale corpus (sf1+: ≥ 800k
+        // banded rows) keeps its censused salted-shuffle plan. The
+        // count is memoized per plan shape like the census and runs on
+        // the (persisted) replicate frame the join materializes anyway.
+        val bcastRows = conf(salted, "graft.dedup.maxBroadcastBandRows",
+          256L << 10)
+        if (bcastRows > 0 && memoizedCount(replicate) <= bcastRows) {
+          // The probe side must still be WIDE: a slim banded parquet
+          // (a few MB of index files) scans as ONE split, and a serial
+          // probe re-creates the single-task explode this whole
+          // apparatus exists to prevent (measured: q85 sf1 10 → 71 s
+          // when the fast path probed the 1-split index directly). At
+          // the 100 TB operating mode the index has thousands of
+          // splits and probes shuffle-free; only a scan narrower than
+          // half the session width pays a round-robin repartition —
+          // bytes of slim banded rows, and a broadcast join needs no
+          // key clustering.
+          val width = salted.sparkSession.conf
+            .get("spark.sql.shuffle.partitions").toInt
+          val probe =
+            if (salted.rdd.getNumPartitions >= math.max(2, width / 2)) salted
+            else salted.repartition(width)
+          probe.join(broadcast(replicate), keys)
+        } else {
         val (g, hotHashes) = hotCensus(salted, replicate, keys)
         if (g == 1 || hotHashes.isEmpty) plain
         else {
@@ -1072,7 +1117,30 @@ object Dedup {
           cold.unionByName(
             saltJoin(salted.filter(isHot), replicate.filter(isHot), g))
         }
+        }
     }
+  }
+
+  /** Read a long-valued graft dial with a default; validated ≥ 0. */
+  private def conf(df: DataFrame, key: String, dflt: Long): Long = {
+    val v = df.sparkSession.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+    require(v >= 0L, s"$key must be >= 0, got $v")
+    v
+  }
+
+  /** Memoized exact row count per analyzed-plan shape — the broadcast
+    * fast-path sizing in [[saltedExplodeJoin]]. Same memo caveats as
+    * [[hotCensus]]: a frame that grows under an unchanged plan reuses
+    * the stale count (granularity/plan-choice effect only, never a
+    * result change), and the map is cleared past a bound so a
+    * long-running ingest session cannot accumulate driver state.
+    */
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]
+  private def memoizedCount(df: DataFrame): Long = {
+    if (countMemo.size > 1024) countMemo.clear()
+    countMemo.computeIfAbsent(
+      df.queryExecution.analyzed.semanticHash().toLong, _ => df.count())
   }
 
   /** Census-derived salt for [[saltedExplodeJoin]]: ONE census join of
@@ -1100,16 +1168,21 @@ object Dedup {
     *    exact dedup first (the operator's documented precondition),
     *    and the census refuses loudly instead of collecting unbounded.
     *
-    * Memoized per (analyzed-plan, keys) semantic hash: a long-running
-    * session (bench steady state, incremental batches) pays the census
-    * once per distinct frame shape. An index that GROWS under an
-    * unchanged plan (dedupIncrement appends within one session) can
-    * under-salt later batches — a task-granularity effect only, never
-    * a result change; restart the session or set the explicit dial for
-    * a corpus that grows 100× in-session.
+    * Memoized per (analyzed-plan, keys, dials) — retuning a dial
+    * mid-session re-censuses rather than silently reusing the old
+    * pricing — and the memo is size-bounded (cleared past 64 entries)
+    * so a long-lived ingest session cannot accumulate driver state. An
+    * index that GROWS under an unchanged plan (dedupIncrement appends
+    * within one session) can under-salt later batches — a
+    * task-granularity effect only, never a result change; restart the
+    * session or set the explicit dial for a corpus that grows 100×
+    * in-session. NOTE the census (like dedupIncrement's sizing
+    * aggregation) runs Spark jobs at PLAN-CONSTRUCTION time — building
+    * the pairs frame is not lazy, and the maxHotBuckets refusal throws
+    * from the builder, not the first action.
     */
   private val saltMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Long, Long, Seq[String]), (Int, Seq[Long])]
+    (Long, Long, Seq[String], Long, Long, Int), (Int, Seq[Long])]
   def saltForExplode(l: DataFrame, r: DataFrame, keys: Seq[String]): Int =
     hotCensus(l, r, keys)._1
   private[graft] def hotCensus(l: DataFrame, r: DataFrame,
@@ -1123,9 +1196,20 @@ object Dedup {
     require(volumeCap >= 1L, s"graft.dedup.maxSaltVolumeRows must be >= 1, got $volumeCap")
     val maxHot = conf.getOption("graft.dedup.maxHotBuckets")
       .map(_.toInt).getOrElse(1 << 17)
+    // 0 is legal (an engagement probe: ANY hot bucket refuses);
+    // negative would silently disarm both the refusal rail and the
+    // salting (limit(0) collects nothing), so it errors loudly
+    require(maxHot >= 0, s"graft.dedup.maxHotBuckets must be >= 0, got $maxHot")
     def hash(df: DataFrame): Long =
       df.queryExecution.analyzed.semanticHash().toLong
-    val memoKey = (hash(l), hash(r), keys)
+    // the dials are PART of the key: retuning targetPairsPerTask (or
+    // either rail) mid-session must re-census, not silently reuse the
+    // old pricing
+    val memoKey = (hash(l), hash(r), keys, target, volumeCap, maxHot)
+    // bound the memo so a long-lived ingest session (a new batch plan
+    // per day, each entry up to maxHotBuckets longs) cannot accumulate
+    // unbounded driver state: past the bound, drop and re-census
+    if (saltMemo.size > 64) saltMemo.clear()
     saltMemo.computeIfAbsent(memoKey, { _ =>
       def counts(df: DataFrame, as: String): DataFrame =
         df.groupBy(keys.map(col): _*).agg(count(lit(1)).as(as))

@@ -87,7 +87,14 @@ object QuantileSummary {
     * executors' (`spark.executor.memory`, Spark's own 1g default when
     * unset — the conservative answer for unknown executors); local mode
     * is the one JVM heap. Concurrent tasks per JVM: executor cores
-    * (cluster) / scheduler parallelism (local).
+    * (cluster) / scheduler parallelism (local). When
+    * `spark.executor.cores` is UNSET in cluster mode the real
+    * concurrency is deployment-dependent (YARN defaults to 1, but a
+    * standalone executor runs one task per WORKER core), so the
+    * conservative assumption is a 16-core worker: over-counting tasks
+    * only shrinks the ceiling toward the documented-approximate regime
+    * (floored at the historical 2²⁰), while under-counting is the OOM
+    * direction the heap/6 budget exists to prevent.
     */
   def defaultMaxExactCapacity(spark: org.apache.spark.sql.SparkSession,
                               nGroups: Long): Int = {
@@ -96,7 +103,8 @@ object QuantileSummary {
       if (sc.isLocal) (Runtime.getRuntime.maxMemory, sc.defaultParallelism)
       else (org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
               spark.conf.get("spark.executor.memory", "1g")),
-            spark.conf.get("spark.executor.cores", "1").toInt)
+            spark.conf.getOption("spark.executor.cores").map(_.toInt)
+              .getOrElse(16))
     derivedCeiling(heap, math.max(1, tasks), nGroups)
   }
 

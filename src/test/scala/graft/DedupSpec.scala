@@ -593,6 +593,22 @@ class DedupSpec extends SparkSpec {
         Dedup.hotCensus(df3, df3, Seq("bkt")))
       assert(e.getMessage.contains("maxHotBuckets"))
     }
+    // a NEGATIVE rail is a loud error, not a silent disarm of both the
+    // refusal guard and the salting (limit(0) would collect nothing)
+    withConf("graft.dedup.maxHotBuckets" -> "-1") {
+      val e = intercept[IllegalArgumentException](
+        Dedup.hotCensus(df3, df3, Seq("bkt")))
+      assert(e.getMessage.contains(">= 0"))
+    }
+    // the dials are PART of the memo key: retuning the target on the
+    // SAME frames re-censuses instead of reusing the stale pricing
+    // (df was censused above at target 10 → g 3; at 24 only the 25-pair
+    // bucket stays hot and g = ceil(25/24) = 2)
+    withConf("graft.dedup.targetPairsPerTask" -> "24") {
+      val (g, hot) = Dedup.hotCensus(df, df, Seq("bkt"))
+      assert(g == 2, s"retuned target must re-census: expected 2, got $g")
+      assert(hot.size == 1)
+    }
   }
 
   test("hot/cold split engages and preserves the candidate set") {
@@ -610,12 +626,16 @@ class DedupSpec extends SparkSpec {
     // engagement proof: with the hot-bucket rail at 0 the census MUST
     // refuse — i.e. this corpus genuinely has hot buckets under target
     // 50, so the `auto` run below exercises the split path, not the
-    // plain fallback (a refusal never memoizes, so the next run is clean)
+    // plain fallback (a refusal never memoizes, so the next run is
+    // clean). maxBroadcastBandRows=0 pins PAST the broadcast fast path
+    // — a corpus this small would otherwise broadcast and never census.
     withConf("graft.dedup.targetPairsPerTask" -> "50",
+             "graft.dedup.maxBroadcastBandRows" -> "0",
              "graft.dedup.maxHotBuckets" -> "0") {
       intercept[IllegalArgumentException](run())
     }
-    val auto = withConf("graft.dedup.targetPairsPerTask" -> "50")(run())
+    val auto = withConf("graft.dedup.targetPairsPerTask" -> "50",
+                        "graft.dedup.maxBroadcastBandRows" -> "0")(run())
     val g1 = withConf("graft.dedup.bucketSalt" -> "1")(run())
     assert(auto.nonEmpty, "planted duplicates must produce candidate pairs")
     assert(auto === g1, "hot/cold split changed the candidate set")
@@ -628,11 +648,44 @@ class DedupSpec extends SparkSpec {
     def run() = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val auto = run() // unset dial → census-derived
+    val auto = run() // unset dials → broadcast fast path at this scale
+    val census = withConf("graft.dedup.maxBroadcastBandRows" -> "0")(run())
     val g1 = withConf("graft.dedup.bucketSalt" -> "1")(run())
     val g8 = withConf("graft.dedup.bucketSalt" -> "8")(run())
     assert(auto.nonEmpty)
+    assert(census === auto, "census path changed the candidate set")
     assert(g1 === auto, "g=1 changed the candidate set")
     assert(g8 === auto, "g=8 changed the candidate set")
+  }
+
+  test("broadcast fast path: batch-sized increments never shuffle the index") {
+    val s = spark
+    import s.implicits._
+    val corpus = (0L until 80L)
+      .map(i => (i, s"common prefix words body $i tail ${i % 7} end"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1000L, "common prefix words body 3 tail 3 end"),
+      (1001L, "entirely unrelated fresh content nothing shared here"))
+      .toDF("doc_id", "text")
+    val (ib, is) = Dedup.nearDupIndex(corpus, "doc_id", "text", 3, 16, 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = Dedup.dedupIncrement(ib, is, batch, "doc_id", "text",
+      3, 0.6, 16, 16)
+    // the batch side is under the default row bound → both candidate
+    // joins broadcast: no ShuffleExchange may touch the index's banded
+    // frame (the steady-state contract: daily ingest never pays an
+    // O(corpus) exchange)
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected a broadcast candidate join in:\n$plan")
+    val viaCensus = withConf("graft.dedup.maxBroadcastBandRows" -> "0") {
+      Dedup.dedupIncrement(ib, is, batch, "doc_id", "text", 3, 0.6, 16, 16)
+    }
+    assert(pairs(fast) === pairs(viaCensus),
+      "broadcast fast path changed the verified pair set")
+    assert(pairs(fast).nonEmpty, "planted near-dup must verify")
   }
 }
