@@ -1021,7 +1021,8 @@ object Dedup {
     *
     * UNSET dial (the default): first a BROADCAST fast path — when the
     * replicate side is batch-sized (`graft.dedup.maxBroadcastBandRows`,
-    * memoized exact count), it broadcasts and no census, salt, or
+    * bounded limit(bound+1) probe count — never a memoized or full
+    * count), it broadcasts and no census, salt, or
     * probe-side repartition happens at all (a broadcast join has no
     * post-shuffle exchange to coalesce and spreads a hot bucket across
     * the probe side's partitions by construction); past the bound, a
@@ -1077,25 +1078,41 @@ object Dedup {
         // ~400k-row one loses ~25% to the censused shuffle)
         // chosen so every measured at-scale corpus (sf1+: ≥ 800k
         // banded rows) keeps its censused salted-shuffle plan. The
-        // count is memoized per plan shape like the census and runs on
-        // the (persisted) replicate frame the join materializes anyway.
+        // sizing probe is a BOUNDED count — limit(bound+1).count() —
+        // so it is NOT memoized: it costs at most bound+1 rows per
+        // call, and a frame that grows past the bound under an
+        // unchanged plan exits the fast path on its next call (a
+        // memoized full count would keep force-broadcasting a
+        // day-1-sized frame that has since grown 100× — an OOM, not
+        // the benign granularity drift the census memo tolerates).
         val bcastRows = conf(salted, "graft.dedup.maxBroadcastBandRows",
-          256L << 10)
-        if (bcastRows > 0 && memoizedCount(replicate) <= bcastRows) {
+          256L << 10, min = 0L)
+        val fastPath = bcastRows > 0 && {
+          val probeLimit = (math.min(bcastRows, Int.MaxValue - 1L) + 1L).toInt
+          replicate.limit(probeLimit).count() <= bcastRows
+        }
+        if (fastPath) {
           // The probe side must still be WIDE: a slim banded parquet
           // (a few MB of index files) scans as ONE split, and a serial
           // probe re-creates the single-task explode this whole
           // apparatus exists to prevent (measured: q85 sf1 10 → 71 s
           // when the fast path probed the 1-split index directly). At
           // the 100 TB operating mode the index has thousands of
-          // splits and probes shuffle-free; only a scan narrower than
-          // half the session width pays a round-robin repartition —
-          // bytes of slim banded rows, and a broadcast join needs no
-          // key clustering.
+          // splits and probes shuffle-free. Only a DEGENERATE scan
+          // pays a round-robin repartition: fewer than
+          // min(width/2, 32) partitions. The 32 cap bounds the
+          // repartition regime by CONSTRUCTION — parquet splits are
+          // ≤ spark.sql.files.maxPartitionBytes (128 MB default), so
+          // fewer than 32 splits implies ≤ ~4 GB of slim banded rows
+          // and the one-pass exchange stays cheap regardless of how
+          // wide the session is; past 32 splits the parallelism is
+          // already adequate and the corpus-sized index is never
+          // reshuffled per batch (the steady-state contract).
           val width = salted.sparkSession.conf
             .get("spark.sql.shuffle.partitions").toInt
+          val minParts = math.min(math.max(2, width / 2), 32)
           val probe =
-            if (salted.rdd.getNumPartitions >= math.max(2, width / 2)) salted
+            if (salted.rdd.getNumPartitions >= minParts) salted
             else salted.repartition(width)
           probe.join(broadcast(replicate), keys)
         } else {
@@ -1121,26 +1138,12 @@ object Dedup {
     }
   }
 
-  /** Read a long-valued graft dial with a default; validated ≥ 0. */
-  private def conf(df: DataFrame, key: String, dflt: Long): Long = {
+  /** Read a long-valued graft dial with a default; validated ≥ min. */
+  private def conf(df: DataFrame, key: String, dflt: Long,
+                   min: Long): Long = {
     val v = df.sparkSession.conf.getOption(key).map(_.toLong).getOrElse(dflt)
-    require(v >= 0L, s"$key must be >= 0, got $v")
+    require(v >= min, s"$key must be >= $min, got $v")
     v
-  }
-
-  /** Memoized exact row count per analyzed-plan shape — the broadcast
-    * fast-path sizing in [[saltedExplodeJoin]]. Same memo caveats as
-    * [[hotCensus]]: a frame that grows under an unchanged plan reuses
-    * the stale count (granularity/plan-choice effect only, never a
-    * result change), and the map is cleared past a bound so a
-    * long-running ingest session cannot accumulate driver state.
-    */
-  private val countMemo =
-    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]
-  private def memoizedCount(df: DataFrame): Long = {
-    if (countMemo.size > 1024) countMemo.clear()
-    countMemo.computeIfAbsent(
-      df.queryExecution.analyzed.semanticHash().toLong, _ => df.count())
   }
 
   /** Census-derived salt for [[saltedExplodeJoin]]: ONE census join of
@@ -1187,19 +1190,15 @@ object Dedup {
     hotCensus(l, r, keys)._1
   private[graft] def hotCensus(l: DataFrame, r: DataFrame,
       keys: Seq[String]): (Int, Seq[Long]) = {
-    val conf = l.sparkSession.conf
-    val target = conf.getOption("graft.dedup.targetPairsPerTask")
-      .map(_.toLong).getOrElse(4L << 20)
-    require(target >= 1L, s"graft.dedup.targetPairsPerTask must be >= 1, got $target")
-    val volumeCap = conf.getOption("graft.dedup.maxSaltVolumeRows")
-      .map(_.toLong).getOrElse(64L << 20)
-    require(volumeCap >= 1L, s"graft.dedup.maxSaltVolumeRows must be >= 1, got $volumeCap")
-    val maxHot = conf.getOption("graft.dedup.maxHotBuckets")
-      .map(_.toInt).getOrElse(1 << 17)
-    // 0 is legal (an engagement probe: ANY hot bucket refuses);
-    // negative would silently disarm both the refusal rail and the
-    // salting (limit(0) collects nothing), so it errors loudly
-    require(maxHot >= 0, s"graft.dedup.maxHotBuckets must be >= 0, got $maxHot")
+    val target = conf(l, "graft.dedup.targetPairsPerTask", 4L << 20,
+      min = 1L)
+    val volumeCap = conf(l, "graft.dedup.maxSaltVolumeRows", 64L << 20,
+      min = 1L)
+    // maxHot = 0 is legal (an engagement probe: ANY hot bucket
+    // refuses); negative would silently disarm both the refusal rail
+    // and the salting (limit(0) collects nothing), so min = 0
+    val maxHot = conf(l, "graft.dedup.maxHotBuckets", 1L << 17,
+      min = 0L).toInt
     def hash(df: DataFrame): Long =
       df.queryExecution.analyzed.semanticHash().toLong
     // the dials are PART of the key: retuning targetPairsPerTask (or

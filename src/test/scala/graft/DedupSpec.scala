@@ -674,16 +674,22 @@ class DedupSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val fast = Dedup.dedupIncrement(ib, is, batch, "doc_id", "text",
       3, 0.6, 16, 16)
-    // the batch side is under the default row bound → both candidate
-    // joins broadcast: no ShuffleExchange may touch the index's banded
-    // frame (the steady-state contract: daily ingest never pays an
-    // O(corpus) exchange)
-    val plan = fast.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
-      s"expected a broadcast candidate join in:\n$plan")
     val viaCensus = withConf("graft.dedup.maxBroadcastBandRows" -> "0") {
       Dedup.dedupIncrement(ib, is, batch, "doc_id", "text", 3, 0.6, 16, 16)
     }
+    // the batch side is under the default row bound → both candidate
+    // joins broadcast and the index is never repartitioned/censused:
+    // the fast plan must carry strictly FEWER shuffle exchanges than
+    // the census plan (which width-pins both sides of both candidate
+    // joins). Note mere "contains BroadcastHashJoin" would pass on the
+    // census path too — the verify join broadcasts its sets side
+    // either way — so the assertion is on the exchange counts.
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      graft.tools.RegenPlanBudgets
+        .exchangeCounts(df.queryExecution.executedPlan.toString)._1
+    assert(shuffles(fast) < shuffles(viaCensus),
+      s"fast path must remove shuffle exchanges: fast=${shuffles(fast)} " +
+        s"census=${shuffles(viaCensus)}")
     assert(pairs(fast) === pairs(viaCensus),
       "broadcast fast path changed the verified pair set")
     assert(pairs(fast).nonEmpty, "planted near-dup must verify")
