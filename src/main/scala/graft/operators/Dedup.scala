@@ -446,6 +446,27 @@ object Dedup {
     jaccardVerify(cands.join(a, Seq("id_a")).join(b, Seq("id_b")), threshold, hashed)
   }
 
+  /** Geometric rungs the containment posting-cap budget chooses from.
+    * Floor = the legacy flat default (64), so the budgeted cap is never
+    * a recall REGRESSION vs the old dial; ceiling = 2^20 (a df beyond a
+    * million means corpus-scale boilerplate, q77's domain). Geometric
+    * spacing keeps the one-pass census to a handful of conditional sums
+    * while locating the affordable cap within a 4× factor — cap choice
+    * is a volume heuristic, not an exact optimum.
+    */
+  private[graft] val PostingCapLadder: Seq[Long] =
+    Seq(64L, 256L, 1024L, 4096L, 16384L, 65536L, 262144L, 1048576L)
+
+  /** Pick the largest ladder rung whose measured candidate mass fits the
+    * budget; returns (cap, mass at cap). `masses` must be ascending in
+    * cap (mass is monotone in cap by construction). Falls back to the
+    * smallest rung — the legacy floor — when even that rung's mass
+    * exceeds the budget (the old flat-64 behavior, never worse).
+    */
+  private[graft] def postingCapForBudget(masses: Seq[(Long, Long)],
+                                         budget: Long): (Long, Long) =
+    masses.filter(_._2 <= budget).lastOption.getOrElse(masses.head)
+
   /** Asymmetric CONTAINMENT near-dup pairs — the case symmetric Jaccard
     * structurally misses: a short document fully quoted inside a long
     * one has containment |A∩B|/|A| ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so
@@ -459,24 +480,44 @@ object Dedup {
     *
     * Scale shape: everything is equi-join/groupBy on the shingle or the
     * pair key. The quadratic hazard (a corpus-hot shingle's posting
-    * list self-joined) is bounded by the `graft.dedup.maxPostingDf`
-    * dial (default 64): shingles hotter than the cap are excluded from
-    * candidate generation, so per-shingle join work is ≤ cap² rows.
+    * list self-joined) is bounded two ways, both measured rather than
+    * guessed:
+    *
+    *  - TOTAL candidate volume is recall-BUDGETED: unset, the posting
+    *    cap is the largest rung of a geometric ladder (64 … 2^20) whose
+    *    measured candidate mass Σ_{df≤cap} df·(df−1)/2 — computed in the
+    *    SAME single aggregation pass the screen census already paid —
+    *    stays under `graft.dedup.maxContainmentPairs` (default
+    *    targetPairsPerTask × session shuffle width ≈ one wave of
+    *    target-sized verify tasks). The ladder floors at the legacy 64,
+    *    so recall is never WORSE than the old flat dial; an explicit
+    *    `graft.dedup.maxPostingDf` always wins (legacy semantics).
+    *  - PER-TASK work is salt-bounded: each admitted shingle's postings
+    *    carry a salt derived from its OWN df — the right side replicates
+    *    g(df) = 1 + (df·(df−1)/2) DIV targetPairsPerTask ways (1 for the
+    *    cold mass, so flat corpora pay nothing), the left side hashes
+    *    its id into [0, g) — so a hot posting list's quadratic pair mass
+    *    spreads across ~mass/target tasks instead of serializing in one
+    *    (the q22/q85 AQE lesson, here with df as a free census: no
+    *    hotCensus pass needed). Every pair still meets exactly once.
+    *
     * Recall contract: a qualifying pair is missed only if EVERY shingle
-    * the two documents share is corpus-hot — for threshold c that means
-    * c·|smaller| shared shingles, all with df > cap; boilerplate that
-    * common belongs to q77's repetition/boilerplate analysis, not
-    * pairwise dedup. The sf oracle runs the UNPRUNED all-pairs SQL and
-    * hash-matches (max df in the test corpora is 4 — the prune never
-    * fires there).
+    * the two documents share is hotter than the budgeted cap — for
+    * threshold c that means c·|smaller| shared shingles, all above a cap
+    * the budget could not afford; boilerplate that common belongs to
+    * q77's repetition/boilerplate analysis, not pairwise dedup. The sf
+    * oracle runs the UNPRUNED all-pairs SQL and hash-matches (max df in
+    * the test corpora is 4 — the prune never fires there).
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0, 1], got $threshold")
     val spark = df.sparkSession
-    val maxDf = spark.conf.getOption("graft.dedup.maxPostingDf")
-      .map(_.toLong).getOrElse(64L)
+    val explicitCap = spark.conf.getOption("graft.dedup.maxPostingDf")
+      .map(_.toLong)
+    explicitCap.foreach(v => require(v >= 1 && v <= (1L << 30),
+      s"graft.dedup.maxPostingDf must be in [1, 2^30], got $v"))
     // one shingle scan feeds the candidate postings AND the verification
     // sets — persist it, like lshVerifiedPairs' shingle stream
     val sh = trackPersist(
@@ -489,28 +530,63 @@ object Dedup {
         .groupBy(col(idCol))
         .agg(sort_array(collect_set(col("h"))).as("bm"))
         .withColumn("sz", size(col("bm")).cast("bigint")))
-    // posting-frequency frame: feeds the cold-shingle prune AND the
-    // screen-gate census (Σ df·(df−1)/2 over cold shingles is exactly
-    // the candidate volume the posting self-join emits, with
-    // multiplicity) — persisted so the census action is not paid twice
+    // posting-frequency frame: feeds the cap ladder, the cold-shingle
+    // prune, the per-shingle salt, AND the screen-gate census — persisted
+    // so the census action is not paid twice
     val dfFreq = trackPersist(
       sh.groupBy("shingle").agg(count(lit(1)).as("df")))
-    val candMass = {
-      val r = dfFreq.agg(sum(when(col("df") <= maxDf,
-        expr("(df * (df - 1)) DIV 2")).otherwise(lit(0L)))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    // ONE aggregation pass measures candidate mass at every ladder rung
+    // (or just the explicit cap) — same cost as the old single-cap census
+    val rungs = explicitCap.map(Seq(_)).getOrElse(PostingCapLadder)
+    val massAggs = rungs.map(c => sum(when(col("df") <= c,
+      expr("(df * (df - 1)) DIV 2")).otherwise(lit(0L))).as(s"m$c")) :+
+      max(col("df")).as("max_df")
+    val massRow = dfFreq.agg(massAggs.head, massAggs.tail: _*).head()
+    val masses = rungs.zipWithIndex.map { case (c, i) =>
+      c -> (if (massRow.isNullAt(i)) 0L else massRow.getLong(i)) }
+    val maxDfSeen =
+      if (massRow.isNullAt(rungs.length)) 0L else massRow.getLong(rungs.length)
+    val target = conf(df, "graft.dedup.targetPairsPerTask", 4L << 20, 1L)
+    val budget = conf(df, "graft.dedup.maxContainmentPairs",
+      target * spark.conf.get("spark.sql.shuffle.partitions").toLong, 1L)
+    val (maxDf, candMass) = explicitCap match {
+      case Some(_) => masses.head
+      case None    => postingCapForBudget(masses, budget)
     }
     // sets is needed by the verify joins regardless — counting it here
     // just materializes the cache early and reads the count back
     val nDocs = sets.count()
     val screen = screenPays(spark,
       Some(if (nDocs == 0L) 0.0 else candMass.toDouble / nDocs))
-    val cold = dfFreq.filter(col("df") <= maxDf).select("shingle")
-    val pruned = sh.join(cold, Seq("shingle"), "left_semi")
-    val cands = pruned.select(col("shingle"), col(idCol).as("id_a"))
-      .join(pruned.select(col("shingle"), col(idCol).as("id_b")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // Salt ONLY when the hottest ADMITTED posting list's own pair mass
+    // exceeds the per-task target — the census already measured max(df),
+    // so this is a driver-side compare, not another pass. Below it the
+    // legacy slim semi-join shape stands: no df payload, no explode, no
+    // (shingle, salt) key — measured 2.6 s warm at sf1 vs 22 s when the
+    // salted shape ran unconditionally on a corpus whose max df is 8.
+    val hottest = math.min(maxDf, maxDfSeen)
+    val cands = if (hottest * (hottest - 1) / 2 <= target) {
+      val cold = dfFreq.filter(col("df") <= maxDf).select("shingle")
+      val pruned = sh.join(cold, Seq("shingle"), "left_semi")
+      pruned.select(col("shingle"), col(idCol).as("id_a"))
+        .join(pruned.select(col("shingle"), col(idCol).as("id_b")), Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    } else {
+      // postings of admitted shingles, carrying df so the salt is free:
+      // g(df) spreads a hot list's quadratic pair mass over ~mass/target
+      // tasks (left side hashes its id into [0, g), right side
+      // replicates g ways) — every pair still meets exactly once
+      val pruned = sh.join(dfFreq.filter(col("df") <= maxDf), Seq("shingle"))
+      val gk = expr(s"least(1024L, 1L + ((df * (df - 1)) DIV 2) DIV $target)")
+      val candsA = pruned.select(col("shingle"), col(idCol).as("id_a"),
+        pmod(xxhash64(col(idCol)), gk).cast("int").as("__salt"))
+      val candsB = pruned.select(col("shingle"), col(idCol).as("id_b"),
+        explode(sequence(lit(0), (gk - 1).cast("int"))).as("__salt"))
+      candsA.join(candsB, Seq("shingle", "__salt"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    }
     // containment requires n_common ≥ t·min(sizes): the same packed-
     // bitmap screen + early-exit merge as jaccardVerify, with the bound
     // m = ⌊t·min(sizes)⌋ − 1 (any value ≤ the true requirement is safe);
