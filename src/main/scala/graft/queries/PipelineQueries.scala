@@ -483,7 +483,74 @@ object PipelineQueries {
       | FROM w)
       |SELECT source, doc_id, rk FROM r WHERE rk <= 8""".stripMargin
 
+  /** Leakage-safe split: [[hashSplit]] at NEAR-DUP-CLUSTER grain. A
+    * doc-grain hash split (q62) puts ~20% of each near-dup cluster's
+    * members in val/test — the classic train/eval contamination leak,
+    * since a model that memorized the train copy aces its near-dup in
+    * the held-out split. Assigning by the CLUSTER representative (min
+    * reachable id, the q55 fixpoint) keeps every cluster whole;
+    * singletons hash by their own id, so the split stays ~80/10/10.
+    *
+    * `pairs` is ANY near-dup pair frame — q55's bounded exact-Jaccard
+    * pairs here for the oracle, [[graft.operators.Dedup.lshVerifiedPairs]]
+    * at corpus scale (same contract: aCol/bCol id pairs). Scale shape:
+    * the cluster assignment is pair-mass-sized, not corpus-sized
+    * (dedupClusters' contract), the join back is one equi-join on id,
+    * and the split itself is a map-side hash — no new wide operation
+    * beyond the per-cluster member count.
+    */
+  def clusterSplit(df: DataFrame, idCol: String,
+                   pairs: DataFrame, aCol: String, bCol: String,
+                   trainPct: Int, valPct: Int): DataFrame = {
+    val clusters = graft.operators.Dedup.dedupClusters(pairs, aCol, bCol)
+    val grp = df
+      .join(clusters.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .withColumn("grp", coalesce(col("cluster"), col(idCol)))
+      .drop("cluster")
+    val b = splitBucket(col("grp"))
+    grp
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("grp")))
+      .withColumn("split",
+        when(b < trainPct, "train")
+          .when(b < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  // --- q190: leakage-safe train/val/test split — q62's hash split at
+  // near-dup-cluster grain (q55's clusters), with the naive doc-grain
+  // assignment alongside so the leak it prevents is visible: any grp
+  // whose members disagree on naive_split is a cluster the q62 split
+  // would have torn across train and eval.
+  def q190(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 4 === 0).select("doc_id")
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(
+      Tables.documents(s, dir).filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", k = 3, threshold = ExtendedQueries.ClusterT)
+    val nb = splitBucket(col("doc_id"))
+    clusterSplit(docs, "doc_id", pairs, "id_a", "id_b", 80, 10)
+      .withColumn("naive_split",
+        when(nb < 80, "train").when(nb < 90, "val").otherwise("test"))
+  }
+
+  val q190Sql: String =
+    s"""WITH ${ExtendedQueries.clustersCteSql},
+       |docs AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+       |asg AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS grp
+       |        FROM docs d LEFT JOIN cl c ON c.node = d.doc_id)
+       |SELECT doc_id, grp,
+       | CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n_members,
+       | CASE WHEN (grp*2654435761+104729)%100 < 80 THEN 'train'
+       |      WHEN (grp*2654435761+104729)%100 < 90 THEN 'val'
+       |      ELSE 'test' END AS split,
+       | CASE WHEN (doc_id*2654435761+104729)%100 < 80 THEN 'train'
+       |      WHEN (doc_id*2654435761+104729)%100 < 90 THEN 'val'
+       |      ELSE 'test' END AS naive_split
+       |FROM asg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_leakage_safe_split" -> (q190 _),
     "q110_weighted_sample"  -> (q110 _),
     "q79_interleave"        -> (q79 _),
     "q102_sample_sketch"    -> (q102 _),
@@ -502,6 +569,7 @@ object PipelineQueries {
     "q76_decontaminate"     -> (q76 _))
 
   val oracle: Map[String, String] = Map(
+    "q190_leakage_safe_split" -> q190Sql,
     "q79_interleave"        -> q79Sql,
     "q102_sample_sketch"    -> q102Sql,
     "q106_epoch_shuffle"    -> q106Sql,

@@ -49,6 +49,53 @@ class PipelineSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("q190 leakage-safe split: clusters stay whole, grp is the q55 fixpoint") {
+    val out = PipelineQueries.q190(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4)))
+    assert(out.nonEmpty)
+    // 1. leakage-safety by construction: every grp carries ONE split
+    out.groupBy(_._2).foreach { case (g, rows) =>
+      assert(rows.map(_._4).distinct.length === 1,
+        s"cluster $g torn across splits — the leak this op exists to stop")
+      assert(rows.forall(_._3 == rows.length),
+        s"n_members wrong for cluster $g")
+    }
+    // 2. grp equals a driver union-find over the same pair set
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(
+      graft.sources.Tables.documents(spark, sf)
+        .filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", k = 3,
+      threshold = graft.queries.ExtendedQueries.ClusterT)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    out.foreach { case (id, g, _, _, _) =>
+      assert(g === find(id), s"doc $id: grp $g != union-find root ${find(id)}")
+    }
+    // 3. split is the q62 bucket function applied to grp; naive to the id
+    def bucket(x: Long): Long = {
+      val m = (x * 2654435761L + 104729L) % 100L
+      if (m < 0) m + 100 else m
+    }
+    def name(b: Long): String =
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    out.foreach { case (id, g, _, s, ns) =>
+      assert(s === name(bucket(g)) && ns === name(bucket(id)))
+    }
+    // 4. the contrast is real on test data: at least one multi-member
+    // cluster exists, and singleton docs split identically to q62
+    assert(out.exists(_._3 > 1), "need a non-trivial cluster at test scale")
+    out.filter(_._3 == 1).foreach { case (_, _, _, s, ns) => assert(s === ns) }
+  }
+
   test("q62 hash split: pure (same id -> same split), partitions all docs") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val out = PipelineQueries.q62(spark, sf)
