@@ -1497,6 +1497,56 @@ object Dedup {
     labels.select(col("node"), col("cluster"))
   }
 
+  /** Incremental cluster maintenance: fold a batch of NEW near-dup
+    * pairs into a stored [[dedupClusters]] assignment without
+    * recomputing the graph — the cluster-table companion to
+    * [[dedupIncrement]]'s pair discovery. Returns (node, cluster) over
+    * stored nodes ∪ new-pair endpoints, EQUAL to the batch fixpoint
+    * `dedupClusters(old pairs ∪ new pairs)` (spec-pinned under random
+    * edge splits): mapping each new edge's endpoints to their stored
+    * representatives preserves connectivity exactly — old edges are
+    * already contracted inside their clusters — and because a stored
+    * label IS its cluster's minimum member id (the [[dedupClusters]]
+    * invariant, the REQUIRED precondition on `stored`), the min
+    * representative of a merged component is the min member id overall.
+    *
+    * Scale shape: the corpus-sized stored table is touched by exactly
+    * one equi-join against the relabel map (merged-component
+    * representatives only — batch-pair-mass-sized, broadcastable in the
+    * steady state, and empty when the batch touches no existing
+    * cluster) plus one anti-join admitting brand-new singleton nodes.
+    * The component computation runs on the CONTRACTED merge graph (one
+    * node per affected cluster), not the corpus — a daily increment
+    * re-clusters only what it actually touched.
+    */
+  def updateClusters(stored: DataFrame, pairs: DataFrame,
+                     aCol: String, bCol: String): DataFrame = {
+    val sa = stored.select(col("node").as(aCol), col("cluster").as("__ra"))
+    val sb = stored.select(col("node").as(bCol), col("cluster").as("__rb"))
+    val reps = pairs.select(col(aCol), col(bCol))
+      .join(sa, Seq(aCol), "left")
+      .join(sb, Seq(bCol), "left")
+      .select(coalesce(col("__ra"), col(aCol)).as("ra"),
+        coalesce(col("__rb"), col(bCol)).as("rb"))
+      .filter(col("ra") =!= col("rb"))
+    // merged-component labels over representatives; identity rows are
+    // no-ops, so only genuine merges enter the relabel map
+    val relabel = dedupClusters(reps, "ra", "rb")
+      .filter(col("node") =!= col("cluster"))
+      .withColumnRenamed("cluster", "__new")
+      .withColumnRenamed("node", "cluster")
+    // brand-new nodes (endpoints absent from stored) enter as singletons
+    // labeled by themselves — exactly how the batch fixpoint sees them
+    val newNodes = pairs.select(col(aCol).as("node"))
+      .unionByName(pairs.select(col(bCol).as("node"))).distinct()
+      .join(stored.select("node"), Seq("node"), "left_anti")
+      .withColumn("cluster", col("node"))
+    stored.select("node", "cluster").unionByName(newNodes)
+      .join(relabel, Seq("cluster"), "left")
+      .select(col("node"),
+        coalesce(col("__new"), col("cluster")).as("cluster"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over a sampled id set.
     * Exact pairwise within the (small) sample; the full-scale path is
     * [[embeddingLshPairs]], which avoids the quadratic join.

@@ -278,7 +278,27 @@ object DedupQueries {
       |   END AS new_text
       |FROM t LEFT JOIN k ON t.doc_id = k.doc_id""".stripMargin
 
+  // --- q191: incremental cluster maintenance — q55's cluster table,
+  // updated by a batch of new pairs instead of recomputed. The q55 pair
+  // set is split at a deterministic batch boundary (pairs touching a
+  // doc_id % 5 == 0 doc are the "new arrivals" — the same convention as
+  // q85's corpus/batch split), the stored assignment is built from the
+  // old pairs only, and Dedup.updateClusters folds the new batch in.
+  // The oracle is q55's recursive-CTE closure over ALL pairs VERBATIM:
+  // the incremental path must land on the exact batch fixpoint.
+  def q191(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(
+      Tables.documents(s, dir).filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", k = 3,
+      threshold = ExtendedQueries.ClusterT)
+      .select("id_a", "id_b").cache()
+    val touchesNew = col("id_a") % 5 === 0 || col("id_b") % 5 === 0
+    val stored = Dedup.dedupClusters(pairs.filter(!touchesNew), "id_a", "id_b")
+    Dedup.updateClusters(stored, pairs.filter(touchesNew), "id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_cluster_increment" -> (q191 _),
     "q85_dedup_increment"    -> (q85 _),
     "q185_span_rewrite"      -> (q185 _),
     "q81_span_dedup"         -> (q81 _),
@@ -294,6 +314,7 @@ object DedupQueries {
     "q189_semdedup"          -> (q189 _))
 
   val oracle: Map[String, String] = Map(
+    "q191_cluster_increment" -> ExtendedQueries.q55Sql,
     "q85_dedup_increment"    -> q85Sql,
     "q185_span_rewrite"      -> q185Sql,
     "q81_span_dedup"         -> q81Sql,

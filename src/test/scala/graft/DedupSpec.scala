@@ -361,6 +361,58 @@ class DedupSpec extends SparkSpec {
     assert(exprOut.filter(col("ok").isNull).count() == 0)
   }
 
+  test("updateClusters equals the batch fixpoint under random edge splits") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13L)
+    (1 to 6).foreach { round =>
+      val n = 20
+      val edges = (1 to 25).map(_ =>
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val cut = rnd.nextInt(edges.length + 1)
+      val (oldE, newE) = edges.splitAt(cut)
+      val full = Dedup.dedupClusters(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val stored = Dedup.dedupClusters(
+        oldE.toDF("id_a", "id_b"), "id_a", "id_b")
+      val inc = Dedup.updateClusters(stored,
+        newE.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(inc === full,
+        s"round $round (cut=$cut/${edges.length}): incremental != fixpoint")
+    }
+  }
+
+  test("updateClusters: chain merge, empty batch, empty stored, label stability") {
+    val s = spark
+    import s.implicits._
+    // three stored clusters {1,2}, {5,6}, {9,10}; one new chain through a
+    // brand-new node 20 merges the first two, the third must not move
+    val stored = Dedup.dedupClusters(
+      Seq((1L, 2L), (5L, 6L), (9L, 10L)).toDF("id_a", "id_b"), "id_a", "id_b")
+    val merged = Dedup.updateClusters(stored,
+      Seq((2L, 20L), (20L, 5L)).toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 5L, 6L, 20L).forall(merged(_) == 1L),
+      "new chain must merge both clusters under the min member id")
+    assert(merged(9L) == 9L && merged(10L) == 9L,
+      "untouched cluster labels must not move")
+    // empty batch is the identity
+    val same = Dedup.updateClusters(stored,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(same === stored.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // empty stored reduces to dedupClusters on the batch
+    val empty = stored.filter(lit(false))
+    val fromScratch = Dedup.updateClusters(empty,
+      Seq((3L, 4L), (4L, 7L)).toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromScratch === Map(3L -> 3L, 4L -> 3L, 7L -> 3L))
+  }
+
   test("span dedup flags exactly the later occurrences of repeated spans") {
     val s = spark
     import s.implicits._
