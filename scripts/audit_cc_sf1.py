@@ -93,6 +93,47 @@ if s55 != t55:
 else:
     print(f"OK   q55_dedup_clusters vs union-find ({len(t55)} rows)")
 
+# --- q191: incremental cluster maintenance must land on the SAME
+# fixpoint as q55 (its whole contract) --------------------------------
+import os
+if os.path.isdir(f"{outdir}/q191_cluster_increment"):
+    s191 = {(d["node"], d["cluster"])
+            for d in read_spark("q191_cluster_increment").to_pylist()}
+    if s191 != t55:
+        print(f"FAIL q191_cluster_increment: spark {len(s191)} rows vs truth "
+              f"{len(t55)}; sample diff {sorted(s191 ^ t55)[:3]}")
+        status = 1
+    else:
+        print(f"OK   q191_cluster_increment vs union-find ({len(t55)} rows)")
+
+# --- q190: leakage-safe split — grp = union-find root (self for
+# singletons), n_members over the %4 universe, split = bucket(grp) ----
+if os.path.isdir(f"{outdir}/q190_leakage_safe_split"):
+    universe = [d for (d,) in con.execute(
+        "SELECT doc_id FROM documents WHERE doc_id % 4 = 0").fetchall()]
+    grp = {d: labels.get(d, d) for d in universe}
+    sizes = {}
+    for g in grp.values():
+        sizes[g] = sizes.get(g, 0) + 1
+
+    def bucket(x):
+        return (x * 2654435761 + 104729) % 100
+
+    def name(b):
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    t190 = {(d, grp[d], sizes[grp[d]], name(bucket(grp[d])), name(bucket(d)))
+            for d in universe}
+    s190 = {(d["doc_id"], d["grp"], d["n_members"], d["split"],
+             d["naive_split"])
+            for d in read_spark("q190_leakage_safe_split").to_pylist()}
+    if s190 != t190:
+        print(f"FAIL q190_leakage_safe_split: spark {len(s190)} rows vs "
+              f"truth {len(t190)}; sample diff {sorted(s190 ^ t190)[:3]}")
+        status = 1
+    else:
+        print(f"OK   q190_leakage_safe_split vs union-find ({len(t190)} rows)")
+
 # --- q95: every doc → canonical (cluster max-n_chars, tie min id) -------
 nchars = dict(con.execute(
     "SELECT doc_id, n_chars FROM documents").fetchall())

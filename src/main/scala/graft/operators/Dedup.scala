@@ -516,8 +516,11 @@ object Dedup {
     val spark = df.sparkSession
     val explicitCap = spark.conf.getOption("graft.dedup.maxPostingDf")
       .map(_.toLong)
-    explicitCap.foreach(v => require(v >= 1 && v <= (1L << 30),
-      s"graft.dedup.maxPostingDf must be in [1, 2^30], got $v"))
+    // any value >= 1 is legal, as before this dial was budgeted — the
+    // cap only enters `<=` comparisons and a min(), never arithmetic,
+    // so a Long.MaxValue "disable the prune" setting stays safe
+    explicitCap.foreach(v => require(v >= 1,
+      s"graft.dedup.maxPostingDf must be >= 1, got $v"))
     // one shingle scan feeds the candidate postings AND the verification
     // sets — persist it, like lshVerifiedPairs' shingle stream
     val sh = trackPersist(
@@ -539,13 +542,18 @@ object Dedup {
     // (or just the explicit cap) — same cost as the old single-cap census
     val rungs = explicitCap.map(Seq(_)).getOrElse(PostingCapLadder)
     val massAggs = rungs.map(c => sum(when(col("df") <= c,
-      expr("(df * (df - 1)) DIV 2")).otherwise(lit(0L))).as(s"m$c")) :+
-      max(col("df")).as("max_df")
+      expr("(df * (df - 1)) DIV 2")).otherwise(lit(0L))).as(s"m$c")) ++
+      rungs.map(c => max(when(col("df") <= c, col("df"))).as(s"x$c"))
     val massRow = dfFreq.agg(massAggs.head, massAggs.tail: _*).head()
     val masses = rungs.zipWithIndex.map { case (c, i) =>
       c -> (if (massRow.isNullAt(i)) 0L else massRow.getLong(i)) }
-    val maxDfSeen =
-      if (massRow.isNullAt(rungs.length)) 0L else massRow.getLong(rungs.length)
+    // per-rung ADMITTED max df (max over df <= rung) — a pruned
+    // boilerplate shingle above every rung must not leak into the
+    // hottest-admitted gate below, or the salted shape runs exactly
+    // where it was gated off (cold admitted postings)
+    val admittedMax = rungs.zipWithIndex.map { case (c, i) =>
+      val j = rungs.length + i
+      c -> (if (massRow.isNullAt(j)) 0L else massRow.getLong(j)) }.toMap
     val target = conf(df, "graft.dedup.targetPairsPerTask", 4L << 20, 1L)
     val budget = conf(df, "graft.dedup.maxContainmentPairs",
       target * spark.conf.get("spark.sql.shuffle.partitions").toLong, 1L)
@@ -559,12 +567,14 @@ object Dedup {
     val screen = screenPays(spark,
       Some(if (nDocs == 0L) 0.0 else candMass.toDouble / nDocs))
     // Salt ONLY when the hottest ADMITTED posting list's own pair mass
-    // exceeds the per-task target — the census already measured max(df),
-    // so this is a driver-side compare, not another pass. Below it the
-    // legacy slim semi-join shape stands: no df payload, no explode, no
-    // (shingle, salt) key — measured 2.6 s warm at sf1 vs 22 s when the
-    // salted shape ran unconditionally on a corpus whose max df is 8.
-    val hottest = math.min(maxDf, maxDfSeen)
+    // exceeds the per-task target — the census already measured the
+    // admitted max df per rung, so this is a driver-side lookup, not
+    // another pass (and a pruned boilerplate shingle hotter than every
+    // rung cannot trip it). Below it the legacy slim semi-join shape
+    // stands: no df payload, no explode, no (shingle, salt) key —
+    // measured 2.6 s warm at sf1 vs 22 s when the salted shape ran
+    // unconditionally on a corpus whose max df is 8.
+    val hottest = admittedMax.getOrElse(maxDf, 0L)
     val cands = if (hottest * (hottest - 1) / 2 <= target) {
       val cold = dfFreq.filter(col("df") <= maxDf).select("shingle")
       val pruned = sh.join(cold, Seq("shingle"), "left_semi")

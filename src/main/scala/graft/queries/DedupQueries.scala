@@ -15,6 +15,13 @@ import graft.sources.Tables
   */
 object DedupQueries {
 
+  // Cache ownership (same contract as Dedup.releaseCaches, shared
+  // implementation in [[graft.util.CacheTracker]]): q191 persists its
+  // pair frame across the stored-build and update branches.
+  private val caches = new graft.util.CacheTracker
+  private def trackPersist(df: DataFrame): DataFrame = caches.trackPersist(df)
+  def releaseCaches(): Unit = caches.release()
+
   private val JaccardT = 0.6
   private val CosT = 0.35
 
@@ -287,11 +294,11 @@ object DedupQueries {
   // The oracle is q55's recursive-CTE closure over ALL pairs VERBATIM:
   // the incremental path must land on the exact batch fixpoint.
   def q191(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(
+    val pairs = trackPersist(Dedup.ngramJaccardPairs(
       Tables.documents(s, dir).filter(col("doc_id") % 4 === 0),
       "doc_id", "text", k = 3,
       threshold = ExtendedQueries.ClusterT)
-      .select("id_a", "id_b").cache()
+      .select("id_a", "id_b"))
     val touchesNew = col("id_a") % 5 === 0 || col("id_b") % 5 === 0
     val stored = Dedup.dedupClusters(pairs.filter(!touchesNew), "id_a", "id_b")
     Dedup.updateClusters(stored, pairs.filter(touchesNew), "id_a", "id_b")

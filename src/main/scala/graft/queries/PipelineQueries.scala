@@ -507,14 +507,9 @@ object PipelineQueries {
       .join(clusters.withColumnRenamed("node", idCol), Seq(idCol), "left")
       .withColumn("grp", coalesce(col("cluster"), col(idCol)))
       .drop("cluster")
-    val b = splitBucket(col("grp"))
-    grp
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy("grp")))
-      .withColumn("split",
-        when(b < trainPct, "train")
-          .when(b < trainPct + valPct, "val")
-          .otherwise("test"))
+    hashSplit(grp, "grp", trainPct, valPct)
   }
 
   // --- q190: leakage-safe train/val/test split — q62's hash split at

@@ -459,6 +459,38 @@ class CurationSpec extends SparkSpec {
     assert(dialed === Set(coldPair))
   }
 
+  test("salt gate keys on ADMITTED max df: a pruned hot shingle cannot trip it") {
+    val s4 = spark
+    import s4.implicits._
+    // one boilerplate 3-gram shared by 40 docs (df=40, pair mass 780)
+    // plus cold grams (df<=2, mass<=1 per shingle)
+    val docs = ((1L to 40L).map(i => (i, s"x y z u$i v$i w$i")) :+
+      (100L, "p q r s t") :+ (101L, "p q r s t tail")).toDF("doc_id", "text")
+    def planOf(): String = {
+      val df = graft.operators.Dedup
+        .containmentPairs(docs, "doc_id", "text", 3, 0.5)
+      df.queryExecution.executedPlan.toString
+    }
+    val keys = Seq("graft.dedup.maxPostingDf" -> "8",
+      "graft.dedup.targetPairsPerTask" -> "100")
+    // cap=8 PRUNES the df=40 shingle: admitted max df is 2, mass 1 <=
+    // target, so the legacy semi-join shape must stand — no explode.
+    // Under the old min(cap, global max df) gate this flipped salted.
+    val coldPlan = try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }; planOf()
+    } finally keys.foreach { case (k, _) => spark.conf.unset(k) }
+    assert(!coldPlan.contains("__salt"),
+      "pruned hot shingle must not trip the salted shape")
+    // cap=64 ADMITS it: mass 780 > target 100 — salted shape engages
+    val hotKeys = Seq("graft.dedup.maxPostingDf" -> "64",
+      "graft.dedup.targetPairsPerTask" -> "100")
+    val hotPlan = try {
+      hotKeys.foreach { case (k, v) => spark.conf.set(k, v) }; planOf()
+    } finally hotKeys.foreach { case (k, _) => spark.conf.unset(k) }
+    assert(hotPlan.contains("__salt"),
+      "an admitted hot shingle must engage the salted shape")
+  }
+
   test("containment salted posting join equals brute force under a tiny target") {
     val s3 = spark
     import s3.implicits._
