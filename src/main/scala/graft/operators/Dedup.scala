@@ -561,11 +561,33 @@ object Dedup {
       case Some(_) => masses.head
       case None    => postingCapForBudget(masses, budget)
     }
-    // sets is needed by the verify joins regardless — counting it here
-    // just materializes the cache early and reads the count back
-    val nDocs = sets.count()
+    // sets is needed by the verify joins regardless — sizing it here
+    // just materializes the cache early and reads the stats back (one
+    // action: doc count for the screen census + element total for the
+    // broadcast decision below)
+    val est = sets.agg(count(lit(1)), sum(col("sz"))).head()
+    val nDocs = est.getLong(0)
     val screen = screenPays(spark,
       Some(if (nDocs == 0L) 0.0 else candMass.toDouble / nDocs))
+    // Verify-join strategy — the dedupIncrement lesson applied here
+    // (Dedup.scala's measured caveat): hashed-set payloads are ~8 B per
+    // element, so the sets frame is often just past Spark's 10 MB
+    // autoBroadcast line even when it trivially fits memory, and then
+    // BOTH verify joins sort-merge, shuffling every candidate pair WITH
+    // its two set arrays. At the sf10 census that was 400M candidate
+    // rows × ~2 KB — the shuffle spilled local disk to zero. Under the
+    // same memory-derived bound the sets side broadcasts and the
+    // candidate stream never shuffles; past the bound the shuffled
+    // join is the correct corpus-sized plan and stands.
+    val estBytes =
+      if (est.isNullAt(1)) 0L
+      else est.getLong(1) * 8L +
+        nDocs * (40L + (if (screen) 8L * screenWords(spark) else 0L))
+    val maxBytes = spark.conf
+      .getOption("graft.dedup.maxBroadcastSetBytes").map(_.toLong)
+      .getOrElse(defaultBroadcastSetBytes(spark))
+    val hint: DataFrame => DataFrame =
+      if (estBytes <= maxBytes) broadcast(_: DataFrame) else identity
     // Salt ONLY when the hottest ADMITTED posting list's own pair mass
     // exceeds the per-task target — the census already measured the
     // admitted max df per rung, so this is a driver-side lookup, not
@@ -610,10 +632,10 @@ object Dedup {
     val minReq = floor(lit(threshold) *
       least(col("size_a"), col("size_b")).cast("double")).cast("bigint") - lit(1L)
     val joined = cands
-      .join(setsS.select(Seq(col(idCol).as("id_a"), col("bm").as("bm_a"),
-        col("set_size").as("size_a")) ++ extraA: _*), Seq("id_a"))
-      .join(setsS.select(Seq(col(idCol).as("id_b"), col("bm").as("bm_b"),
-        col("set_size").as("size_b")) ++ extraB: _*), Seq("id_b"))
+      .join(hint(setsS.select(Seq(col(idCol).as("id_a"), col("bm").as("bm_a"),
+        col("set_size").as("size_a")) ++ extraA: _*)), Seq("id_a"))
+      .join(hint(setsS.select(Seq(col(idCol).as("id_b"), col("bm").as("bm_b"),
+        col("set_size").as("size_b")) ++ extraB: _*)), Seq("id_b"))
     val screened =
       if (screen) joined.filter(
         graft.functions.BitmapFunctions.andCount(col("pk_a"), col("pk_b")) +
