@@ -64,4 +64,18 @@ object SparkEntry {
       graft.queries.OpsQueries.oracle ++
       graft.queries.SeriesQueries.oracle ++
       graft.queries.InfoQueries.oracle
+
+  /** Release every cache-tracker-owned persisted intermediate (the
+    * dedup/similarity operators' shingle streams and pair frames, the
+    * query objects' session-shared memo frames). End-of-sweep hygiene
+    * for the long-lived harness mains (Bench/Verify) and any caller
+    * moving between corpora — results already computed are unaffected;
+    * un-executed lazy plans recompute.
+    */
+  def releaseAllCaches(): Unit = {
+    graft.operators.Dedup.releaseCaches()
+    graft.operators.Similarity.releaseCaches()
+    graft.queries.DedupQueries.releaseCaches()
+    graft.queries.AnalyticsQueries.releaseCaches()
+  }
 }

@@ -84,6 +84,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // end-of-sweep cache hygiene (session-shared memo frames)
+    try SparkEntry.releaseAllCaches()
+    catch { case e: Throwable => System.err.println(s"[verify] releaseAllCaches failed: $e") }
     spark.stop()
   }
 }

@@ -555,8 +555,20 @@ object Dedup {
       val j = rungs.length + i
       c -> (if (massRow.isNullAt(j)) 0L else massRow.getLong(j)) }.toMap
     val target = conf(df, "graft.dedup.targetPairsPerTask", 4L << 20, 1L)
-    val budget = conf(df, "graft.dedup.maxContainmentPairs",
-      target * spark.conf.get("spark.sql.shuffle.partitions").toLong, 1L)
+    // default budget = one wave of target-sized verify tasks. Computed
+    // LAZILY (an explicit dial must not even read shuffle.partitions —
+    // some deployments set it non-numeric, e.g. "auto") and with a
+    // saturating multiply: a huge user targetPairsPerTask must fail the
+    // >=1 require with a sane clamp, not wrap negative.
+    val budget = spark.conf.getOption("graft.dedup.maxContainmentPairs")
+      .map(_.toLong).getOrElse {
+        val parts = scala.util.Try(
+          spark.conf.get("spark.sql.shuffle.partitions").toLong)
+          .getOrElse(spark.sparkContext.defaultParallelism.toLong)
+        try math.multiplyExact(target, math.max(1L, parts))
+        catch { case _: ArithmeticException => Long.MaxValue }
+      }
+    require(budget >= 1, s"graft.dedup.maxContainmentPairs must be >= 1, got $budget")
     val (maxDf, candMass) = explicitCap match {
       case Some(_) => masses.head
       case None    => postingCapForBudget(masses, budget)

@@ -407,13 +407,15 @@ object ExtendedQueries {
   // genuine template families with small diameters) ---
   // (shared with CorpusQueries.q95's canonical-doc selection, which
   // builds on q55's cluster assignment)
+  // Pair source: the session-shared recall-budgeted LSH+verify frame
+  // (DedupQueries.verifiedPairs) — oracle-equal to the exact all-pairs
+  // result and the 100 TB contract shape; the whole cluster family
+  // (q55/q95/q190/q191) reads ONE stored pair table per session.
   val ClusterT = 0.65
 
   def q55(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.dedupClusters(
-      graft.operators.Dedup.ngramJaccardPairs(
-        Tables.documents(s, dir).filter(col("doc_id") % 4 === 0),
-        "doc_id", "text", k = 3, threshold = ClusterT),
+      DedupQueries.verifiedPairs(s, dir, ClusterT).select("id_a", "id_b"),
       "id_a", "id_b")
 
   // transitive closure by recursive CTE (UNION dedups, so it terminates);

@@ -520,9 +520,10 @@ object PipelineQueries {
   def q190(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .filter(col("doc_id") % 4 === 0).select("doc_id")
-    val pairs = graft.operators.Dedup.ngramJaccardPairs(
-      Tables.documents(s, dir).filter(col("doc_id") % 4 === 0),
-      "doc_id", "text", k = 3, threshold = ExtendedQueries.ClusterT)
+    // session-shared recall-budgeted pair frame (oracle-equal to the
+    // exact pairs; the cluster family's 100 TB-contract source)
+    val pairs = DedupQueries.verifiedPairs(s, dir, ExtendedQueries.ClusterT)
+      .select("id_a", "id_b")
     val nb = splitBucket(col("doc_id"))
     clusterSplit(docs, "doc_id", pairs, "id_a", "id_b", 80, 10)
       .withColumn("naive_split",

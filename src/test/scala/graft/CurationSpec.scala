@@ -427,12 +427,15 @@ class CurationSpec extends SparkSpec {
   test("containment pair budget prunes hot shingles; big budget restores them") {
     val s2 = spark
     import s2.implicits._
-    // 80 docs all sharing one hot 3-gram ("x y z", df=80, mass 3160) plus
-    // a genuine containment pair on cold grams. The ladder floor (64)
-    // cannot admit df=80, so any budget below 3160 excludes the hot
-    // shingle — and the hot-only pairs with it — while a budget that
-    // affords the 256 rung restores the full unpruned pair set.
-    val docs = ((1L to 80L).map(i => (i, s"x y z u$i v$i w$i")) :+
+    // 80 near-identical docs (4 of each one's 5 shingles shared, df=80
+    // each — containment 4/5 ≥ 0.5, so every hot pair QUALIFIES) plus a
+    // genuine containment pair on cold grams. The ladder floor (64)
+    // cannot admit df=80, so any budget below the 256-rung mass excludes
+    // the hot shingles — and the 3160 hot pairs VISIBLY vanish from the
+    // output — while a budget that affords the 256 rung restores them.
+    // (An earlier fixture's hot pairs failed verification either way, so
+    // a regression that ignored the budget entirely still passed.)
+    val docs = ((1L to 80L).map(i => (i, s"x y z a b c t$i")) :+
       (100L, "p q r s t") :+ (101L, "p q r s t extra")).toDF("doc_id", "text")
     def run(): Set[(Long, Long)] = graft.operators.Dedup
       .containmentPairs(docs, "doc_id", "text", 3, 0.5)
@@ -443,20 +446,20 @@ class CurationSpec extends SparkSpec {
     val rich = try { spark.conf.set(key, "1000000"); run() }
     finally spark.conf.unset(key)
     val coldPair = (100L, 101L)
+    val hotPairs = (for {
+      a <- 1L to 80L; b <- (a + 1) to 80L
+    } yield (a, b)).toSet
     assert(broke === Set(coldPair),
       "under-budget run must keep only the cold-shingle pair")
-    // with 3-grams each hot doc's set is {xyz, yzu_i, zu_iv_i, ...} —
-    // only the shared "x y z" intersects, 1 >= 0.5*4 fails, so the rich
-    // run finds the cold pair too; what changes is the CANDIDATE set.
-    // Verify against brute force to pin that the budget only ever
-    // shapes candidates, never the verified arithmetic.
-    assert(rich === Set(coldPair))
+    assert(rich === hotPairs + coldPair,
+      "an affordable budget must restore the hot-shingle pairs")
     // and an explicit legacy dial still wins over any budget
     val dialed = try {
       spark.conf.set("graft.dedup.maxPostingDf", "80")
       spark.conf.set(key, "1"); run()
     } finally { spark.conf.unset("graft.dedup.maxPostingDf"); spark.conf.unset(key) }
-    assert(dialed === Set(coldPair))
+    assert(dialed === hotPairs + coldPair,
+      "the explicit posting-df dial must override the budget")
   }
 
   test("salt gate keys on ADMITTED max df: a pruned hot shingle cannot trip it") {

@@ -18,9 +18,12 @@ object LadderProbe {
       rungs.map(c => max(when(col("df") <= c, col("df"))).as(s"x$c")) :+
       count(lit(1)).as("n_shingles") :+ sum(col("df")).as("postings")
     val row = dfFreq.agg(aggs.head, aggs.tail: _*).head()
+    // empty corpus: sum aggregates return null (the product code's
+    // isNullAt guard, mirrored here)
+    def lng(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
     rungs.zipWithIndex.foreach { case (c, i) =>
-      println(s"LADDER cap=$c mass=${row.getLong(i)} admittedMax=${if (row.isNullAt(rungs.length+i)) 0 else row.getLong(rungs.length+i)}") }
-    println(s"SHINGLES ${row.getLong(2*rungs.length)} POSTINGS ${row.getLong(2*rungs.length+1)}")
+      println(s"LADDER cap=$c mass=${lng(i)} admittedMax=${lng(rungs.length + i)}") }
+    println(s"SHINGLES ${lng(2 * rungs.length)} POSTINGS ${lng(2 * rungs.length + 1)}")
     spark.stop()
   }
 }
