@@ -163,6 +163,25 @@ object BitmapOps {
     }
     acc
   }
+
+  /** The whole per-pair verification decision in one primitive call:
+    * size-ratio prefilter, [[sortedAndCountBounded]] early-exit merge,
+    * exact Jaccard compare — arithmetic IDENTICAL to the staged
+    * jaccardVerify pipeline (same minRequired lower bound, same double
+    * DIVISION compare, never a multiplied-out rearrangement whose
+    * rounding could flip a borderline pair), so an aggregate built on
+    * this reaches exactly the rows that pipeline would emit.
+    */
+  def pairMatches(a: ArrayData, sizeA: Long, b: ArrayData, sizeB: Long,
+                  threshold: Double): Boolean = {
+    val lo = math.min(sizeA, sizeB)
+    val hi = math.max(sizeA, sizeB)
+    if (lo.toDouble < threshold * hi.toDouble) return false
+    val minReq =
+      math.floor(threshold * (sizeA + sizeB) / (1.0 + threshold)).toLong - 1L
+    val n = sortedAndCountBounded(a, b, minReq)
+    n.toDouble / (sizeA + sizeB - n).toDouble >= threshold
+  }
 }
 
 private object BitmapTypeCheck {
@@ -332,6 +351,77 @@ case class NoEarlierBandMatchExpr(first: Expression, second: Expression,
     copy(first = f, second = s, third = t)
 }
 
+/** One-call per-pair Jaccard verification over hashed sorted sets
+  * (codegen'd; see [[BitmapOps.pairMatches]]). A single child expression
+  * on purpose: the any-match aggregate wraps it in a short-circuiting
+  * Or, and ONE call means the early exit skips the entire merge — the
+  * staged (count column, then compare) form would evaluate the merge
+  * per row regardless of the buffer state.
+  */
+case class PairMatchExpr(first: Expression, second: Expression,
+                         third: Expression, fourth: Expression,
+                         threshold: Double)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (ArrayType(LongType, _), LongType, ArrayType(LongType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, sa, b, sb) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, bigint, array<bigint>, bigint), " +
+          s"got ${a.simpleString}, ${sa.simpleString}, ${b.simpleString}, ${sb.simpleString}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "pair_match"
+
+  override def nullSafeEval(a: Any, sa: Any, b: Any, sb: Any): Any =
+    BitmapOps.pairMatches(a.asInstanceOf[ArrayData], sa.asInstanceOf[Long],
+      b.asInstanceOf[ArrayData], sb.asInstanceOf[Long], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, sa, b, sb) =>
+      s"graft.functions.BitmapOps.pairMatches($a, $sa, $b, $sb, ${threshold}D)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): PairMatchExpr =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** bool_or with a SHORT-CIRCUITING update: `acc OR child` — Spark's Or
+  * codegen evaluates the right side only when the left is false, so a
+  * group that already found a match skips its remaining rows' child
+  * evaluation entirely (the built-in BoolOr rewrites to Max, whose
+  * `greatest(acc, value)` update evaluates the child for EVERY row).
+  * The per-group early exit is the point: wrapped around
+  * [[PairMatchExpr]] it turns "verify every candidate of a group" into
+  * "verify until the first true edge". Works identically outside
+  * codegen (Or.eval short-circuits too). Null children count as false.
+  */
+case class AnyTrueAgg(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Coalesce, Literal, Or}
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "any_true"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BooleanType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a boolean argument, got ${child.dataType.simpleString}")
+  private lazy val acc =
+    AttributeReference("any_true_acc", org.apache.spark.sql.types.BooleanType,
+      nullable = false)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(acc)
+  override lazy val initialValues: Seq[Expression] = Seq(Literal(false))
+  override lazy val updateExpressions: Seq[Expression] =
+    Seq(Or(acc, Coalesce(Seq(child, Literal(false)))))
+  override lazy val mergeExpressions: Seq[Expression] =
+    Seq(Or(acc.left, acc.right))
+  override lazy val evaluateExpression: Expression = acc
+  override protected def withNewChildInternal(c: Expression): AnyTrueAgg =
+    copy(child = c)
+}
+
 object BitmapFunctions {
   /** popcount(a & b) of two array<long> bitmap columns (codegen'd). */
   def andCount(a: Column, b: Column): Column =
@@ -372,4 +462,25 @@ object BitmapFunctions {
     ColumnBridge.column(NoEarlierBandMatchExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b),
       ColumnBridge.expression(upTo)))
+
+  /** One-call per-pair Jaccard verification (size-ratio prefilter +
+    * early-exit merge + exact compare; codegen'd — see
+    * [[BitmapOps.pairMatches]]).
+    */
+  def pairMatch(bmA: Column, sizeA: Column, bmB: Column, sizeB: Column,
+                threshold: Double): Column =
+    ColumnBridge.column(PairMatchExpr(
+      ColumnBridge.expression(bmA), ColumnBridge.expression(sizeA),
+      ColumnBridge.expression(bmB), ColumnBridge.expression(sizeB),
+      threshold))
+
+  /** Short-circuiting bool_or AGGREGATE: once a group's buffer is true,
+    * later rows skip the child expression entirely (see [[AnyTrueAgg]]).
+    * Compose the child from short-circuiting conjunctions (`&&` codegen
+    * skips its right side too) so a matched group pays NOTHING per
+    * remaining row — not even a screen.
+    */
+  def anyTrue(pred: Column): Column =
+    ColumnBridge.column(
+      AnyTrueAgg(ColumnBridge.expression(pred)).toAggregateExpression())
 }

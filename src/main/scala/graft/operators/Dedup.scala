@@ -294,29 +294,36 @@ object Dedup {
     floor(lit(threshold) * (col("size_a") + col("size_b")) /
       lit(1.0 + threshold)).cast("bigint") - lit(1L)
 
-  private def jaccardVerify(pairs: DataFrame, threshold: Double,
-                            hashed: Boolean): DataFrame = {
+  /** Row-wise candidate screens shared by [[jaccardVerify]] and the
+    * assignment any-match aggregation: size-ratio prefilter plus (when
+    * the caller ships the pk/pkc columns) the packed-bitmap reject on
+    * the PROVABLE intersection upper bound
+    *   |A∩B| ≤ popcount(pkA ∧ pkB) + min(sizeA−pkcA, sizeB−pkcB)
+    * — every shared element's bit lands in the AND, and the collision
+    * excess inside A∩B is bounded by the excess inside either whole set.
+    * The AND is a branchless screenWords-long loop vs the branchy
+    * sorted merge, and on a dense corpus ~93% of candidates fail
+    * verification (sf1: 58M candidates → 4.3M pairs), so the screen is
+    * where almost every candidate's cost ends. Pure PRE-filters: a
+    * surviving row still needs the exact merge; a rejected row provably
+    * cannot pass it.
+    */
+  private def screenCandidates(pairs: DataFrame, threshold: Double,
+                               hashed: Boolean): DataFrame = {
     val sized = pairs
       .filter(least(col("size_a"), col("size_b")).cast("double") >=
         lit(threshold) * greatest(col("size_a"), col("size_b")).cast("double"))
-    // Packed-bitmap screen (hashed verifier only — the dense verifier is
-    // already a branchless AND): when the caller ships per-doc packed
-    // bitmaps (pk_*, popcounts pkc_*), reject a pair on the PROVABLE
-    // intersection upper bound
-    //   |A∩B| ≤ popcount(pkA ∧ pkB) + min(sizeA−pkcA, sizeB−pkcB)
-    // — every shared element's bit lands in the AND, and the collision
-    // excess inside A∩B is bounded by the excess inside either whole set.
-    // The AND is a branchless screenWords-long loop vs the branchy
-    // sorted merge, and on a dense corpus ~93% of candidates fail
-    // verification (sf1: 58M candidates → 4.3M pairs), so the screen is
-    // where almost every candidate's cost ends.
-    val screened =
-      if (hashed && sized.columns.contains("pk_a"))
-        sized.filter(
-          graft.functions.BitmapFunctions.andCount(col("pk_a"), col("pk_b")) +
-            least(col("size_a") - col("pkc_a"), col("size_b") - col("pkc_b")) >=
-            minRequiredCol(threshold))
-      else sized
+    if (hashed && sized.columns.contains("pk_a"))
+      sized.filter(
+        graft.functions.BitmapFunctions.andCount(col("pk_a"), col("pk_b")) +
+          least(col("size_a") - col("pkc_a"), col("size_b") - col("pkc_b")) >=
+          minRequiredCol(threshold))
+    else sized
+  }
+
+  private def jaccardVerify(pairs: DataFrame, threshold: Double,
+                            hashed: Boolean): DataFrame = {
+    val screened = screenCandidates(pairs, threshold, hashed)
     screened
       .withColumn("n_inter",
         if (hashed)
@@ -554,7 +561,7 @@ object Dedup {
     val admittedMax = rungs.zipWithIndex.map { case (c, i) =>
       val j = rungs.length + i
       c -> (if (massRow.isNullAt(j)) 0L else massRow.getLong(j)) }.toMap
-    val target = conf(df, "graft.dedup.targetPairsPerTask", 4L << 20, 1L)
+    val target = targetPairsPerTask(spark)
     // default budget = one wave of target-sized verify tasks. Computed
     // LAZILY (an explicit dial must not even read shuffle.partitions —
     // some deployments set it non-numeric, e.g. "auto") and with a
@@ -901,6 +908,21 @@ object Dedup {
     // rationale), and the persist gives the broadcast decision below a
     // materialized frame to measure
     val allSets = trackPersist(indexSets.unionByName(newSets))
+    val attach = verifySetsAttacher(allSets, idCol, candidatesPerDocHint)
+    jaccardVerify(attach(cands, Nil), threshold, hashed = true)
+  }
+
+  /** The increment verify-side plumbing, shared by [[dedupIncrement]]
+    * and [[assignIncrement]]: ONE sizing aggregation over the persisted
+    * union set frame (which also enforces the disjoint-id-space ingest
+    * precondition), the screen census gate, the memory-derived
+    * broadcast-vs-shuffle decision, and an `attach(cands, carry)`
+    * closure that joins bm/size (and, when screening pays, the
+    * packed-screen pk/pkc columns) onto the id_a/id_b ends of a
+    * candidate frame, carrying any extra grouping columns through.
+    */
+  private def verifySetsAttacher(allSets: DataFrame, idCol: String,
+      candidatesPerDocHint: Option[Double]): (DataFrame, Seq[String]) => DataFrame = {
     // Verify-join strategy, MEASURED: hashed-set payloads are ~8 B per
     // shingle, so a hashed index is often just past Spark's 10 MB
     // autoBroadcast line even when it trivially fits memory — and then
@@ -972,14 +994,149 @@ object Dedup {
     val extraB = if (screen)
       Seq(col("pk").as("pk_b"), col("pkc").as("pkc_b")) else Nil
     val carryA = if (screen) Seq(col("pk_a"), col("pkc_a")) else Nil
-    val withA = cands.join(hint(base), cands("id_a") === base(idCol))
-      .select(Seq(col("id_a"), col("id_b"), col("bm").as("bm_a"),
-        col("set_size").as("size_a")) ++ extraA: _*)
-    val pairs = withA.join(hint(base), withA("id_b") === base(idCol))
-      .select(Seq(col("id_a"), col("id_b"), col("bm_a"), col("size_a")) ++
-        carryA ++ Seq(col("bm").as("bm_b"), col("set_size").as("size_b")) ++
-        extraB: _*)
-    jaccardVerify(pairs, threshold, hashed = true)
+    (cands: DataFrame, carry: Seq[String]) => {
+      val carryCols = carry.map(col)
+      val withA = cands.join(hint(base), cands("id_a") === base(idCol))
+        .select(Seq(col("id_a"), col("id_b")) ++ carryCols ++
+          Seq(col("bm").as("bm_a"), col("set_size").as("size_a")) ++ extraA: _*)
+      withA.join(hint(base), withA("id_b") === base(idCol))
+        .select(Seq(col("id_a"), col("id_b")) ++ carryCols ++
+          Seq(col("bm_a"), col("size_a")) ++ carryA ++
+          Seq(col("bm").as("bm_b"), col("set_size").as("size_b")) ++
+          extraB: _*)
+    }
+  }
+
+  /** Linear-output incremental dedup ASSIGNMENT — the curation-facing
+    * mode of [[dedupIncrement]]: instead of enumerating every verified
+    * near-dup pair (an output quadratic in cluster width — the only
+    * remaining quadratic in the dedup suite, and a DATA property of the
+    * pair contract, not the plan), fold the batch into the stored
+    * cluster table and emit ONE row per affected document
+    * (node → cluster representative). Returns the [[updateClusters]]
+    * assignment over stored nodes ∪ newly-paired endpoints, EQUAL to the
+    * batch fixpoint `dedupClusters(old pairs ∪ all true new pairs)`
+    * (spec-pinned): exactly the shape q95's canonicalization, q190's
+    * leakage-safe split, and `CorpusPipeline.curate` consume.
+    *
+    * Why the work is ~linear in the batch where the pair mode is
+    * quadratic:
+    *  - batch × corpus: candidates group by (batch doc, stored cluster
+    *    of the index doc) and the short-circuit any-match aggregation
+    *    ([[graft.functions.AnyTrueAgg]] over [[graft.functions.PairMatchExpr]])
+    *    verifies each group only until its FIRST true edge —
+    *    connectivity never needs the second (all b–m edges for m in a
+    *    stored cluster C contract to the single edge b–C, because C's
+    *    members stay connected by their old pairs in the batch
+    *    fixpoint). A batch doc joining a w-member cluster costs ~1
+    *    exact merge, not w.
+    *  - batch × batch: candidates contract by each endpoint's stage-A
+    *    label (same-label pairs are already connected THROUGH that
+    *    stored cluster and drop before any verify work); surviving
+    *    groups (label_a, label_b) take the same any-match — one edge
+    *    per genuinely-new component link.
+    * Recall follows the banding budget (a (doc, cluster) link is missed
+    * only if EVERY true pair between them is missed as a candidate —
+    * strictly rarer than the pair-mode tail). Precision is exact: every
+    * emitted edge carries a verified pair behind it.
+    *
+    * `storedClusters` must hold the [[dedupClusters]] min-member-label
+    * invariant (it is also [[updateClusters]]' precondition); pass the
+    * maintained cluster table, same as q191.
+    */
+  def assignIncrement(indexBands: DataFrame, indexSets: DataFrame,
+                      storedClusters: DataFrame, newDocs: DataFrame,
+                      idCol: String, textCol: String,
+                      k: Int, threshold: Double, numPerm: Int, bands: Int,
+                      candidatesPerDocHint: Option[Double] = None): DataFrame = {
+    require(indexBands.columns.contains("buckets"),
+      "this index predates the round-10 banded format (no 'buckets' band-array " +
+        "column) — rebuild it with nearDupIndex; the curate loop rewrites it " +
+        "every batch, so one batch migrates")
+    val (newBandsRaw, newSets) = nearDupIndex(newDocs, idCol, textCol, k, numPerm, bands)
+    val nb = trackPersist(newBandsRaw)
+    // ORIENTED batch→corpus candidates (id_n = batch, id_o = index) —
+    // the same salted band join as dedupIncrement, first-agreeing-band
+    // filtered so each pair surfaces exactly once
+    val vsCorpus = saltedExplodeJoin(
+        indexBands.select(col(idCol).as("id_o"), col("band"), col("bucket"),
+          col("buckets").as("bk_o")), "id_o",
+        nb.select(col(idCol).as("id_n"), col("band"), col("bucket"),
+          col("buckets").as("bk_n")),
+        Seq("band", "bucket"))
+      .filter(col("id_n") =!= col("id_o"))
+      .filter(graft.functions.BitmapFunctions
+        .noEarlierBandMatch(col("bk_n"), col("bk_o"), col("band")))
+      .select(col("id_n"), col("id_o"))
+    val l = nb.select(col(idCol).as("id_a"), col("band"),
+      col("bucket"), col("buckets").as("bk_a"))
+    val r = nb.select(col(idCol).as("id_b"), col("band"),
+      col("bucket"), col("buckets").as("bk_b"))
+    val vsBatch = saltedExplodeJoin(l, "id_a", r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.BitmapFunctions
+        .noEarlierBandMatch(col("bk_a"), col("bk_b"), col("band")))
+      .select("id_a", "id_b")
+    val allSets = trackPersist(indexSets.unionByName(newSets))
+    val attach = verifySetsAttacher(allSets, idCol, candidatesPerDocHint)
+    // codegen'd short-circuit any-match (AnyTrueAgg over PairMatchExpr):
+    // the first verified edge of a group skips every later row's merge.
+    // The row-wise screens stay a pre-aggregation FILTER on purpose —
+    // folding them into the short-circuit chain (acc || screen && merge)
+    // measured sf3 assign-warm 50 → 78-128 s: without the filter every
+    // screen-failing candidate still pays a group-map probe/insert in
+    // the partial aggregate, and the group count balloons to every
+    // candidate-touched (doc, cluster). (A Row-encoded udaf measured
+    // 3.5× slower still — the input encoder boxes both multi-KB arrays
+    // for every row; the declarative form never leaves codegen.)
+    def anyMatch = graft.functions.BitmapFunctions.anyTrue(
+      graft.functions.BitmapFunctions.pairMatch(
+        col("bm_a"), col("size_a"), col("bm_b"), col("size_b"), threshold))
+
+    // Stage A: one edge per (batch doc, stored cluster) with ≥1 true pair.
+    // grp_b = the index doc's stored representative (itself when the
+    // index doc has no stored pair — a singleton "cluster").
+    val rep = storedClusters
+      .select(col("node").as("id_o"), col("cluster").as("__rep"))
+    val candsA = vsCorpus.join(rep, Seq("id_o"), "left")
+      .select(col("id_n").as("id_a"), col("id_o").as("id_b"),
+        coalesce(col("__rep"), col("id_o")).as("grp_b"))
+    val edgesA = trackPersist(
+      screenCandidates(attach(candsA, Seq("grp_b")), threshold, hashed = true)
+        .groupBy(col("id_a"), col("grp_b"))
+        .agg(anyMatch.as("m"))
+        .filter(col("m"))
+        .select(col("id_a").as("ea"), col("grp_b").as("eb")))
+    // deterministic stage-A label per batch doc (all its matched
+    // clusters merge through its own stage-A edges, so ANY one of them
+    // is a valid contraction representative; min keeps it deterministic)
+    val labelA = edgesA.groupBy(col("ea")).agg(min(col("eb")).as("lbl"))
+
+    // Stage B: batch-internal connectivity on the CONTRACTED graph —
+    // endpoints map to their stage-A label (or themselves), same-label
+    // candidates drop (already connected through the shared cluster),
+    // surviving label pairs take the same first-edge-wins any-match.
+    val la = labelA.select(col("ea").as("id_a"), col("lbl").as("__la"))
+    val lb = labelA.select(col("ea").as("id_b"), col("lbl").as("__lb"))
+    val contracted = vsBatch
+      .join(la, Seq("id_a"), "left")
+      .join(lb, Seq("id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("__la"), col("id_a")).as("ga"),
+        coalesce(col("__lb"), col("id_b")).as("gb"))
+      .filter(col("ga") =!= col("gb"))
+      .select(col("id_a"), col("id_b"),
+        least(col("ga"), col("gb")).as("grp_a"),
+        greatest(col("ga"), col("gb")).as("grp_b"))
+    val edgesB =
+      screenCandidates(attach(contracted, Seq("grp_a", "grp_b")),
+          threshold, hashed = true)
+        .groupBy(col("grp_a"), col("grp_b"))
+        .agg(anyMatch.as("m"))
+        .filter(col("m"))
+        .select(col("grp_a").as("ea"), col("grp_b").as("eb"))
+
+    updateClusters(storedClusters, edgesA.unionByName(edgesB), "ea", "eb")
   }
 
   private def spark(df: DataFrame) = df.sparkSession
@@ -1266,6 +1423,46 @@ object Dedup {
     v
   }
 
+  /** Default pairs-per-task target when `graft.dedup.targetPairsPerTask`
+    * is unset: a per-task WALL budget divided by the MEASURED per-pair
+    * cost, instead of a flat row count — the last flat default in the
+    * salt/budget family converted to the derived posture. The factors
+    * are themselves dials: `graft.dedup.targetTaskMillis` (default
+    * 2000 ms — a task long enough to amortize scheduling, short enough
+    * for AQE/speculation to matter) and `graft.dedup.measuredNanosPerPair`
+    * (default 500 ns — the conservative end of the measured sf1/sf3
+    * screen+verify throughput: ~0.25–0.5 µs per emitted candidate row
+    * on the bench host, the number the old 4M constant encoded as
+    * "≈ 1–2 s of work"). 2000 ms / 500 ns = 4.0e6 at defaults — within
+    * 5% of the historical flat 4·2^20, so dial tunings, salt censuses,
+    * and timings are unchanged in effect;
+    * deployments with slower storage or wider documents set the
+    * measured cost and every pairs-per-task consumer (hot-bucket salt,
+    * containment budget, SemDeDup cell width) re-sizes coherently.
+    */
+  private[graft] def defaultTargetPairsPerTask(
+      spark: org.apache.spark.sql.SparkSession): Long = {
+    def dial(key: String, dflt: Long): Long = {
+      val v = spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+      require(v >= 1, s"$key must be >= 1, got $v")
+      v
+    }
+    val ms = dial("graft.dedup.targetTaskMillis", 2000L)
+    val ns = dial("graft.dedup.measuredNanosPerPair", 500L)
+    math.max(1L, ms * 1000000L / ns)
+  }
+
+  /** `graft.dedup.targetPairsPerTask`, explicit or derived (see
+    * [[defaultTargetPairsPerTask]]).
+    */
+  private[graft] def targetPairsPerTask(
+      spark: org.apache.spark.sql.SparkSession): Long = {
+    val v = spark.conf.getOption("graft.dedup.targetPairsPerTask")
+      .map(_.toLong).getOrElse(defaultTargetPairsPerTask(spark))
+    require(v >= 1, s"graft.dedup.targetPairsPerTask must be >= 1, got $v")
+    v
+  }
+
   /** Census-derived salt for [[saltedExplodeJoin]]: ONE census join of
     * the two per-key count frames finds every HOT bucket — a key whose
     * exact emitted-row product mₗ(k)·mᵣ(k) exceeds
@@ -1310,8 +1507,7 @@ object Dedup {
     hotCensus(l, r, keys)._1
   private[graft] def hotCensus(l: DataFrame, r: DataFrame,
       keys: Seq[String]): (Int, Seq[Long]) = {
-    val target = conf(l, "graft.dedup.targetPairsPerTask", 4L << 20,
-      min = 1L)
+    val target = targetPairsPerTask(l.sparkSession)
     val volumeCap = conf(l, "graft.dedup.maxSaltVolumeRows", 64L << 20,
       min = 1L)
     // maxHot = 0 is legal (an engagement probe: ANY hot bucket

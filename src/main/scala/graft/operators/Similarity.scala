@@ -104,7 +104,8 @@ object Similarity {
     * ASSIGNMENT still covers every corpus vector, map-side.
     */
   private[graft] def coarseAssign(corpus: DataFrame, idCol: String,
-      vecCol: String, nCells: Int, fitSampleCap: Long): (DataFrame, DataFrame) = {
+      vecCol: String, nCells: Int, fitSampleCap: Long,
+      knownCount: Option[Long] = None): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -114,8 +115,9 @@ object Similarity {
     val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
       .setInitMode("random")
       .setFeaturesCol("fv").setPredictionCol("cell")
-    // one columnar-metadata-cheap scan
-    val n = c.count()
+    // one columnar-metadata-cheap scan (skipped when the caller already
+    // censused the corpus — semDedup counts it for the cell derivation)
+    val n = knownCount.getOrElse(c.count())
     require(fitSampleCap >= 1 && fitSampleCap <= 1000000L,
       s"fit sample is a bounded driver-side KMeans set, cap $fitSampleCap out of range")
     val fit = if (n <= fitSampleCap) c
@@ -132,48 +134,109 @@ object Similarity {
   }
 
   /** SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540): a
-    * seeded k-means partitions the embedding space; within each cluster
-    * a vector is pruned when its cosine similarity to a LOWER-RANKED
-    * clustermate reaches `threshold`. Rank follows the paper's keep
-    * rule — the member least similar to its own centroid survives a
-    * duplicate group (it carries the most information the centroid
-    * doesn't) — with (csim, id) lexicographic ties, so GIVEN the
-    * clustering the prune is a pure function: v drops iff ∃u in v's
+    * seeded quantizer partitions the embedding space; within each
+    * cluster a vector is pruned when its cosine similarity to a
+    * LOWER-RANKED clustermate reaches `threshold`. Rank follows the
+    * paper's keep rule — the member least similar to its own centroid
+    * survives a duplicate group (it carries the most information the
+    * centroid doesn't) — with (csim, id) lexicographic ties, so GIVEN
+    * the clustering the prune is a pure function: v drops iff ∃u in v's
     * cluster with cos(u,v) ≥ threshold and (csim_u, id_u) <
-    * (csim_v, id_v). The clustering itself is run-to-run deterministic
-    * on a fixed input layout (seeded fit on a content-hash-stable
-    * sample) but not layout-independent — MLlib KMeans' random init
-    * draws by partition — the same rows-only posture as [[ivfTopK]]'s
-    * q49. Emits every corpus vector with its cell, centroid similarity
-    * (FLOOR micro units — the §5 fixed-point posture), and the kept
-    * flag.
+    * (csim_v, id_v). The centroid is the cluster's EXACT member mean
+    * (computed distributively per cell), so given the (id → cell)
+    * assignment the whole output — csim included — is recomputable
+    * from the corpus (scripts/audit_q189.py's oracle). The clustering
+    * itself is run-to-run deterministic on a fixed input layout
+    * (seeded fit on a content-hash-stable sample) but not
+    * layout-independent — MLlib KMeans' random init draws by partition
+    * — the same rows-only posture as [[ivfTopK]]'s q49. Emits every
+    * corpus vector with its cell, centroid similarity (FLOOR micro
+    * units — the §5 fixed-point posture), and the kept flag.
     *
-    * Scale shape: one capped seeded fit + map-side assignment
-    * ([[coarseAssign]]), one broadcast centroid join, and a
-    * within-cell self-join whose cost is quadratic ONLY in cluster
-    * width — the width census `require`s the widest cell under
-    * `maxClusterSize` before any pairing work is planned (pick
-    * nClusters ≈ n/width; the paper runs ~100k clusters at corpus
-    * scale for the same reason). Near-dup semantics differ from
-    * [[graft.operators.Dedup.embeddingLshPairs]] deliberately: LSH
-    * recalls pairs anywhere in space, SemDeDup prunes only within a
-    * cluster — the trade the paper makes to get the keep-rule and a
-    * hard cost bound.
+    * Dials are CENSUSED, not guessed (`nClusters = 0`, the default,
+    * derives them; an explicit value always wins):
+    *  - target cell width w* = √(2·targetPairsPerTask), so ONE cell's
+    *    quadratic pairing is ~one target-sized task under hash
+    *    clustering (the q85 one-task lesson applied before it happens),
+    *    clamped to [64, maxClusterSize/4]; nClusters = ceil(n/w*) from
+    *    the measured corpus count — total pairing mass ≈ n·w*·0.5,
+    *    linear in n at any scale.
+    *  - past `maxFitCells` = min(4096, fitSampleCap/16) centers the
+    *    quantizer goes TWO-LEVEL: a coarse k-means fit (its centroid
+    *    broadcast is bounded by the formula maxFitCells·dim·8 B ≈ 2 MB
+    *    at dim 64 — never the nClusters·dim·8 B ≈ 0.5 GB a flat
+    *    million-cell fit would ship, and the fit keeps ≥ 16 sample
+    *    points per center) + a seeded-hyperplane split of the RESIDUAL
+    *    (v − coarse centroid) into ⌈log₂(nClusters/maxFitCells)⌉ bits
+    *    — fine cells need no second fit, no second centroid table, and
+    *    the csim centroid is the exact fine-cell mean either way.
+    * The width census still `require`s the widest FINAL cell under
+    * `maxClusterSize` before any pairing work is planned. Near-dup
+    * semantics differ from [[graft.operators.Dedup.embeddingLshPairs]]
+    * deliberately: LSH recalls pairs anywhere in space, SemDeDup prunes
+    * only within a cluster — the trade the paper makes to get the
+    * keep-rule and a hard cost bound.
     */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
-               threshold: Double, nClusters: Int,
+               threshold: Double, nClusters: Int = 0,
                fitSampleCap: Long = 100000L,
                maxClusterSize: Long = 100000L): DataFrame = {
-    val (assigned, cents) =
-      coarseAssign(corpus, idCol, vecCol, nClusters, fitSampleCap)
-    // persisted: the assignment (a full corpus pass through the model)
-    // feeds FOUR consumers — the width census action plus the a-side,
-    // b-side, and final left join of the self-join — the Dedup
-    // docs-persist rationale; released via [[releaseCaches]]
+    val spark = corpus.sparkSession
+    val c0 = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("cv"))
+    val n = c0.count()
+    val k: Int =
+      if (nClusters > 0) nClusters
+      else {
+        val target = Dedup.targetPairsPerTask(spark)
+        val wTarget = math.max(64L, math.min(maxClusterSize / 4,
+          math.sqrt(2.0 * target).toLong))
+        // MLlib refuses k = 1; 2^20 cells is the flat-int ceiling
+        math.max(2L, math.min(1L << 20,
+          (n + wTarget - 1) / math.max(1L, wTarget))).toInt
+      }
+    val maxFitCells = math.min(4096L, math.max(2L, fitSampleCap / 16)).toInt
+    val assigned0 =
+      if (k <= maxFitCells) {
+        val (a, _) = coarseAssign(corpus, idCol, vecCol, k, fitSampleCap, Some(n))
+        a
+      } else {
+        val bits = math.min(20,
+          64 - java.lang.Long.numberOfLeadingZeros(
+            ((k.toLong + maxFitCells - 1) / maxFitCells) - 1)).toInt
+        val (a, cents) =
+          coarseAssign(corpus, idCol, vecCol, maxFitCells, fitSampleCap, Some(n))
+        val dim = c0.select(size(col("cv"))).head().getInt(0)
+        val planes = hyperplanes(bits, dim, seed = 42L)
+        a.join(broadcast(cents), Seq("cell"))
+          .withColumn("res",
+            zip_with(col("cv"), col("centroid"), (x, y) => x - y))
+          .select(col(idCol), col("cv"),
+            (col("cell") * lit(1 << bits) +
+              lshSignature(col("res"), planes)).as("cell"))
+      }
+    // persisted: feeds the exact cell-mean aggregation AND the csim join
+    val assigned = caches.trackPersist(assigned0)
+    // exact member mean per FINAL cell — a (cell, pos) partial-agg fold
+    // (map-side combine collapses to cells×dim before the shuffle), then
+    // a co-keyed join back on cell: the centroid table is never
+    // collected or broadcast, so nClusters has no driver/broadcast
+    // footprint. Raw double avg: the q51 accepted-risk posture
+    // (per-(cell,pos) accumulation noise ~1e-15 rel cannot plausibly
+    // reach the 1e-6 floor boundary; decimal summing would truncate the
+    // embeddings' full mantissas).
+    val means = assigned
+      .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), expr("transform(pm, p -> p.m)").as("ctr"))
+    // persisted: the width census action plus the a-side, b-side, and
+    // final left join of the self-join — the Dedup docs-persist
+    // rationale; released via [[releaseCaches]]
     val withSim = caches.trackPersist(
-      assigned.join(broadcast(cents), Seq("cell"))
+      assigned.join(means, Seq("cell"))
         .withColumn("csim_micro",
-          floor(cosine(col("cv"), col("centroid")) * 1e6).cast("long"))
+          floor(cosine(col("cv"), col("ctr")) * 1e6).cast("long"))
         .select(col("cell"), col(idCol), col("cv"), col("csim_micro")))
     val widest = withSim.groupBy("cell").count()
       .agg(max(col("count"))).head().getLong(0)

@@ -79,6 +79,23 @@ object CorpusPipeline {
                               minScoreMicro: Long,
                               vocabSize: Int = 2048)
 
+  /** Optional SemDeDup stage (q189's operator as a curation stage —
+    * the paper's consumption point: embedding-level pruning AFTER
+    * lexical near-dup canonicalization has collapsed the exact/shingle
+    * duplicates). `embeddings` maps the corpus id space to vectors
+    * (the testdata's vec_id is an id into doc_id space); a surviving
+    * doc WITHOUT an embedding passes through — semantic dedup removes
+    * only proven duplicates, unlike the DSIR gate, which drops what it
+    * cannot score (selection vs dedup semantics, both documented).
+    * `nClusters = 0` keeps [[Similarity.semDedup]]'s censused
+    * derivation.
+    */
+  case class SemDedupConfig(embeddings: DataFrame,
+                            threshold: Double = 0.35,
+                            vecIdCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            nClusters: Int = 0)
+
   /** One row per stage: input size, survivors, drops. */
   case class StageCount(stage: String, rows_in: Long, rows_out: Long,
                         rows_dropped: Long)
@@ -94,7 +111,8 @@ object CorpusPipeline {
              outDir: String,
              cfg: CurationConfig = CurationConfig(),
              idCol: String = "doc_id", textCol: String = "text",
-             importance: Option[ImportanceConfig] = None): CurationResult = {
+             importance: Option[ImportanceConfig] = None,
+             semdedup: Option[SemDedupConfig] = None): CurationResult = {
     require(cfg.minQuality >= 0 && cfg.minQuality <= 1,
       s"minQuality must be in [0,1], got ${cfg.minQuality}")
     val stages = Seq.newBuilder[StageCount]
@@ -195,18 +213,44 @@ object CorpusPipeline {
     val n3 = stage("near_dup", nKept,
       iKept.join(nearDropped, Seq(idCol), "left_semi"), n2b)
 
+    // 3.5 (optional) SemDeDup — embedding-level pruning of the
+    //     lexically-canonicalized survivors (the paper's pipeline
+    //     position: shingle near-dup already collapsed the literal
+    //     copies, this removes semantic re-tellings LSH structurally
+    //     misses). Only docs WITH an embedding are judged; the prune
+    //     runs on exactly the surviving subset so a dropped doc can
+    //     never dominate a kept one.
+    val (mKept, n3a) = semdedup match {
+      case Some(sc) =>
+        val vecs = sc.embeddings
+          .select(col(sc.vecIdCol).as(idCol), col(sc.vecCol))
+          .join(nKept.select(idCol), Seq(idCol), "left_semi")
+        // KMeans needs >= 2 rows; below that there is nothing to prune
+        val dropIds =
+          if (vecs.limit(2).count() < 2) vecs.select(col(idCol)).limit(0)
+          else graft.operators.Similarity
+            .semDedup(vecs, idCol, sc.vecCol, sc.threshold, sc.nClusters)
+            .filter(!col("kept")).select(col(idCol))
+        val kept = nKept.join(dropIds, Seq(idCol), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = stage("semdedup", kept,
+          nKept.join(dropIds, Seq(idCol), "left_semi"), n3)
+        (kept, n)
+      case None => (nKept, n3)
+    }
+
     // 4. decontamination — any shared eval word-n-gram disqualifies
     val (cKept, nClean) = evalDocs match {
       case Some(ev) =>
         val flagged = Decontaminate
-          .overlapFlags(nKept, ev, idCol, textCol, cfg.decontamNgram)
+          .overlapFlags(mKept, ev, idCol, textCol, cfg.decontamNgram)
           .select(col(idCol))
-        val kept = nKept.join(flagged, Seq(idCol), "left_anti")
+        val kept = mKept.join(flagged, Seq(idCol), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n4 = stage("contaminated", kept,
-          nKept.join(flagged, Seq(idCol), "left_semi"), n3)
+          mKept.join(flagged, Seq(idCol), "left_semi"), n3a)
         (kept, n4)
-      case None => (nKept, n3)
+      case None => (mKept, n3a)
     }
 
     // 5. shard assignment — deterministic epoch shuffle, payload joined
@@ -235,8 +279,10 @@ object CorpusPipeline {
     Seq(input, qKept, eKept, nKept).foreach(_.unpersist(blocking = false))
     sFrame.foreach(_.unpersist(blocking = false))
     if (iKept ne sKept) iKept.unpersist(blocking = false)
-    if (cKept ne nKept) cKept.unpersist(blocking = false)
+    if (mKept ne nKept) mKept.unpersist(blocking = false)
+    if (cKept ne mKept) cKept.unpersist(blocking = false)
     Dedup.releaseCaches()
+    graft.operators.Similarity.releaseCaches()
     CurationResult(nIn, nClean, stages.result())
   }
 

@@ -233,9 +233,13 @@ object DedupQueries {
   // anywhere in space, SemDeDup emits a KEEP/DROP decision with a hard
   // within-cluster cost bound — the form training-data curation
   // actually consumes.
+  // nClusters deliberately NOT passed: the censused derivation sizes
+  // cells so one cell's pairing is ~one target task (w* = √(2·target),
+  // nClusters = ⌈n/w*⌉ — see Similarity.semDedup), the same
+  // measure-don't-guess posture as adaptiveBanding.
   def q189(s: SparkSession, dir: String): DataFrame =
     Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
-      threshold = CosT, nClusters = 16)
+      threshold = CosT)
 
   // --- q85: incremental ingest dedup — the q21 sample is split into a
   // pre-indexed "corpus" (doc_id % 8 == 0) and a "daily batch" (the
@@ -341,7 +345,41 @@ object DedupQueries {
     Dedup.updateClusters(stored, pairs.filter(touchesNew), "id_a", "id_b")
   }
 
+  // --- q192: linear-output incremental dedup ASSIGNMENT — the
+  // curation-facing mode of q85 (Dedup.assignIncrement): the batch folds
+  // into the stored cluster table and each affected doc emits ONE row
+  // (node → cluster rep) instead of the quadratic within-cluster pair
+  // list. Same index/batch split as q85 (corpus = doc_id % 8 == 0 of the
+  // % 4 sample, batch = the rest), stored clusters built from the index
+  // slice's own pairs; batch×corpus links verify only until the FIRST
+  // true edge per (doc, cluster) (AnyMatchAgg early exit) and
+  // batch-internal candidates contract by stage-A labels before any
+  // verify work. The oracle is q55's recursive-CTE closure over ALL
+  // % 4 pairs at ClusterT verbatim — the assignment must land on the
+  // exact batch fixpoint.
+  def q192(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).filter(col("doc_id") % 4 === 0)
+    val idx = base.filter(col("doc_id") % 8 === 0)
+    val choice = bandingFor(s, dir, ExtendedQueries.ClusterT)
+    val (indexBands, indexSets) = Dedup.nearDupIndex(
+      idx, "doc_id", "text", k = 3,
+      numPerm = choice.numPerm, bands = choice.bands)
+    val stored = Dedup.dedupClusters(
+      Dedup.lshVerifiedPairs(idx, "doc_id", "text", k = 3,
+        threshold = ExtendedQueries.ClusterT,
+        numPerm = choice.numPerm, bands = choice.bands,
+        candidatesPerDocHint = Some(choice.estPairsPerDoc))
+        .select("id_a", "id_b"),
+      "id_a", "id_b")
+    Dedup.assignIncrement(indexBands, indexSets, stored,
+      base.filter(col("doc_id") % 8 =!= 0), "doc_id", "text",
+      k = 3, threshold = ExtendedQueries.ClusterT,
+      numPerm = choice.numPerm, bands = choice.bands,
+      candidatesPerDocHint = Some(choice.estPairsPerDoc))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_dedup_assign"      -> (q192 _),
     "q191_cluster_increment" -> (q191 _),
     "q85_dedup_increment"    -> (q85 _),
     "q185_span_rewrite"      -> (q185 _),
@@ -358,6 +396,7 @@ object DedupQueries {
     "q189_semdedup"          -> (q189 _))
 
   val oracle: Map[String, String] = Map(
+    "q192_dedup_assign"      -> ExtendedQueries.q55Sql,
     "q191_cluster_increment" -> ExtendedQueries.q55Sql,
     "q85_dedup_increment"    -> q85Sql,
     "q185_span_rewrite"      -> q185Sql,

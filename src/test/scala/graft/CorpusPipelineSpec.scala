@@ -189,6 +189,49 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(tooGood.isEmpty, "no doc at/above the threshold may be rejected")
   }
 
+  test("curate with a SemDeDup stage: semantic dups drop after lexical canonicalization") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_curate_sem").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val scfg = CorpusPipeline.SemDedupConfig(embeddings = emb, threshold = 0.35)
+    val res = CorpusPipeline.curate(spark, docs, None, dir, semdedup = Some(scfg))
+    assert(res.stages.map(_.stage) ===
+      Seq("quality", "exact_dup", "near_dup", "semdedup"),
+      "the stage must slot after lexical near-dup canonicalization")
+    val sd = res.stages.find(_.stage == "semdedup").get
+    assert(sd.rows_dropped > 0, "the embedding corpus must exercise the prune")
+    assert(sd.rows_out > 0)
+    res.stages.foreach(s => assert(s.rows_in - s.rows_out === s.rows_dropped))
+    val allRejects = spark.read.parquet(s"$dir/rejects")
+    val rejected = allRejects
+      .filter(col("reason") === "semdedup").select("doc_id")
+    // a doc with no embedding cannot be judged, so it must never be
+    // rejected by this stage
+    assert(rejected.join(emb.select(col("vec_id").as("doc_id")),
+      Seq("doc_id"), "left_anti").isEmpty,
+      "semdedup rejected a doc it had no embedding for")
+    // recompute the stage on ITS OWN input (post lexical stages): the
+    // reject set must equal semDedup's kept=false ids exactly
+    val stageIn = docs.join(allRejects
+      .filter(col("reason").isin("quality", "exact_dup", "near_dup"))
+      .select("doc_id"), Seq("doc_id"), "left_anti")
+    val vecs = emb.select(col("vec_id").as("doc_id"), col("embedding"))
+      .join(stageIn.select("doc_id"), Seq("doc_id"), "left_semi")
+    val expected = graft.operators.Similarity
+      .semDedup(vecs, "doc_id", "embedding", 0.35)
+      .filter(!col("kept")).select("doc_id")
+    assert(rejected.exceptAll(expected).isEmpty &&
+      expected.exceptAll(rejected).isEmpty,
+      "the stage's rejects must equal the operator's kept=false set")
+    // dataset card counts the stage's survivors only
+    val card = spark.read.parquet(s"$dir/card")
+    assert(card.agg(sum("n_docs")).collect()(0).getLong(0) === res.nClean)
+    // determinism: a second run lands on identical stage counts
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_curate_sem2").toString
+    val res2 = CorpusPipeline.curate(spark, docs, None, dir2, semdedup = Some(scfg))
+    assert(res2.stages === res.stages)
+  }
+
   test("assembleMixture allocations ARE the q172 advisor surface") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val plan = graft.pipeline.CorpusPipeline

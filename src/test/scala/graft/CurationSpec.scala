@@ -410,6 +410,34 @@ class CurationSpec extends SparkSpec {
     assert(defaulted === withScreen)
   }
 
+  test("targetPairsPerTask: wall budget over measured pair cost; dials win") {
+    // defaults: 2000 ms / 500 ns = 4.0e6 pairs per task (within 5% of
+    // the historical flat 4·2^20 — tunings and censuses unchanged)
+    assert(graft.operators.Dedup.targetPairsPerTask(spark) === 4000000L)
+    // a slower measured per-pair cost shrinks the task target
+    val slow = try {
+      spark.conf.set("graft.dedup.measuredNanosPerPair", "2000")
+      graft.operators.Dedup.targetPairsPerTask(spark)
+    } finally spark.conf.unset("graft.dedup.measuredNanosPerPair")
+    assert(slow === 1000000L)
+    // a bigger wall budget grows it
+    val wide = try {
+      spark.conf.set("graft.dedup.targetTaskMillis", "4000")
+      graft.operators.Dedup.targetPairsPerTask(spark)
+    } finally spark.conf.unset("graft.dedup.targetTaskMillis")
+    assert(wide === 8000000L)
+    // the explicit pairs dial overrides the derivation entirely
+    val explicit = try {
+      spark.conf.set("graft.dedup.targetPairsPerTask", "123")
+      spark.conf.set("graft.dedup.measuredNanosPerPair", "2000")
+      graft.operators.Dedup.targetPairsPerTask(spark)
+    } finally {
+      spark.conf.unset("graft.dedup.targetPairsPerTask")
+      spark.conf.unset("graft.dedup.measuredNanosPerPair")
+    }
+    assert(explicit === 123L)
+  }
+
   test("posting cap budget: largest affordable rung, legacy floor when broke") {
     val masses = graft.operators.Dedup.PostingCapLadder.zipWithIndex
       .map { case (c, i) => c -> (i + 1) * 100L } // ascending mass per rung

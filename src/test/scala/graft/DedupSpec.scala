@@ -386,6 +386,61 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("assignIncrement equals clustering the full pair output (corpus fixture)") {
+    val base = Tables.documents(spark, sf).filter(col("doc_id") % 4 === 0)
+    val t = 0.65
+    val full = Dedup.dedupClusters(
+      Dedup.ngramJaccardPairs(base, "doc_id", "text", 3, t)
+        .select("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = base.filter(col("doc_id") % 8 === 0)
+    val (ib, is) = Dedup.nearDupIndex(idx, "doc_id", "text", 3, 16, 16)
+    val stored = Dedup.dedupClusters(
+      Dedup.lshVerifiedPairs(idx, "doc_id", "text", 3, t, 16, 16)
+        .select("id_a", "id_b"), "id_a", "id_b")
+    val got = Dedup.assignIncrement(ib, is, stored,
+        base.filter(col("doc_id") % 8 =!= 0), "doc_id", "text", 3, t, 16, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === full, "assignment must land on the batch fixpoint")
+    assert(got.nonEmpty, "the sample corpus has near-dup clusters")
+  }
+
+  test("assignIncrement: batch doc bridges stored clusters; batch-only cluster forms") {
+    val s = spark
+    import s.implicits._
+    val xa = "the quick brown fox jumps over it"
+    val yb = "zeldas umbral knights guard keeps"
+    val zc = "morning rain falls on gray stones"
+    // index (even ids): family A {2,4}, family B {6,8}, singleton 10
+    val idxDocs = Seq((2L, xa), (4L, xa), (6L, yb), (8L, yb),
+      (10L, "completely unrelated text nineteen")).toDF("doc_id", "text")
+    // batch (odd ids): 101 bridges A and B (concatenation — ~0.45
+    // Jaccard to each side at char 3-grams), 103/105 are a new
+    // batch-only duplicate pair matching nothing stored
+    val batch = Seq((101L, s"$xa $yb"), (103L, zc), (105L, zc))
+      .toDF("doc_id", "text")
+    val t = 0.4
+    val (ib, is) = Dedup.nearDupIndex(idxDocs, "doc_id", "text", 3, 16, 16)
+    val stored = Dedup.dedupClusters(
+      Dedup.lshVerifiedPairs(idxDocs, "doc_id", "text", 3, t, 16, 16)
+        .select("id_a", "id_b"), "id_a", "id_b")
+    assert(stored.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(2L -> 2L, 4L -> 2L, 6L -> 6L, 8L -> 6L))
+    val got = Dedup.assignIncrement(ib, is, stored, batch,
+        "doc_id", "text", 3, t, 16, 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.dedupClusters(
+      Dedup.ngramJaccardPairs(idxDocs.unionByName(batch),
+        "doc_id", "text", 3, t).select("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === full, "assignment must equal the full fixpoint")
+    assert(Seq(2L, 4L, 6L, 8L, 101L).forall(got(_) == 2L),
+      "the bridge doc must merge both stored clusters under min id")
+    assert(got(103L) == 103L && got(105L) == 103L,
+      "a batch-only duplicate pair must form its own cluster")
+    assert(!got.contains(10L), "an unpaired index doc stays out of the table")
+  }
+
   test("updateClusters: chain merge, empty batch, empty stored, label stability") {
     val s = spark
     import s.implicits._
@@ -570,6 +625,86 @@ class DedupSpec extends SparkSpec {
     val b = Similarity.semDedup(e, "vec_id", "embedding", 0.35, 4)
       .orderBy("vec_id").collect().toSeq
     assert(a == b)
+  }
+
+  test("semDedup derives nClusters from the corpus census when unset") {
+    val e = Tables.embeddings(spark, sf)
+    val n = e.count()
+    // the documented derivation: w* = sqrt(2·targetPairsPerTask) clamped
+    // to [64, maxClusterSize/4], k = ceil(n/w*) clamped to [2, 2^20]
+    val target = Dedup.targetPairsPerTask(spark)
+    val wT = math.max(64L, math.min(100000L / 4, math.sqrt(2.0 * target).toLong))
+    val expectK = math.max(2L, math.min(1L << 20, (n + wT - 1) / wT)).toInt
+    val derived = Similarity.semDedup(e, "vec_id", "embedding", 0.35)
+      .orderBy("vec_id").collect().toSeq
+    val explicit = Similarity
+      .semDedup(e, "vec_id", "embedding", 0.35, nClusters = expectK)
+      .orderBy("vec_id").collect().toSeq
+    assert(derived == explicit,
+      s"derived dial must equal the formula's explicit k=$expectK")
+    // a tighter task target derives MORE cells (the dial is live)
+    val key = "graft.dedup.targetPairsPerTask"
+    val tight = try {
+      spark.conf.set(key, "8192") // w* = 128 → k = ceil(n/128)
+      Similarity.semDedup(e, "vec_id", "embedding", 0.35)
+        .select(max(col("cell"))).head().getInt(0)
+    } finally spark.conf.unset(key)
+    val expectTightK = math.max(2L, (n + 127) / 128).toInt
+    assert(tight >= expectK && tight < expectTightK,
+      s"tight target must widen the cell range (maxCell=$tight, k=$expectTightK)")
+  }
+
+  test("semDedup two-level quantizer: fine residual split past maxFitCells") {
+    val e = Tables.embeddings(spark, sf)
+    // fitSampleCap 32 → maxFitCells = 2, so nClusters = 8 goes two-level
+    // (2 coarse cells × 4 residual-hyperplane fine cells). The prune
+    // must stay the pure dominance function of the FINAL cells.
+    val t = 0.35
+    val out = Similarity.semDedup(e, "vec_id", "embedding", t,
+        nClusters = 8, fitSampleCap = 32)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cell"), r.getAs[Long]("csim_micro"),
+          r.getAs[Boolean]("kept")))).toMap
+    val vecs = e.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    assert(out.keySet == vecs.keySet, "every vector emitted")
+    assert(out.values.map(_._1).toSet.size > 2,
+      "the residual split must produce more cells than the coarse fit")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    out.foreach { case (v, (cellV, csV, keptV)) =>
+      val dominated = out.exists { case (u, (cellU, csU, _)) =>
+        u != v && cellU == cellV &&
+          (csU < csV || (csU == csV && u < v)) &&
+          cos(vecs(u), vecs(v)) >= t
+      }
+      assert(keptV == !dominated, s"vec $v: kept=$keptV but dominated=$dominated")
+    }
+  }
+
+  test("semDedup csim is the exact member mean of the FINAL cell") {
+    val e = Tables.embeddings(spark, sf)
+    val out = Similarity.semDedup(e, "vec_id", "embedding", 0.35, nClusters = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cell"), r.getAs[Long]("csim_micro")))).toMap
+    val vecs = e.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    val byCell = out.toSeq.groupBy(_._2._1)
+    byCell.foreach { case (_, members) =>
+      val ids = members.map(_._1)
+      val dim = vecs(ids.head).length
+      val mean = Array.tabulate(dim)(i => ids.map(vecs(_)(i)).sum / ids.size)
+      ids.foreach { id =>
+        val v = vecs(id)
+        val c = v.zip(mean).map { case (x, y) => x * y }.sum /
+          math.sqrt(v.map(x => x * x).sum * mean.map(x => x * x).sum)
+        val want = math.floor(c * 1e6).toLong
+        assert(math.abs(out(id)._2 - want) <= 1,
+          s"vec $id: csim_micro=${out(id)._2} but member-mean gives $want")
+      }
+    }
   }
 
   test("semDedup refuses a clustering wider than maxClusterSize") {
