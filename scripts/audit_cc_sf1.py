@@ -106,6 +106,19 @@ if os.path.isdir(f"{outdir}/q191_cluster_increment"):
     else:
         print(f"OK   q191_cluster_increment vs union-find ({len(t55)} rows)")
 
+# --- q192: linear-output incremental ASSIGNMENT must land on the SAME
+# fixpoint as q55 (its whole contract — the q191 check, for the
+# assignIncrement path) ------------------------------------------------
+if os.path.isdir(f"{outdir}/q192_dedup_assign"):
+    s192 = {(d["node"], d["cluster"])
+            for d in read_spark("q192_dedup_assign").to_pylist()}
+    if s192 != t55:
+        print(f"FAIL q192_dedup_assign: spark {len(s192)} rows vs truth "
+              f"{len(t55)}; sample diff {sorted(s192 ^ t55)[:3]}")
+        status = 1
+    else:
+        print(f"OK   q192_dedup_assign vs union-find ({len(t55)} rows)")
+
 # --- q190: leakage-safe split — grp = union-find root (self for
 # singletons), n_members over the %4 universe, split = bucket(grp) ----
 if os.path.isdir(f"{outdir}/q190_leakage_safe_split"):

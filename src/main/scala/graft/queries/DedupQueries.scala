@@ -66,22 +66,33 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[(String, Double), DataFrame]()
 
   private[queries] def verifiedPairs(s: SparkSession, dir: String,
-                                     threshold: Double): DataFrame = {
-    val df = pairsMemo.computeIfAbsent((dir, threshold), _ => {
-      val choice = bandingFor(s, dir, threshold)
-      Dedup.lshVerifiedPairs(
-        Tables.documents(s, dir).filter(col("doc_id") % 4 === 0),
-        "doc_id", "text", k = 3, threshold = threshold,
-        numPerm = choice.numPerm, bands = choice.bands,
-        candidatesPerDocHint = Some(choice.estPairsPerDoc))
-    })
-    // Re-persist after an external clearCache (PlanLintSpec /
-    // RegenPlanBudgets clear and rebuild in name order): the memo holds
-    // the PLAN; the cache registration must survive being dropped.
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      trackPersist(df)
-    else df
-  }
+                                     threshold: Double): DataFrame =
+    pairsMemo.synchronized {
+      val cached = pairsMemo.get((dir, threshold))
+      if (cached != null &&
+          cached.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        cached
+      else {
+        // First call — or an external clearCache (PlanLintSpec /
+        // RegenPlanBudgets clear and rebuild in name order) dropped the
+        // registration. REBUILD rather than re-persist the stale frame:
+        // the builder re-registers every cache-tracked INTERMEDIATE
+        // (shingle stream, docs sets) too, so warm-JVM plans print
+        // identically to the fresh-JVM golden the exchange-budget lint
+        // pins (re-persisting only the top frame left its nested
+        // InMemoryTableScans unregistered — a cross-suite count drift).
+        // Deterministic: the banding memo holds the measured choice, so
+        // a rebuild is plan-identical to the first build.
+        val choice = bandingFor(s, dir, threshold)
+        val df = trackPersist(Dedup.lshVerifiedPairs(
+          Tables.documents(s, dir).filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", k = 3, threshold = threshold,
+          numPerm = choice.numPerm, bands = choice.bands,
+          candidatesPerDocHint = Some(choice.estPairsPerDoc)))
+        pairsMemo.put((dir, threshold), df)
+        df
+      }
+    }
 
   // --- q21: exact n-gram Jaccard near-dup pairs (oracle-checked) ---
   def q21(s: SparkSession, dir: String): DataFrame =
