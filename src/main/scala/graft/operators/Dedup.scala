@@ -446,11 +446,33 @@ object Dedup {
     val docsS = if (screen) withPackedScreen(docs) else docs
     val extraA = if (screen) Seq(col("pk").as("pk_a"), col("pkc").as("pkc_a")) else Nil
     val extraB = if (screen) Seq(col("pk").as("pk_b"), col("pkc").as("pkc_b")) else Nil
+    // Verify-join strategy — the dedupIncrement/containment broadcast
+    // decision applied to the BACKFILL path too (round 13: the first
+    // sf10 run of the cluster family's shared pair frame sort-merged
+    // ~10⁹ candidates × ~2 KB set payloads through two exchanges and
+    // took local disk to zero — the exact q121 cliff, on the one verify
+    // path that still trusted AQE's 10 MB line). Under the
+    // memory-derived raw-payload bound both doc-set joins broadcast and
+    // the candidate stream never shuffles; past it the shuffled join is
+    // the correct corpus-sized plan and stands. sum(size(bm)) prices
+    // dense bitmaps (fixed width × docs) and hashed sets (set sizes)
+    // alike; the aggregation rides the docs persist.
+    val est = docsS.agg(sum(size(col("bm")).cast("long")), count(lit(1))).head()
+    val estBytes =
+      if (est.isNullAt(0)) 0L
+      else est.getLong(0) * 8L +
+        est.getLong(1) * (40L + (if (screen) 8L * screenWords(spark(df)) else 0L))
+    val maxBytes = spark(df).conf
+      .getOption("graft.dedup.maxBroadcastSetBytes").map(_.toLong)
+      .getOrElse(defaultBroadcastSetBytes(spark(df)))
+    val hint: DataFrame => DataFrame =
+      if (estBytes <= maxBytes) broadcast(_: DataFrame) else identity
     val a = docsS.select(Seq(col(idCol).as("id_a"), col("bm").as("bm_a"),
       col("set_size").as("size_a")) ++ extraA: _*)
     val b = docsS.select(Seq(col(idCol).as("id_b"), col("bm").as("bm_b"),
       col("set_size").as("size_b")) ++ extraB: _*)
-    jaccardVerify(cands.join(a, Seq("id_a")).join(b, Seq("id_b")), threshold, hashed)
+    jaccardVerify(cands.join(hint(a), Seq("id_a")).join(hint(b), Seq("id_b")),
+      threshold, hashed)
   }
 
   /** Geometric rungs the containment posting-cap budget chooses from.
