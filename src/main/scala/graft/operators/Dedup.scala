@@ -1071,34 +1071,93 @@ object Dedup {
                       idCol: String, textCol: String,
                       k: Int, threshold: Double, numPerm: Int, bands: Int,
                       candidatesPerDocHint: Option[Double] = None): DataFrame = {
+    val e = assignIncrementEdges(indexBands, indexSets, storedClusters,
+      newDocs, idCol, textCol, k, threshold, numPerm, bands,
+      candidatesPerDocHint)
+    updateClusters(storedClusters, e.corpus.unionByName(e.batch), "ea", "eb")
+  }
+
+  /** The verified merge edges behind [[assignIncrement]], exposed
+    * separately so a consumer with its own keep policy (the curate
+    * loop's first-seen-wins) can read the two channels directly:
+    * `corpus` — one (ea = batch doc, eb = stored cluster rep) row per
+    * (batch doc, stored cluster) with ≥ 1 true pair; `batch` — one
+    * (ea, eb) row per surviving contracted batch-internal component
+    * link. `contractedBatchOnly = true` scopes stage B to candidates
+    * whose BOTH endpoints escaped stage A (neither matched the corpus):
+    * exactly the curate loop's batch-internal clustering input, where
+    * corpus-matched docs drop before batch clustering — the cross
+    * (survivor, corpus-cluster) groups are never verified at all, not
+    * just discarded. Leave it false for the full fixpoint
+    * ([[assignIncrement]]'s contract: a survivor transitively linked to
+    * a stored cluster through a dropped doc must still merge into it).
+    */
+  private[graft] case class AssignEdges(corpus: DataFrame, batch: DataFrame)
+
+  private[graft] def assignIncrementEdges(
+      indexBands: DataFrame, indexSets: DataFrame,
+      storedClusters: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String,
+      k: Int, threshold: Double, numPerm: Int, bands: Int,
+      candidatesPerDocHint: Option[Double] = None,
+      contractedBatchOnly: Boolean = false): AssignEdges = {
     require(indexBands.columns.contains("buckets"),
       "this index predates the round-10 banded format (no 'buckets' band-array " +
         "column) — rebuild it with nearDupIndex; the curate loop rewrites it " +
         "every batch, so one batch migrates")
     val (newBandsRaw, newSets) = nearDupIndex(newDocs, idCol, textCol, k, numPerm, bands)
     val nb = trackPersist(newBandsRaw)
-    // ORIENTED batch→corpus candidates (id_n = batch, id_o = index) —
-    // the same salted band join as dedupIncrement, first-agreeing-band
-    // filtered so each pair surfaces exactly once
-    val vsCorpus = saltedExplodeJoin(
-        indexBands.select(col(idCol).as("id_o"), col("band"), col("bucket"),
-          col("buckets").as("bk_o")), "id_o",
-        nb.select(col(idCol).as("id_n"), col("band"), col("bucket"),
-          col("buckets").as("bk_n")),
+    // ONE salted band join feeds BOTH candidate channels (r13 ran two —
+    // index×batch and batch×batch — and the double generation was the
+    // whole small-scale premium over the pair mode): the probe side is
+    // the index's banded rows UNIONED with the batch's, the replicate
+    // side is the batch's, and the channel tag (__new) splits the joined
+    // stream back into oriented batch→corpus candidates and ordered
+    // batch-internal candidates. Same salt census, same broadcast fast
+    // path, half the explode/join work.
+    val sess = newDocs.sparkSession
+    val bcastRows = conf(nb, "graft.dedup.maxBroadcastBandRows",
+      256L << 10, min = 0L)
+    // batch-sized? (bounded probe — mirrors saltedExplodeJoin's own fast
+    // path, which will take the broadcast plan under the same bound)
+    val smallBatch = bcastRows > 0 && {
+      val probeLimit = (math.min(bcastRows, Int.MaxValue - 1L) + 1L).toInt
+      nb.limit(probeLimit).count() <= bcastRows
+    }
+    val idxProbe0 = indexBands.select(col(idCol).as("pid"), col("band"),
+      col("bucket"), col("buckets").as("bk_p"), lit(false).as("__new"))
+    // per-BRANCH degenerate-scan guard: on the broadcast fast path the
+    // union's partition count is the SUM of its branches, so a 1-split
+    // slim index parquet would pass saltedExplodeJoin's width check on
+    // the batch side's partitions and still scan the whole index in one
+    // serial task (the q85 sf1 10 → 71 s shape). Widen the index branch
+    // itself when it is degenerate; on the censused path the shuffle
+    // restores parallelism and no repartition is paid.
+    val width = sess.conf.get("spark.sql.shuffle.partitions").toInt
+    val minParts = math.min(math.max(2, width / 2), 32)
+    val idxProbe =
+      if (smallBatch && indexBands.rdd.getNumPartitions < minParts)
+        idxProbe0.repartition(width)
+      else idxProbe0
+    val probe = idxProbe.unionByName(
+      nb.select(col(idCol).as("pid"), col("band"), col("bucket"),
+        col("buckets").as("bk_p"), lit(true).as("__new")))
+    val cands = saltedExplodeJoin(probe, "pid",
+        nb.select(col(idCol).as("rid"), col("band"), col("bucket"),
+          col("buckets").as("bk_r")),
         Seq("band", "bucket"))
-      .filter(col("id_n") =!= col("id_o"))
+      .filter(col("pid") =!= col("rid"))
+      // first-agreeing-band filter (symmetric in its array arguments) so
+      // each pair surfaces exactly once across the whole union
       .filter(graft.functions.BitmapFunctions
-        .noEarlierBandMatch(col("bk_n"), col("bk_o"), col("band")))
-      .select(col("id_n"), col("id_o"))
-    val l = nb.select(col(idCol).as("id_a"), col("band"),
-      col("bucket"), col("buckets").as("bk_a"))
-    val r = nb.select(col(idCol).as("id_b"), col("band"),
-      col("bucket"), col("buckets").as("bk_b"))
-    val vsBatch = saltedExplodeJoin(l, "id_a", r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(graft.functions.BitmapFunctions
-        .noEarlierBandMatch(col("bk_a"), col("bk_b"), col("band")))
-      .select("id_a", "id_b")
+        .noEarlierBandMatch(col("bk_r"), col("bk_p"), col("band")))
+      .filter(!col("__new") || col("pid") < col("rid"))
+    // oriented batch→corpus (id_n = batch, id_o = index) and ordered
+    // batch-internal (id_a < id_b) channels, as in dedupIncrement
+    val vsCorpus = cands.filter(!col("__new"))
+      .select(col("rid").as("id_n"), col("pid").as("id_o"))
+    val vsBatch = cands.filter(col("__new"))
+      .select(col("pid").as("id_a"), col("rid").as("id_b"))
     val allSets = trackPersist(indexSets.unionByName(newSets))
     val attach = verifySetsAttacher(allSets, idCol, candidatesPerDocHint)
     // codegen'd short-circuit any-match (AnyTrueAgg over PairMatchExpr):
@@ -1138,11 +1197,21 @@ object Dedup {
     // endpoints map to their stage-A label (or themselves), same-label
     // candidates drop (already connected through the shared cluster),
     // surviving label pairs take the same first-edge-wins any-match.
-    val la = labelA.select(col("ea").as("id_a"), col("lbl").as("__la"))
-    val lb = labelA.select(col("ea").as("id_b"), col("lbl").as("__lb"))
-    val contracted = vsBatch
+    // The label map has at most one row per batch doc, so a batch-sized
+    // increment broadcasts it (16 B/doc under the band-row bound) and
+    // the vsBatch candidate stream never shuffles for the relabel.
+    val hintL: DataFrame => DataFrame =
+      if (smallBatch) broadcast(_: DataFrame) else identity
+    val la = hintL(labelA.select(col("ea").as("id_a"), col("lbl").as("__la")))
+    val lb = hintL(labelA.select(col("ea").as("id_b"), col("lbl").as("__lb")))
+    val labeled = vsBatch
       .join(la, Seq("id_a"), "left")
       .join(lb, Seq("id_b"), "left")
+    val scoped =
+      if (contractedBatchOnly)
+        labeled.filter(col("__la").isNull && col("__lb").isNull)
+      else labeled
+    val contracted = scoped
       .select(col("id_a"), col("id_b"),
         coalesce(col("__la"), col("id_a")).as("ga"),
         coalesce(col("__lb"), col("id_b")).as("gb"))
@@ -1158,7 +1227,7 @@ object Dedup {
         .filter(col("m"))
         .select(col("grp_a").as("ea"), col("grp_b").as("eb"))
 
-    updateClusters(storedClusters, edgesA.unionByName(edgesB), "ea", "eb")
+    AssignEdges(edgesA, edgesB)
   }
 
   private def spark(df: DataFrame) = df.sparkSession

@@ -118,6 +118,33 @@ class CorpusPipelineSpec extends SparkSpec {
     clean.unpersist(blocking = false)
   }
 
+  test("curateIncrement: assignment mode (default) keeps the exact pair-mode set") {
+    // the r13→r14 engine swap — assignIncrementEdges with stage B scoped
+    // to survivors must reproduce the pair mode's first-seen-wins kept
+    // set doc-for-doc, including the batch-internal longest-text
+    // canonicals, on a split where cross-batch near-dups exist
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 =!= 0)
+    def run(cfg: CorpusPipeline.CurationConfig)
+        : (org.apache.spark.sql.DataFrame, Long) = {
+      val state = java.nio.file.Files.createTempDirectory("graft_am").toString
+      CorpusPipeline.curateIncrement(spark, b0, None, state, "b0", cfg)
+      CorpusPipeline.curateIncrement(spark, b1, None, state, "b1", cfg)
+      val nearDrops = spark.read.parquet(s"$state/rejects")
+        .filter(col("batch").cast("string") === "b1" &&
+          col("reason") === "near_dup").count()
+      (spark.read.parquet(s"$state/clean").select("doc_id", "batch"), nearDrops)
+    }
+    val (assign, aDrops) = run(CorpusPipeline.CurationConfig(incrementAssign = true))
+    val (pair, pDrops) = run(CorpusPipeline.CurationConfig(incrementAssign = false))
+    assert(assign.exceptAll(pair).isEmpty && pair.exceptAll(assign).isEmpty,
+      "assignment-mode kept set must equal the pair-mode kept set")
+    // the cross-batch channel was genuinely exercised, identically
+    assert(aDrops === pDrops)
+    assert(aDrops > 0, "fixture must exercise cross-batch near-dup drops")
+  }
+
   test("curate without an eval set skips the contamination stage") {
     val dir = java.nio.file.Files.createTempDirectory("graft_curate3").toString
     val docs = graft.sources.Tables.documents(spark, sf)
