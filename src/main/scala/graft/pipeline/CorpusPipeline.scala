@@ -233,9 +233,16 @@ object CorpusPipeline {
         val vecs = sc.embeddings
           .select(col(sc.vecIdCol).as(idCol), col(sc.vecCol))
           .join(nKept.select(idCol), Seq(idCol), "left_semi")
+        // one sizing pass doubles as the 1:1 precondition check: a
+        // duplicate vec_id would feed semDedup duplicate ids and make
+        // the (csim, id) dominance order self-referential for that doc
+        val sz = vecs.agg(count(lit(1)), count_distinct(col(idCol))).head()
+        require(sz.getLong(0) == sz.getLong(1),
+          s"SemDeDup needs exactly one embedding per doc: " +
+            s"${sz.getLong(0) - sz.getLong(1)} duplicate ${sc.vecIdCol} row(s)")
         // KMeans needs >= 2 rows; below that there is nothing to prune
         val dropIds =
-          if (vecs.limit(2).count() < 2) vecs.select(col(idCol)).limit(0)
+          if (sz.getLong(0) < 2) vecs.select(col(idCol)).limit(0)
           else graft.operators.Similarity
             .semDedup(vecs, idCol, sc.vecCol, sc.threshold, sc.nClusters)
             .filter(!col("kept")).select(col(idCol))

@@ -69,7 +69,11 @@ object DedupQueries {
                                      threshold: Double): DataFrame =
     pairsMemo.synchronized {
       val cached = pairsMemo.get((dir, threshold))
-      if (cached != null &&
+      // liveness is (still registered) AND (bound to THIS session): the
+      // memo is JVM-wide, so a stopped-and-recreated session would
+      // otherwise be served a frame tied to the dead session and fail
+      // confusingly at execution time
+      if (cached != null && (cached.sparkSession eq s) &&
           cached.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
         cached
       else {

@@ -562,7 +562,7 @@ class DedupSpec extends SparkSpec {
     val t = 0.35
     val out = Similarity.semDedup(e, "vec_id", "embedding", t, nClusters = 4)
       .collect().map(r => r.getAs[Long]("vec_id") ->
-        ((r.getAs[Int]("cell"), r.getAs[Long]("csim_micro"),
+        ((r.getAs[Long]("cell"), r.getAs[Long]("csim_micro"),
           r.getAs[Boolean]("kept")))).toMap
     val vecs = e.collect().map(r => r.getAs[Long]("vec_id") ->
       r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
@@ -642,16 +642,68 @@ class DedupSpec extends SparkSpec {
       .orderBy("vec_id").collect().toSeq
     assert(derived == explicit,
       s"derived dial must equal the formula's explicit k=$expectK")
-    // a tighter task target derives MORE cells (the dial is live)
+    // a tighter task target derives MORE cells (the dial is live) —
+    // counted as DISTINCT cells, not max id: the r14 hot-cell split may
+    // legitimately mint offset ids past k when a cell lands wide
     val key = "graft.dedup.targetPairsPerTask"
-    val tight = try {
+    val tightCells = try {
       spark.conf.set(key, "8192") // w* = 128 → k = ceil(n/128)
       Similarity.semDedup(e, "vec_id", "embedding", 0.35)
-        .select(max(col("cell"))).head().getInt(0)
+        .select(count_distinct(col("cell"))).head().getLong(0)
     } finally spark.conf.unset(key)
-    val expectTightK = math.max(2L, (n + 127) / 128).toInt
-    assert(tight >= expectK && tight < expectTightK,
-      s"tight target must widen the cell range (maxCell=$tight, k=$expectTightK)")
+    val defaultCells = derived.map(_.getAs[Long]("cell")).distinct.size
+    assert(tightCells > defaultCells,
+      s"tight target must produce more cells ($tightCells vs $defaultCells)")
+  }
+
+  test("semDedup hot-cell split: a planted dense cell re-splits to the width cap") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val dim = 8
+    // one dense cloud at ~10× the derived width cap plus spread
+    // fillers; nClusters = 2 concentrates the cloud into one cell, so
+    // without the split the dominance join would plan the whole cloud's
+    // quadratic pair mass into one task
+    val center = Array.fill(dim)(1.0)
+    val dense = (0 until 640).map(i => (i.toLong,
+      center.map(_ + 0.01 * rng.nextGaussian())))
+    val fillers = (0 until 64).map(i => (1000L + i,
+      Array.fill(dim)(rng.nextGaussian())))
+    val df = (dense ++ fillers).toDF("vec_id", "embedding")
+    val key = "graft.dedup.targetPairsPerTask"
+    val out = try {
+      spark.conf.set(key, "512") // capW = max(64, √(4·512)) = 64
+      Similarity.semDedup(df, "vec_id", "embedding", 0.9, nClusters = 2)
+        .collect()
+    } finally spark.conf.unset(key)
+    assert(out.length == 704 &&
+      out.map(_.getAs[Long]("vec_id")).toSet.size == 704,
+      "every vector emitted exactly once")
+    val widths = out.groupBy(_.getAs[Long]("cell")).map(_._2.size)
+    assert(widths.max <= 64,
+      s"split must cap cell width at capW=64, widest=${widths.max}")
+    // the prune stays the pure dominance function of the FINAL cells
+    val vecs = (dense ++ fillers).toMap
+    val lab = out.map(r => r.getAs[Long]("vec_id") ->
+      ((r.getAs[Long]("cell"), r.getAs[Long]("csim_micro"),
+        r.getAs[Boolean]("kept")))).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    lab.foreach { case (v, (cellV, csV, keptV)) =>
+      val dominated = lab.exists { case (u, (cellU, csU, _)) =>
+        u != v && cellU == cellV &&
+          (csU < csV || (csU == csV && u < v)) &&
+          cos(vecs(u), vecs(v)) >= 0.9
+      }
+      assert(keptV == !dominated, s"vec $v: kept=$keptV but dominated=$dominated")
+    }
+    // the dense cloud still prunes to few survivors — the split changed
+    // the clustering, not the semantics
+    assert(lab.filter { case (v, (_, _, kept)) => v < 640 && kept }.size < 64,
+      "near-identical cloud members must still prune within their cells")
   }
 
   test("semDedup two-level quantizer: fine residual split past maxFitCells") {
@@ -663,7 +715,7 @@ class DedupSpec extends SparkSpec {
     val out = Similarity.semDedup(e, "vec_id", "embedding", t,
         nClusters = 8, fitSampleCap = 32)
       .collect().map(r => r.getAs[Long]("vec_id") ->
-        ((r.getAs[Int]("cell"), r.getAs[Long]("csim_micro"),
+        ((r.getAs[Long]("cell"), r.getAs[Long]("csim_micro"),
           r.getAs[Boolean]("kept")))).toMap
     val vecs = e.collect().map(r => r.getAs[Long]("vec_id") ->
       r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
@@ -688,7 +740,7 @@ class DedupSpec extends SparkSpec {
     val e = Tables.embeddings(spark, sf)
     val out = Similarity.semDedup(e, "vec_id", "embedding", 0.35, nClusters = 4)
       .collect().map(r => r.getAs[Long]("vec_id") ->
-        ((r.getAs[Int]("cell"), r.getAs[Long]("csim_micro")))).toMap
+        ((r.getAs[Long]("cell"), r.getAs[Long]("csim_micro")))).toMap
     val vecs = e.collect().map(r => r.getAs[Long]("vec_id") ->
       r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
     val byCell = out.toSeq.groupBy(_._2._1)
