@@ -1219,13 +1219,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         least(col("ga"), col("gb")).as("grp_a"),
         greatest(col("ga"), col("gb")).as("grp_b"))
-    val edgesB =
+    // persisted like edgesA: updateClusters references the merged edge
+    // frame TWICE (the contraction reps and the new-node admission), and
+    // without the cache each reference re-ran the whole stage-B
+    // salted-join + verify — measured 2 × ~3 s of the sf1 assignment's
+    // premium over the pair mode. The frame itself is merge-graph-sized.
+    val edgesB = trackPersist(
       screenCandidates(attach(contracted, Seq("grp_a", "grp_b")),
           threshold, hashed = true)
         .groupBy(col("grp_a"), col("grp_b"))
         .agg(anyMatch.as("m"))
         .filter(col("m"))
-        .select(col("grp_a").as("ea"), col("grp_b").as("eb"))
+        .select(col("grp_a").as("ea"), col("grp_b").as("eb")))
 
     AssignEdges(edgesA, edgesB)
   }

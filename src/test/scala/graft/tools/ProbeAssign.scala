@@ -53,6 +53,17 @@ object ProbeAssign {
       Dedup.dedupIncrement(ib, is, batch, "doc_id", "text", 3, t,
         choice.numPerm, choice.bands, Some(choice.estPairsPerDoc)).count())
     println(s"PROBE pairRows=$p1")
+    // stage split: edge discovery vs the cluster fold
+    val e = time("edges-only") {
+      val ed = Dedup.assignIncrementEdges(ib, is, stored, batch,
+        "doc_id", "text", 3, t, choice.numPerm, choice.bands,
+        Some(choice.estPairsPerDoc))
+      println(s"PROBE edgeRows corpus=${ed.corpus.count()} batch=${ed.batch.count()}")
+      ed
+    }
+    time("update-clusters-only")(
+      Dedup.updateClusters(stored,
+        e.corpus.unionByName(e.batch), "ea", "eb").count())
     spark.stop()
   }
 }
