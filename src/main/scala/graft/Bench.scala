@@ -115,7 +115,7 @@ object Bench {
     // cluster family's per-query timings measure cached-frame join
     // cost, not per-query rediscovery. Named so a cross-round reader
     // cannot misattribute a family-wide drop to plan changes.
-    val shared = """["verified_pairs","banding_census","semdedup_assignment"]"""
+    val shared = """["verified_pairs","banding_census","semdedup_assignment","ivf_index","fraud_feature_table"]"""
     def fmtMs(v: Double): String =
       BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     val detailJson =

@@ -77,5 +77,10 @@ object SparkEntry {
     graft.operators.Similarity.releaseCaches()
     graft.queries.DedupQueries.releaseCaches()
     graft.queries.AnalyticsQueries.releaseCaches()
+    graft.queries.MarketQueries.releaseCaches()
+    graft.queries.TextQueries.releaseCaches()
+    graft.queries.CurationQueries.releaseCaches()
+    graft.queries.PipelineQueries.releaseCaches()
+    graft.ml.FraudScorer.releaseCaches()
   }
 }

@@ -30,10 +30,35 @@ object FraudScorer {
 
   /** Rule-labeled, feature-assembled event frame: the shared input of
     * [[score]] (fit on everything) and [[evaluate]] (fit on a held-out
-    * split). The label join replays the 4-rule mart plan once per
-    * execution; callers cache the slice they iterate over.
+    * split). The label join replays the 4-rule mart plan (4 window
+    * shuffles over the event stream), so the frame is built ONCE per
+    * (session, dir) and persisted — the verifiedPairs warehouse
+    * posture: a feature store materializes the labeled training table
+    * and every consumer (full-fit scoring, held-out evaluation, each
+    * LR iteration, the final transform) reads it. Deterministic for a
+    * fixed corpus, so memoization cannot change any result. Liveness
+    * check mirrors verifiedPairs (registered AND bound to the calling
+    * session); [[releaseCaches]] drops cache and memo.
     */
-  private def assembled(s: SparkSession, dir: String): DataFrame = {
+  private val assembledMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val caches = new graft.util.CacheTracker
+  def releaseCaches(): Unit = { caches.release(); assembledMemo.clear() }
+
+  private def assembled(s: SparkSession, dir: String): DataFrame =
+    assembledMemo.synchronized {
+      val cached = assembledMemo.get(dir)
+      if (cached != null && (cached.sparkSession eq s) &&
+          cached.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        cached
+      else {
+        val df = caches.trackPersist(buildAssembled(s, dir))
+        assembledMemo.put(dir, df)
+        df
+      }
+    }
+
+  private def buildAssembled(s: SparkSession, dir: String): DataFrame = {
     val ev = featurize(Tables.events(s, dir))
     val labels = graft.pipeline.FraudMart.report(s, dir)
       .select(col("event_id")).distinct().withColumn("label", lit(1.0))
@@ -87,17 +112,17 @@ object FraudScorer {
     */
   def score(s: SparkSession, dir: String,
             trainSampleCap: Long = 1000000L): DataFrame = {
-    val a = assembled(s, dir)
-    // cached, not unpersisted here: the returned DataFrame is lazy and
-    // still reads the cache when the caller executes it; Spark evicts
-    // LRU under memory pressure.
+    // the assembled frame is session-persisted (see [[assembled]]);
+    // the capped sample is a filter over that cache, and MLlib's fit
+    // persists its own instances RDD when the input isn't cached — a
+    // second .cache() here only duplicated storage (the r13 sweep's
+    // "already cached" warnings and part of its storage pressure).
     // Cardinality comes from the raw parquet count (footer-cheap) — the
     // left join against distinct labels preserves it — so sizing the
-    // sample never replays the 4-window mart plan. Below the cap, train
-    // IS assembled, so caching it gives the final transform a cache hit
-    // on the same plan (the pre-cap behavior, unchanged).
+    // sample never replays the 4-window mart plan.
+    val a = assembled(s, dir)
     val n = Tables.events(s, dir).count()
-    val model = fit(capped(a, n, trainSampleCap).cache())
+    val model = fit(capped(a, n, trainSampleCap))
     model.transform(a)
       .select(col("event_id"), col("user_id"), col("label"),
         col("prediction"),
@@ -122,14 +147,13 @@ object FraudScorer {
   def evaluate(s: SparkSession, dir: String, trainPct: Int = 80,
                trainSampleCap: Long = 1000000L): DataFrame = {
     val split = pmod(xxhash64(col("event_id")), lit(100L)) < trainPct
-    // persisted across the train/test filters — the label join replays
-    // the 4-window mart plan, and both splits derive from it. Unlike
-    // score(), everything here materializes eagerly (the metrics are
-    // collected below), so the unpersist at the end is safe.
+    // both splits are filters over the session-persisted assembled
+    // frame (see [[assembled]]) — the 4-window mart plan replays once
+    // per session, not once per evaluate() call; MLlib's fit persists
+    // its own instances RDD, so the train slice needs no second cache.
     val a = assembled(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = Tables.events(s, dir).count()
-    val train = capped(a.filter(split), n * trainPct / 100, trainSampleCap).cache()
+    val train = capped(a.filter(split), n * trainPct / 100, trainSampleCap)
     val test = a.filter(!split)
     val scoredTest = fit(train).transform(test).cache()
     // mllib BinaryClassificationMetrics instead of two
@@ -148,9 +172,7 @@ object FraudScorer {
       count(lit(1)).as("n_test"),
       sum(col("label")).cast("bigint").as("n_test_pos")).collect()(0)
     val nTrain = train.count()
-    train.unpersist(blocking = false)
     scoredTest.unpersist(blocking = false)
-    a.unpersist(blocking = false)
     import s.implicits._
     Seq((nTrain, sizes.getLong(0), sizes.getLong(1),
         math.rint(aucRoc * 1e6) / 1e6, math.rint(aucPr * 1e6) / 1e6))

@@ -59,10 +59,10 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int, nProbe: Int,
-              fitSampleCap: Long = 100000L): DataFrame = {
-    val (assigned0, cents) = coarseAssign(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol)),
-      "neighbor_id", vecCol, nCells, fitSampleCap)
+              fitSampleCap: Long = 100000L,
+              indexKey: Option[String] = None): DataFrame = {
+    val (assigned0, cents) = ivfIndex(corpus, idCol, vecCol, nCells,
+      fitSampleCap, indexKey)
     val assigned = assigned0.select(col("neighbor_id"), col("cv"), col("cell"))
     // centroid table is nCells rows — broadcast; each probe ranks cells
     // by L2 (KMeans' own metric) and keeps the nProbe closest
@@ -81,6 +81,53 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("probe_id", "neighbor_id", "rank")
+  }
+
+  /** The session's IVF index — (cell-assigned corpus, centroid table) —
+    * for a caller-supplied corpus key (conventionally the data dir).
+    * Built ONCE per (key, nCells, fitSampleCap) and shared by every
+    * consumer: a warehouse stores ONE ANN index per corpus and every
+    * probe batch queries it — re-fitting the coarse quantizer per query
+    * billed the same KMeans fit + corpus assignment twice in one bench
+    * sweep (q49's search and q122's recall eval). Deterministic for a
+    * fixed corpus (seeded fit on a content-hash-stable sample), so
+    * memoization cannot change any result — the [[DedupQueries]]
+    * verifiedPairs precedent. The assigned frame is persisted via the
+    * cache tracker; [[releaseCaches]] drops cache AND memo. Liveness
+    * check mirrors verifiedPairs: a frame must be registered AND bound
+    * to the calling session (an external clearCache or a recreated
+    * session triggers a rebuild, which is plan-identical by the seeded
+    * determinism above).
+    */
+  private val ivfMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long), (DataFrame, DataFrame)]()
+
+  private def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, fitSampleCap: Long,
+      indexKey: Option[String]): (DataFrame, DataFrame) = {
+    def build(): (DataFrame, DataFrame) = {
+      val (a, cents) = coarseAssign(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol)),
+        "neighbor_id", vecCol, nCells, fitSampleCap)
+      (a, cents)
+    }
+    indexKey match {
+      case None => build()
+      case Some(key) => ivfMemo.synchronized {
+        val s = corpus.sparkSession
+        val memoKey = (key, nCells, fitSampleCap)
+        val cached = ivfMemo.get(memoKey)
+        if (cached != null && (cached._1.sparkSession eq s) &&
+            cached._1.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          cached
+        else {
+          val (a, cents) = build()
+          val tracked = (caches.trackPersist(a), cents)
+          ivfMemo.put(memoKey, tracked)
+          tracked
+        }
+      }
+    }
   }
 
   /** Seeded coarse k-means quantizer shared by [[ivfTopK]] and
@@ -351,7 +398,7 @@ object Similarity {
     * Results already computed are unaffected; un-executed lazy plans
     * recompute.
     */
-  def releaseCaches(): Unit = caches.release()
+  def releaseCaches(): Unit = { caches.release(); ivfMemo.clear() }
 
   /** ANN via shared LSH bucket; exact cosine ranking within the bucket.
     * Recall < 1 by construction — the scale path, not the oracle.

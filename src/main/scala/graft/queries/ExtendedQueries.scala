@@ -264,11 +264,15 @@ object ExtendedQueries {
       |   AS avg_value_micro
       |FROM events GROUP BY 1""".stripMargin
 
-  // --- q49: IVF ANN (KMeans coarse quantizer; rows-only — not SQL) ---
+  // --- q49: IVF ANN (KMeans coarse quantizer; rows-only — not SQL).
+  // indexKey shares the session's cell-assigned corpus with q122's
+  // recall eval — one stored IVF index per corpus, every probe batch
+  // queries it (the verifiedPairs warehouse posture).
   def q49(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     graft.operators.Similarity.ivfTopK(e, e.filter(col("vec_id") < 20),
-      "vec_id", "embedding", k = 10, nCells = 16, nProbe = 4)
+      "vec_id", "embedding", k = 10, nCells = 16, nProbe = 4,
+      indexKey = Some(dir))
   }
 
   // --- q50: keep-first dedup (first event per user+type) ---

@@ -21,6 +21,13 @@ import graft.sources.Tables
   */
 object MarketQueries {
 
+  // Cache ownership (the Dedup.releaseCaches contract, shared
+  // implementation in [[graft.util.CacheTracker]]): q154 persists its
+  // basket frame across the order-census / part-count / pair-explode
+  // consumers. Released session-wide via SparkEntry.releaseAllCaches.
+  private val caches = new graft.util.CacheTracker
+  def releaseCaches(): Unit = caches.release()
+
   // --- q152: price-dispersion audit per brand — list-price spread of a
   // brand's catalog plus its realized lineitem revenue. Shape: part is
   // a DIM (broadcast at test scale, co-keyed at 100 TB where the part
@@ -118,27 +125,40 @@ object MarketQueries {
   val MaxBasketParts = 1000L
 
   // --- q154: market-basket part-pair affinity — co-purchase support
-  // and lift for the top pairs. The pair source is a SELF-JOIN of the
-  // distinct (order, part) projection CO-KEYED on orderkey — per-task
-  // work is bounded by basket size (≤ tens of parts per order, a data
-  // contract that holds at any corpus scale; a quadratic blowup needs
-  // a single pathological mega-order, not a bigger corpus). Support
-  // counts fold in one (pa, pb) shuffle; lift_ppm =
-  // (support·n_orders·1e6) DIV (cnt_a·cnt_b) — int64-exact while
-  // support·n_orders < 2^43 (the q126 ANSI-loud contract; lift the
-  // factors to decimal(38,0) past it). Top-20 by (support desc, pa,
-  // pb) plans as TakeOrdered — a distributed per-partition top-k merge.
+  // and lift for the top pairs. The pair source is the per-order BASKET
+  // (sorted distinct part array, built by ONE collect_set shuffle on
+  // orderkey — the set dedups (order, part) inside the same
+  // aggregation); pairs explode map-side from the array, so per-task
+  // work stays bounded by basket width (≤ tens of parts per order, a
+  // data contract that holds at any corpus scale — the MaxBasketParts
+  // filter excludes a pathological mega-order before any quadratic
+  // work). The r13 self-join form re-planned the distinct (order, part)
+  // subtree for every reference — TWENTY lineitem scans in the physical
+  // plan (guide §2.4: remove shuffles outright / share one exchange);
+  // the basket frame is persisted across its three consumers (order
+  // census, part counts, pair explode) instead. Support counts fold in
+  // one (pa, pb) shuffle; lift_ppm = (support·n_orders·1e6) DIV
+  // (cnt_a·cnt_b) — int64-exact while support·n_orders < 2^43 (the
+  // q126 ANSI-loud contract; lift the factors to decimal(38,0) past
+  // it). Top-20 by (support desc, pa, pb) plans as TakeOrdered — a
+  // distributed per-partition top-k merge.
   def q154(s: SparkSession, dir: String): DataFrame = {
-    val opAll = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val narrow = opAll.groupBy("ok").agg(count(lit(1)).as("bw"))
-      .filter(col("bw") <= MaxBasketParts).select("ok")
-    val op = opAll.join(narrow, "ok")
-    val nOrders = op.select(countDistinct("ok").as("n_orders"))
-    val partCnt = op.groupBy("pk").agg(count(lit(1)).as("cnt"))
-    val pairs = op.as("a").join(op.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+    val baskets = caches.trackPersist(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("pks"))
+        .filter(size(col("pks")) <= MaxBasketParts))
+    val nOrders = baskets.select(count(lit(1)).as("n_orders"))
+    val partCnt = baskets.select(explode(col("pks")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("cnt"))
+    // all i<j pairs of the sorted array — pa < pb by construction, each
+    // unordered pair once per order (the exact self-join semantics)
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(pks, (x, i) -> " +
+          "transform(slice(pks, i + 2, size(pks) - i - 1), " +
+          "y -> struct(x AS pa, y AS pb))))")).as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .agg(count(lit(1)).as("support"))
     pairs
       .join(partCnt.withColumnRenamed("pk", "pa").withColumnRenamed("cnt", "cnt_a"), "pa")

@@ -23,6 +23,13 @@ import graft.sources.Tables
   */
 object PipelineQueries {
 
+  // Cache ownership (the Dedup.releaseCaches contract, shared
+  // implementation in [[graft.util.CacheTracker]]): q69/q109 persist
+  // their shared per-doc token-set frame. Released session-wide via
+  // SparkEntry.releaseAllCaches.
+  private val caches = new graft.util.CacheTracker
+  def releaseCaches(): Unit = { caches.release(); docSetsMemo.clear() }
+
   /** Deterministic bucket in [0, 100) from a numeric id column.
     * Exact only for ids < 2^63 / 2654435761 ≈ 3.4·10^9; ANSI mode makes
     * overflow LOUD, and [[hashSplit]] accepts xxhash64 beyond that.
@@ -202,31 +209,85 @@ object PipelineQueries {
 
   // --- q69: token co-occurrence mining — document frequency of token
   // pairs. Per-doc distinct tokens are quadratic per document, so the
-  // vocabulary is BOUNDED IN CODE before the pair join: only the CoocTopK
+  // vocabulary is BOUNDED IN CODE before any pairing: only the CoocTopK
   // highest-document-frequency tokens participate (deterministic
   // tie-break on the token itself). The top-K is orderBy+limit —
   // Spark plans that as TakeOrderedAndProject, a distributed per-
   // partition top-K merge, never a single-partition sort of the full
   // vocabulary — and the prune is a broadcast semi-join, so an open
-  // 100 TB vocabulary costs one agg + one map-side filter.
+  // 100 TB vocabulary costs one agg + one map-side filter. Pairs come
+  // from the per-doc sorted DISTINCT matched-token array (collect_set
+  // dedups inside the one groupBy(doc) shuffle) exploded map-side —
+  // tok_a < tok_b by the array sort, each unordered pair once per doc,
+  // exactly the r13 self-join's semantics without its second full
+  // shuffle of the pruned token stream (guide §2.3: aggregate before
+  // you shuffle; the pair stream that reaches the (tok_a, tok_b)
+  // exchange is ≤ K²/2 rows per doc of two short strings).
   val CoocTopK = 300
 
+  /** The session's per-doc DISTINCT-token-set frame for `dir` — the
+    * single tokenization pass q69 and q109 share (q109 re-runs q69's
+    * whole DAG for its edge set; without the memo each consumer paid
+    * the corpus regex-split twice more). Deterministic for a fixed
+    * corpus; liveness check mirrors DedupQueries.verifiedPairs.
+    */
+  private val docSetsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def docTokenSets(s: SparkSession, dir: String): DataFrame =
+    docSetsMemo.synchronized {
+      val cached = docSetsMemo.get(dir)
+      if (cached != null && (cached.sparkSession eq s) &&
+          cached.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        cached
+      else {
+        val df = caches.trackPersist(
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              explode(split(lower(col("text")), "\\s+")).as("tok"))
+            .filter(length(col("tok")) > 0)
+            .groupBy("doc_id").agg(collect_set(col("tok")).as("ts")))
+        docSetsMemo.put(dir, df)
+        df
+      }
+    }
+
   def q69(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .distinct()
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val docSets = docTokenSets(s, dir)
+    // document frequency straight off the distinct sets; the top-K
+    // vocabulary is CoocTopK rows — a code-literal bound — so it lands
+    // on the driver as an array literal (the q109 bounded-driver
+    // precedent) and the basket prune becomes a map-side
+    // array_intersect over the cached sets: no second corpus pass, no
+    // broadcast-join round trip.
+    val vocab = docSets.select(explode(col("ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("tok").asc)
       .limit(CoocTopK)
-      .select("tok")
-    val pruned = toks.join(broadcast(vocab), Seq("tok"), "left_semi")
-    val a = pruned.select(col("doc_id"), col("tok").as("tok_a"))
-    val b = pruned.select(col("doc_id"), col("tok").as("tok_b"))
-    a.join(b, Seq("doc_id"))
-      .filter(col("tok_a") < col("tok_b"))
-      .groupBy("tok_a", "tok_b")
+      .select("tok").collect().map(_.getString(0)).toSeq
+    // pairs explode from per-doc SORTED VOCAB-INDEX arrays (ints, not
+    // strings): the pair stream is quadratic in matched tokens per doc
+    // (up to K²/2 rows), so each row carries two ints instead of two
+    // tokens — less explode garbage, int-keyed partial aggregation —
+    // and the ≤ K²/2-row result maps indices back to tokens at the
+    // end. The vocab literal is sorted, so index order IS string
+    // order: ia < ib ⇔ tok_a < tok_b — each unordered pair once per
+    // doc, the exact self-join semantics.
+    val vocabSorted = vocab.sorted
+    val vocabLit = array(vocabSorted.map(lit): _*)
+    docSets
+      .withColumn("vArr", vocabLit)
+      .select(expr(
+        "sort_array(filter(transform(ts, t -> int(array_position(vArr, t))), " +
+          "i -> i > 0))").as("ix"))
+      .select(explode(expr(
+        "flatten(transform(ix, (x, i) -> " +
+          "transform(slice(ix, i + 2, size(ix) - i - 1), " +
+          "y -> struct(x AS ia, y AS ib))))")).as("p"))
+      .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
       .agg(count(lit(1)).as("n_docs"))
+      .select(element_at(vocabLit, col("ia")).as("tok_a"),
+        element_at(vocabLit, col("ib")).as("tok_b"), col("n_docs"))
   }
 
   val q69Sql: String =

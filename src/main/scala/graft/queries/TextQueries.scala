@@ -13,6 +13,13 @@ import graft.sources.Tables
   */
 object TextQueries {
 
+  // Cache ownership (the Dedup.releaseCaches contract, shared
+  // implementation in [[graft.util.CacheTracker]]): q80 persists its
+  // per-doc bigram-count frame across the global-count fold and the
+  // scoring join. Released session-wide via SparkEntry.releaseAllCaches.
+  private val caches = new graft.util.CacheTracker
+  def releaseCaches(): Unit = caches.release()
+
   // --- q27: per-document text statistics ---
   def q27(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
@@ -163,22 +170,31 @@ object TextQueries {
   // the mean natural-log probability of its word bigrams under the
   // corpus's own add-one-smoothed bigram model,
   // ln((c(w1,w2)+1) / (c(w1·)+V)). Everything is equi-joins on token
-  // keys: the (doc, bigram) stream joins the global bigram-count table,
-  // first-token totals come from re-aggregating that (small) count
-  // table — never a second corpus pass — and the vocabulary size is a
-  // 1-row broadcast (the q47 scalar pattern). Linear shuffles only; at
-  // 100 TB persist the bigram stream across its two uses like
-  // Dedup.lshVerifiedPairs persists its shingle stream.
+  // keys. The bigram stream is PRE-AGGREGATED to per-doc counts d12 =
+  // (doc, tok_a, tok_b, c) before anything else touches it (guide
+  // §2.3: aggregate before you shuffle): the global bigram table c12
+  // folds from d12 (never a second corpus pass), first-token totals
+  // re-aggregate c12, and the scoring join carries ONE row per
+  // distinct per-doc bigram weighted by c instead of one row per
+  // occurrence — avg(ln p) becomes Σ c·ln p / Σ c, the identical sum
+  // evaluated with multiplication instead of repeated addition (well
+  // inside the FLOOR grid's 1e-10 tolerance; oracle-hash-checked).
+  // d12 is persisted across its two uses (the count fold and the
+  // scoring join) like Dedup.lshVerifiedPairs persists its shingle
+  // stream; the vocabulary size is a 1-row broadcast (the q47 scalar
+  // pattern). Linear shuffles only.
   def q80(s: SparkSession, dir: String): DataFrame = {
     val toks = split(trim(lower(col("text"))), "\\s+")
     val docs = Tables.documents(s, dir)
     val bg = graft.functions.TextFunctions.wordBigrams(docs, "doc_id", "text")
-    val c12 = bg.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n12"))
+    val d12 = caches.trackPersist(
+      bg.groupBy("doc_id", "tok_a", "tok_b").agg(count(lit(1)).as("c")))
+    val c12 = d12.groupBy("tok_a", "tok_b").agg(sum("c").as("n12"))
     val c1 = c12.groupBy("tok_a").agg(sum("n12").as("n1"))
     val vocab = docs.select(explode(toks).as("tok"))
       .filter(length(col("tok")) > 0)
       .agg(countDistinct(col("tok")).as("v"))
-    bg.join(c12, Seq("tok_a", "tok_b"))
+    d12.join(c12, Seq("tok_a", "tok_b"))
       .join(c1, Seq("tok_a"))
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
@@ -186,9 +202,11 @@ object TextQueries {
       // identically on every engine version, while decimal rounding
       // tie-breaks differ (the r7 hash-fail class); LN last-ulp noise
       // flips a floor only within ~1e-10 of a grid point (q114 contract)
-      .agg(count(lit(1)).as("n_bigrams"),
-        floor(lit(1e6) * avg(log((col("n12") + 1).cast("double") /
-          (col("n1") + col("v")).cast("double")))).cast("long").as("lm_score_micro"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        floor(lit(1e6) * (sum(col("c").cast("double") *
+            log((col("n12") + 1).cast("double") /
+              (col("n1") + col("v")).cast("double"))) /
+          sum(col("c").cast("double")))).cast("long").as("lm_score_micro"))
   }
 
   val q80Sql: String =
