@@ -81,6 +81,9 @@ object SparkEntry {
     graft.queries.TextQueries.releaseCaches()
     graft.queries.CurationQueries.releaseCaches()
     graft.queries.PipelineQueries.releaseCaches()
+    graft.queries.SignalQueries.releaseCaches()
+    graft.queries.RiskQueries.releaseCaches()
     graft.ml.FraudScorer.releaseCaches()
+    graft.operators.Importance.releaseCaches()
   }
 }

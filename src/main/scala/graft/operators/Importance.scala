@@ -10,14 +10,18 @@ import org.apache.spark.sql.functions._
   * raw corpus, Σ_feat [ln p_target(f) − ln p_corpus(f)], add-1
   * smoothed over a bounded feature vocabulary.
   *
-  * Scale shape: the (feat, ct, cr) model is a ≤ vocabSize frame built
-  * from one bigram-count shuffle (the vocab cut is TakeOrdered — ties
-  * broken lexicographically, a total order — and target counts join
-  * the vocab frame), broadcast with its scalar totals back over the
-  * bigram stream; scoring is map-side plus one per-doc aggregation.
-  * The corpus is scanned twice (model, then score) and never joined to
-  * itself — at 100 TB caching the corpus-sized bigram stream is the
-  * wrong trade, two scans is the answer.
+  * Scale shape: the raw bigram stream is pre-aggregated ONCE to
+  * per-doc feature counts d = (id, feat, c) and persisted across its
+  * three consumers (corpus counts, target counts, the scoring join) —
+  * the q80 posture since r14; the r13 form re-tokenized the corpus for
+  * each reference (three scans). The (feat, ct, cr) model is a
+  * ≤ vocabSize frame (the vocab cut is TakeOrdered — ties broken
+  * lexicographically, a total order — and target counts join the vocab
+  * frame), broadcast with its scalar totals back over d; scoring is
+  * map-side plus one per-doc aggregation, each occurrence weighted by
+  * its count c (Σ ln p over occurrences ≡ Σ c·ln p over distinct
+  * per-doc features — same sum, multiplication instead of repeated
+  * addition, inside the FLOOR grid's documented 1e-10 tolerance).
   *
   * Compare surface: FLOOR fixed-point micro-units (LN pipeline, the
   * q114 contract). Documents containing no vocab bigram carry no
@@ -35,19 +39,26 @@ object Importance {
     val bg = graft.functions.TextFunctions.wordBigrams(docs, idCol, textCol)
       .withColumn("feat", concat_ws(" ", col("tok_a"), col("tok_b")))
       .select(idCol, "feat")
-    val cr = bg.groupBy("feat").agg(count(lit(1)).as("cr"))
+    val d = caches.trackPersist(
+      bg.groupBy(col(idCol), col("feat")).agg(count(lit(1)).as("c")))
+    val cr = d.groupBy("feat").agg(sum("c").as("cr"))
     val vocab = cr.orderBy(col("cr").desc, col("feat").asc).limit(vocabSize)
     val tgtIds = docs.filter(isTarget).select(idCol)
-    val ct = bg.join(tgtIds, idCol).groupBy("feat").agg(count(lit(1)).as("ct"))
+    val ct = d.join(tgtIds, idCol).groupBy("feat").agg(sum("c").as("ct"))
     val model = vocab.join(ct, Seq("feat"), "left")
       .select(col("feat"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
     val totals = model.agg(sum("cr").as("nr"), sum("ct").as("nt"))
-    bg.join(broadcast(model), "feat")
+    d.join(broadcast(model), "feat")
       .crossJoin(broadcast(totals))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_feats"),
-        floor(lit(1e6) * sum(
+      .agg(sum(col("c")).as("n_feats"),
+        floor(lit(1e6) * sum(col("c").cast("double") *
           expr(s"LN((ct + 1) / (nt + $vocabSize)) - LN((cr + 1) / (nr + $vocabSize))")))
           .cast("long").as("score_micro"))
   }
+
+  // Cache ownership (the Dedup.releaseCaches contract): dsirScore
+  // persists its per-doc feature-count frame across three consumers.
+  private val caches = new graft.util.CacheTracker
+  def releaseCaches(): Unit = caches.release()
 }

@@ -188,8 +188,11 @@ object AnalyticsQueries {
   // task per type at scale; the cumulative window here runs over the
   // bounded histogram. The oracle stays the literal NTILE formulation.
   def q89(s: SparkSession, dir: String): DataFrame = {
-    val hist = Tables.events(s, dir)
-      .groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
+    // persisted: the bounded histogram feeds the n census AND the
+    // cumulative-window chain — each reference otherwise re-ran the
+    // events scan + groupBy (guide §2.4, the q120 treatment)
+    val hist = trackPersist(Tables.events(s, dir)
+      .groupBy("event_type", "value").agg(count(lit(1)).as("cnt")))
     val n = hist.groupBy("event_type").agg(sum(col("cnt")).as("n"))
     // ntile(10) bucket of rank rk, with n = 10·base + r: buckets 1..r
     // hold base+1 rows, buckets r+1..10 hold base — the CASE arms below

@@ -69,17 +69,21 @@ object CurationQueries {
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"))
-    val dl = docs.select(col("doc_id"),
-      TextFunctions.tokenCount(col("text")).as("dl"))
+    // dl (per-doc token count) rides the SAME scan as the term explode
+    // and folds through the (doc, token) groupBy as first(dl) — the r13
+    // form scanned the corpus a third time for dl and re-shuffled the
+    // tf frame by doc_id to join it (guide §2.4); dl is identical for
+    // every exploded row of a doc, so first() is exact.
     val tf = docs
       .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("dl0"),
         explode(TextFunctions.wsTokens(lower(col("text")))).as("token"))
       .filter(col("token").isin(Bm25Terms: _*))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), first(col("dl0")).as("dl"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(dfreq), Seq("token"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("total_tokens").cast("double") / col("n_docs"))
       .withColumn("idf",

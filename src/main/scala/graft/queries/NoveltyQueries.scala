@@ -34,9 +34,15 @@ object NoveltyQueries {
   // the second, doc-keyed shuffle. Distinct-shingle semantics
   // (wordNgrams dedups per doc) keep the ratio a set measure.
   def q146(s: SparkSession, dir: String): DataFrame = {
+    // whole-partition min window instead of groupBy(shingle) + self-join
+    // (guide §2.4: the join re-planned the shingle subtree — two corpus
+    // tokenizations — and shuffled the stream on shingle TWICE; the
+    // window computes first_doc in the stream's single shingle
+    // exchange). Shingle cardinality is corpus-scale, so the window
+    // partitioning is skew-safe wherever the old groupBy was.
     val sh = TextFunctions.wordNgrams(Tables.documents(s, dir), "doc_id", "text", n = 4)
-    val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
-    sh.join(first, "shingle")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    sh.withColumn("first_doc", min("doc_id").over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))

@@ -20,6 +20,12 @@ import graft.sources.Tables
   */
 object RiskQueries {
 
+  // Cache ownership (the Dedup.releaseCaches contract): q151 persists
+  // its bounded ship-latency histogram across two consumers. Released
+  // session-wide via SparkEntry.releaseAllCaches.
+  private val caches = new graft.util.CacheTracker
+  def releaseCaches(): Unit = caches.release()
+
   /** q150 contract: ≥ MinHistory purchases before a user's own σ is
     * trusted; flag when (c·n − s)² > 9·(n·ssq − s²) — the exact
     * integer cross-multiplied form of |c − μ| > 3σ (population σ, the
@@ -80,9 +86,13 @@ object RiskQueries {
       col("o_orderdate").cast("date").as("od"))
     val l = Tables.lineitem(s, dir).select(col("l_orderkey"),
       col("l_shipdate").cast("date").as("sd"))
-    val hist = l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .select(col("o_orderpriority"), datediff(col("sd"), col("od")).cast("bigint").as("d"))
-      .groupBy("o_orderpriority", "d").agg(count(lit(1)).as("cnt"))
+    // persisted: the bounded (priority × ship-delay-days) histogram is
+    // referenced by the n census AND the cumulative-window chain — each
+    // reference otherwise re-ran the lineitem⋈orders join (guide §2.4)
+    val hist = caches.trackPersist(
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(col("o_orderpriority"), datediff(col("sd"), col("od")).cast("bigint").as("d"))
+        .groupBy("o_orderpriority", "d").agg(count(lit(1)).as("cnt")))
     val n = hist.groupBy("o_orderpriority").agg(sum("cnt").as("n"))
     val w = Window.partitionBy("o_orderpriority").orderBy(col("d").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

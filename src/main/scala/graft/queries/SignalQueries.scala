@@ -36,6 +36,14 @@ import graft.sources.Tables
   */
 object SignalQueries {
 
+  // Cache ownership (the Dedup.releaseCaches contract): q135/q136
+  // persist their bounded value histograms across the n-census /
+  // cumulative-window / rollup consumers (each reference otherwise
+  // re-ran the events scan + groupBy). Released session-wide via
+  // SparkEntry.releaseAllCaches.
+  private val caches = new graft.util.CacheTracker
+  def releaseCaches(): Unit = caches.release()
+
   /** RRF dampening constant (Cormack et al.'s k=60 convention). */
   val RrfK = 60
 
@@ -294,9 +302,10 @@ object SignalQueries {
   // is one broadcast join, so the encode itself never shuffles the
   // corpus.
   def q135(s: SparkSession, dir: String): DataFrame = {
-    val hist = Tables.events(s, dir).filter(col("value").isNotNull)
-      .select(col("event_type"), round(col("value") * 100).cast("bigint").as("cents"))
-      .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+    val hist = caches.trackPersist(
+      Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), round(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt")))
     val n = hist.groupBy("event_type").agg(sum("cnt").as("n"))
     val w = Window.partitionBy("event_type").orderBy(col("cents").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -330,9 +339,10 @@ object SignalQueries {
   // frame. No per-type corpus sort anywhere (the oracle stays the
   // literal rank window). All-integer output.
   def q136(s: SparkSession, dir: String): DataFrame = {
-    val hist = Tables.events(s, dir).filter(col("value").isNotNull)
-      .select(col("event_type"), round(col("value") * 100).cast("bigint").as("cents"))
-      .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+    val hist = caches.trackPersist(
+      Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), round(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt")))
     val n = hist.groupBy("event_type").agg(sum("cnt").as("n"))
     val w = Window.partitionBy("event_type").orderBy(col("cents").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
