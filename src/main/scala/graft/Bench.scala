@@ -42,20 +42,40 @@ object Bench {
     val hostLoad = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
-    // Warm-up pass over EVERY query (untimed): JIT + whole-stage codegen
-    // compilation, parquet footer/page-cache reads, and shuffle setup
-    // otherwise dominate the first execution of each plan shape — the
-    // timed pass below measures steady-state query latency, which is
-    // what a long-running cluster actually sees.
+    // Loaded-host gate (r14 verdict: 10 of 10 driver-flagged regressions
+    // were 0.1-0.3 s deltas recorded at host_load 10.3). The sweep still
+    // RUNS — refusing would break the driver's stdout contract — but the
+    // artifact carries an explicit flag so nobody adjudicates noise.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "8.0").toDouble
+    val loadExceeded = hostLoad > maxLoad
+    if (loadExceeded)
+      System.err.println(s"[bench] WARNING: host 1-min load $hostLoad exceeds " +
+        s"$maxLoad at sweep start — timings are suspect; artifact flagged " +
+        "host_load_exceeded")
+
+    // Warm-up pass over EVERY query (untimed in the reported totals): JIT
+    // + whole-stage codegen compilation, parquet footer/page-cache reads,
+    // and shuffle setup otherwise dominate the first execution of each
+    // plan shape — the timed pass below measures steady-state query
+    // latency, which is what a long-running cluster actually sees. The
+    // warmup IS timed per query into cold_pass (r14 verdict task 1): the
+    // session-shared memo families (verified_pairs, ivf_index,
+    // fraud_feature_table, ...) are built here by each family's first
+    // consumer, so cold_pass is what a COLD session pays per query —
+    // cold_pass minus the steady-state min is the one-time build cost the
+    // steady-state posture excludes.
     spark.range(1000).selectExpr("sum(id)").collect()
     val warmupMs = {
       val t0 = System.nanoTime()
       spark.range(1000000).selectExpr("sum(id * 3)").collect()
       (System.nanoTime() - t0) / 1e6
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
+    val coldPass: Map[String, Double] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        name -> (try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+                 catch { case _: Throwable => -1.0 })
+      }.toMap
 
     // TWO timed passes, report the per-query min: a transient host stall
     // during a single pass misgrades the whole artifact (round 5: q17
@@ -111,15 +131,24 @@ object Bench {
     // shared_caches: the timing posture is STEADY-STATE WAREHOUSE — the
     // session-shared memo frames (the verified-pair table, banding
     // census, semdedup assignment) are built once by their first
-    // consumer in sweep order (and in the untimed warmup sweep), so the
+    // consumer in sweep order (and in the cold warmup sweep), so the
     // cluster family's per-query timings measure cached-frame join
     // cost, not per-query rediscovery. Named so a cross-round reader
     // cannot misattribute a family-wide drop to plan changes.
-    val shared = """["verified_pairs","banding_census","semdedup_assignment","ivf_index","fraud_feature_table"]"""
+    // per_query_persists names the WITHIN-QUERY persisted frames (owned
+    // by each query object's CacheTracker, substituted by plan match
+    // across passes) under the same posture — the r14 advisor's point:
+    // those too are built in the cold sweep, so the timed passes measure
+    // cached-frame reads; cold_pass above is where their build cost shows.
+    val shared = """["verified_pairs","banding_census","semdedup_assignment","ivf_index","fraud_feature_table","pq_index","doc_token_sets","cooc_vocab","dedup_assign_edges","fraud_lr_model"]"""
+    val perQueryPersists = """["dedup_intermediates(q72/q85/q121/q191/q192)","market_baskets(q154)","text_bigrams(q80)","dsir_features(q158)","curation_histograms(q120)","signal_histograms(q135/q136)","risk_histograms(q151)","analytics_histograms(q89)"]"""
     def fmtMs(v: Double): String =
       BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+    val cold = ordered.map { case (name, _) =>
+      "\"" + name + "\":" + coldPass(name)
+    }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"agg":"min","shared_caches":$shared,"host_load":${fmtMs(hostLoad)},"warmup_ms":${fmtMs(warmupMs)},"cached_mb_after_pass":[${mem1 >> 20},${mem2 >> 20}],"cached_disk_mb_after_pass":[${disk1 >> 20},${disk2 >> 20}],"queries":$detail,"pass_times":$passes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"agg":"min","shared_caches":$shared,"per_query_persists":$perQueryPersists,"host_load":${fmtMs(hostLoad)},"host_load_exceeded":$loadExceeded,"warmup_ms":${fmtMs(warmupMs)},"cached_mb_after_pass":[${mem1 >> 20},${mem2 >> 20}],"cached_disk_mb_after_pass":[${disk1 >> 20},${disk2 >> 20}],"queries":$detail,"cold_pass":$cold,"pass_times":$passes,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detailJson) finally w.close()

@@ -85,5 +85,6 @@ object SparkEntry {
     graft.queries.RiskQueries.releaseCaches()
     graft.ml.FraudScorer.releaseCaches()
     graft.operators.Importance.releaseCaches()
+    graft.operators.ProductQuant.releaseCaches()
   }
 }

@@ -898,6 +898,15 @@ object Dedup {
         "every batch, so one batch migrates")
     val (newBandsRaw, newSets) = nearDupIndex(newDocs, idCol, textCol, k, numPerm, bands)
     val nb = trackPersist(newBandsRaw) // feeds the cross-batch join AND the self-join
+    // ONE bounded sizing probe of nb serves BOTH salted joins below
+    // (each would otherwise run its own limit(bound+1).count() over the
+    // same frame — a duplicate job + plan analysis per increment call)
+    val bcastRows = conf(nb, "graft.dedup.maxBroadcastBandRows",
+      256L << 10, min = 0L)
+    val nbSmall = bcastRows > 0 && {
+      val probeLimit = (math.min(bcastRows, Int.MaxValue - 1L) + 1L).toInt
+      nb.limit(probeLimit).count() <= bcastRows
+    }
     // first-agreeing-band filter on BOTH candidate channels (see
     // lshPairsFromSignatures): each (new, old) / (new, new) pair leaves
     // its join exactly once, and the channels are disjoint by id spaces
@@ -910,7 +919,7 @@ object Dedup {
           col("buckets").as("bk_o")), "id_o",
         nb.select(col(idCol).as("id_n"), col("band"), col("bucket"),
           col("buckets").as("bk_n")),
-        Seq("band", "bucket"))
+        Seq("band", "bucket"), replicateKnownSmall = Some(nbSmall))
       .filter(col("id_n") =!= col("id_o"))
       .filter(graft.functions.BitmapFunctions
         .noEarlierBandMatch(col("bk_n"), col("bk_o"), col("band")))
@@ -920,7 +929,8 @@ object Dedup {
       col("bucket"), col("buckets").as("bk_a"))
     val r = nb.select(col(idCol).as("id_b"), col("band"),
       col("bucket"), col("buckets").as("bk_b"))
-    val vsBatch = saltedExplodeJoin(l, "id_a", r, Seq("band", "bucket"))
+    val vsBatch = saltedExplodeJoin(l, "id_a", r, Seq("band", "bucket"),
+        replicateKnownSmall = Some(nbSmall))
       .filter(col("id_a") < col("id_b"))
       .filter(graft.functions.BitmapFunctions
         .noEarlierBandMatch(col("bk_a"), col("bk_b"), col("band")))
@@ -1145,7 +1155,10 @@ object Dedup {
     val cands = saltedExplodeJoin(probe, "pid",
         nb.select(col(idCol).as("rid"), col("band"), col("bucket"),
           col("buckets").as("bk_r")),
-        Seq("band", "bucket"))
+        Seq("band", "bucket"),
+        // nb was sized against the same bound three lines up; a slim
+        // select cannot grow it
+        replicateKnownSmall = Some(smallBatch))
       .filter(col("pid") =!= col("rid"))
       // first-agreeing-band filter (symmetric in its array arguments) so
       // each pair surfaces exactly once across the whole union
@@ -1413,7 +1426,12 @@ object Dedup {
     * unsalted width-pinned join — no replication, no salt column.
     */
   private def saltedExplodeJoin(salted: DataFrame, saltedIdCol: String,
-      replicate: DataFrame, keys: Seq[String]): DataFrame = {
+      replicate: DataFrame, keys: Seq[String],
+      // a caller that has ALREADY sized `replicate` against the same
+      // maxBroadcastBandRows bound passes its verdict here, skipping the
+      // duplicate limit(bound+1).count() probe job + plan analysis
+      // (assignIncrementEdges probed the identical frame one line up)
+      replicateKnownSmall: Option[Boolean] = None): DataFrame = {
     def plain = spreadForExplode(salted, keys)
       .join(spreadForExplode(replicate, keys), keys)
     def saltJoin(l: DataFrame, r: DataFrame, g: Int): DataFrame = {
@@ -1460,7 +1478,7 @@ object Dedup {
         // the benign granularity drift the census memo tolerates).
         val bcastRows = conf(salted, "graft.dedup.maxBroadcastBandRows",
           256L << 10, min = 0L)
-        val fastPath = bcastRows > 0 && {
+        val fastPath = bcastRows > 0 && replicateKnownSmall.getOrElse {
           val probeLimit = (math.min(bcastRows, Int.MaxValue - 1L) + 1L).toInt
           replicate.limit(probeLimit).count() <= bcastRows
         }
@@ -1756,6 +1774,8 @@ object Dedup {
     // Above it, distributed pointer doubling below scales arbitrarily.
     val maxDriverEdges = spark.conf.getOption("graft.dedup.maxDriverEdges")
       .map(_.toLong).getOrElse(4000000L)
+    require(maxDriverEdges <= Int.MaxValue - 1L,
+      s"graft.dedup.maxDriverEdges $maxDriverEdges exceeds the bounded-collect range")
     val fwdRaw = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val srcType = fwdRaw.schema("src").dataType
     val integralIds = srcType match {
@@ -1763,9 +1783,18 @@ object Dedup {
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
       case _ => false
     }
-    val fwdCached = fwdRaw.cache()
-    val nEdges = fwdCached.count()
-    if (integralIds && nEdges <= maxDriverEdges) {
+    // ONE bounded probe decides the path AND delivers the small case's
+    // edges: limit(max+1).collect() — the r14 shape (cache + full count
+    // + collect) ran two passes and three driver-side plan analyses over
+    // the pair frame per call, pure constructor latency for the common
+    // small graph (dedupClusters is EAGER — every assignment/update call
+    // pays it). Past the bound the extra collected rows are discarded
+    // and the distributed path re-plans from fwdRaw; the full count is
+    // never needed (the old code only compared it to the bound).
+    val boundedEdges: Array[org.apache.spark.sql.Row] =
+      if (integralIds) fwdRaw.limit((maxDriverEdges + 1L).toInt).collect()
+      else Array.empty
+    if (integralIds && boundedEdges.length <= maxDriverEdges) {
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -1784,20 +1813,19 @@ object Dedup {
           s"dedupClusters needs numeric node ids, got $other")
       }
       val nodes = scala.collection.mutable.LongMap.empty[Unit]
-      fwdCached.collect().foreach { r =>
+      boundedEdges.foreach { r =>
         val a = asLong(r.get(0)); val b = asLong(r.get(1))
         nodes(a) = (); nodes(b) = ()
         val ra = find(a); val rb = find(b)
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
-      fwdCached.unpersist(blocking = false)
       val rows = nodes.keysIterator.map(n => (n, find(n))).toSeq
       import spark.implicits._
       return rows.toDF("node", "cluster")
         .select(col("node").cast(srcType).as("node"),
           col("cluster").cast(srcType).as("cluster"))
     }
-    val fwd = fwdCached
+    val fwd = fwdRaw.cache()
     val edges = fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
     val nodes = edges.select(col("src").as("node")).distinct()
@@ -1857,9 +1885,39 @@ object Dedup {
     */
   def updateClusters(stored: DataFrame, pairs: DataFrame,
                      aCol: String, bCol: String): DataFrame = {
+    val sess = stored.sparkSession
+    // `pairs` is referenced THREE times below (reps + both newNodes
+    // endpoints) and in the assignment path its plan is the entire
+    // banded-join + screened-verify DAG — so every reference re-analyzes
+    // a plan with hundreds of operators, and the eager dedupClusters
+    // call below plus the caller's final action each re-walk it again
+    // (measured: ~2 s of pure driver time per warm q192 call at sf0.1,
+    // jobs themselves ≈ 1 s). The frame itself is batch-merge-graph-
+    // sized — the SAME bound dedupClusters' driver union-find already
+    // collects — so localize it once: downstream references analyze a
+    // LocalRelation, and the relabel's own bounded collect becomes
+    // driver-local. Past the bound (or non-integral ids) the lazy frame
+    // passes through unchanged — the 100 TB path is untouched.
+    val maxDriverEdges = sess.conf.getOption("graft.dedup.maxDriverEdges")
+      .map(_.toLong).getOrElse(4000000L)
+    require(maxDriverEdges <= Int.MaxValue - 1L,
+      s"graft.dedup.maxDriverEdges $maxDriverEdges exceeds the bounded-collect range")
+    val slim = pairs.select(col(aCol), col(bCol))
+    val integralIds = slim.schema.fields.forall(_.dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
+    val pairsLocal =
+      if (integralIds) {
+        val rows = slim.limit((maxDriverEdges + 1L).toInt).collect()
+        if (rows.length <= maxDriverEdges)
+          sess.createDataFrame(java.util.Arrays.asList(rows: _*), slim.schema)
+        else slim
+      } else slim
     val sa = stored.select(col("node").as(aCol), col("cluster").as("__ra"))
     val sb = stored.select(col("node").as(bCol), col("cluster").as("__rb"))
-    val reps = pairs.select(col(aCol), col(bCol))
+    val reps = pairsLocal.select(col(aCol), col(bCol))
       .join(sa, Seq(aCol), "left")
       .join(sb, Seq(bCol), "left")
       .select(coalesce(col("__ra"), col(aCol)).as("ra"),
@@ -1873,8 +1931,8 @@ object Dedup {
       .withColumnRenamed("node", "cluster")
     // brand-new nodes (endpoints absent from stored) enter as singletons
     // labeled by themselves — exactly how the batch fixpoint sees them
-    val newNodes = pairs.select(col(aCol).as("node"))
-      .unionByName(pairs.select(col(bCol).as("node"))).distinct()
+    val newNodes = pairsLocal.select(col(aCol).as("node"))
+      .unionByName(pairsLocal.select(col(bCol).as("node"))).distinct()
       .join(stored.select("node"), Seq("node"), "left_anti")
       .withColumn("cluster", col("node"))
     stored.select("node", "cluster").unionByName(newNodes)

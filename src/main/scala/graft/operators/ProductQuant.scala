@@ -32,6 +32,52 @@ object ProductQuant {
   case class Codebook(m: Int, k: Int, subDim: Int,
                       centroids: Array[Array[Array[Double]]])
 
+  // Cache ownership (the Dedup.releaseCaches contract): the session's
+  // PQ index codes frame. Released via SparkEntry.releaseAllCaches.
+  private val caches = new graft.util.CacheTracker
+  def releaseCaches(): Unit = { caches.release(); pqMemo.clear() }
+
+  /** Session-shared PQ index memo — the [[Similarity]] ivfIndex posture:
+    * a warehouse stores ONE PQ index (codebook + coded corpus) per
+    * (corpus, geometry) and every probe batch queries it; re-fitting the
+    * codebook and re-encoding the corpus per query bills the one-time
+    * index build per call (q149 paid it three times per bench sweep:
+    * warmup + two passes). Deterministic for a fixed corpus (seeded
+    * local KMeans on a content-hash, lexicographically sorted sample),
+    * so memoization cannot change any result. The corpus' canonicalized
+    * plan hash + column names ride in the key (the r14 advisor's
+    * stale-index hazard); liveness mirrors ivfIndex: the codes frame
+    * must be registered AND bound to the calling session.
+    */
+  private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, String, String, Int, Int, Long), (Codebook, DataFrame)]()
+
+  def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int, fitSampleCap: Long = 100000L,
+              indexKey: Option[String] = None): (Codebook, DataFrame) = {
+    def build(): Codebook = fit(corpus, vecCol, m, k, fitSampleCap)
+    indexKey match {
+      case None =>
+        val cb = build()
+        (cb, encode(corpus, idCol, vecCol, cb))
+      case Some(key) => pqMemo.synchronized {
+        val s = corpus.sparkSession
+        val memoKey = (key, corpus.queryExecution.analyzed.semanticHash(),
+          idCol, vecCol, m, k, fitSampleCap)
+        val cached = pqMemo.get(memoKey)
+        if (cached != null && (cached._2.sparkSession eq s) &&
+            cached._2.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          cached
+        else {
+          val cb = build()
+          val tracked = (cb, caches.trackPersist(encode(corpus, idCol, vecCol, cb)))
+          pqMemo.put(memoKey, tracked)
+          tracked
+        }
+      }
+    }
+  }
+
   /** Fit one codebook per subspace on a seeded capped sample (the
     * [[Similarity.ivfTopK]] sample contract: centroids need a
     * representative sample, not the corpus). The sample is COLLECTED -
@@ -201,7 +247,16 @@ object ProductQuant {
     * the per-probe top-k window. Ties break (distance, neighbor_id).
     */
   def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-             vecCol: String, k: Int, cb: Codebook): DataFrame = {
+             vecCol: String, k: Int, cb: Codebook): DataFrame =
+    pqTopKCodes(encode(corpus, idCol, vecCol, cb), probes, idCol, vecCol,
+      k, cb)
+
+  /** [[pqTopK]] over a PRECOMPUTED codes frame (idCol, codes) — the
+    * [[pqIndex]] consumer path: the stored index is scanned, never
+    * re-encoded per probe batch.
+    */
+  def pqTopKCodes(corpusCodes: DataFrame, probes: DataFrame, idCol: String,
+                  vecCol: String, k: Int, cb: Codebook): DataFrame = {
     // bound BEFORE the collect: limit(1025) keeps an oversized probe
     // frame from materializing on the driver just to fail the require
     val ps = probes
@@ -212,8 +267,7 @@ object ProductQuant {
     require(ps.nonEmpty, "probe set is empty")
     require(ps.length <= 1024,
       "probe set is a bounded query batch — more than 1024 probes supplied")
-    val codes = encode(corpus, idCol, vecCol, cb)
-      .withColumnRenamed(idCol, "neighbor_id")
+    val codes = corpusCodes.withColumnRenamed(idCol, "neighbor_id")
     // ALL probe LUTs ride in ONE nested literal (a single codegen
     // reference), exploded per corpus row and scored by the codegen'd
     // pq_adc — constant generated-code size in the probe count, where

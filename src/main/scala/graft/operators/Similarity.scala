@@ -100,7 +100,7 @@ object Similarity {
     * determinism above).
     */
   private val ivfMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long), (DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, String, String, Int, Long), (DataFrame, DataFrame)]()
 
   private def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, fitSampleCap: Long,
@@ -115,7 +115,14 @@ object Similarity {
       case None => build()
       case Some(key) => ivfMemo.synchronized {
         val s = corpus.sparkSession
-        val memoKey = (key, nCells, fitSampleCap)
+        // the corpus' CANONICALIZED plan hash + column names ride in the
+        // memo key (r14 advisor): a future caller passing a filtered or
+        // reshaped corpus under the same dir-derived key must get its own
+        // index, never q49's full-corpus cells with wrong neighbor ids.
+        // q49/q122 both pass Tables.embeddings(s, dir) verbatim, so their
+        // analyzed plans canonicalize identically and still share.
+        val memoKey = (key, corpus.queryExecution.analyzed.semanticHash(),
+          idCol, vecCol, nCells, fitSampleCap)
         val cached = ivfMemo.get(memoKey)
         if (cached != null && (cached._1.sparkSession eq s) &&
             cached._1.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
@@ -235,7 +242,71 @@ object Similarity {
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nClusters: Int = 0,
                fitSampleCap: Long = 100000L,
-               maxClusterSize: Long = 100000L): DataFrame = {
+               maxClusterSize: Long = 100000L,
+               indexKey: Option[String] = None): DataFrame = {
+    // the assignment (quantizer fit + cell ids + exact cell means +
+    // csim) is THRESHOLD-INDEPENDENT and deterministic for a fixed
+    // corpus — one stored clustering per (corpus, dials), the ivfIndex
+    // warehouse posture. Re-deriving it per call re-ran the KMeans fit,
+    // the width censuses, and the hot-cell splits every time (measured:
+    // ~2.5 s of q189's 3.2 s warm call at sf0.1). The dominance
+    // self-join below — the prune itself — stays live per call.
+    val withSim = indexKey match {
+      case None =>
+        semDedupAssignment(corpus, idCol, vecCol, nClusters, fitSampleCap,
+          maxClusterSize)
+      case Some(key) => semMemo.synchronized {
+        val s = corpus.sparkSession
+        val memoKey = (key, corpus.queryExecution.analyzed.semanticHash(),
+          idCol, vecCol, nClusters, fitSampleCap, maxClusterSize,
+          Dedup.targetPairsPerTask(s))
+        val cached = semMemo.get(memoKey)
+        if (cached != null && (cached.sparkSession eq s) &&
+            cached.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          cached
+        else {
+          val built = semDedupAssignment(corpus, idCol, vecCol, nClusters,
+            fitSampleCap, maxClusterSize)
+          semMemo.put(memoKey, built)
+          built
+        }
+      }
+    }
+    // both branches rename EVERY column (incl. the join key) so the
+    // self-join cannot trip attribute-reference ambiguity
+    val a = withSim.select(col("cell").as("cell_a"), col(idCol).as("id_a"),
+      col("cv").as("cv_a"), col("csim_micro").as("cs_a"))
+    val b = withSim.select(col("cell").as("cell_b"), col(idCol).as("id_b"),
+      col("cv").as("cv_b"), col("csim_micro").as("cs_b"))
+    // equi-join on cell; the lexicographic dominance order and the
+    // cosine threshold ride as post-conditions of the hash join
+    val dominated = a.join(b, col("cell_a") === col("cell_b") &&
+        (col("cs_a") < col("cs_b") ||
+          (col("cs_a") === col("cs_b") && col("id_a") < col("id_b"))))
+      .filter(cosine(col("cv_a"), col("cv_b")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("__dropped", lit(true))
+    // cell is LONG in the output since r14: composite split ids exceed
+    // Int under extreme dials, and truncating would merge cells
+    withSim.join(dominated, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        col("csim_micro"),
+        coalesce(!col("__dropped"), lit(true)).as("kept"))
+  }
+
+  /** Session-shared SemDeDup assignment memo — see [[semDedup]]. */
+  private val semMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, String, String, Int, Long, Long, Long), DataFrame]()
+
+  /** The (id, cell, cv, csim_micro) assignment frame behind [[semDedup]]:
+    * quantizer fit, censused hot-cell residual splits, exact cell means,
+    * centroid similarity — everything except the threshold-dependent
+    * dominance prune. Persisted (four consumers inside one call; shared
+    * across calls via the indexKey memo).
+    */
+  private def semDedupAssignment(corpus: DataFrame, idCol: String,
+      vecCol: String, nClusters: Int, fitSampleCap: Long,
+      maxClusterSize: Long): DataFrame = {
     val spark = corpus.sparkSession
     // explicit dial shares the derived path's ceiling: cell ids stay
     // comfortably inside the long composite arithmetic below whatever
@@ -362,31 +433,11 @@ object Similarity {
     // persisted: the width census action plus the a-side, b-side, and
     // final left join of the self-join — the Dedup docs-persist
     // rationale; released via [[releaseCaches]]
-    val withSim = caches.trackPersist(
+    caches.trackPersist(
       assigned.join(means, Seq("cell"))
         .withColumn("csim_micro",
           floor(cosine(col("cv"), col("ctr")) * 1e6).cast("long"))
         .select(col("cell"), col(idCol), col("cv"), col("csim_micro")))
-    // both branches rename EVERY column (incl. the join key) so the
-    // self-join cannot trip attribute-reference ambiguity
-    val a = withSim.select(col("cell").as("cell_a"), col(idCol).as("id_a"),
-      col("cv").as("cv_a"), col("csim_micro").as("cs_a"))
-    val b = withSim.select(col("cell").as("cell_b"), col(idCol).as("id_b"),
-      col("cv").as("cv_b"), col("csim_micro").as("cs_b"))
-    // equi-join on cell; the lexicographic dominance order and the
-    // cosine threshold ride as post-conditions of the hash join
-    val dominated = a.join(b, col("cell_a") === col("cell_b") &&
-        (col("cs_a") < col("cs_b") ||
-          (col("cs_a") === col("cs_b") && col("id_a") < col("id_b"))))
-      .filter(cosine(col("cv_a"), col("cv_b")) >= threshold)
-      .select(col("id_b").as(idCol)).distinct()
-      .withColumn("__dropped", lit(true))
-    // cell is LONG in the output since r14: composite split ids exceed
-    // Int under extreme dials, and truncating would merge cells
-    withSim.join(dominated, Seq(idCol), "left")
-      .select(col(idCol), col("cell"),
-        col("csim_micro"),
-        coalesce(!col("__dropped"), lit(true)).as("kept"))
   }
 
   // Cache ownership: semDedup persists its corpus assignment (four
@@ -398,7 +449,9 @@ object Similarity {
     * Results already computed are unaffected; un-executed lazy plans
     * recompute.
     */
-  def releaseCaches(): Unit = { caches.release(); ivfMemo.clear() }
+  def releaseCaches(): Unit = {
+    caches.release(); ivfMemo.clear(); semMemo.clear()
+  }
 
   /** ANN via shared LSH bucket; exact cosine ranking within the bucket.
     * Recall < 1 by construction — the scale path, not the oracle.

@@ -97,22 +97,7 @@ class PlanLintSpec extends SparkSpec {
     // legal only above an Aggregate, i.e. over a frame already reduced
     // to bounded cardinality (distinct values / users / days), never
     // the event stream itself.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
-    import org.apache.spark.sql.execution.columnar.InMemoryRelation
-    // an aggregate below the window may sit INSIDE a persisted frame
-    // (q120 caches its bounded value histogram across four consumers
-    // since r14): the logical plan then shows an InMemoryRelation leaf,
-    // so look through its cached physical plan for the aggregation —
-    // a cached RAW corpus still fails, which is the lint's point.
-    def aggregatedBelow(child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
-      child.collectFirst { case a: Aggregate => a }.isDefined ||
-        child.collectFirst {
-          // treeString, not collect: under AQE the cached plan is an
-          // AdaptiveSparkPlanExec LEAF (the real plan is an inner child
-          // invisible to collect), so match the rendered tree
-          case r: InMemoryRelation
-            if r.cachedPlan.treeString.contains("Aggregate") => r
-        }.isDefined
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = queryDfs.flatMap { case (name, df) =>
       val plan = df.queryExecution.optimizedPlan
       plan.collect {
@@ -124,6 +109,88 @@ class PlanLintSpec extends SparkSpec {
       }
     }
     assert(offenders.isEmpty, s"corpus-sort windows:\n${offenders.mkString("\n")}")
+  }
+
+  /** An aggregate sits below this logical subtree — directly, or inside
+    * a persisted frame's cached PHYSICAL plan (q120 caches its bounded
+    * value histogram across four consumers since r14, so the logical
+    * plan shows an InMemoryRelation leaf). The physical match is
+    * STRUCTURAL (r14 advisor): collect aggregate exec nodes, recursing
+    * through AdaptiveSparkPlanExec (under AQE the cached plan is an
+    * adaptive leaf whose real plan is `inputPlan`) and through nested
+    * InMemoryTableScanExec relations — never a treeString substring,
+    * which any embedded small aggregate in a join branch would satisfy.
+    */
+  private def aggregatedBelow(
+      child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+    def physHasAgg(p: SparkPlan): Boolean = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case other => other
+      }
+      inner.collectFirst { case _: BaseAggregateExec | _: SortAggregateExec => () }
+        .isDefined ||
+        inner.collectFirst {
+          case s: InMemoryTableScanExec if physHasAgg(s.relation.cachedPlan) => ()
+        }.isDefined
+    }
+    child.collectFirst { case _: Aggregate => () }.isDefined ||
+      child.collectFirst {
+        case r: InMemoryRelation if physHasAgg(r.cachedPlan) => ()
+      }.isDefined
+  }
+
+  /** The subtree is REDUCED below corpus scale before a partition-less
+    * window may sort it in one task: an aggregate (bounded group count
+    * by each query's documented cardinality argument), a limit, or a
+    * driver-built local/one-row relation.
+    */
+  private def reducedBelow(
+      child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LocalRelation, OneRowRelation}
+    aggregatedBelow(child) ||
+      child.collectFirst {
+        case _: GlobalLimit => (); case _: LocalLimit => ()
+        case _: LocalRelation => (); case _: OneRowRelation => ()
+      }.isDefined
+  }
+
+  test("no partition-less window over an un-reduced input") {
+    // The r14 verdict's open rail: every partition-less Window in the
+    // suite today runs over a frame already reduced to bounded
+    // cardinality (distinct chars, capped score'd docs, days, vocab
+    // cuts) — but that boundedness lived in comments. Enforce it: a
+    // Window with an EMPTY partitionSpec moves ALL data to one task, so
+    // it is legal only above an Aggregate / limit / local relation —
+    // never the raw corpus. (The planted-fixture test below proves the
+    // lint bites.)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = queryDfs.flatMap { case (name, df) =>
+      val plan = df.queryExecution.optimizedPlan
+      plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && !reducedBelow(w.child) =>
+          s"$name: partition-less window over an un-reduced input"
+      }
+    }
+    assert(offenders.isEmpty, s"single-task global windows:\n${offenders.mkString("\n")}")
+  }
+
+  test("the partition-less window lint bites: a global rank over the raw corpus fails it") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.expressions.{Window => WSpec}
+    import org.apache.spark.sql.functions._
+    val planted = graft.sources.Tables.documents(spark, sf)
+      .withColumn("rnk", row_number().over(WSpec.orderBy(col("doc_id"))))
+    val flagged = planted.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty && !reducedBelow(w.child) => w
+    }
+    assert(flagged.nonEmpty,
+      "a global rank over the raw corpus must trip the partition-less window lint")
   }
 
   test("every query keeps its exchange budget: no silent shuffle/broadcast growth") {

@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Scratch profiler: run the named queries warm (Bench session config)
+  * and print every Spark JOB the warm execution fires with its wall
+  * duration — separates scheduler-floor cost (many tiny jobs) from real
+  * compute when a query's warm time looks too high for its plan.
+  * Usage: Test/runMain graft.tools.ProbeJobs q192
+  */
+object ProbeJobs {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.put(js.jobId, (js.time,
+          Option(js.properties).map(_.getProperty("spark.job.description"))
+            .flatMap(Option(_)).getOrElse("")))
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        val (t0, desc) = jobs.getOrDefault(je.jobId, (je.time, "?"))
+        done.add((je.jobId, je.time - t0, desc))
+      }
+    })
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val byShort = graft.SparkEntry.queries.map { case (k, v) =>
+      k.takeWhile(_ != '_') -> ((k, v))
+    }
+    args.foreach { short =>
+      val (name, fn) = byShort(short)
+      fn(spark, sfDir).count() // warmup builds memos/caches
+      Thread.sleep(300)
+      done.clear()
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      df.count()
+      val tCount = (System.nanoTime() - t1) / 1e9
+      val wall = tBuild + tCount
+      Thread.sleep(300)
+      val rows = done.toArray(Array.empty[(Int, Long, String)]).sortBy(_._1)
+      println(f"PROBE $name warm=$wall%.3f s (build=$tBuild%.3f count=$tCount%.3f), ${rows.length} jobs:")
+      rows.foreach { case (id, ms, desc) =>
+        println(f"  job $id%4d ${ms / 1000.0}%7.3f s  ${desc.take(90)}")
+      }
+    }
+    spark.stop()
+  }
+}
